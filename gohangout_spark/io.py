@@ -1,0 +1,57 @@
+"""Test-table loading helpers.
+
+The driver's synthetic parquet stores event-time as TIMESTAMP(NANOS), which
+Spark's parquet reader rejects ([PARQUET_TYPE_ILLEGAL]). We flip the
+``spark.sql.legacy.parquet.nanosAsLong`` escape hatch (runtime-settable) and
+convert nanos → microsecond timestamps with integer division (``DIV 1000`` —
+plain ``/`` would route through double and lose sub-µs precision), matching
+DuckDB's own ns→µs truncation so oracle hashes line up.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def _nanos_columns(path: str) -> list[str]:
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    first = path
+    if os.path.isdir(path):
+        inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if inner:
+            first = os.path.join(path, inner[0])
+    schema = pq.read_schema(first)
+    return [f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    nanos = _nanos_columns(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in nanos:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names or TABLES}

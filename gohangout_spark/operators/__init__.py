@@ -1,0 +1,49 @@
+from gohangout_spark.operators.base import Chain, Filter, FilterBox, FilterEffect
+from gohangout_spark.operators.basic import (
+    Add,
+    Drop,
+    Lowercase,
+    Remove,
+    Rename,
+    Replace,
+    Gsub,
+    Uppercase,
+    URLDecode,
+)
+from gohangout_spark.operators.convert import Convert
+from gohangout_spark.operators.date import Date
+from gohangout_spark.operators.grok import Grok
+from gohangout_spark.operators.json_filter import Json
+from gohangout_spark.operators.kv import KV
+from gohangout_spark.operators.split import Split
+from gohangout_spark.operators.translate import Translate
+from gohangout_spark.operators.filters import Filters
+from gohangout_spark.operators.ipip import IPIP
+from gohangout_spark.operators.metrics import LinkMetric, LinkStatsMetric
+
+FILTER_REGISTRY = {
+    "Add": Add,
+    "Remove": Remove,
+    "Rename": Rename,
+    "Drop": Drop,
+    "Lowercase": Lowercase,
+    "Uppercase": Uppercase,
+    "Gsub": Gsub,
+    "Replace": Replace,
+    "URLDecode": URLDecode,
+    "Convert": Convert,
+    "Date": Date,
+    "Grok": Grok,
+    "Json": Json,
+    "KV": KV,
+    "Split": Split,
+    "Translate": Translate,
+    "Filters": Filters,
+    "IPIP": IPIP,
+    "LinkMetric": LinkMetric,
+    "LinkStatsMetric": LinkStatsMetric,
+}
+
+__all__ = ["Chain", "Filter", "FilterBox", "FilterEffect", "FILTER_REGISTRY"] + list(
+    FILTER_REGISTRY
+)

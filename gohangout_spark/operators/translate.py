@@ -1,0 +1,78 @@
+"""Translate filter — dictionary lookup source → target.
+
+Mirrors /root/reference/filter/translate.go:121-131 (apply) and :37-73
+(YAML dict load; the reference also背ground-refreshes every
+``refresh_interval`` s — in Spark that maps to reloading per ``foreachBatch``
+micro-batch, wired in streaming/runner).
+
+Scale design: small dicts compile to a literal in-plan map (zero shuffle,
+fully codegen'd); large dicts become a **broadcast hash join** against a dict
+DataFrame — never a shuffle join, since the dict is the small side by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gohangout_spark.expr.paths import field_col, parse_field
+from gohangout_spark.operators.base import Filter, FilterBox, FilterEffect
+
+_LITERAL_MAP_MAX = 10_000
+
+
+class Translate(Filter):
+    def __init__(
+        self,
+        source: str,
+        target: str,
+        dictionary: dict | None = None,
+        dictionary_path: str | None = None,
+    ):
+        if dictionary is None:
+            if not dictionary_path:
+                raise ValueError("Translate: need dictionary or dictionary_path")
+            import yaml
+
+            with open(dictionary_path) as f:
+                dictionary = yaml.safe_load(f)
+        self.source = source
+        self.target = target
+        self.dictionary = dictionary
+
+    # Small dict: in-plan literal map.
+    def build(self, df: DataFrame) -> FilterEffect:
+        if len(self.dictionary) > _LITERAL_MAP_MAX:
+            raise RuntimeError("large dict handled by apply_plan")
+        entries = []
+        for k, v in self.dictionary.items():
+            entries.append(F.lit(str(k)))
+            entries.append(F.lit(v))
+        m = F.create_map(*entries)
+        looked_up = F.element_at(m, field_col(self.source, df).cast("string"))
+        eff = FilterEffect()
+        eff.assignments[self.target] = looked_up
+        eff.success = looked_up.isNotNull()  # lookup miss = failure path
+        return eff
+
+    @property
+    def plan_level(self) -> bool:  # type: ignore[override]
+        return len(self.dictionary) > _LITERAL_MAP_MAX
+
+    def apply_plan(self, df: DataFrame, box: FilterBox) -> DataFrame:
+        """Broadcast-join path for big dictionaries."""
+        spark = df.sparkSession
+        dict_df = spark.createDataFrame(
+            [(str(k), v) for k, v in self.dictionary.items()],
+            schema=f"__translate_key string, __translate_val string",
+        )
+        src = field_col(self.source, df).cast("string")
+        joined = df.join(
+            F.broadcast(dict_df), src == F.col("__translate_key"), "left"
+        )
+        target_top = str(parse_field(self.target)[0])
+        out = joined.withColumn(target_top, F.col("__translate_val")).drop(
+            "__translate_key", "__translate_val"
+        )
+        return out

@@ -1,0 +1,169 @@
+"""Expression-layer tests: field paths, condition DSL, date layouts, renders.
+
+Mirrors the reference's condition_filter/filter_test.go truth tables and
+filter/date_test.go layout cases.
+"""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from gohangout_spark.expr.conditions import (
+    ConditionSyntaxError,
+    compile_condition,
+    compile_conditions,
+    parse_go_duration,
+)
+from gohangout_spark.expr.dateformat import go_layout_to_java
+from gohangout_spark.expr.paths import delete_field, field_col, parse_field, set_field
+from gohangout_spark.expr.render import compile_render
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        Row(
+            name="childe",
+            age=20,
+            tags=["app", "error"],
+            message="hello world",
+            user=Row(name="liujia", age=30),
+            ts=datetime.datetime(2024, 1, 1, 0, 0, 0),
+        ),
+        Row(
+            name="other",
+            age=None,
+            tags=[],
+            message="123abc",
+            user=Row(name="xjia", age=None),
+            ts=datetime.datetime(2030, 1, 1, 0, 0, 0),
+        ),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def names_matching(df, cond):
+    return sorted(r["name"] for r in df.filter(cond).collect())
+
+
+class TestPaths:
+    def test_parse(self):
+        assert parse_field("message") == ["message"]
+        assert parse_field("[geo][cityname]") == ["geo", "cityname"]
+        assert parse_field("$.store.book[0].title") == ["store", "book", 0, "title"]
+
+    def test_nested_read(self, df):
+        vals = [r[0] for r in df.select(field_col("[user][name]", df)).collect()]
+        assert vals == ["liujia", "xjia"]
+
+    def test_missing_column_is_null(self, df):
+        vals = [r[0] for r in df.select(field_col("nope", df)).collect()]
+        assert vals == [None, None]
+
+    def test_set_and_delete_nested(self, df):
+        out = set_field(df, "[user][city]", F.lit("bj"))
+        assert [r[0] for r in out.select("user.city").collect()] == ["bj", "bj"]
+        out2 = delete_field(out, "[user][city]")
+        assert "city" not in out2.schema["user"].dataType.names
+        out3 = delete_field(df, "message")
+        assert "message" not in out3.columns
+
+    def test_set_creates_struct(self, df):
+        out = set_field(df, "[meta][k]", F.lit(1))
+        assert [r[0] for r in out.select("meta.k").collect()] == [1, 1]
+
+
+class TestConditions:
+    @pytest.mark.parametrize(
+        "cond,expected",
+        [
+            ('EQ(name,"childe")', ["childe"]),
+            ("EQ(age,20)", ["childe"]),
+            ("EQ(age,nil)", ["other"]),
+            ("EQ(user,age,nil)", ["other"]),
+            ("Exist(age)", ["childe"]),
+            ("!Exist(age)", ["other"]),
+            ("Exist(user,name)", ["childe", "other"]),
+            ('IN(tags,"app")', ["childe"]),
+            ('HasPrefix(name,"chi")', ["childe"]),
+            ('HasSuffix(user,name,"jia")', ["childe", "other"]),
+            ('Contains(message,"world")', ["childe"]),
+            ('ContainsAny(message,"xyz")', []),
+            ('ContainsAny(message,"ow")', ["childe"]),
+            ('Match(message,"^\\d+")', ["other"]),
+            ('EQ(name,"childe") && EQ(age,20)', ["childe"]),
+            ('EQ(name,"childe") || EQ(name,"other")', ["childe", "other"]),
+            ('!EQ(name,"childe")', ["other"]),
+            ('!(EQ(name,"childe") || EQ(name,"other"))', []),
+            ('EQ(name,"nope") || EQ(name,"childe") && Exist(age)', ["childe"]),
+            ("Before(24h)", ["childe"]),
+            ("After(24h)", ["other"]),
+        ],
+    )
+    def test_truth_table(self, df, cond, expected):
+        assert names_matching(df, compile_condition(cond, df, ts_field="ts")) == expected
+
+    def test_and_list(self, df):
+        c = compile_conditions(['EQ(name,"childe")', "Exist(age)"], df, ts_field="ts")
+        assert names_matching(df, c) == ["childe"]
+        assert names_matching(df, compile_conditions([], df)) == ["childe", "other"]
+
+    def test_random(self, spark):
+        big = spark.range(2000).withColumn("name", F.col("id").cast("string"))
+        n = big.filter(compile_condition("Random(2)", big)).count()
+        assert 700 < n < 1300  # p=1/2
+
+    def test_syntax_errors(self):
+        for bad in ["EQ(name,unquoted)", "Bogus(x)", "EQ(a,1) &&", "(EQ(a,1)"]:
+            with pytest.raises(ConditionSyntaxError):
+                compile_condition(bad)
+
+    def test_go_duration(self):
+        assert parse_go_duration("24h") == 86400
+        assert parse_go_duration("-1h30m") == -5400
+        assert parse_go_duration("100ms") == pytest.approx(0.1)
+
+
+class TestDateFormat:
+    @pytest.mark.parametrize(
+        "go,java",
+        [
+            ("2006-01-02 15:04:05", "yyyy-MM-dd HH:mm:ss"),
+            ("2006-01-02T15:04:05.000Z07:00", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"),
+            ("02/Jan/2006:15:04:05 -0700", "dd/MMM/yyyy:HH:mm:ss XX"),
+            ("2006年01月02日", "yyyy'年'MM'月'dd'日'"),
+        ],
+    )
+    def test_layouts(self, go, java):
+        assert go_layout_to_java(go) == java
+
+    def test_roundtrip_parse(self, spark):
+        fmt = go_layout_to_java("2006-01-02T15:04:05")
+        df = spark.createDataFrame([("2024-03-04T05:06:07",)], ["s"])
+        out = df.select(F.to_timestamp("s", fmt).alias("t")).first()["t"]
+        assert out == datetime.datetime(2024, 3, 4, 5, 6, 7)
+
+
+class TestRender:
+    def test_literal_and_field(self, df):
+        out = df.select(
+            compile_render("weblog-static", df).alias("lit"),
+            compile_render("[user][name]", df).alias("f"),
+            compile_render("name", df).alias("bare"),
+        ).first()
+        assert out["lit"] == "weblog-static"
+        assert out["f"] == "liujia"
+        assert out["bare"] == "childe"
+
+    def test_index_pattern(self, df):
+        col = compile_render("web-%{name}-%{+2006.01.02}", df, ts_field="ts")
+        assert df.select(col.alias("x")).first()["x"] == "web-childe-2024.01.01"
+
+    def test_template(self, df):
+        col = compile_render("{{.name}}.{{.user.name}}", df)
+        assert df.select(col.alias("x")).first()["x"] == "childe.liujia"
+
+    def test_unsupported_template(self, df):
+        with pytest.raises(ValueError):
+            compile_render("{{now}}", df)

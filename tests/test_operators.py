@@ -1,0 +1,334 @@
+"""Operator tests — mirrors the reference's filter unit tests
+(filter/*_test.go) against deterministic batch DataFrames."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from gohangout_spark.operators import (
+    Add,
+    Convert,
+    Date,
+    Drop,
+    FilterBox,
+    Filters,
+    Grok,
+    Gsub,
+    IPIP,
+    Json,
+    KV,
+    Lowercase,
+    LinkMetric,
+    LinkStatsMetric,
+    Remove,
+    Rename,
+    Replace,
+    Split,
+    Translate,
+    Uppercase,
+    URLDecode,
+)
+
+TS = datetime.datetime(2024, 5, 1, 12, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        Row(name="childe", message="hello world", num="42", tags=["app"], ts=TS),
+        Row(name="other", message="BYE", num="abc", tags=[], ts=TS),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def rows_by_name(out):
+    return {r["name"]: r.asDict() for r in out.collect()}
+
+
+class TestBoxContract:
+    def test_if_guard_skips(self, df):
+        box = FilterBox(Add({"x": "added"}), ifs=['EQ(name,"childe")'])
+        got = rows_by_name(box.apply(df))
+        assert got["childe"]["x"] == "added"
+        assert got["other"]["x"] is None
+
+    def test_add_remove_postprocess(self, df):
+        box = FilterBox(
+            Add({"x": "v"}), add_fields={"extra": "yes"}, remove_fields=["message"]
+        )
+        out = box.apply(df)
+        assert "message" not in out.columns
+        assert rows_by_name(out)["childe"]["extra"] == "yes"
+
+    def test_failtag(self, df):
+        box = FilterBox(
+            Convert({"num": {"to": "int"}}), fail_tag="convertfail", tags_field="tags"
+        )
+        got = rows_by_name(box.apply(df))
+        assert got["childe"]["tags"] == ["app"]
+        assert "convertfail" in got["other"]["tags"]
+
+
+class TestBasicFilters:
+    def test_add_render_and_overwrite(self, df):
+        out = FilterBox(Add({"copy": "[name]", "lit": "static"})).apply(df)
+        got = rows_by_name(out)
+        assert got["childe"]["copy"] == "childe"
+        assert got["childe"]["lit"] == "static"
+        out2 = FilterBox(Add({"name": "xxx"}, overwrite=False)).apply(df)
+        assert rows_by_name(out2)["childe"]["name"] == "childe"
+
+    def test_remove_rename(self, df):
+        out = FilterBox(Remove(["message"])).apply(df)
+        assert "message" not in out.columns
+        out = FilterBox(Rename({"message": "msg"})).apply(df)
+        assert "message" not in out.columns
+        assert rows_by_name(out)["childe"]["msg"] == "hello world"
+
+    def test_drop_with_if(self, df):
+        out = FilterBox(Drop(), ifs=['HasPrefix(message,"hello")']).apply(df)
+        assert [r["name"] for r in out.collect()] == ["other"]
+
+    def test_case(self, df):
+        got = rows_by_name(FilterBox(Uppercase(["message"])).apply(df))
+        assert got["childe"]["message"] == "HELLO WORLD"
+        got = rows_by_name(FilterBox(Lowercase(["message"])).apply(df))
+        assert got["other"]["message"] == "bye"
+
+    def test_gsub_replace(self, df):
+        got = rows_by_name(
+            FilterBox(Gsub([{"field": "message", "src": r"l+", "repl": "L"}])).apply(df)
+        )
+        assert got["childe"]["message"] == "heLo worLd"
+        got = rows_by_name(FilterBox(Replace([["message", "o", "0"]])).apply(df))
+        assert got["childe"]["message"] == "hell0 w0rld"
+        got = rows_by_name(FilterBox(Replace([["message", "o", "0", 1]])).apply(df))
+        assert got["childe"]["message"] == "hell0 world"
+
+    def test_urldecode(self, spark):
+        df = spark.createDataFrame([Row(name="a", u="a%20b%3Dc"), Row(name="b", u="plain")])
+        got = rows_by_name(FilterBox(URLDecode(["u"])).apply(df))
+        assert got["a"]["u"] == "a b=c"
+        assert got["b"]["u"] == "plain"
+
+
+class TestConvert:
+    def test_targets(self, spark):
+        df = spark.createDataFrame(
+            [Row(name="r1", i="12", f="1.5", b="true", arr=["1", "2"], s=7)]
+        )
+        box = FilterBox(
+            Convert(
+                {
+                    "i": {"to": "int"},
+                    "f": {"to": "float"},
+                    "b": {"to": "bool"},
+                    "arr": {"to": "array(int)"},
+                    "s": {"to": "string"},
+                }
+            )
+        )
+        got = rows_by_name(box.apply(df))["r1"]
+        assert got["i"] == 12 and got["f"] == 1.5 and got["b"] is True
+        assert got["arr"] == [1, 2] and got["s"] == "7"
+
+    def test_int_rejects_float_string(self, spark):
+        # Go strconv.ParseInt("12.3") fails — so do we
+        df = spark.createDataFrame([Row(name="r", v="12.3")])
+        got = rows_by_name(FilterBox(Convert({"v": {"to": "int"}})).apply(df))["r"]
+        assert got["v"] is None
+
+    def test_fail_handling(self, spark):
+        df = spark.createDataFrame([Row(name="bad", v="abc"), Row(name="nil", v=None)])
+        box = FilterBox(Convert({"v": {"to": "int", "setto_if_fail": 0, "setto_if_nil": -1}}))
+        got = rows_by_name(box.apply(df))
+        assert got["bad"]["v"] == 0
+        assert got["nil"]["v"] == -1
+
+
+class TestDate:
+    def test_parser_ladder(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(name="go", t="2024-05-01 12:00:00"),
+                Row(name="rfc", t="2024-05-01T12:00:00Z"),
+                Row(name="unix", t="1714564800"),
+                Row(name="unixms", t="1714564800000"),
+                Row(name="bad", t="not a date"),
+            ]
+        )
+        box = FilterBox(
+            Date("t", ["2006-01-02 15:04:05", "RFC3339", "UNIX"], target="@timestamp"),
+            fail_tag="datefail",
+        )
+        got = rows_by_name(box.apply(df))
+        expect = datetime.datetime(2024, 5, 1, 12, 0, 0)
+        assert got["go"]["@timestamp"] == expect
+        assert got["rfc"]["@timestamp"] == expect
+        assert got["unix"]["@timestamp"] == expect
+        assert got["bad"]["@timestamp"] is None
+        assert got["bad"]["tags"] == ["datefail"]
+        # UNIX_MS in its own parser list (a ladder with both is ambiguous —
+        # first listed wins, matching the reference's ordered try-list)
+        got_ms = rows_by_name(
+            FilterBox(Date("t", ["UNIX_MS"], target="@timestamp")).apply(df)
+        )
+        assert got_ms["unixms"]["@timestamp"] == expect
+
+
+class TestGrok:
+    def test_first_match_wins(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(name="ok", w="2024-05-01T12:00:00Z login 200"),
+                Row(name="alt", w="just-a-word 404"),
+                Row(name="bad", w="???"),
+            ]
+        )
+        box = FilterBox(
+            Grok(
+                src="w",
+                match=[
+                    r"^(?P<logtime>\S+) (?P<word>\w+) (?P<status>\d+)$",
+                    r"^%{NOTSPACE:word} %{INT:status}$",
+                ],
+            ),
+            fail_tag="grokfail",
+        )
+        got = rows_by_name(box.apply(df))
+        assert got["ok"]["word"] == "login" and got["ok"]["status"] == "200"
+        assert got["ok"]["logtime"] == "2024-05-01T12:00:00Z"
+        assert got["alt"]["word"] == "just-a-word" and got["alt"]["status"] == "404"
+        assert got["alt"]["logtime"] is None
+        assert got["bad"]["tags"] == ["grokfail"]
+
+    def test_builtin_pattern_expansion(self, spark):
+        df = spark.createDataFrame([Row(name="r", w="srv01 10.1.2.3 took 42ms")])
+        box = FilterBox(Grok(src="w", match=[r"%{WORD:host} %{IP:ip} took %{INT:ms}ms"]))
+        got = rows_by_name(box.apply(df))["r"]
+        assert got["host"] == "srv01" and got["ip"] == "10.1.2.3" and got["ms"] == "42"
+
+
+class TestJsonKvSplit:
+    def test_json_include(self, spark):
+        df = spark.createDataFrame(
+            [Row(name="ok", j='{"user":"u1","age":"30","drop":"x"}'), Row(name="bad", j="{nope")]
+        )
+        box = FilterBox(Json(field="j", include=["user", "age"]), fail_tag="jsonfail")
+        got = rows_by_name(box.apply(df))
+        assert got["ok"]["user"] == "u1" and got["ok"]["age"] == "30"
+        assert "drop" not in got["ok"]
+        assert got["bad"]["tags"] == ["jsonfail"]
+
+    def test_json_schema_target(self, spark):
+        df = spark.createDataFrame([Row(name="ok", j='{"a":1,"b":"x"}')])
+        box = FilterBox(Json(field="j", schema="a int, b string", target="parsed"))
+        got = rows_by_name(box.apply(df))["ok"]
+        assert got["parsed"]["a"] == 1 and got["parsed"]["b"] == "x"
+
+    def test_kv(self, spark):
+        df = spark.createDataFrame([Row(name="r", kvs="a=1&b= 2 &c=3")])
+        box = FilterBox(
+            KV(src="kvs", field_split="&", value_split="=", trim=" ", include=["a", "b"])
+        )
+        got = rows_by_name(box.apply(df))["r"]
+        assert got["a"] == "1" and got["b"] == "2"
+        assert "c" not in got
+
+    def test_split(self, spark):
+        df = spark.createDataFrame([Row(name="ok", c="1,2,3"), Row(name="short", c="only")])
+        box = FilterBox(
+            Split(src="c", sep=",", fields=["f1", "f2", "f3"]), fail_tag="splitfail"
+        )
+        got = rows_by_name(box.apply(df))
+        assert (got["ok"]["f1"], got["ok"]["f2"], got["ok"]["f3"]) == ("1", "2", "3")
+        assert got["short"]["f1"] is None
+        assert got["short"]["tags"] == ["splitfail"]
+
+
+class TestTranslateIpip:
+    def test_translate_hit_miss(self, df):
+        box = FilterBox(
+            Translate(source="name", target="team", dictionary={"childe": "core"}),
+            fail_tag="nodict",
+        )
+        got = rows_by_name(box.apply(df))
+        assert got["childe"]["team"] == "core"
+        assert got["other"]["team"] is None
+        assert "nodict" in got["other"]["tags"]
+
+    def test_ipip_fake_provider(self, spark):
+        df = spark.createDataFrame([Row(name="pub", ip="8.8.8.8"), Row(name="priv", ip="10.0.0.1")])
+        got = rows_by_name(FilterBox(IPIP(src="ip")).apply(df))
+        assert got["priv"]["city_name"] == "intranet"
+        assert got["pub"]["country_name"] is not None
+        # deterministic across runs
+        got2 = rows_by_name(FilterBox(IPIP(src="ip")).apply(df))
+        assert got2["pub"]["country_name"] == got["pub"]["country_name"]
+
+
+class TestFiltersNested:
+    def test_shared_if(self, df):
+        nested = Filters(
+            [FilterBox(Add({"x": "1"})), FilterBox(Add({"y": "2"}), ifs=['EQ(name,"other")'])]
+        )
+        box = FilterBox(nested, ifs=['Exist(name)'])
+        got = rows_by_name(box.apply(df))
+        assert got["childe"]["x"] == "1" and got["childe"]["y"] is None
+        assert got["other"]["x"] == "1" and got["other"]["y"] == "2"
+
+
+class TestMetrics:
+    @pytest.fixture(scope="class")
+    def events(self, spark):
+        base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+        rows = []
+        for i in range(60):
+            rows.append(
+                Row(
+                    name="test1" if i % 2 == 0 else "test2",
+                    size=float(i % 5),
+                    ts=base + datetime.timedelta(seconds=i),
+                )
+            )
+        return spark.createDataFrame(rows)
+
+    def test_link_metric_counts(self, events):
+        lm = LinkMetric(fields_link="name", batch_window=10, ts_field="ts",
+                        drop_original_event=True)
+        out = FilterBox(lm, ts_field="ts").apply(events)
+        rows = {(r["window_start"].second // 10, r["name"]): r["count"] for r in out.collect()}
+        # 60 events over 60s, 10s windows, alternating names → 5 per name per window
+        assert len(rows) == 12
+        assert all(v == 5 for v in rows.values())
+
+    def test_link_metric_union_passthrough(self, events):
+        lm = LinkMetric(fields_link="name", batch_window=30, ts_field="ts")
+        out = FilterBox(lm, ts_field="ts").apply(events)
+        assert out.count() == 60 + 4  # originals + 2 windows × 2 names
+
+    def test_link_stats(self, events):
+        lm = LinkStatsMetric(fields_link="name->size", batch_window=60, ts_field="ts",
+                             drop_original_event=True)
+        out = FilterBox(lm, ts_field="ts").apply(events)
+        got = {r["name"]: r for r in out.collect()}
+        assert got["test1"]["count"] == 30
+        assert got["test1"]["min"] == 0.0 and got["test1"]["max"] == 4.0
+        assert got["test1"]["sum"] == pytest.approx(sum(float(i % 5) for i in range(60) if i % 2 == 0))
+
+    def test_stats_reduce_merges_partials(self, spark, events):
+        # two-instance partial→final tree (SURVEY §3.3): stage 1 emits partial
+        # stats, stage 2 with reduce=true merges them
+        stage1 = LinkStatsMetric(fields_link="name->size", batch_window=10, ts_field="ts",
+                                 drop_original_event=True)
+        partials = FilterBox(stage1, ts_field="ts").apply(events)
+        partials = partials.withColumnRenamed("window_start", "ts")
+        stage2 = LinkStatsMetric(fields_link="name->size", batch_window=60, ts_field="ts",
+                                 drop_original_event=True, reduce=True)
+        merged = FilterBox(stage2, ts_field="ts").apply(partials)
+        got = {r["name"]: r for r in merged.collect()}
+        assert got["test1"]["count"] == 30
+        assert got["test1"]["mean"] == pytest.approx(
+            sum(float(i % 5) for i in range(60) if i % 2 == 0) / 30
+        )
