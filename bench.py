@@ -1,0 +1,84 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through the noop sink (full computation, no
+collect-to-driver overhead — measures the plan, not py4j serialization).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from gohangout_spark import get_spark
+from gohangout_spark.workload import QUERIES
+
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "order_priority_semijoin",
+    "segment_topk_rank",
+    "grok_extract",
+    "json_parse",
+    "convert_types",
+    "link_stats_metric",
+    "metric_reduce",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ngram_jaccard_adjacent",
+    "embedding_topk",
+    "doc_fingerprint",
+    "quality_score",
+    "lang_id",
+]
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf = float(sf)
+    except ValueError:
+        sf = sf_dir
+    spark = get_spark("gohangout-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = sys.argv[1:] or HEADLINE
+    # warm the JVM + parquet footers with the cheapest query once
+    force(QUERIES["dedup_exact"][0](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        fn = QUERIES[name][0]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

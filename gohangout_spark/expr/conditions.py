@@ -196,7 +196,9 @@ def _compile_pred(text: str, df: DataFrame | None, ts_field: str) -> Column:
             raise ConditionSyntaxError(f"{name} needs path and string: {text}")
         path, val = _path_of(args[:-1]), _literal(args[-1])
         if not isinstance(val, str):
-            raise ConditionSyntaxError(f"{name} needs a quoted string: {text}")
+            # reference configs use bare numbers against string fields,
+            # e.g. HasPrefix(message,2) in test/itest-2.yml
+            val = str(val)
         col = field_col(path, df).cast("string")
         if name == "HasPrefix":
             return col.startswith(val)

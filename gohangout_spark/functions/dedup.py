@@ -58,15 +58,25 @@ def word_shingles(text_col, n: int = 3):
     )
 
 
-def minhash_signature(text_col, num_hashes: int = 32, shingle_n: int = 3):
-    """array<bigint> of length num_hashes: min over shingles of xxhash64
-    seeded per hash function. Entirely JVM-side."""
-    sh = word_shingles(text_col, shingle_n)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(j))))
-            for j in range(num_hashes)
-        ]
+_LONG_MAX = (1 << 63) - 1
+
+
+def minhash_signature(shingles_col, num_hashes: int = 32):
+    """array<bigint> of length num_hashes, computed in ONE pass over the
+    shingle array: aggregate(shingles, [MAX]*K, elementwise-min of
+    xxhash64(shingle, j)). The naive per-hash formulation
+    (K × array_min(transform(...))) re-evaluates the shingle array K times —
+    O(S·K) string work per row — and was ~100× slower at sf0.1."""
+    init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_hashes)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        shingles_col,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda j: F.xxhash64(s, j)),
+            lambda a, b: F.least(a, b),
+        ),
     )
 
 
@@ -79,33 +89,45 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band,
-    with exact shingle-Jaccard attached for thresholding."""
+    with exact shingle-Jaccard attached for thresholding.
+
+    Scale shape: the band self-join shuffles only (doc_id, band, bkey) —
+    16 bytes × bands per doc, NOT the shingle arrays; shingles are
+    re-attached to the (tiny) candidate pair set afterwards. (base, sigs)
+    are persisted so the expensive expressions evaluate once per doc."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(text_col), num_hashes, shingle_n)
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-        sig.alias("sig"),
+    # spread the CPU-heavy shingle/signature work across all cores even when
+    # the source is a single small file (one input split = one task otherwise)
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    base = (
+        df.repartition(parallelism, F.col(id_col))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        )
+        .persist()
     )
+    sigs = base.select(
+        "doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    ).persist()
     band_keys = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.xxhash64(
-                    F.concat_ws(",", *[
-                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                    *[
+                        F.element_at("sig", b * rows_per_band + r + 1)
                         for r in range(rows_per_band)
-                    ])
+                    ]
                 ).alias("bkey"),
             )
             for b in range(bands)
         ]
     )
-    buckets = base.select("doc_id", "shingles", F.explode(band_keys).alias("bk")).select(
-        "doc_id", "shingles", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    buckets = sigs.select("doc_id", F.explode(band_keys).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
+    a, b = buckets.alias("a"), buckets.alias("b")
     pairs = (
         a.join(
             b,
@@ -113,19 +135,15 @@ def minhash_lsh_candidates(
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sh_a = base.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sh_b = base.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    withsh = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return pairs.select(
-        "id_a", "id_b", F.round(inter / union, 4).alias("jaccard")
-    )
+    return withsh.select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
 
 
 # ------------------------------------------------------------ ngram jaccard

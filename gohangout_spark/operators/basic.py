@@ -19,7 +19,12 @@ class Add(Filter):
     """Set k -> rendered v per field (/root/reference/filter/add.go:58-64).
 
     ``overwrite: false`` keeps an existing non-null value
-    (coalesce(old, new))."""
+    (coalesce(old, new)).
+
+    Note: all renders resolve against the box's INPUT — a field added in the
+    same Add cannot be referenced by a sibling field (use two Add filters).
+    The reference iterates a Go map, so same-box self-reference is
+    nondeterministic there too; we make it deterministically input-scoped."""
 
     def __init__(self, fields: dict, overwrite: bool = True):
         self.fields = fields

@@ -57,6 +57,29 @@ BUILTIN_PATTERNS: dict[str, str] = {
     "LOGLEVEL": r"([Aa]lert|ALERT|[Tt]race|TRACE|[Dd]ebug|DEBUG|[Nn]otice|NOTICE|[Ii]nfo|INFO|[Ww]arn?(?:ing)?|WARN?(?:ING)?|[Ee]rr?(?:or)?|ERR?(?:OR)?|[Cc]rit?(?:ical)?|CRIT?(?:ICAL)?|[Ff]atal|FATAL|[Ss]evere|SEVERE|EMERG(?:ENCY)?|[Ee]merg(?:ency)?)",
 }
 
+def load_pattern_file(path: str) -> dict[str, str]:
+    """Pattern files: one 'NAME regex' per line (grok.go pattern_paths);
+    directories load every file inside."""
+    import os
+
+    out: dict[str, str] = {}
+    paths = (
+        [os.path.join(path, f) for f in sorted(os.listdir(path))]
+        if os.path.isdir(path)
+        else [path]
+    )
+    for p in paths:
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                name, _, pattern = line.partition(" ")
+                if name and pattern:
+                    out[name] = pattern.strip()
+    return out
+
+
 _GROK_REF = re.compile(r"%\{(\w+)(?::([\w\[\]\.@-]+))?\}")
 _NAMED_GROUP = re.compile(r"\(\?P?<([^>]+)>")
 
@@ -127,9 +150,12 @@ class Grok(Filter):
         overwrite: bool = True,
         target: str | None = None,
         pattern_library: dict[str, str] | None = None,
+        pattern_paths: list[str] | None = None,
     ):
         self.src = src
         lib = dict(BUILTIN_PATTERNS)
+        for path in pattern_paths or []:
+            lib.update(load_pattern_file(path))
         if pattern_library:
             lib.update(pattern_library)
         self.patterns: list[tuple[str, dict[str, int]]] = []

@@ -29,7 +29,9 @@ class Translate(Filter):
         target: str,
         dictionary: dict | None = None,
         dictionary_path: str | None = None,
+        refresh_interval: int | None = None,  # streaming: reload per micro-batch
     ):
+        self.refresh_interval = refresh_interval
         if dictionary is None:
             if not dictionary_path:
                 raise ValueError("Translate: need dictionary or dictionary_path")

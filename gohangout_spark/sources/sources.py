@@ -1,0 +1,223 @@
+"""Input sources — the reference's input plugins re-expressed as Spark
+sources (batch + Structured Streaming through the unified DataFrame API).
+
+| reference input (file:line)              | here |
+|---|---|
+| Kafka  (input/kafka_input.go:54-146)     | KafkaSource — format("kafka"), subscribe/assign, decorate_events from the source's topic/partition/offset metadata columns |
+| Stdin  (input/stdin_input.go:33-66)      | StdinSource — batch read of stdin lines (dev tier) |
+| TCP    (input/tcp_input.go:43-110)       | SocketSource — format("socket") (dev tier; production uses Kafka/files) |
+| Random (input/random_input.go:27-63)     | RandomSource — spark.range / rate source + rand() |
+| (files — no reference analogue)          | FileSource — parquet/json/csv/text, the batch backbone |
+
+Codec application mirrors codec/plain_decoder.go:8-13 and
+codec/json_decoder.go:12-29 (JSON parse with @timestamp injection and
+fall-back-to-plain on malformed input).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def apply_codec(df: DataFrame, codec: str = "plain", schema: str | None = None,
+                value_col: str = "value") -> DataFrame:
+    """Decode a raw value column into the event shape.
+
+    plain (codec/plain_decoder.go): {@timestamp: now(), message: raw}
+    json  (codec/json_decoder.go): parse; inject @timestamp if absent; on
+    parse failure fall back to plain semantics (raw kept in message).
+    """
+    raw = F.col(value_col).cast("string")
+    if codec == "plain":
+        out = df.select(
+            F.current_timestamp().alias("@timestamp"),
+            raw.alias("message"),
+            *[c for c in df.columns if c != value_col],
+        )
+        return out
+    if codec == "json":
+        if schema:
+            parsed = F.from_json(raw, schema)
+            out = df.select(
+                F.current_timestamp().alias("@timestamp"),
+                parsed.alias("__parsed"),
+                F.when(parsed.isNull(), raw).alias("message"),
+                *[c for c in df.columns if c != value_col],
+            )
+            # flatten parsed struct fields to top level
+            from pyspark.sql.types import StructType
+
+            for fld in StructType.fromDDL(schema).fields:
+                out = out.withColumn(fld.name, F.col("__parsed").getItem(fld.name))
+            return out.drop("__parsed")
+        # schema-less: event payload as map<string,string>
+        parsed = F.from_json(raw, "map<string,string>")
+        return df.select(
+            F.current_timestamp().alias("@timestamp"),
+            parsed.alias("event"),
+            F.when(parsed.isNull(), raw).alias("message"),
+            *[c for c in df.columns if c != value_col],
+        )
+    raise ValueError(f"unknown codec {codec!r}")
+
+
+class Source:
+    def __init__(self, conf: dict):
+        self.conf = conf or {}
+
+    def batch(self, spark: SparkSession) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+    def stream(self, spark: SparkSession) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError("source has no streaming mode")
+
+    def _decode(self, df: DataFrame) -> DataFrame:
+        return apply_codec(
+            df, self.conf.get("codec", "plain"), self.conf.get("schema"),
+        )
+
+
+class FileSource(Source):
+    """path/format/options; typed formats (parquet) skip the codec —
+    columns are already the event fields."""
+
+    def _reader(self, spark, streaming: bool):
+        fmt = self.conf.get("format", "parquet")
+        r = spark.readStream if streaming else spark.read
+        r = r.format(fmt)
+        if self.conf.get("schema"):
+            r = r.schema(self.conf["schema"])
+        for k, v in (self.conf.get("options") or {}).items():
+            r = r.option(k, v)
+        return r
+
+    def batch(self, spark):
+        df = self._reader(spark, False).load(self.conf["path"])
+        if self.conf.get("format", "parquet") == "text":
+            return self._decode(df)
+        return df
+
+    def stream(self, spark):
+        r = self._reader(spark, True)
+        if not self.conf.get("schema"):
+            # streaming file sources require a schema: infer once from the
+            # existing files (footer read, driver-side, no data scan)
+            static = self._reader(spark, False).load(self.conf["path"])
+            r = r.schema(static.schema)
+        df = r.load(self.conf["path"])
+        if self.conf.get("format", "parquet") == "text":
+            return self._decode(df)
+        return df
+
+
+class RandomSource(Source):
+    """Random ints in [from, to] as stringified message
+    (input/random_input.go:27-63)."""
+
+    def batch(self, spark):
+        lo, hi = int(self.conf.get("from", 0)), int(self.conf.get("to", 100))
+        n = int(self.conf.get("max_messages", 1000))
+        df = spark.range(n).select(
+            (F.floor(F.rand() * (hi - lo + 1)) + lo).cast("long").cast("string").alias("value")
+        )
+        return self._decode(df)
+
+    def stream(self, spark):
+        lo, hi = int(self.conf.get("from", 0)), int(self.conf.get("to", 100))
+        rate = (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", str(self.conf.get("rows_per_second", 100)))
+            .load()
+        )
+        df = rate.select(
+            (F.floor(F.rand() * (hi - lo + 1)) + lo).cast("long").cast("string").alias("value")
+        )
+        return self._decode(df)
+
+
+class StdinSource(Source):
+    def batch(self, spark):
+        lines = [(line.rstrip("\n"),) for line in sys.stdin]
+        df = spark.createDataFrame(lines, "value string")
+        return self._decode(df)
+
+
+class SocketSource(Source):
+    def stream(self, spark):
+        df = (
+            spark.readStream.format("socket")
+            .option("host", self.conf.get("host", "localhost"))
+            .option("port", str(self.conf.get("port", 9999)))
+            .load()
+        )
+        return self._decode(df)
+
+
+class KafkaSource(Source):
+    """subscribe (topic map) XOR assign (partition map), mirroring
+    input/kafka_input.go:54-123; decorate_events adds the
+    [@metadata][kafka]{topic,partition,offset} struct from the Kafka source's
+    metadata columns (:127-146)."""
+
+    def _options(self) -> dict[str, str]:
+        conf = self.conf
+        settings = dict(conf.get("consumer_settings") or {})
+        opts = {}
+        if "bootstrap.servers" in settings:
+            opts["kafka.bootstrap.servers"] = settings.pop("bootstrap.servers")
+        if settings.pop("from.beginning", "false") in ("true", True):
+            opts["startingOffsets"] = "earliest"
+        if "group.id" in settings:
+            opts["kafka.group.id"] = settings.pop("group.id")
+        for k, v in settings.items():
+            opts[f"kafka.{k}"] = str(v)
+        topic, assign = conf.get("topic"), conf.get("assign")
+        if topic and assign:
+            raise ValueError("Kafka: topic and assign are mutually exclusive")
+        if topic:
+            opts["subscribe"] = ",".join(topic) if isinstance(topic, dict) else str(topic)
+        elif assign:
+            import json as _json
+
+            opts["assign"] = _json.dumps(assign)
+        else:
+            raise ValueError("Kafka: need topic or assign")
+        return opts
+
+    def _finish(self, df: DataFrame) -> DataFrame:
+        out = self._decode(df)
+        if self.conf.get("decorate_events"):
+            out = out.withColumn(
+                "@metadata",
+                F.struct(
+                    F.struct(
+                        F.col("topic"), F.col("partition"), F.col("offset")
+                    ).alias("kafka")
+                ),
+            )
+        return out.drop("key", "topic", "partition", "offset", "timestamp", "timestampType")
+
+    def batch(self, spark):
+        r = spark.read.format("kafka")
+        for k, v in self._options().items():
+            r = r.option(k, v)
+        return self._finish(r.load())
+
+    def stream(self, spark):
+        r = spark.readStream.format("kafka")
+        for k, v in self._options().items():
+            r = r.option(k, v)
+        return self._finish(r.load())
+
+
+SOURCE_REGISTRY = {
+    "File": FileSource,
+    "Random": RandomSource,
+    "Stdin": StdinSource,
+    "TCP": SocketSource,
+    "Socket": SocketSource,
+    "Kafka": KafkaSource,
+}

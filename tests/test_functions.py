@@ -1,0 +1,137 @@
+"""Tests for the LLM-data-pipeline function modules."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from gohangout_spark.functions import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        Row(doc_id=0, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy cat"),
+        Row(doc_id=2, text="completely different content about spark engines"),
+        Row(doc_id=3, text="the quick brown fox jumps over the lazy dog"),  # dup of 0
+        Row(doc_id=4, text="der hund und die katze und das ist gut"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+class TestText:
+    def test_tokens_and_count(self, docs):
+        out = docs.select("doc_id", text.token_count(F.col("text")).alias("n")).collect()
+        got = {r["doc_id"]: r["n"] for r in out}
+        assert got[0] == 9 and got[2] == 6
+
+    def test_language_id(self, docs):
+        out = docs.select("doc_id", text.language_id(F.col("text")).alias("l")).collect()
+        got = {r["doc_id"]: r["l"] for r in out}
+        assert got[0] == "en"
+        assert got[4] == "de"
+
+    def test_fingerprint_dedups_word_order(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=0, text="alpha beta gamma"), Row(doc_id=1, text="gamma  beta alpha alpha")]
+        )
+        fps = [r[0] for r in df.select(text.fingerprint(F.col("text"))).collect()]
+        assert fps[0] == fps[1]
+
+    def test_quality_score_range(self, docs):
+        vals = [r[0] for r in docs.select(text.quality_score(F.col("text"))).collect()]
+        assert all(0.0 <= v <= 1.0 for v in vals)
+
+    def test_rolling_hash_fingerprint(self, docs):
+        out = docs.select(
+            "doc_id", text.rolling_hash_fingerprint(F.col("text"), window=3).alias("fp")
+        ).collect()
+        got = {r["doc_id"]: r["fp"] for r in out}
+        assert got[0] == got[3]  # identical docs -> identical sketch
+
+
+class TestDedup:
+    def test_exact_groups(self, docs):
+        out = dedup.exact_dedup_groups(docs, "text", "doc_id")
+        rows = {r["keep_id"]: r["dup_count"] for r in out.collect()}
+        assert rows[0] == 2  # doc 0 and 3 identical
+        assert out.count() == 4
+
+    def test_exact_dedup_deterministic(self, docs):
+        out = dedup.exact_dedup(docs, "text", "doc_id")
+        ids = sorted(r["doc_id"] for r in out.collect())
+        assert ids == [0, 1, 2, 4]  # keeps min doc_id
+
+    def test_minhash_finds_near_dups(self, docs):
+        cands = dedup.minhash_lsh_candidates(
+            docs, "text", "doc_id", num_hashes=16, bands=8, shingle_n=2
+        )
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in cands.collect()}
+        assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup pair
+        near = pairs.get((0, 1))
+        assert near is None or near < 1.0
+
+    def test_ngram_jaccard(self, docs):
+        out = dedup.ngram_jaccard_pairs(docs.filter("doc_id <= 3"), "text", "doc_id", n=2)
+        pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+        assert pairs[(0, 3)] == 1.0
+        assert pairs[(0, 2)] == 0.0
+        assert 0.0 < pairs[(0, 1)] < 1.0
+
+    def test_simhash_close_for_near_dups(self, docs):
+        out = docs.select("doc_id", dedup.simhash_column(F.col("text")).alias("sh"))
+        got = {r["doc_id"]: r["sh"] for r in out.collect()}
+        assert got[0] == got[3]
+        ham_near = bin(got[0] ^ got[1]).count("1")
+        ham_far = bin(got[0] ^ got[2]).count("1")
+        assert ham_near < ham_far
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def emb(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(20, 8)
+        base[5] = base[0] + 0.01 * rng.randn(8)  # 5 is a near-dup of 0
+        rows = [Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(20)]
+        return spark.createDataFrame(rows)
+
+    def test_brute_force_topk(self, emb):
+        out = similarity.brute_force_topk(emb, emb.filter("vec_id = 0"), k=3)
+        rows = sorted(out.collect(), key=lambda r: r["rank"])
+        assert rows[0]["neighbor_id"] == 5  # the planted near-dup
+        assert rows[0]["sim"] > 0.99
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+
+    def test_lsh_topk_finds_planted_neighbor(self, emb):
+        out = similarity.lsh_topk(emb, emb.filter("vec_id = 0"), dim=8, k=3, n_planes=2)
+        rows = sorted(out.collect(), key=lambda r: r["rank"])
+        assert rows and rows[0]["neighbor_id"] == 5
+
+
+class TestMultimodal:
+    def test_feature_extract_deterministic(self, spark):
+        media = multimodal.make_fake_media_table(spark, n=8)
+        f1 = {r["media_id"]: r["mean_r"] for r in multimodal.extract_image_features(media).collect()}
+        f2 = {r["media_id"]: r["mean_r"] for r in multimodal.extract_image_features(media).collect()}
+        assert f1 == f2 and len(f1) == 8
+
+    def test_resize_shapes(self, spark):
+        media = multimodal.make_fake_media_table(spark, n=4)
+        out = multimodal.resize_images(media, width=6, height=5)
+        rows = out.collect()
+        assert all(r["meta"]["width"] == 6 and r["meta"]["height"] == 5 for r in rows)
+        assert all(len(bytes(r["content"])) == 6 * 5 * 3 for r in rows)
+
+    def test_frame_sampling(self, spark):
+        media = multimodal.make_fake_media_table(spark, n=4)
+        out = multimodal.sample_video_frames(media, every_n=10).collect()
+        assert len(out) >= 4
+        assert all(r["frame_idx"] % 10 == 0 for r in out)
+
+    def test_real_codec_stub_raises(self):
+        import numpy as np
+
+        with pytest.raises(NotImplementedError):
+            multimodal.RealCodec().decode(b"x")

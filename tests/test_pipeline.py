@@ -1,0 +1,208 @@
+"""Pipeline compiler + end-to-end tests mirroring the reference's
+golden-count integration suite (/root/reference/test/itest.sh):
+itest-1 (fan-out counts), itest-2 (Drop+HasPrefix), itest-3 (conditional
+output), itest-4 (nested Filters), plus a Structured Streaming run."""
+
+import time
+
+import pytest
+
+from gohangout_spark.pipeline import Pipeline
+from gohangout_spark.sinks import MemorySink
+
+
+def run_yaml(spark, yml: str):
+    """Compile + run a batch pipeline with Memory sinks, return sinks."""
+    p = Pipeline.from_config(yml, is_text=True, sink_overrides={"Stdout": MemorySink})
+    p.run_batch(spark)
+    return p.sinks
+
+
+ITEST_1 = """
+inputs:
+- Random: {from: 1, to: 100, max_messages: 1000}
+- Random: {from: 1, to: 100, max_messages: 1000}
+outputs:
+- Stdout: {}
+- Stdout: {}
+"""
+
+
+def test_itest1_fanout_counts(spark):
+    sinks = run_yaml(spark, ITEST_1)
+    # 2 inputs x 1000 msgs x 2 outputs = 4000 total (itest.sh expects 4000)
+    assert sum(len(s.rows) for s in sinks) == 4000
+
+
+ITEST_2 = """
+inputs:
+- Random: {from: 300, to: 1000, max_messages: 1000}
+- Random: {from: 200, to: 299, max_messages: 1000}
+filters:
+- Drop:
+    if:
+    - 'HasPrefix(message,2)'
+outputs:
+- Stdout: {}
+"""
+
+
+def test_itest2_drop_prefix(spark):
+    sinks = run_yaml(spark, ITEST_2)
+    rows = sinks[0].rows
+    # input 2 (200-299) fully dropped; input 1 keeps values not starting '2'
+    assert all(not r["message"].startswith("2") for r in rows)
+    assert 800 < len(rows) <= 1000
+
+
+ITEST_3 = """
+inputs:
+- Random: {from: 300, to: 399, max_messages: 1000}
+- Random: {from: 200, to: 299, max_messages: 1000}
+outputs:
+- Stdout:
+    if:
+    - 'HasPrefix(message,3)'
+- Stdout: {}
+"""
+
+
+def test_itest3_conditional_output(spark):
+    sinks = run_yaml(spark, ITEST_3)
+    # conditional sink gets only the 3xx input's 1000; plain sink gets 2000
+    assert len(sinks[0].rows) == 1000
+    assert all(r["message"].startswith("3") for r in sinks[0].rows)
+    assert len(sinks[1].rows) == 2000
+
+
+ITEST_4 = """
+inputs:
+- Random: {from: 400, to: 499, max_messages: 500}
+filters:
+- Filters:
+    filters:
+    - Add:
+        fields: {tag1: add}
+    - Add:
+        fields: {tag2: add}
+outputs:
+- Stdout: {}
+"""
+
+
+def test_itest4_nested_filters(spark):
+    sinks = run_yaml(spark, ITEST_4)
+    rows = sinks[0].rows
+    assert len(rows) == 500
+    assert all(r["tag1"] == "add" and r["tag2"] == "add" for r in rows)
+
+
+METRIC_YML = """
+inputs:
+- File:
+    path: "{path}"
+    format: parquet
+filters:
+- LinkMetric:
+    fieldsLink: 'event_type'
+    timestamp: ts
+    batchWindow: 3600
+    reserveWindow: 7200
+    drop_original_event: true
+timestamp_field: ts
+outputs:
+- Stdout: {{}}
+"""
+
+
+def test_metric_pipeline_from_config(spark, tmp_path):
+    from gohangout_spark.io import load_table
+
+    src = str(tmp_path / "events_pq")
+    load_table(spark, "/root/testdata/sf0.001", "events").write.parquet(src)
+    sinks = run_yaml(spark, METRIC_YML.format(path=src))
+    rows = sinks[0].rows
+    assert len(rows) > 100
+    assert sum(r["count"] for r in rows) == 1000
+
+
+def test_env_expansion(spark, monkeypatch):
+    monkeypatch.setenv("GHS_MAX", "123")
+    yml = """
+inputs:
+- Random: {from: 1, to: 9, max_messages: $GHS_MAX}
+outputs:
+- Stdout: {}
+"""
+    sinks = run_yaml(spark, yml)
+    assert len(sinks[0].rows) == 123
+
+
+def test_unknown_plugin_errors(spark):
+    with pytest.raises(ValueError, match="unknown filter"):
+        Pipeline.from_config(
+            {"inputs": [{"Random": {}}], "filters": [{"Bogus": {}}], "outputs": []}
+        )
+
+
+class TestStreaming:
+    def test_rate_source_to_memory(self, spark, tmp_path):
+        yml = """
+inputs:
+- Random: {from: 1, to: 5, max_messages: 0, rows_per_second: 200}
+filters:
+- Add:
+    fields: {site: demo}
+outputs:
+- Stdout: {}
+"""
+        p = Pipeline.from_config(yml, is_text=True, sink_overrides={"Stdout": MemorySink})
+        queries = p.run_streaming(
+            spark, checkpoint=str(tmp_path / "ckpt"), output_mode="append"
+        )
+        try:
+            deadline = time.time() + 30
+            while time.time() < deadline and not p.sinks[0].rows:
+                time.sleep(0.5)
+        finally:
+            for q in queries:
+                q.stop()
+        rows = p.sinks[0].rows
+        assert rows, "no rows arrived from the streaming pipeline"
+        assert all(r["site"] == "demo" for r in rows)
+        assert all(1 <= int(r["message"]) <= 5 for r in rows)
+
+    def test_streaming_windowed_metric(self, spark, tmp_path):
+        """File-stream → watermarked windowed count → update-mode sink."""
+        from gohangout_spark.io import load_table
+
+        src = str(tmp_path / "ev")
+        load_table(spark, "/root/testdata/sf0.001", "events").write.parquet(src)
+        yml = f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+filters:
+- LinkMetric:
+    fieldsLink: 'event_type'
+    timestamp: ts
+    batchWindow: 3600
+    reserveWindow: 7200
+    accumulateMode: cumulative
+    drop_original_event: true
+timestamp_field: ts
+outputs:
+- Stdout: {{}}
+"""
+        p = Pipeline.from_config(yml, is_text=True, sink_overrides={"Stdout": MemorySink})
+        queries = p.run_streaming(spark, checkpoint=str(tmp_path / "ck2"))
+        try:
+            for q in queries:
+                q.processAllAvailable()
+        finally:
+            for q in queries:
+                q.stop()
+        rows = p.sinks[0].rows
+        assert rows
+        assert sum(r["count"] for r in rows) == 1000
