@@ -96,7 +96,13 @@ class Convert(Filter):
                 ).otherwise(value)
 
             eff.assignments[path] = value
-            eff.otherwise[path] = src.try_cast(sptype)
+            # rows skipped by an if-guard keep a best-effort cast of the old
+            # value; string→array is not castable, so arrays fall back to the
+            # converted expression itself
+            if sptype.startswith("array") and not dtype.startswith("array"):
+                eff.otherwise[path] = converted
+            else:
+                eff.otherwise[path] = src.try_cast(sptype)
             handled = "setto_if_fail" in spec or spec.get("remove_if_fail", False)
             if not handled:
                 ok_cols.append(~failed)

@@ -729,3 +729,135 @@ def multimodal_features(spark, sf_dir):
         "width",
         "height",
     )
+
+
+# ========================================================================
+# Coverage widening: remaining operator options + Spark-first extensions
+# ========================================================================
+
+@q("lowercase", "SELECT event_id, lower(event_type) AS event_type FROM events")
+def lowercase(spark, sf_dir):
+    from gohangout_spark.operators import Lowercase
+
+    df = _events(spark, sf_dir)
+    return FilterBox(Lowercase(["event_type"])).apply(df).select("event_id", "event_type")
+
+
+@q(
+    "convert_array",
+    "SELECT event_id, [user_id, event_id] AS arr FROM events",
+)
+def convert_array(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "arr",
+        F.concat(
+            F.lit("["), F.col("user_id").cast("string"), F.lit(","),
+            F.col("event_id").cast("string"), F.lit("]"),
+        ),
+    )
+    out = FilterBox(Convert({"arr": {"to": "array(int)"}})).apply(df)
+    return out.select("event_id", "arr")
+
+
+@q(
+    "split_maxsplit",
+    "SELECT event_id, split_part(csv, ',', 1) AS head, "
+    "substr(csv, length(split_part(csv, ',', 1)) + 2) AS rest FROM ("
+    "SELECT event_id, event_type || ',' || user_id || ',' || event_id AS csv FROM events)",
+)
+def split_maxsplit(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "csv",
+        F.concat_ws(",", "event_type", F.col("user_id").cast("string"),
+                    F.col("event_id").cast("string")),
+    )
+    out = FilterBox(
+        Split(src="csv", sep=",", fields=["head", "rest"], max_split=2)
+    ).apply(df)
+    return out.select("event_id", "head", "rest")
+
+
+@q(
+    "date_location",
+    "SELECT event_id, strftime(date_trunc('second', ts) - INTERVAL 8 HOURS, "
+    "'%Y-%m-%d %H:%M:%S') AS parsed_ts FROM events",
+)
+def date_location(spark, sf_dir):
+    """Offset-less layouts interpreted in a named timezone (filter/date.go
+    location): the UTC wall-time string parsed as Asia/Shanghai wall time
+    yields the instant 8 hours earlier."""
+    df = _events(spark, sf_dir).withColumn(
+        "tstr", F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+    )
+    out = FilterBox(
+        Date("tstr", ["2006-01-02 15:04:05"], target="parsed", location="Asia/Shanghai")
+    ).apply(df)
+    return out.select(
+        "event_id", F.date_format("parsed", "yyyy-MM-dd HH:mm:ss").alias("parsed_ts")
+    )
+
+
+@q(
+    "grok_target",
+    "SELECT event_id, event_type AS g_etype, CAST(user_id AS VARCHAR) AS g_uid FROM events",
+)
+def grok_target(spark, sf_dir):
+    df = _events(spark, sf_dir).withColumn(
+        "line", F.concat("event_type", F.lit(" uid="), F.col("user_id").cast("string"))
+    )
+    out = FilterBox(
+        Grok(src="line", match=[r"^(?P<etype>\w+) uid=(?P<uid>\d+)$"], target="g")
+    ).apply(df)
+    return out.select(
+        "event_id",
+        F.col("g").getItem("etype").alias("g_etype"),
+        F.col("g").getItem("uid").alias("g_uid"),
+    )
+
+
+@q(
+    "translate_broadcast_join",
+    "SELECT event_id, CASE WHEN user_id % 1000 < 600 THEN 'grp' || CAST(user_id % 7 AS VARCHAR) "
+    "ELSE NULL END AS grp FROM events",
+)
+def translate_broadcast_join(spark, sf_dir):
+    """Large-dictionary Translate: > literal-map threshold → broadcast hash
+    join path (translate.py apply_plan)."""
+    big_dict = {str(k): f"grp{k % 7}" for k in range(100_000) if k % 1000 < 600}
+    df = _events(spark, sf_dir)
+    out = FilterBox(
+        Translate(source="user_id", target="grp", dictionary=big_dict)
+    ).apply(df)
+    return out.select("event_id", "grp")
+
+
+@q(
+    "session_window",
+    """WITH d AS (SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+              > INTERVAL 1 HOUR OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+         THEN 1 ELSE 0 END AS new_s FROM events)
+       SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM d GROUP BY user_id""",
+)
+def session_window(spark, sf_dir):
+    """Spark-first extension (no reference analogue): gap-based session
+    windows via F.session_window — a native stateful op the Go engine cannot
+    express."""
+    df = _events(spark, sf_dir)
+    sessions = df.groupBy(
+        F.session_window("ts", "1 hour").alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sessions.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+@q(
+    "event_type_median",
+    "SELECT event_type, round(median(value), 4) AS med, "
+    "round(quantile_cont(value, 0.9), 4) AS p90 FROM events GROUP BY event_type",
+)
+def event_type_median(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    return df.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+    )
