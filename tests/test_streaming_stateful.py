@@ -1,0 +1,67 @@
+"""Cumulative LinkMetric strict-parity test: totals must be RE-EMITTED and
+GROW across micro-batches for the same (window, key) group — the semantics
+Spark's built-in update-mode agg has, plus explicit reserveWindow state
+lifetime (applyInPandasWithState)."""
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+
+from gohangout_spark.streaming import cumulative_link_metric_stream
+
+BASE = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _write_chunk(spark, path, offset, n, name):
+    rows = [
+        Row(name=name, size=float(i % 3),
+            ts=BASE + datetime.timedelta(seconds=offset + (i % 50)))
+        for i in range(n)
+    ]
+    spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(path)
+
+
+@pytest.mark.parametrize("stats", [False, True])
+def test_cumulative_across_microbatches(spark, tmp_path, stats):
+    src_path = str(tmp_path / "src")
+    # two files → maxFilesPerTrigger=1 forces two micro-batches over the
+    # SAME 100s window
+    _write_chunk(spark, src_path, 0, 60, "g1")
+    _write_chunk(spark, src_path, 0, 40, "g1")
+
+    stream = (
+        spark.readStream.schema("name string, size double, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_path)
+    )
+    out = cumulative_link_metric_stream(
+        stream,
+        fields_link="name",
+        batch_window=100,
+        reserve_window=1000,
+        ts_field="ts",
+        stats_field="size" if stats else None,
+    )
+    qname = f"cumul_{stats}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {qname}").collect()
+    finally:
+        q.stop()
+
+    counts = sorted(r["count"] for r in rows)
+    # one emission per micro-batch: first 60, then cumulative 100
+    assert counts == [60, 100], rows
+    if stats:
+        final = max(rows, key=lambda r: r["count"])
+        total = sum(float(i % 3) for i in range(60)) + sum(float(i % 3) for i in range(40))
+        assert final["sum"] == pytest.approx(total)
+        assert final["min"] == 0.0 and final["max"] == 2.0
+        assert final["mean"] == pytest.approx(total / 100)
