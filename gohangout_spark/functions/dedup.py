@@ -58,6 +58,22 @@ def word_shingles(text_col, n: int = 3):
     )
 
 
+def shingle_hashes(text_col, n: int = 3):
+    """array<bigint>: xxhash64 of each n-token shingle, computed WITHOUT
+    materializing shingle strings (no concat/slice allocations). Jaccard
+    over hashed shingles equals Jaccard over string shingles modulo
+    negligible 64-bit collisions."""
+    toks = tokens(text_col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.element_at(toks, i + k + 1) for k in range(n)]),
+        )
+    )
+
+
 _LONG_MAX = (1 << 63) - 1
 
 
@@ -103,7 +119,7 @@ def minhash_lsh_candidates(
         df.repartition(parallelism, F.col(id_col))
         .select(
             F.col(id_col).alias("doc_id"),
-            word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+            shingle_hashes(F.col(text_col), shingle_n).alias("shingles"),
         )
         .persist()
     )

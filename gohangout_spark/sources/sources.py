@@ -40,11 +40,18 @@ def apply_codec(df: DataFrame, codec: str = "plain", schema: str | None = None,
         return out
     if codec == "json":
         if schema:
-            parsed = F.from_json(raw, schema)
+            # PERMISSIVE from_json yields an all-null struct (not NULL) on
+            # malformed input — route the raw line through _corrupt_record to
+            # implement the decoder's fall-back-to-plain rule
+            parsed = F.from_json(
+                raw,
+                schema + ", _corrupt_record string",
+                {"columnNameOfCorruptRecord": "_corrupt_record"},
+            )
             out = df.select(
                 F.current_timestamp().alias("@timestamp"),
                 parsed.alias("__parsed"),
-                F.when(parsed.isNull(), raw).alias("message"),
+                parsed.getItem("_corrupt_record").alias("message"),
                 *[c for c in df.columns if c != value_col],
             )
             # flatten parsed struct fields to top level
@@ -88,7 +95,9 @@ class FileSource(Source):
         fmt = self.conf.get("format", "parquet")
         r = spark.readStream if streaming else spark.read
         r = r.format(fmt)
-        if self.conf.get("schema"):
+        # for text sources the `schema` conf describes the CODEC's payload
+        # (the reader schema is always `value string`)
+        if self.conf.get("schema") and fmt != "text":
             r = r.schema(self.conf["schema"])
         for k, v in (self.conf.get("options") or {}).items():
             r = r.option(k, v)
