@@ -1,0 +1,46 @@
+"""CLI — the analogue of ``gohangout --config config.yml``
+(/root/reference/gohangout.go:133-159).
+
+    python -m gohangout_spark --config pipeline.yml [--streaming]
+        [--trigger-seconds N] [--checkpoint DIR] [--cpus N]
+
+``--worker`` is accepted for config compatibility and ignored: Spark's task
+parallelism (source partitions × cores) replaces gohangout workers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="gohangout-spark")
+    ap.add_argument("--config", required=True, help="YAML pipeline config (path or URL)")
+    ap.add_argument("--streaming", action="store_true", help="run as Structured Streaming")
+    ap.add_argument("--trigger-seconds", type=int, default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--cpus", type=int, default=None, help="local[N] cores")
+    ap.add_argument("--worker", type=int, default=None, help="ignored (reference compat)")
+    args = ap.parse_args(argv)
+
+    from gohangout_spark import get_spark
+    from gohangout_spark.pipeline import Pipeline
+
+    master = f"local[{args.cpus}]" if args.cpus else None
+    spark = get_spark("gohangout-spark", master=master)
+    pipeline = Pipeline.from_config(args.config)
+    if args.streaming:
+        pipeline.run_streaming(
+            spark,
+            trigger_seconds=args.trigger_seconds,
+            checkpoint=args.checkpoint,
+            await_termination=True,
+        )
+    else:
+        pipeline.run_batch(spark)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

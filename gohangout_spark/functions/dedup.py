@@ -206,21 +206,31 @@ def simhash_udf(num_bits: int = 64):
     return simhash
 
 
+_BIT_POWERS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
+
+
 def simhash_column(text_col):
-    """Deterministic JVM-side SimHash-32: sum of per-token ±1 bit votes via
-    higher-order functions (hash() is murmur3, stable across runs — Python
-    ``hash`` is NOT, so the UDF variant is for throughput comparison only)."""
+    """Deterministic JVM-side SimHash-64 in ONE pass over the token array:
+    aggregate an array of 64 bit-vote counters (bit_get of xxhash64 per
+    token), then pack votes>0 into a signed long. No Python, no per-bit
+    re-evaluation of the token array (the naive 64×aggregate formulation
+    re-tokenizes per bit)."""
     toks = F.array_distinct(tokens(text_col))
-    bit_cols = []
-    for b in range(32):
-        votes = F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc
-            + F.when(F.shiftright(F.hash(t), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-        bit_cols.append(F.when(votes > 0, F.lit(2**b).cast("long")).otherwise(F.lit(0).cast("long")))
-    sig = bit_cols[0]
-    for c in bit_cols[1:]:
-        sig = sig + c
-    return sig
+    bits = F.sequence(F.lit(0), F.lit(63))
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(bits, lambda b: F.bit_get(F.xxhash64(t), b)),
+            lambda a, v: a + F.when(v == 1, 1).otherwise(-1),
+        ),
+    )
+    powers = F.array(*[F.lit(p).cast("long") for p in _BIT_POWERS])
+    return F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

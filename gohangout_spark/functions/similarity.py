@@ -118,3 +118,101 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
     )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_planes: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
+
+    n_planes == 0: exact all-pairs (oracle-checkable; O(n²) — small inputs or
+    pre-blocked). n_planes > 0: LSH-bucketed — hyperplane bucket equality
+    prunes the pair space first (the 100 TB path: near-dups almost surely
+    share the bucket; recall tunable via fewer planes / multi-probe)."""
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
+    a = df.select(F.col(id_col).alias("id_a"), to_d(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), to_d(F.col(vec_col)).alias("vb"))
+    if n_planes > 0:
+        dim = len(df.select(vec_col).first()[0])
+        key = lambda c: lsh_bucket_key(c, dim, n_planes)
+        a = a.withColumn("bucket", key(F.col("va")))
+        b = b.withColumn("bucket", key(F.col("vb")))
+        pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
+    else:
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sims = pairs.select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim")
+    )
+    return sims.where(F.col("sim") >= threshold).select(
+        "id_a", "id_b", F.round("sim", 4).alias("sim")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
+    their nearest of ``n_centroids`` sampled centroids (deterministic seeded
+    sample); each query probes its ``n_probe`` nearest centroid cells and
+    exact-ranks only those cells.
+
+    Scale shape: centroid assignment is a scan-side argmin against a
+    broadcast centroid list; the search join keys on cell id, so the shuffle
+    is O(corpus) once (partition-by-cell) and each query touches
+    n_probe/n_centroids of the data. A production system would k-means the
+    centroids; seeded sampling keeps this deterministic and dependency-free.
+    """
+    from pyspark.sql.window import Window
+
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
+    # deterministic centroid sample: lowest n_centroids by hash(id, seed)
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("cid"), to_d(F.col(vec_col)).alias("cv"))
+        .withColumn("__h", F.xxhash64(F.col("cid"), F.lit(seed)))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .drop("__h")
+        .collect()
+    )
+    centroids = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows]
+
+    def cell_ranks(vec, n: int):
+        """array of cell ids ordered by cosine desc, truncated to n."""
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("s"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in centroids
+            ]
+        )
+        ordered = F.reverse(F.array_sort(scored))
+        return F.slice(F.transform(ordered, lambda x: x.getField("cid")), 1, n)
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), to_d(F.col(vec_col)).alias("cv"))
+    c = c.withColumn("cell", F.element_at(cell_ranks(F.col("cv"), 1), 1))
+    q = queries.select(F.col(id_col).alias("query_id"), to_d(F.col(vec_col)).alias("qv"))
+    q = q.withColumn("cell", F.explode(cell_ranks(F.col("qv"), n_probe)))
+
+    joined = c.join(F.broadcast(q), "cell").where(F.col("query_id") != F.col("neighbor_id"))
+    sims = joined.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )

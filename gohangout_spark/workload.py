@@ -595,7 +595,10 @@ def simhash_signatures(spark, sf_dir):
     from gohangout_spark.functions.dedup import simhash_column
 
     docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", simhash_column(F.col("text")).alias("simhash"))
+    par = spark.sparkContext.defaultParallelism
+    return docs.repartition(par, "doc_id").select(
+        "doc_id", simhash_column(F.col("text")).alias("simhash")
+    )
 
 
 @q(
@@ -861,3 +864,53 @@ def event_type_median(spark, sf_dir):
         F.round(F.expr("percentile(value, 0.5)"), 4).alias("med"),
         F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
     )
+
+
+@q(
+    "embedding_neardup_exact",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(list_cosine_similarity(a.ev, b.ev), 4) AS sim
+       FROM v a JOIN v b ON a.vec_id < b.vec_id
+       WHERE list_cosine_similarity(a.ev, b.ev) >= 0.5""",
+)
+def embedding_neardup_exact(spark, sf_dir):
+    from gohangout_spark.functions.similarity import cosine_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.5)
+
+
+# LSH-pruned near-dup pairs (approximate pair space) — rows-only check
+@q("embedding_neardup_lsh", None)
+def embedding_neardup_lsh(spark, sf_dir):
+    from gohangout_spark.functions.similarity import cosine_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.5, n_planes=4)
+
+
+# IVF approximate top-k (probed cells only) — rows-only check
+@q("embedding_ivf_topk", None)
+def embedding_ivf_topk(spark, sf_dir):
+    from gohangout_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=3)
+
+
+# SimHash near-dup pairs by hamming distance — rows-only check
+@q("simhash_neardup", None)
+def simhash_neardup(spark, sf_dir):
+    from gohangout_spark.functions.dedup import simhash_column
+
+    docs = _docs(spark, sf_dir)
+    par = spark.sparkContext.defaultParallelism
+    sh = docs.repartition(par, "doc_id").select(
+        "doc_id", simhash_column(F.col("text")).alias("sig")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).where(F.col("hamming") <= 2)
