@@ -228,7 +228,14 @@ _PREC = {"!": 3, "&&": 2, "||": 1}
 
 
 def compile_condition(s: str, df: DataFrame | None = None, ts_field: str = "@timestamp") -> Column:
-    """Compile one condition string to a boolean Column."""
+    """Compile one condition string to a boolean Column.
+
+    Dispatches the two reference syntaxes (filter.go:628-643): Go-template
+    conditions (``{{if ...}}y{{end}}``) and the boolean predicate DSL."""
+    if s.strip().startswith("{{"):
+        from gohangout_spark.expr.template_conditions import compile_template_condition
+
+        return compile_template_condition(s, df, ts_field)
     toks = _tokenize(s)
     out: list[Column] = []
     ops: list[str] = []

@@ -914,3 +914,18 @@ def simhash_neardup(spark, sf_dir):
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return pairs.select("id_a", "id_b", ham.alias("hamming")).where(F.col("hamming") <= 2)
+
+
+@q(
+    "template_condition",
+    "SELECT event_id, event_type FROM events "
+    "WHERE event_type = 'click' AND value > 100",
+)
+def template_condition(spark, sf_dir):
+    """Go-template condition dialect ({{if ...}}y{{end}},
+    condition_filter/filter.go:23-41) compiled to Columns."""
+    df = _events(spark, sf_dir)
+    cond = compile_condition(
+        '{{if and (eq .event_type "click") (gt .value 100)}}y{{end}}', df
+    )
+    return df.filter(cond).select("event_id", "event_type")

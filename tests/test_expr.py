@@ -167,3 +167,37 @@ class TestRender:
     def test_unsupported_template(self, df):
         with pytest.raises(ValueError):
             compile_render("{{now}}", df)
+
+
+class TestTemplateConditions:
+    """Go-template condition syntax ({{if ...}}y{{end}}) — the reference's
+    second condition dialect (condition_filter/filter.go:23-41)."""
+
+    @pytest.mark.parametrize(
+        "cond,expected",
+        [
+            ("{{if .age}}y{{end}}", ["childe"]),
+            ("{{if .name}}y{{end}}", ["childe", "other"]),
+            ('{{if eq .name "childe"}}y{{end}}', ["childe"]),
+            ('{{if ne .name "childe"}}y{{end}}', ["other"]),
+            ("{{if eq .age 20}}y{{end}}", ["childe"]),
+            ("{{if gt .age 10}}y{{end}}", ["childe"]),
+            ('{{if eq .user.name "liujia"}}y{{end}}', ["childe"]),
+            ('{{if and (eq .name "childe") (.age)}}y{{end}}', ["childe"]),
+            ('{{if or (eq .name "nope") (eq .name "other")}}y{{end}}', ["other"]),
+            ('{{if not (eq .name "childe")}}y{{end}}', ["other"]),
+        ],
+    )
+    def test_truth_table(self, df, cond, expected):
+        assert names_matching(df, compile_condition(cond, df, ts_field="ts")) == expected
+
+    def test_before_after_dot(self, df):
+        assert names_matching(df, compile_condition('{{if before . "24h"}}y{{end}}', df, ts_field="ts")) == ["childe"]
+        assert names_matching(df, compile_condition('{{if after . "24h"}}y{{end}}', df, ts_field="ts")) == ["other"]
+
+    def test_unsupported_raises(self, df):
+        from gohangout_spark.expr.template_conditions import TemplateConditionError
+
+        for bad in ["{{now}}", "{{if printf .x}}y{{end}}", "{{if .a}}n{{end}}"]:
+            with pytest.raises((TemplateConditionError, ValueError)):
+                compile_condition(bad, df)
