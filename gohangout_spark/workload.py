@@ -929,3 +929,38 @@ def template_condition(spark, sf_dir):
         '{{if and (eq .event_type "click") (gt .value 100)}}y{{end}}', df
     )
     return df.filter(cond).select("event_id", "event_type")
+
+
+@q(
+    "distinct_users",
+    "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+    "count(*) AS n_events FROM events GROUP BY event_type",
+)
+def distinct_users(spark, sf_dir):
+    df = _events(spark, sf_dir)
+    return df.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@q(
+    "rollup_totals",
+    "SELECT coalesce(event_type, '<all>') AS event_type, "
+    "coalesce(CAST(user_id AS VARCHAR), '<all>') AS user_id, "
+    "round(sum(value), 4) AS total FROM events "
+    "GROUP BY ROLLUP (event_type, user_id)",
+)
+def rollup_totals(spark, sf_dir):
+    """Hierarchical totals via ROLLUP grouping sets (Spark-first: gohangout
+    has no grouping-sets analogue)."""
+    df = _events(spark, sf_dir)
+    return (
+        df.rollup("event_type", "user_id")
+        .agg(F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce(F.col("user_id").cast("string"), F.lit("<all>")).alias("user_id"),
+            "total",
+        )
+    )

@@ -65,3 +65,36 @@ def test_cumulative_across_microbatches(spark, tmp_path, stats):
         assert final["sum"] == pytest.approx(total)
         assert final["min"] == 0.0 and final["max"] == 2.0
         assert final["mean"] == pytest.approx(total / 100)
+
+
+def test_observability_listener(spark, tmp_path):
+    """PipelineMetrics listener records per-query progress counters."""
+    import time
+
+    from gohangout_spark.streaming.observability import attach
+
+    m = attach(spark)
+    try:
+        src = str(tmp_path / "obs_src")
+        _write_chunk(spark, src, 0, 30, "x")
+        stream = spark.readStream.schema("name string, size double, ts timestamp").parquet(src)
+        q = (
+            stream.groupBy("name").count()
+            .writeStream.format("memory").queryName("obs_q")
+            .outputMode("complete").start()
+        )
+        try:
+            q.processAllAvailable()
+            deadline = time.time() + 10
+            while time.time() < deadline:
+                snap = m.snapshot()
+                totals = [v for v in snap.values() if v["input_rows"] >= 30]
+                if totals:
+                    break
+                time.sleep(0.3)
+        finally:
+            q.stop()
+        snap = m.snapshot()
+        assert any(v["input_rows"] >= 30 and v["batches"] >= 1 for v in snap.values()), snap
+    finally:
+        spark.streams.removeListener(m)
