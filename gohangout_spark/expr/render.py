@@ -77,19 +77,72 @@ def _compile_index_pattern(s: str, df: DataFrame | None, ts_field: str) -> Colum
     return cols[0] if len(cols) == 1 else F.concat(*cols)
 
 
+_ANY_ACTION = re.compile(r"\{\{\s*(.*?)\s*\}\}", re.S)
+
+
 def _compile_template(s: str, df: DataFrame | None) -> Column:
-    """``{{.a}}-{{.b.c}}`` → concat of field refs; non-dot-field templates
-    (sprig functions, arithmetic) are unsupported and raise."""
+    """``{{.a}}-{{.b.c}}`` and the reference's custom template functions
+    (template_value_render.go:41-158): now, timestamp, plus/minus/multiply/
+    divide/mod, upper/lower/trim/title. Unknown actions raise."""
     cols: list[Column] = []
     pos = 0
-    for m in _TEMPLATE_PART.finditer(s):
+    for m in _ANY_ACTION.finditer(s):
         if m.start() > pos:
             cols.append(F.lit(s[pos : m.start()]))
-        path = "".join(f"[{p}]" for p in m.group(1).split("."))
-        cols.append(field_col(path, df).cast("string"))
+        cols.append(_compile_action(m.group(1), df).cast("string"))
         pos = m.end()
     if pos < len(s):
         cols.append(F.lit(s[pos:]))
-    if re.search(r"\{\{(?!\s*\.)", s):
-        raise ValueError(f"unsupported template (non-field action): {s!r}")
     return cols[0] if len(cols) == 1 else F.concat(*cols)
+
+
+def _compile_action(expr: str, df: DataFrame | None) -> Column:
+    """One template action → Column."""
+    parts = expr.split()
+    if not parts:
+        raise ValueError("empty template action")
+    head = parts[0]
+    if head.startswith("."):
+        if len(parts) > 1:
+            raise ValueError(f"unsupported template pipeline: {expr!r}")
+        path = "".join(f"[{p}]" for p in head[1:].split("."))
+        return field_col(path, df)
+    args = [_action_arg(a, df) for a in parts[1:]]
+    if head == "now":
+        return F.current_timestamp()
+    if head == "timestamp":
+        return F.unix_timestamp(F.current_timestamp())
+    if head in ("plus", "minus", "multiply", "divide", "mod"):
+        if len(args) != 2:
+            raise ValueError(f"{head} needs 2 args: {expr!r}")
+        a, b = (c.cast("double") for c in args)
+        out = {
+            "plus": a + b,
+            "minus": a - b,
+            "multiply": a * b,
+            "divide": a / b,
+            "mod": a % b,
+        }[head]
+        return out
+    if head in ("upper", "lower", "trim", "title"):
+        if len(args) != 1:
+            raise ValueError(f"{head} needs 1 arg: {expr!r}")
+        fn = {"upper": F.upper, "lower": F.lower, "trim": F.trim, "title": F.initcap}[head]
+        return fn(args[0].cast("string"))
+    raise ValueError(f"unsupported template function {head!r} in {expr!r}")
+
+
+def _action_arg(tok: str, df: DataFrame | None) -> Column:
+    if tok.startswith("."):
+        path = "".join(f"[{p}]" for p in tok[1:].split("."))
+        return field_col(path, df)
+    if tok.startswith('"') and tok.endswith('"'):
+        return F.lit(tok[1:-1])
+    try:
+        return F.lit(int(tok))
+    except ValueError:
+        pass
+    try:
+        return F.lit(float(tok))
+    except ValueError:
+        raise ValueError(f"bad template argument {tok!r}")

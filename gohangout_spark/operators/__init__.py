@@ -47,3 +47,11 @@ FILTER_REGISTRY = {
 __all__ = ["Chain", "Filter", "FilterBox", "FilterEffect", "FILTER_REGISTRY"] + list(
     FILTER_REGISTRY
 )
+
+
+def register_filter(name: str, cls) -> None:
+    """Third-party filter registration — the Python analogue of the
+    reference's .so plugin loading (filter/filter.go:40-61): any class
+    implementing the Filter interface (build() or apply_plan()) becomes
+    addressable from YAML configs by name."""
+    FILTER_REGISTRY[name] = cls

@@ -21,3 +21,8 @@ __all__ = [
     "MemorySink",
     "StdoutSink",
 ]
+
+
+def register_sink(name: str, cls) -> None:
+    """Third-party output registration (output/output.go:46-67 analogue)."""
+    SINK_REGISTRY[name] = cls

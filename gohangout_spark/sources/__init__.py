@@ -17,3 +17,8 @@ __all__ = [
     "StdinSource",
     "apply_codec",
 ]
+
+
+def register_source(name: str, cls) -> None:
+    """Third-party input registration (input/input.go:40-59 analogue)."""
+    SOURCE_REGISTRY[name] = cls

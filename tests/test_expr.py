@@ -166,7 +166,23 @@ class TestRender:
 
     def test_unsupported_template(self, df):
         with pytest.raises(ValueError):
-            compile_render("{{now}}", df)
+            compile_render("{{printf .name}}", df)
+
+    def test_template_functions(self, df):
+        """Custom template funcs (template_value_render.go:41-158)."""
+        out = df.select(
+            compile_render("{{plus .age 5}}", df).alias("plus"),
+            compile_render("{{multiply .age 2}}", df).alias("mult"),
+            compile_render("{{upper .name}}", df).alias("up"),
+            compile_render("a-{{minus .age .user.age}}-z", df).alias("mixed"),
+        ).first()
+        assert out["plus"] == "25.0" and out["mult"] == "40.0"
+        assert out["up"] == "CHILDE"
+        assert out["mixed"] == "a--10.0-z"
+
+    def test_template_now(self, df):
+        v = df.select(compile_render("{{now}}", df).alias("n")).first()["n"]
+        assert v.startswith("20")  # current timestamp rendered as string
 
 
 class TestTemplateConditions:

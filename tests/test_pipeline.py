@@ -206,3 +206,35 @@ outputs:
         rows = p.sinks[0].rows
         assert rows
         assert sum(r["count"] for r in rows) == 1000
+
+
+def test_plugin_registration(spark):
+    """Custom filter registered by name becomes YAML-addressable
+    (the .so plugin mechanism's Python analogue)."""
+    from pyspark.sql import functions as F
+
+    from gohangout_spark.operators import register_filter
+    from gohangout_spark.operators.base import Filter, FilterEffect
+
+    class Shout(Filter):
+        def __init__(self, field="message"):
+            self.field = field
+
+        def build(self, df):
+            eff = FilterEffect()
+            eff.assignments[self.field] = F.concat(
+                F.upper(F.col(self.field).cast("string")), F.lit("!!")
+            )
+            return eff
+
+    register_filter("Shout", Shout)
+    yml = """
+inputs:
+- Random: {from: 1, to: 2, max_messages: 10}
+filters:
+- Shout: {field: message}
+outputs:
+- Stdout: {}
+"""
+    sinks = run_yaml(spark, yml)
+    assert all(r["message"].endswith("!!") for r in sinks[0].rows)
