@@ -84,10 +84,14 @@ def fingerprint(col: Column) -> Column:
 
 def rolling_hash_fingerprint(col: Column, window: int = 8, keep_every: int = 4) -> Column:
     """Winnowing-ish shingle fingerprint: hash every ``window``-token shingle,
-    keep hashes ≡ 0 (mod keep_every) → compact doc sketch (array<bigint>)."""
+    keep hashes ≡ 0 (mod keep_every) → compact doc sketch (array<bigint>).
+    Zipped shifted slices keep the tokenizer out of the per-element lambda
+    (see dedup.shingle_hashes)."""
     toks = tokens(col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - window, F.lit(0)))
-    shingles = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window)))
-    hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+    length = F.greatest(F.size(toks) - (window - 1), F.lit(1))
+    shifted = [F.slice(toks, F.lit(k + 1), length).alias(f"t{k}") for k in range(window)]
+    zipped = F.arrays_zip(*shifted)
+    hashes = F.transform(
+        zipped, lambda s: F.xxhash64(*[s.getField(f"t{k}") for k in range(window)])
+    )
     return F.array_sort(F.array_distinct(F.filter(hashes, lambda h: h % keep_every == 0)))
