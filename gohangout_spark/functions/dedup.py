@@ -226,14 +226,16 @@ def simhash_column(text_col):
     token), then pack votes>0 into a signed long. No Python, no per-bit
     re-evaluation of the token array (the naive 64×aggregate formulation
     re-tokenizes per bit)."""
-    toks = F.array_distinct(tokens(text_col))
+    # hash each token ONCE (the aggregate input), then read its bits —
+    # xxhash64 inside the per-bit lambda would recompute 64× per token
+    tok_hashes = F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t))
     bits = F.sequence(F.lit(0), F.lit(63))
     votes = F.aggregate(
-        toks,
+        tok_hashes,
         F.array_repeat(F.lit(0), 64),
-        lambda acc, t: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(bits, lambda b: F.bit_get(F.xxhash64(t), b)),
+            F.transform(bits, lambda b: F.bit_get(h, b)),
             lambda a, v: a + F.when(v == 1, 1).otherwise(-1),
         ),
     )

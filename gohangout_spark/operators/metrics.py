@@ -51,6 +51,7 @@ class LinkMetric(Filter):
         drop_original_event: bool = False,
         reduce: bool = False,
         window_offset: int = 0,
+        strict_cumulative: bool = False,
     ):
         self.fields = _parse_link(fields_link)
         self.batch_window = int(batch_window)
@@ -59,7 +60,16 @@ class LinkMetric(Filter):
         self.accumulate_mode = accumulate_mode
         self.drop_original_event = drop_original_event
         self.reduce = reduce
+        # windowOffset delays emission by N windows in the reference
+        # (link_metric.go windowOffset); with event-time processing the
+        # watermark already withholds a window until reserveWindow passes, so
+        # the knob is accepted for config parity and otherwise a no-op.
         self.window_offset = int(window_offset)
+        # strict_cumulative routes streaming runs through the
+        # applyInPandasWithState op (exact per-tick re-emission + explicit
+        # reserveWindow state lifetime); default uses the built-in windowed
+        # aggregation in update mode (SURVEY §4 documented delta)
+        self.strict_cumulative = bool(strict_cumulative)
 
     # ---- aggregation spec -------------------------------------------------
     def _aggs(self, df: DataFrame):
@@ -96,7 +106,27 @@ class LinkMetric(Filter):
         cond = compile_conditions(box.ifs, df, box.ts_field)
         guarded = df.filter(cond) if box.ifs else df
         streaming = df.isStreaming
-        metrics = self.metrics_df(guarded, streaming=streaming)
+        if streaming and self.strict_cumulative and self.accumulate_mode == "cumulative":
+            from gohangout_spark.streaming.stateful import cumulative_link_metric_stream
+
+            stats = (
+                self.fields[-1] if isinstance(self, LinkStatsMetric) else None
+            )
+            if stats and len(self.fields) < 2:
+                raise ValueError(
+                    "LinkStatsMetric fieldsLink needs 'group...->value' "
+                    f"(got {self.fields!r})"
+                )
+            metrics = cumulative_link_metric_stream(
+                guarded,
+                "->".join(self._group_fields()),
+                self.batch_window,
+                self.reserve_window,
+                ts_field=self.ts_field,
+                stats_field=stats,
+            )
+        else:
+            metrics = self.metrics_df(guarded, streaming=streaming)
         # metric events re-enter the chain (input_box.go:117-127); with
         # drop_original_event only the metric stream continues
         if self.drop_original_event:

@@ -37,6 +37,7 @@ _KEY_MAP = {
         "timestamp": "ts_field",
         "accumulateMode": "accumulate_mode",
         "windowOffset": "window_offset",
+        "strictCumulative": "strict_cumulative",
     },
     "Split": {"maxSplit": "max_split", "dynamicSep": "dynamic_sep"},
     "Json": {},

@@ -46,7 +46,13 @@ def cumulative_link_metric_stream(
     ``fields_link`` is the GROUP chain (a->b); the aggregated numeric field
     goes in ``stats_field``.
     """
-    group_fields = [f.strip() for f in fields_link.split("->")]
+    group_fields = [f.strip() for f in fields_link.split("->") if f.strip()]
+    if not group_fields:
+        raise ValueError(
+            "cumulative_link_metric_stream: empty group chain — for the stats "
+            "variant fieldsLink must be 'group...->value' with the numeric "
+            "value field last"
+        )
     reserve = int(reserve_window or batch_window)
     n_fields = len(group_fields)
     has_stats = stats_field is not None

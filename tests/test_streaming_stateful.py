@@ -98,3 +98,43 @@ def test_observability_listener(spark, tmp_path):
         assert any(v["input_rows"] >= 30 and v["batches"] >= 1 for v in snap.values()), snap
     finally:
         spark.streams.removeListener(m)
+
+
+def test_strict_cumulative_from_yaml(spark, tmp_path):
+    """strictCumulative: true in a YAML LinkMetric routes the streaming run
+    through the applyInPandasWithState op."""
+    from gohangout_spark.pipeline import Pipeline
+    from gohangout_spark.sinks import MemorySink
+
+    src = str(tmp_path / "sc_src")
+    _write_chunk(spark, src, 0, 25, "g")
+    _write_chunk(spark, src, 0, 15, "g")
+    yml = f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+    options: {{maxFilesPerTrigger: "1"}}
+filters:
+- LinkMetric:
+    fieldsLink: name
+    timestamp: ts
+    batchWindow: 100
+    reserveWindow: 1000
+    accumulateMode: cumulative
+    strictCumulative: true
+    drop_original_event: true
+timestamp_field: ts
+outputs:
+- Stdout: {{}}
+"""
+    p = Pipeline.from_config(yml, is_text=True, sink_overrides={"Stdout": MemorySink})
+    queries = p.run_streaming(spark, checkpoint=str(tmp_path / "sc_ck"), output_mode="update")
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+    counts = sorted(r["count"] for r in p.sinks[0].rows)
+    assert counts == [25, 40], p.sinks[0].rows
