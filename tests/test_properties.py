@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) — beyond the reference's test pyramid:
+randomized truth-table equivalence for the condition DSL and date-layout
+round-trips. Spark evaluation is batched per case-list to keep runtime sane.
+"""
+
+import datetime
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import Row, functions as F
+
+from gohangout_spark.expr.conditions import compile_condition
+from gohangout_spark.expr.dateformat import go_layout_to_java
+
+# --------------------------------------------------------------- conditions
+
+# leaf pool evaluated against a fixed row universe
+LEAVES = {
+    'EQ(kind,"a")': lambda r: r["kind"] == "a",
+    'EQ(n,1)': lambda r: r["n"] == 1,
+    "Exist(maybe)": lambda r: r["maybe"] is not None,
+    'HasPrefix(s,"ab")': lambda r: r["s"].startswith("ab"),
+    'Contains(s,"x")': lambda r: "x" in r["s"],
+}
+
+ROWS = [
+    {"kind": k, "n": n, "maybe": m, "s": s}
+    for k in ("a", "b")
+    for n in (1, 2)
+    for m in (None, "v")
+    for s in ("abxy", "qq")
+]
+
+
+@st.composite
+def bool_tree(draw, depth=0):
+    if depth > 2 or draw(st.booleans()):
+        leaf = draw(st.sampled_from(sorted(LEAVES)))
+        return leaf, LEAVES[leaf]
+    op = draw(st.sampled_from(["&&", "||", "!"]))
+    if op == "!":
+        s, f = draw(bool_tree(depth + 1))
+        return f"!({s})", lambda r, f=f: not f(r)
+    ls, lf = draw(bool_tree(depth + 1))
+    rs, rf = draw(bool_tree(depth + 1))
+    if op == "&&":
+        return f"({ls}) && ({rs})", lambda r: lf(r) and rf(r)
+    return f"({ls}) || ({rs})", lambda r: lf(r) or rf(r)
+
+
+class TestConditionDSLProperties:
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        return spark.createDataFrame([Row(**r, rid=i) for i, r in enumerate(ROWS)])
+
+    @settings(max_examples=30, deadline=None)
+    @given(trees=st.lists(bool_tree(), min_size=1, max_size=4))
+    def test_matches_python_semantics(self, spark, df, trees):
+        # evaluate every tree as one select (one Spark job per example set)
+        cols = [
+            compile_condition(s, df).alias(f"c{i}") for i, (s, _) in enumerate(trees)
+        ]
+        got = {r["rid"]: r for r in df.select("rid", *cols).collect()}
+        for i, (s, f) in enumerate(trees):
+            for rid, row in enumerate(ROWS):
+                assert bool(got[rid][f"c{i}"]) == f(row), (s, row)
+
+
+# -------------------------------------------------------------- date layouts
+
+LAYOUTS = [
+    "2006-01-02 15:04:05",
+    "2006/01/02T15:04:05",
+    "02 Jan 2006 15:04:05",
+    "2006-01-02",
+    "15:04:05 2006-01-02",
+]
+
+
+class TestDateLayoutProperties:
+    @settings(max_examples=20, deadline=None)
+    @given(
+        dts=st.lists(
+            st.datetimes(
+                min_value=datetime.datetime(1980, 1, 1),
+                max_value=datetime.datetime(2100, 1, 1),
+            ).map(lambda d: d.replace(microsecond=0)),
+            min_size=1,
+            max_size=5,
+        ),
+        layout=st.sampled_from(LAYOUTS),
+    )
+    def test_format_parse_roundtrip(self, spark, dts, layout):
+        """Formatting with the translated Java pattern then parsing it back
+        recovers the instant (second precision, date-only truncates)."""
+        java = go_layout_to_java(layout)
+        df = spark.createDataFrame([(d,) for d in dts], "t timestamp")
+        out = df.select(
+            "t",
+            F.try_to_timestamp(F.date_format("t", java), F.lit(java)).alias("rt"),
+        ).collect()
+        for r in out:
+            expect = r["t"]
+            if "15" not in layout:  # date-only layout truncates to midnight
+                expect = expect.replace(hour=0, minute=0, second=0)
+            assert r["rt"] == expect, (layout, java, r["t"])
