@@ -22,6 +22,7 @@ from gohangout_spark.workload import QUERIES
 HEADLINE = [
     "tpch_q1",
     "tpch_q3",
+    "tpch_q6",
     "tpch_q5",
     "order_priority_semijoin",
     "segment_topk_rank",

@@ -964,3 +964,22 @@ def rollup_totals(spark, sf_dir):
             "total",
         )
     )
+
+
+@q(
+    "tpch_q6",
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+       FROM lineitem
+       WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         AND l_shipdate < TIMESTAMP '1997-01-01'
+         AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""",
+)
+def tpch_q6(spark, sf_dir):
+    """Pure filter+agg — every predicate pushes into the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.03, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
