@@ -43,6 +43,10 @@ def _nanos_columns(path: str) -> list[str]:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # self-sufficient under a FOREIGN SparkSession (the driver's): timestamps
+    # must render/compare in UTC to match the DuckDB oracle regardless of the
+    # session's default timezone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     nanos = _nanos_columns(path)
     if nanos:

@@ -332,3 +332,27 @@ class TestMetrics:
         assert got["test1"]["mean"] == pytest.approx(
             sum(float(i % 5) for i in range(60) if i % 2 == 0) / 30
         )
+
+
+class TestDateAddYear:
+    def test_add_year_for_yearless_layout(self, spark):
+        """add_year prepends the current year for year-less layouts
+        (filter/date.go add_year)."""
+        import datetime as dt
+
+        df = spark.createDataFrame([Row(name="r", t="03-15 10:30:00")])
+        box = FilterBox(Date("t", ["01-02 15:04:05"], target="parsed", add_year=True))
+        got = rows_by_name(box.apply(df))["r"]
+        assert got["parsed"] == dt.datetime(dt.date.today().year, 3, 15, 10, 30, 0)
+
+
+class TestGrokPatternPaths:
+    def test_pattern_file_loading(self, spark, tmp_path):
+        p = tmp_path / "patterns"
+        p.write_text("MYAPP app-\\w+\n# comment line\nMYID [0-9]{4}\n")
+        df = spark.createDataFrame([Row(name="r", w="app-web 1234")])
+        box = FilterBox(
+            Grok(src="w", match=[r"^%{MYAPP:app} %{MYID:id}$"], pattern_paths=[str(p)])
+        )
+        got = rows_by_name(box.apply(df))["r"]
+        assert got["app"] == "app-web" and got["id"] == "1234"
