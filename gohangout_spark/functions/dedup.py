@@ -247,3 +247,70 @@ def simhash_column(text_col):
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def cluster_duplicates(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate CLUSTERS via iterative
+    min-label propagation (the connected-components step between candidate
+    pairs and "keep one doc per group").
+
+    Input: (id_a, id_b) edges. Output: (doc_id, cluster_id) where cluster_id
+    is the minimum doc id reachable through the pair graph.
+
+    Scale shape: each iteration is one join + one aggregation on (node →
+    current_label); converges in O(log(diameter)) iterations for typical
+    near-dup graphs (shallow stars/chains), ``max_iter`` bounds pathological
+    chains. Labels persist per iteration to cut lineage growth.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # each node adopts the min label among itself and its neighbors
+        neighbor_labels = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(edges["src"].alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def dedup_keep_cluster_representative(
+    df: DataFrame, pairs: DataFrame, id_col: str, max_iter: int = 10
+) -> DataFrame:
+    """Drop every doc that belongs to a duplicate cluster but is not its
+    minimum-id representative."""
+    clusters = cluster_duplicates(pairs, max_iter)
+    losers = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias("__loser")
+    )
+    return df.join(
+        losers, df[id_col] == F.col("__loser"), "left_anti"
+    )

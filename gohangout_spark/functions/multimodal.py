@@ -138,3 +138,43 @@ def sample_video_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return df.mapInPandas(frames, out_schema)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, duration_s double, rms double, zero_crossings int"
+)
+
+
+class DeterministicFakeAudioCodec:
+    """Stable fake PCM decode: samples derived from a hash of the payload."""
+
+    def decode(self, payload: bytes, sample_rate: int = 16000) -> np.ndarray:
+        h = hashlib.md5(payload or b"").digest()
+        n = 1000 + h[0] * 16
+        rng = np.random.RandomState(int.from_bytes(h[:4], "big"))
+        return (rng.randn(n) * 0.1).astype(np.float32)
+
+
+class RealAudioCodec:  # pragma: no cover - container has no audio libs
+    def decode(self, payload: bytes, sample_rate: int = 16000) -> np.ndarray:
+        raise NotImplementedError("plug librosa/soundfile here (not in container)")
+
+
+def extract_audio_features(df: DataFrame, codec=None, sample_rate: int = 16000) -> DataFrame:
+    """Decode + basic signal features (duration/RMS/zero crossings) via
+    mapInPandas — the audio twin of extract_image_features."""
+    codec = codec or DeterministicFakeAudioCodec()
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                pcm = codec.decode(bytes(content), sample_rate)
+                rms = float(np.sqrt(np.mean(pcm**2)))
+                zc = int(((pcm[:-1] * pcm[1:]) < 0).sum())
+                out.append((mid, len(pcm) / sample_rate, rms, zc))
+            yield pd.DataFrame(
+                out, columns=["media_id", "duration_s", "rms", "zero_crossings"]
+            )
+
+    return df.mapInPandas(feats, AUDIO_FEATURE_SCHEMA)

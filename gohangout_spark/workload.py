@@ -321,13 +321,24 @@ def link_metric_count(spark, sf_dir):
 
 @q(
     "link_stats_metric",
-    "SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, "
-    "event_type, count(value) AS count, round(min(value), 4) AS min, "
-    "round(max(value), 4) AS max, round(sum(value), 4) AS sum, "
-    "round(avg(value), 4) AS mean FROM events GROUP BY 1, 2",
+    # value has exactly 2 decimals; sum/mean go through exact integer cents
+    # so results are summation-order- and rounding-algorithm-independent
+    # (round(avg(double),4) diverges between engines when the true mean sits
+    # on a .00005 boundary — observed at sf0.1)
+    """WITH c AS (SELECT date_trunc('hour', ts) AS w, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+       SELECT strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+         count(cents) AS count,
+         round(min(cents) / 100.0, 4) AS min,
+         round(max(cents) / 100.0, 4) AS max,
+         sum(cents) / 100.0 AS sum,
+         ((sum(cents) * 100 + count(cents) // 2) // count(cents)) / 10000.0 AS mean
+       FROM c GROUP BY w, event_type""",
 )
 def link_stats_metric(spark, sf_dir):
-    df = _events(spark, sf_dir)
+    df = _events(spark, sf_dir).withColumn(
+        "value", F.round(F.col("value") * 100).cast("long")
+    )
     lm = LinkStatsMetric(
         fields_link="event_type->value",
         batch_window=3600,
@@ -335,15 +346,19 @@ def link_stats_metric(spark, sf_dir):
         drop_original_event=True,
     )
     out = FilterBox(lm, ts_field="ts").apply(df)
-    return out.select(
+    sum_cents = F.col("sum").cast("long")
+    out = out.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "count",
-        F.round("min", 4).alias("min"),
-        F.round("max", 4).alias("max"),
-        F.round("sum", 4).alias("sum"),
-        F.round("mean", 4).alias("mean"),
+        F.round(F.col("min") / 100.0, 4).alias("min"),
+        F.round(F.col("max") / 100.0, 4).alias("max"),
+        (sum_cents / F.lit(100.0)).alias("sum"),
+        (F.expr("(CAST(sum AS BIGINT) * 100 + count div 2) div count") / 10000.0).alias(
+            "mean"
+        ),
     )
+    return out
 
 
 @q(
@@ -983,3 +998,53 @@ def tpch_q6(spark, sf_dir):
         & (F.col("l_discount").between(0.03, 0.07))
         & (F.col("l_quantity") < 24)
     ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+_QF_SQL_TOKENS = "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+@q(
+    "quality_filter_pipeline",
+    f"""WITH t AS (SELECT doc_id, lang, len({_QF_SQL_TOKENS})::BIGINT AS n_tokens
+         FROM documents)
+       SELECT doc_id, lang, n_tokens FROM t WHERE n_tokens >= 10""",
+)
+def quality_filter_pipeline(spark, sf_dir):
+    """Composite training-data curation step: token-count floor filter —
+    the shape of a C4-style pipeline stage (filters compose as plain
+    DataFrame ops on top of functions.text)."""
+    from gohangout_spark.functions.text import token_count
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.select(
+        "doc_id", "lang", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    return scored.where(F.col("n_tokens") >= 10)
+
+
+# duplicate-cluster resolution over near-dup pairs — rows-only
+@q("dedup_clusters", None)
+def dedup_clusters(spark, sf_dir):
+    from gohangout_spark.functions.dedup import cluster_duplicates, minhash_lsh_candidates
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(docs, "text", "doc_id", 32, 16, 3).filter(
+        F.col("jaccard") >= 0.5
+    )
+    return cluster_duplicates(pairs)
+
+
+# audio feature extraction over generated binary payloads — rows-only
+@q("multimodal_audio_features", None)
+def multimodal_audio_features(spark, sf_dir):
+    from gohangout_spark.functions.multimodal import (
+        extract_audio_features,
+        make_fake_media_table,
+    )
+
+    media = make_fake_media_table(spark, n=32)
+    return extract_audio_features(media).select(
+        "media_id",
+        F.round("duration_s", 3).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        "zero_crossings",
+    )

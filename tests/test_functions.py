@@ -135,3 +135,36 @@ class TestMultimodal:
 
         with pytest.raises(NotImplementedError):
             multimodal.RealCodec().decode(b"x")
+
+
+class TestClusterDuplicates:
+    def test_chain_and_star_clusters(self, spark):
+        from gohangout_spark.functions.dedup import (
+            cluster_duplicates,
+            dedup_keep_cluster_representative,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6), (9, 5)], "id_a long, id_b long"
+        )
+        got = {
+            r["doc_id"]: r["cluster_id"] for r in cluster_duplicates(pairs).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 5}
+
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in (1, 2, 3, 4, 5, 6, 9)], "doc_id long, text string"
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_keep_cluster_representative(docs, pairs, "doc_id").collect()
+        )
+        assert kept == [1, 4, 5]  # representatives + untouched doc 4
+
+    def test_audio_features(self, spark):
+        media = multimodal.make_fake_media_table(spark, n=6)
+        rows = multimodal.extract_audio_features(media).collect()
+        assert len(rows) == 6
+        assert all(r["duration_s"] > 0 and r["rms"] > 0 for r in rows)
+        with pytest.raises(NotImplementedError):
+            multimodal.RealAudioCodec().decode(b"x")
