@@ -402,9 +402,12 @@ def metric_reduce(spark, sf_dir):
        round(sum(l_extendedprice), 2) AS sum_base_price,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 4) AS avg_disc,
+       ((sum(CAST(round(l_quantity * 100) AS BIGINT)) * 100 + count(l_quantity) // 2)
+         // count(l_quantity)) / 10000.0 AS avg_qty,
+       ((sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100 + count(l_extendedprice) // 2)
+         // count(l_extendedprice)) / 10000.0 AS avg_price,
+       ((sum(CAST(round(l_discount * 100) AS BIGINT)) * 100 + count(l_discount) // 2)
+         // count(l_discount)) / 10000.0 AS avg_disc,
        count(*) AS count_order
        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
        GROUP BY l_returnflag, l_linestatus""",
@@ -420,12 +423,23 @@ def tpch_q1(spark, sf_dir):
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            # integer-cents averages: rounding-algorithm-independent across
+            # engines (see link_stats_metric)
+            _cents_avg("l_quantity").alias("avg_qty"),
+            _cents_avg("l_extendedprice").alias("avg_price"),
+            _cents_avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+def _cents_avg(col: str):
+    """avg rounded half-up to 4 decimals via exact integer arithmetic:
+    both engines compute identical integers, so no double-rounding split."""
+    return F.expr(
+        f"(sum(CAST(round(`{col}` * 100) AS BIGINT)) * 100 "
+        f"+ count(`{col}`) div 2) div count(`{col}`)"
+    ) / 10000.0
 
 
 @q(
@@ -1048,3 +1062,36 @@ def multimodal_audio_features(spark, sf_dir):
         F.round("rms", 4).alias("rms"),
         "zero_crossings",
     )
+
+
+@q(
+    "orders_left_outer",
+    """SELECT c_custkey, c_name, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+       round(coalesce(sum(o_totalprice), 0), 2) AS total
+       FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+       GROUP BY c_custkey, c_name""",
+)
+def orders_left_outer(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total"),
+        )
+    )
+
+
+@q(
+    "customers_without_orders",
+    """SELECT c_custkey, c_mktsegment FROM customer
+       WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+)
+def customers_without_orders(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    ).select("c_custkey", "c_mktsegment")
