@@ -30,16 +30,23 @@ TABLES = [
 
 
 def _nanos_columns(path: str) -> list[str]:
+    """INT64 TIMESTAMP(NANOS) columns. Checks the PARQUET physical schema:
+    Spark-written INT96 timestamps also surface as timestamp[ns] in the
+    arrow schema but must NOT be treated as nanos longs."""
     import pyarrow.parquet as pq
-    import pyarrow.types as pat
 
     first = path
     if os.path.isdir(path):
         inner = [f for f in os.listdir(path) if f.endswith(".parquet")]
         if inner:
             first = os.path.join(path, inner[0])
-    schema = pq.read_schema(first)
-    return [f.name for f in schema if pat.is_timestamp(f.type) and f.type.unit == "ns"]
+    schema = pq.ParquetFile(first).schema
+    out = []
+    for i in range(len(schema)):
+        col = schema.column(i)
+        if col.physical_type == "INT64" and "nanoseconds" in str(col.logical_type):
+            out.append(col.name)
+    return out
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

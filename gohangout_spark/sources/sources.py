@@ -104,9 +104,29 @@ class FileSource(Source):
         return r
 
     def batch(self, spark):
-        df = self._reader(spark, False).load(self.conf["path"])
-        if self.conf.get("format", "parquet") == "text":
+        fmt = self.conf.get("format", "parquet")
+        if fmt == "parquet":
+            df = self._load_parquet(spark)
+        else:
+            df = self._reader(spark, False).load(self.conf["path"])
+        if fmt == "text":
             return self._decode(df)
+        return df
+
+    def _load_parquet(self, spark):
+        """Parquet with TIMESTAMP(NANOS) tolerance (see io.load_table)."""
+        from gohangout_spark.io import _nanos_columns
+
+        path = self.conf["path"]
+        try:
+            nanos = _nanos_columns(path)
+        except Exception:
+            nanos = []
+        if nanos:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = self._reader(spark, False).load(path)
+        for c in nanos:
+            df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
         return df
 
     def stream(self, spark):

@@ -1095,3 +1095,36 @@ def customers_without_orders(spark, sf_dir):
     return cust.join(
         orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
     ).select("c_custkey", "c_mktsegment")
+
+
+@q(
+    "yaml_pipeline_e2e",
+    """SELECT event_id, upper(event_type) AS event_type,
+       'p-' || CAST(user_id AS VARCHAR) AS who
+       FROM events WHERE NOT (event_type LIKE 'err%')""",
+)
+def yaml_pipeline_e2e(spark, sf_dir):
+    """The full config path inside the correctness gate: YAML → compiled
+    plan → transformed DataFrame (gohangout.go --config analogue)."""
+    from gohangout_spark.pipeline import Pipeline
+
+    yml = f"""
+inputs:
+- File:
+    path: "{sf_dir}/events.parquet"
+    format: parquet
+filters:
+- Drop:
+    if: ['HasPrefix(event_type,"err")']
+- Add:
+    fields:
+      who: 'p-%{{user_id}}'
+- Uppercase:
+    fields: [event_type]
+timestamp_field: ts
+outputs:
+- Stdout: {{}}
+"""
+    p = Pipeline.from_config(yml, is_text=True)
+    df = p.sources[0].batch(spark)
+    return p.transform(df).select("event_id", "event_type", "who")
