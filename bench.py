@@ -27,6 +27,7 @@ HEADLINE = [
     "order_priority_semijoin",
     "segment_topk_rank",
     "grok_extract",
+    "etl_pipeline_chain",
     "json_parse",
     "convert_types",
     "link_stats_metric",

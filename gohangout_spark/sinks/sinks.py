@@ -118,6 +118,8 @@ class ElasticsearchSink(Sink):
         self.transport = transport or _urllib_transport
         self.bulk_actions = int(self.conf.get("bulk_actions", 5000))
         self.retries = int(self.conf.get("retry", 3))
+        # gzip on by default like the reference (elasticsearch_output.go:305-309)
+        self.compress = bool(self.conf.get("compress", True))
 
     def bulk_lines(self, df: DataFrame) -> DataFrame:
         """One string column 'line' = action-meta JSON + '\\n' + source JSON."""
@@ -142,6 +144,7 @@ class ElasticsearchSink(Sink):
         lines = self.bulk_lines(df)
         hosts, transport = self.hosts, self.transport
         bulk_actions, retries = self.bulk_actions, self.retries
+        compress = self.compress
 
         def send_partition(it):
             import random
@@ -152,6 +155,10 @@ class ElasticsearchSink(Sink):
                 if not buf:
                     return
                 payload = ("\n".join(buf) + "\n").encode()
+                if compress:
+                    import gzip
+
+                    payload = gzip.compress(payload)
                 last = None
                 for attempt in range(retries + 1):
                     host = hosts[(random.randrange(len(hosts)) + attempt) % len(hosts)]
@@ -177,9 +184,10 @@ class ElasticsearchSink(Sink):
 def _urllib_transport(url: str, payload: bytes):
     import urllib.request
 
-    req = urllib.request.Request(
-        url, data=payload, headers={"Content-Type": "application/x-ndjson"}
-    )
+    headers = {"Content-Type": "application/x-ndjson"}
+    if payload[:2] == b"\x1f\x8b":  # gzip magic
+        headers["Content-Encoding"] = "gzip"
+    req = urllib.request.Request(url, data=payload, headers=headers)
     try:
         with urllib.request.urlopen(req, timeout=30) as resp:
             return resp.status, resp.read().decode()
@@ -292,12 +300,16 @@ class InfluxdbSink(Sink):
         for tag in conf.get("tags") or []:
             parts.append(F.lit(f",{tag}="))
             parts.append(F.col(f"`{tag}`").cast("string"))
+        int_types = {"int", "bigint", "smallint", "tinyint"}
+        dtypes = dict(df.dtypes)
         field_parts: list[Column] = []
         for i, fld in enumerate(conf.get("fields") or []):
             if i:
                 field_parts.append(F.lit(","))
             field_parts.append(F.lit(f"{fld}="))
             field_parts.append(F.col(f"`{fld}`").cast("string"))
+            if dtypes.get(fld) in int_types:
+                field_parts.append(F.lit("i"))  # line-protocol integer suffix
         ts_field = conf.get("timestamp", "@timestamp")
         ns = (F.unix_micros(F.col(f"`{ts_field}`")) * 1000).cast("string")
         return df.select(

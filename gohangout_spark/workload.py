@@ -1128,3 +1128,54 @@ outputs:
     p = Pipeline.from_config(yml, is_text=True)
     df = p.sources[0].batch(spark)
     return p.transform(df).select("event_id", "event_type", "who")
+
+
+@q(
+    "etl_pipeline_chain",
+    """SELECT event_id, etype, CAST(status AS BIGINT) AS status, tclass,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time
+       FROM (
+         SELECT event_id, ts,
+           regexp_extract(event_type || ' ' || CAST(user_id % 500 + 100 AS VARCHAR)
+                          || ' ' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ'),
+                          '^(\\w+) (\\d+) (\\S+)$', 1) AS etype,
+           regexp_extract(event_type || ' ' || CAST(user_id % 500 + 100 AS VARCHAR)
+                          || ' ' || strftime(ts, '%Y-%m-%dT%H:%M:%SZ'),
+                          '^(\\w+) (\\d+) (\\S+)$', 2) AS status,
+           CASE event_type WHEN 'click' THEN 'ui' WHEN 'view' THEN 'ui'
+                WHEN 'purchase' THEN 'commerce' ELSE NULL END AS tclass
+         FROM events)
+       WHERE NOT (etype LIKE 'err%')""",
+)
+def etl_pipeline_chain(spark, sf_dir):
+    """The reference's bread-and-butter pipeline measured end-to-end: raw
+    line → Grok → Date → Convert → Translate → Drop, all through FilterBoxes
+    (gohangout's Kafka→filters→ES hot path, minus the network)."""
+    from gohangout_spark.operators import Chain
+
+    df = _events(spark, sf_dir).withColumn(
+        "line",
+        F.concat(
+            "event_type", F.lit(" "),
+            (F.col("user_id") % 500 + 100).cast("string"), F.lit(" "),
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        ),
+    )
+    chain = Chain([
+        FilterBox(
+            Grok(src="line", match=[r"^(?P<etype>\w+) (?P<status>\d+) (?P<logtime>\S+)$"]),
+            fail_tag="_grokfail",
+        ),
+        FilterBox(Date("logtime", ["RFC3339"], target="event_time")),
+        FilterBox(Convert({"status": {"to": "int"}})),
+        FilterBox(
+            Translate(source="etype", target="tclass",
+                      dictionary={"click": "ui", "view": "ui", "purchase": "commerce"})
+        ),
+        FilterBox(Drop(), ifs=['HasPrefix(etype,"err")'], ts_field="ts"),
+    ])
+    out = chain.apply(df)
+    return out.select(
+        "event_id", "etype", "status", "tclass",
+        F.date_format("event_time", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
+    )

@@ -56,7 +56,7 @@ class TestElasticsearch:
             return 200, '{"errors":false}'
 
         sink = ElasticsearchSink(
-            {"hosts": ["http://es1:9200"], "index": "fixed", "bulk_actions": 1},
+            {"hosts": ["http://es1:9200"], "index": "fixed", "bulk_actions": 1, "compress": False},
             transport=transport,
         )
         sink.write_batch(df)
@@ -79,7 +79,7 @@ class TestElasticsearch:
             return 503, "unavailable"
 
         sink = ElasticsearchSink(
-            {"hosts": ["http://es1:9200"], "index": "x", "retry": 2}, transport=transport
+            {"hosts": ["http://es1:9200"], "index": "x", "retry": 2, "compress": False}, transport=transport
         )
         with pytest.raises(Exception, match="ES bulk failed"):
             sink.write_batch(df.coalesce(1))
@@ -115,7 +115,7 @@ class TestInflux:
             {"measurement": "events", "tags": ["appid"], "fields": ["n"]}
         )
         lines = sorted(r["line"] for r in sink.lines(df).collect())
-        assert lines[0] == f"events,appid=web1 n=1 {int(TS.timestamp()*1e9)}"
+        assert lines[0] == f"events,appid=web1 n=1i {int(TS.timestamp()*1e9)}"
 
 
 class TestKafkaPayload:
@@ -125,3 +125,25 @@ class TestKafkaPayload:
         assert {r["key"] for r in rows} == {"web1", "web2"}
         v = json.loads(rows[0]["value"])
         assert set(v) >= {"appid", "msg", "n"}
+
+
+    def test_gzip_payload(self, df, tmp_path):
+        import gzip as _gzip
+        import os
+
+        cap = str(tmp_path / "gz")
+        os.makedirs(cap, exist_ok=True)
+
+        def transport(url, payload, _cap=cap):
+            import os, uuid
+
+            with open(os.path.join(_cap, uuid.uuid4().hex), "wb") as f:
+                f.write(payload)
+            return 200, '{"errors":false}'
+
+        sink = ElasticsearchSink({"hosts": ["http://es:9200"], "index": "x"}, transport=transport)
+        sink.write_batch(df.coalesce(1))
+        files = os.listdir(cap)
+        raw = open(os.path.join(cap, files[0]), "rb").read()
+        assert raw[:2] == b"\x1f\x8b"  # gzip by default, like the reference
+        assert b'"_index":"x"' in _gzip.decompress(raw)
