@@ -119,34 +119,34 @@ class Replace(Filter):
     (/root/reference/filter/replace_filter.go:111-126).
 
     fields: list of [field, old, new] or [field, old, new, count].
-    count == -1 (replace all) maps to built-in replace(); a bounded count has
-    no built-in equivalent — we emulate count==1 via locate/substring and
-    reject other bounds (documented semantic gap)."""
+    count == -1 replaces all (built-in replace()); count == n replaces the
+    FIRST n occurrences exactly like Go strings.Replace — expressed as
+    ``concat_ws(new, split(s, quote(old), n+1))``: the bounded split keeps
+    everything after the n-th occurrence in the last part."""
 
     def __init__(self, fields: list[list]):
         self.specs = []
         for spec in fields:
             path, old, new = spec[0], spec[1], spec[2]
             count = spec[3] if len(spec) > 3 else -1
-            if count not in (-1, 1):
-                raise ValueError("Replace: only count -1 (all) or 1 supported")
-            self.specs.append((path, old, new, count))
+            if count == 0 or count < -1:
+                raise ValueError("Replace: count must be -1 (all) or a positive n")
+            self.specs.append((path, old, new, int(count)))
 
     def build(self, df: DataFrame) -> FilterEffect:
+        import re
+
         eff = FilterEffect()
         for path, old, new, count in self.specs:
             col = field_col(path, df).cast("string")
             if count == -1:
                 eff.assignments[path] = F.replace(col, F.lit(old), F.lit(new))
-            else:  # first occurrence only
-                pos = F.locate(old, col)
-                eff.assignments[path] = F.when(pos > 0,
-                    F.concat(
-                        F.substring(col, F.lit(1), pos - 1),
-                        F.lit(new),
-                        F.substring(col, pos + len(old), F.length(col)),
-                    ),
-                ).otherwise(col)
+            else:
+                parts = F.split(col, re.escape(old), count + 1)
+                # concat_ws maps a NULL array to "" — keep null in, null out
+                eff.assignments[path] = F.when(
+                    col.isNotNull(), F.concat_ws(new, parts)
+                )
         return eff
 
 

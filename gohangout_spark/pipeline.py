@@ -142,11 +142,21 @@ class Pipeline:
         checkpoint: str | None = None,
         output_mode: str | None = None,
         await_termination: bool = False,
+        state_store: str | None = None,
     ):
         """One StreamingQuery per input; multi-sink fan-out inside ONE
         foreachBatch (single-pass like topology/output.go:54-64). Windowed
         metric filters make the stream an aggregate: accumulateMode
-        cumulative ≈ update mode, separate ≈ append mode (SURVEY §4)."""
+        cumulative ≈ update mode, separate ≈ append mode (SURVEY §4) —
+        picked automatically from the metric config unless ``output_mode``
+        overrides. ``state_store="rocksdb"`` flips the state store provider
+        for beyond-memory aggregation state (the 100 TB path)."""
+        if state_store == "rocksdb":
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
+            )
         queries = []
         for i, source in enumerate(self.sources):
             df = self.transform(source.stream(spark))
@@ -162,7 +172,7 @@ class Pipeline:
                 finally:
                     batch_df.unpersist()
 
-            mode = output_mode or ("update" if df.isStreaming and self._has_metric() else "append")
+            mode = output_mode or self._default_mode()
             w = df.writeStream.foreachBatch(fan_out).outputMode(mode)
             if trigger_seconds:
                 w = w.trigger(processingTime=f"{trigger_seconds} seconds")
@@ -174,7 +184,13 @@ class Pipeline:
                 q.awaitTermination()
         return queries
 
-    def _has_metric(self) -> bool:
+    def _default_mode(self) -> str:
+        """cumulative → update (re-emit running totals); separate → append
+        (emit once when the watermark finalizes the window); no metric →
+        append passthrough."""
         from gohangout_spark.operators.metrics import LinkMetric
 
-        return any(isinstance(b.filter, LinkMetric) for b in self.chain.boxes)
+        for b in self.chain.boxes:
+            if isinstance(b.filter, LinkMetric):
+                return "update" if b.filter.accumulate_mode == "cumulative" else "append"
+        return "append"

@@ -356,3 +356,13 @@ class TestGrokPatternPaths:
         )
         got = rows_by_name(box.apply(df))["r"]
         assert got["app"] == "app-web" and got["id"] == "1234"
+
+
+class TestReplaceBoundedCount:
+    def test_replace_first_n(self, spark):
+        df = spark.createDataFrame([Row(name="r", s="a-b-a-b-a"), Row(name="n", s=None)])
+        got = rows_by_name(FilterBox(Replace([["s", "a", "X", 2]])).apply(df))
+        assert got["r"]["s"] == "X-b-X-b-a"  # first 2 only, like strings.Replace
+        assert got["n"]["s"] is None
+        got3 = rows_by_name(FilterBox(Replace([["s", "a", "X", 99]])).apply(df))
+        assert got3["r"]["s"] == "X-b-X-b-X"

@@ -138,3 +138,47 @@ outputs:
             q.stop()
     counts = sorted(r["count"] for r in p.sinks[0].rows)
     assert counts == [25, 40], p.sinks[0].rows
+
+
+def test_separate_mode_append_finalizes_on_watermark(spark, tmp_path):
+    """accumulateMode: separate ≈ append mode — a window is emitted ONCE,
+    when the advancing watermark passes its end (reserveWindow expiry rule,
+    link_metric.go:172-178)."""
+    from gohangout_spark.pipeline import Pipeline
+    from gohangout_spark.sinks import MemorySink
+
+    src = str(tmp_path / "sep_src")
+    _write_chunk(spark, src, 0, 20, "g")        # window [0, 100)
+    _write_chunk(spark, src, 5000, 3, "g")      # far later -> advances watermark
+    yml = f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+    options: {{maxFilesPerTrigger: "1"}}
+filters:
+- LinkMetric:
+    fieldsLink: name
+    timestamp: ts
+    batchWindow: 100
+    reserveWindow: 100
+    accumulateMode: separate
+    drop_original_event: true
+timestamp_field: ts
+outputs:
+- Stdout: {{}}
+"""
+    p = Pipeline.from_config(yml, is_text=True, sink_overrides={"Stdout": MemorySink})
+    queries = p.run_streaming(
+        spark, checkpoint=str(tmp_path / "sep_ck"), state_store="rocksdb"
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+    emitted = [(r["window_start"], r["count"]) for r in p.sinks[0].rows]
+    # exactly one finalized emission for the first window, count 20
+    firsts = [c for w, c in emitted if w.second == 0 and w.minute == 0]
+    assert firsts == [20], emitted
