@@ -93,14 +93,33 @@ def lsh_topk(
     id_col: str = "vec_id",
     k: int = 5,
     n_planes: int = 8,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share the hyperplane bucket, exact
-    cosine re-rank inside. Recall grows with multi-probe / fewer planes."""
+    cosine re-rank inside.
+
+    ``multi_probe`` > 0 additionally probes every bucket reachable by
+    flipping up to that many sign bits of the QUERY key (standard
+    multi-probe LSH): near-boundary neighbors that landed one plane away
+    are recovered at the cost of (1 + n_planes·probe-combinations) probe
+    buckets per query — the corpus side stays single-bucket, so the join
+    fan-out scales with the (small) query side only."""
     to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
     key = lambda c: lsh_bucket_key(c, dim, n_planes)
     q = queries.select(
         F.col(id_col).alias("query_id"), to_d(F.col(vec_col)).alias("qv")
     ).withColumn("bucket", key(F.col("qv")))
+    if multi_probe > 0:
+        probes = [F.col("bucket")]
+        for b in range(n_planes):
+            probes.append(F.col("bucket").bitwiseXOR(F.lit(2**b).cast("long")))
+        if multi_probe > 1:
+            for b1 in range(n_planes):
+                for b2 in range(b1 + 1, n_planes):
+                    probes.append(
+                        F.col("bucket").bitwiseXOR(F.lit((2**b1) | (2**b2)).cast("long"))
+                    )
+        q = q.withColumn("bucket", F.explode(F.array_distinct(F.array(*probes))))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), to_d(F.col(vec_col)).alias("cv")
     ).withColumn("bucket", key(F.col("cv")))

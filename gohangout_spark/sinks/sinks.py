@@ -19,8 +19,6 @@ streaming, mirroring the single-pass semantics of topology/output.go:54-64).
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

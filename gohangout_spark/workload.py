@@ -10,7 +10,6 @@ timezone representation differences.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gohangout_spark.expr.conditions import compile_condition

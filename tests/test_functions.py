@@ -168,3 +168,28 @@ class TestClusterDuplicates:
         assert all(r["duration_s"] > 0 and r["rms"] > 0 for r in rows)
         with pytest.raises(NotImplementedError):
             multimodal.RealAudioCodec().decode(b"x")
+
+
+class TestMultiProbeLSH:
+    def test_recall_improves_with_probing(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(3)
+        base = rng.randn(120, 16)
+        rows = [Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(120)]
+        emb = spark.createDataFrame(rows)
+        queries = emb.filter("vec_id < 8")
+
+        exact = similarity.brute_force_topk(emb, queries, k=3)
+        truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+        def recall(multi_probe):
+            got = similarity.lsh_topk(
+                emb, queries, dim=16, k=3, n_planes=6, multi_probe=multi_probe
+            )
+            hits = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+            return len(hits & truth) / len(truth)
+
+        r0, r2 = recall(0), recall(2)
+        assert r2 >= r0
+        assert r2 >= 0.6, (r0, r2)
