@@ -118,13 +118,17 @@ class Replace(Filter):
     """Per-field literal strings.Replace
     (/root/reference/filter/replace_filter.go:111-126).
 
-    fields: list of [field, old, new] or [field, old, new, count].
-    count == -1 replaces all (built-in replace()); count == n replaces the
-    FIRST n occurrences exactly like Go strings.Replace — expressed as
-    ``concat_ws(new, split(s, quote(old), n+1))``: the bounded split keeps
-    everything after the n-th occurrence in the last part."""
+    fields: the reference's map shape ``{field: [old, new, count?]}``
+    (replace_filter.go ReplaceFilterConfig) or a list of
+    ``[field, old, new, count?]``. count == -1 replaces all (built-in
+    replace()); count == n replaces the FIRST n occurrences exactly like Go
+    strings.Replace — expressed as ``concat_ws(new, split(s, quote(old),
+    n+1))``: the bounded split keeps everything after the n-th occurrence in
+    the last part."""
 
-    def __init__(self, fields: list[list]):
+    def __init__(self, fields):
+        if isinstance(fields, dict):
+            fields = [[k, *v] for k, v in fields.items()]
         self.specs = []
         for spec in fields:
             path, old, new = spec[0], spec[1], spec[2]

@@ -40,6 +40,7 @@ _KEY_MAP = {
         "strictCumulative": "strict_cumulative",
     },
     "Split": {"maxSplit": "max_split", "dynamicSep": "dynamic_sep"},
+    "KV": {"include_keys": "include", "exclude_keys": "exclude"},
     "Json": {},
 }
 _KEY_MAP["LinkStatsMetric"] = _KEY_MAP["LinkMetric"]

@@ -238,3 +238,31 @@ outputs:
 """
     sinks = run_yaml(spark, yml)
     assert all(r["message"].endswith("!!") for r in sinks[0].rows)
+
+
+def test_reference_config_key_compat(spark):
+    """Exact reference YAML key shapes: Replace map-form fields,
+    KV include_keys/exclude_keys."""
+    yml = """
+inputs:
+- Random: {from: 5, to: 5, max_messages: 4}
+filters:
+- Replace:
+    fields:
+      message: ['5', 'five', -1]
+- Add:
+    fields: {kvline: 'a=1&b=2&c=3'}
+- KV:
+    src: kvline
+    field_split: '&'
+    value_split: '='
+    include_keys: [a, b]
+    exclude_keys: [b]
+outputs:
+- Stdout: {}
+"""
+    sinks = run_yaml(spark, yml)
+    r = sinks[0].rows[0]
+    assert r["message"] == "five"
+    assert r["a"] == "1"
+    assert "b" not in r.asDict() or r["b"] is None
