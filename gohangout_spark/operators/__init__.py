@@ -20,6 +20,13 @@ from gohangout_spark.operators.translate import Translate
 from gohangout_spark.operators.filters import Filters
 from gohangout_spark.operators.ipip import IPIP
 from gohangout_spark.operators.metrics import LinkMetric, LinkStatsMetric
+from gohangout_spark.operators.textops import (
+    Fingerprint,
+    LanguageId,
+    SimHash,
+    TextQuality,
+    TokenCount,
+)
 
 FILTER_REGISTRY = {
     "Add": Add,
@@ -42,6 +49,11 @@ FILTER_REGISTRY = {
     "IPIP": IPIP,
     "LinkMetric": LinkMetric,
     "LinkStatsMetric": LinkStatsMetric,
+    "LanguageId": LanguageId,
+    "TextQuality": TextQuality,
+    "TokenCount": TokenCount,
+    "Fingerprint": Fingerprint,
+    "SimHash": SimHash,
 }
 
 __all__ = ["Chain", "Filter", "FilterBox", "FilterEffect", "FILTER_REGISTRY"] + list(

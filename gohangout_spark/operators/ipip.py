@@ -85,7 +85,16 @@ class DatxProvider:  # pragma: no cover - requires external dependency
 class IPIP(Filter):
     plan_level = True
 
-    def __init__(self, src: str, target: str | None = None, provider=None, database: str | None = None):
+    def __init__(
+        self,
+        src: str,
+        target: str | None = None,
+        provider=None,
+        database: str | None = None,
+        language: str | None = None,  # accepted for config parity (ipip.go)
+        type: str | None = None,  # noqa: A002 - reference config key
+        overwrite: bool = True,
+    ):
         self.src = src
         self.target = target
         if provider is None:

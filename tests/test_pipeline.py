@@ -266,3 +266,34 @@ outputs:
     assert r["message"] == "five"
     assert r["a"] == "1"
     assert "b" not in r.asDict() or r["b"] is None
+
+
+def test_text_curation_pipeline(spark, tmp_path):
+    """North-star text ops as YAML filters: a curation pipeline config."""
+    from gohangout_spark.io import load_table
+
+    src = str(tmp_path / "docs_pq")
+    load_table(spark, "/root/testdata/sf0.001", "documents").write.parquet(src)
+    yml = f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+filters:
+- TokenCount: {{src: text}}
+- TextQuality: {{src: text}}
+- LanguageId: {{src: text}}
+- Fingerprint: {{src: text}}
+- SimHash: {{src: text}}
+- Drop:
+    if: ['EQ(lang_pred,"unknown")']
+outputs:
+- Stdout: {{}}
+"""
+    sinks = run_yaml(spark, yml)
+    rows = sinks[0].rows
+    assert rows
+    r = rows[0]
+    assert r["n_tokens"] > 0 and 0 <= r["quality"] <= 1
+    assert r["lang_pred"] != "unknown" and len(r["fp"]) == 32
+    assert isinstance(r["simhash"], int)
