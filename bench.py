@@ -57,8 +57,10 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     names = sys.argv[1:] or HEADLINE
-    # warm the JVM + parquet footers with the cheapest query once
-    force(QUERIES["dedup_exact"][0](spark, sf_dir))
+    # warmup pass: JVM JIT, parquet footers, codegen caches — measured pass
+    # reflects steady-state throughput, not first-query startup
+    for name in names:
+        force(QUERIES[name][0](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in names:

@@ -8,6 +8,7 @@ from gohangout_spark.sinks.sinks import (
     KafkaSink,
     MemorySink,
     StdoutSink,
+    TCPSink,
 )
 
 __all__ = [
@@ -20,6 +21,7 @@ __all__ = [
     "KafkaSink",
     "MemorySink",
     "StdoutSink",
+    "TCPSink",
 ]
 
 

@@ -332,3 +332,31 @@ SINK_REGISTRY = {
     "ClickHouse": ClickHouseSink,
     "Influxdb": InfluxdbSink,
 }
+
+
+class TCPSink(Sink):
+    """JSON-lines over TCP (output/tcp_output.go:33-146): executors open one
+    connection per partition (the reference's ``concurrent`` writers ≈ task
+    parallelism), write newline-delimited JSON, redial per batch."""
+
+    def write_batch(self, df: DataFrame) -> None:
+        host = self.conf.get("host", "localhost")
+        port = int(self.conf.get("port", 9999))
+        payload = df.select(
+            F.to_json(F.struct(*[F.col(f"`{c}`") for c in df.columns])).alias("line")
+        )
+
+        def send_partition(it):
+            import socket
+
+            rows = list(it)
+            if not rows:
+                return
+            with socket.create_connection((host, port), timeout=30) as sock:
+                for row in rows:
+                    sock.sendall((row["line"] + "\n").encode())
+
+        payload.foreachPartition(send_partition)
+
+
+SINK_REGISTRY["TCP"] = TCPSink

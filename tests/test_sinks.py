@@ -147,3 +147,42 @@ class TestKafkaPayload:
         raw = open(os.path.join(cap, files[0]), "rb").read()
         assert raw[:2] == b"\x1f\x8b"  # gzip by default, like the reference
         assert b'"_index":"x"' in _gzip.decompress(raw)
+
+
+class TestTCP:
+    def test_tcp_sink_json_lines(self, spark):
+        """Replicates the itest-tcp shape: events over a socket, counted
+        at the server (test/itest-tcp.sh expects exact line counts)."""
+        import json as _json
+        import socket
+        import socketserver
+        import threading
+
+        received = []
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                for line in self.rfile:
+                    received.append(line.decode().strip())
+
+        server = socketserver.ThreadingTCPServer(("127.0.0.1", 0), Handler)
+        server.daemon_threads = True
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            from gohangout_spark.sinks import TCPSink
+
+            df = spark.range(200).selectExpr("id", "CAST(id AS STRING) AS msg")
+            TCPSink({"host": "127.0.0.1", "port": port}).write_batch(df)
+            import time
+
+            deadline = time.time() + 10
+            while time.time() < deadline and len(received) < 200:
+                time.sleep(0.2)
+        finally:
+            server.shutdown()
+            server.server_close()
+        assert len(received) == 200
+        parsed = _json.loads(received[0])
+        assert set(parsed) == {"id", "msg"}
