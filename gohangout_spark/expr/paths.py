@@ -59,13 +59,34 @@ def _navigate(root: Column, segs: list[str | int]) -> Column:
 def field_col(path: str, df: DataFrame | None = None) -> Column:
     """Compile a field reference to a Column.
 
-    If ``df`` is given and the top-level column is missing, returns a typed
-    NULL (absent == null semantics) instead of an analysis error.
+    If ``df`` is given and any path segment is missing from the schema
+    (top-level column, or a struct without that field), returns NULL
+    (absent == null semantics) instead of an analysis error.
     """
     segs = parse_field(path)
     top = str(segs[0])
-    if df is not None and top not in df.columns:
-        return F.lit(None)
+    if df is not None:
+        if top not in df.columns:
+            return F.lit(None)
+        # walk struct segments against the schema; a missing struct field
+        # would otherwise raise FIELD_NOT_FOUND at analysis
+        from pyspark.sql import types as T
+
+        dtype = df.schema[top].dataType
+        for seg in segs[1:]:
+            if isinstance(seg, int):
+                if isinstance(dtype, T.ArrayType):
+                    dtype = dtype.elementType
+                else:
+                    break  # jsonpath index on non-array: runtime null
+            elif isinstance(dtype, T.StructType):
+                if seg not in dtype.names:
+                    return F.lit(None)
+                dtype = dtype[seg].dataType
+            elif isinstance(dtype, T.MapType):
+                dtype = dtype.valueType  # missing keys are null at runtime
+            else:
+                return F.lit(None)  # navigating into a scalar
     col = F.col(f"`{top}`")
     return _navigate(col, segs[1:])
 

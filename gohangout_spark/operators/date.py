@@ -43,7 +43,6 @@ class Date(Filter):
         location: str | None = None,
         add_year: bool = False,
         overwrite: bool = True,
-        remove_fields_on_success: list[str] | None = None,
     ):
         self.src = src
         self.formats = formats
@@ -51,6 +50,16 @@ class Date(Filter):
         self.location = location
         self.add_year = add_year
         self.overwrite = overwrite
+
+    def _located(self, parsed: Column, java_pattern: str | None) -> Column:
+        """Apply `location` only to wall-time layouts — epochs and layouts
+        with explicit zone/offset tokens are already absolute instants
+        (Go ParseInLocation only uses location when the layout has no zone)."""
+        if not self.location:
+            return parsed
+        if java_pattern is None or any(t in java_pattern for t in ("X", "z", "Z", "O")):
+            return parsed
+        return F.to_utc_timestamp(parsed, self.location)
 
     def _parsers(self, col: Column) -> list[Column]:
         parsers: list[Column] = []
@@ -67,28 +76,34 @@ class Date(Filter):
             elif fmt == "RFC3339":
                 parsers.extend(F.try_to_timestamp(s, F.lit(p)) for p in _RFC3339_PATTERNS)
             elif fmt == "ISO8601":
-                parsers.extend(F.try_to_timestamp(s, F.lit(p)) for p in _ISO8601_PATTERNS)
+                parsers.extend(
+                    self._located(F.try_to_timestamp(s, F.lit(p)), p)
+                    for p in _ISO8601_PATTERNS
+                )
             else:
                 java = go_layout_to_java(fmt)
                 if self.add_year and "y" not in java:
                     # year-less layout (filter/date.go add_year): prepend year
                     parsers.append(
-                        F.try_to_timestamp(
-                            F.concat(F.date_format(F.current_date(), "yyyy"), F.lit(" "), s),
-                            F.lit("yyyy " + java),
+                        self._located(
+                            F.try_to_timestamp(
+                                F.concat(
+                                    F.date_format(F.current_date(), "yyyy"),
+                                    F.lit(" "),
+                                    s,
+                                ),
+                                F.lit("yyyy " + java),
+                            ),
+                            java,
                         )
                     )
                 else:
-                    parsers.append(F.try_to_timestamp(s, F.lit(java)))
+                    parsers.append(self._located(F.try_to_timestamp(s, F.lit(java)), java))
         return parsers
 
     def build(self, df: DataFrame) -> FilterEffect:
         col = field_col(self.src, df)
         parsed = F.coalesce(*self._parsers(col))
-        if self.location:
-            # layouts without explicit offsets are interpreted in `location`
-            # (filter/date.go location option); session tz is UTC.
-            parsed = F.to_utc_timestamp(parsed, self.location)
         eff = FilterEffect()
         target_old = field_col(self.target, df)
         value = parsed if self.overwrite else F.coalesce(target_old.cast("timestamp"), parsed)

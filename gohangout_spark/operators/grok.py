@@ -178,14 +178,18 @@ class Grok(Filter):
                     all_fields.append(g)
 
         for fname in all_fields:
-            # first-match-wins across the pattern list (grok.go:238-281)
+            # first-match-wins across the pattern list (grok.go Filter loop
+            # returns after the FIRST matching pattern): a row matched by an
+            # earlier pattern must NOT take this field from a later pattern,
+            # so patterns lacking the field contribute an explicit NULL branch
             value: Column | None = None
             for (p, groups), matched in zip(self.patterns, matches):
-                if fname not in groups:
-                    continue
-                extracted = F.regexp_extract(col, p, groups[fname])
-                if self.ignore_blank:
-                    extracted = F.when(extracted != "", extracted)
+                if fname in groups:
+                    extracted = F.regexp_extract(col, p, groups[fname])
+                    if self.ignore_blank:
+                        extracted = F.when(extracted != "", extracted)
+                else:
+                    extracted = F.lit(None)
                 branch = F.when(matched, extracted)
                 value = branch if value is None else value.when(matched, extracted)
             path = f"[{self.target}][{fname}]" if self.target else fname

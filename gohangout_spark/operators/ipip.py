@@ -97,22 +97,40 @@ class IPIP(Filter):
     ):
         self.src = src
         self.target = target
+        self.overwrite = overwrite
         if provider is None:
             provider = DatxProvider(database) if database else DeterministicFakeGeoProvider()
         self.provider = provider
 
     def apply_plan(self, df: DataFrame, box: FilterBox) -> DataFrame:
+        from gohangout_spark.expr.conditions import compile_conditions
+
         provider = self.provider
         src_col = field_col(self.src, df).cast("string")
+        cond = compile_conditions(box.ifs, df, box.ts_field)
 
         @F.pandas_udf(GEO_SCHEMA)
         def geo_lookup(ips: pd.Series) -> pd.DataFrame:
             return provider.lookup_batch(ips)
 
         geo = geo_lookup(src_col)
+
         if self.target:
-            return df.withColumn(self.target, geo)
-        out = df.withColumn("__geo", geo)
+            value = geo
+            if box.ifs:
+                existing = (
+                    F.col(f"`{self.target}`")
+                    if self.target in df.columns
+                    else F.lit(None).cast(GEO_SCHEMA)
+                )
+                value = F.when(cond, geo).otherwise(existing)
+            return df.withColumn(self.target, value)
+        out = df.withColumn("__geo", F.when(cond, geo) if box.ifs else geo)
         for fname in GEO_FIELDS:
-            out = out.withColumn(fname, F.col("__geo").getItem(fname))
+            new = F.col("__geo").getItem(fname)
+            if not self.overwrite and fname in df.columns:
+                new = F.coalesce(F.col(f"`{fname}`"), new)
+            elif box.ifs and fname in df.columns:
+                new = F.when(cond, new).otherwise(F.col(f"`{fname}`"))
+            out = out.withColumn(fname, new)
         return out.drop("__geo")

@@ -45,6 +45,8 @@ class KV(Filter):
         self.target = target
 
     def build(self, df: DataFrame) -> FilterEffect:
+        # duplicate keys must overwrite (kv.go:96-111 last-wins), not crash
+        df.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         src = field_col(self.src, df).cast("string")
         # str_to_map delimiters are regexes; the reference splits literally
         m = F.str_to_map(

@@ -63,18 +63,44 @@ class Translate(Filter):
         return len(self.dictionary) > _LITERAL_MAP_MAX
 
     def apply_plan(self, df: DataFrame, box: FilterBox) -> DataFrame:
-        """Broadcast-join path for big dictionaries."""
+        """Broadcast-join path for big dictionaries — honors the same box
+        contract as the literal-map path: if-guard, keep-old-on-miss,
+        failTag on lookup miss."""
+        from pyspark.sql import types as T
+
+        from gohangout_spark.expr.conditions import compile_conditions
+
         spark = df.sparkSession
         dict_df = spark.createDataFrame(
             [(str(k), v) for k, v in self.dictionary.items()],
-            schema=f"__translate_key string, __translate_val string",
+            schema="__translate_key string, __translate_val string",
         )
         src = field_col(self.source, df).cast("string")
         joined = df.join(
             F.broadcast(dict_df), src == F.col("__translate_key"), "left"
         )
+        cond = compile_conditions(box.ifs, df, box.ts_field)
+        hit = F.col("__translate_val").isNotNull()
         target_top = str(parse_field(self.target)[0])
-        out = joined.withColumn(target_top, F.col("__translate_val")).drop(
-            "__translate_key", "__translate_val"
+        existing = (
+            F.col(f"`{target_top}`") if target_top in df.columns else F.lit(None)
         )
-        return out
+        out = joined.withColumn(
+            target_top,
+            F.when(cond & hit, F.col("__translate_val")).otherwise(existing),
+        )
+        if box.fail_tag is not None:
+            tags_existing = (
+                F.col(f"`{box.tags_field}`")
+                if box.tags_field in df.columns
+                else F.lit(None).cast(T.ArrayType(T.StringType()))
+            )
+            tagged = F.array_union(
+                F.coalesce(tags_existing, F.array().cast(T.ArrayType(T.StringType()))),
+                F.array(F.lit(box.fail_tag)),
+            )
+            out = out.withColumn(
+                box.tags_field,
+                F.when(cond & ~hit, tagged).otherwise(tags_existing),
+            )
+        return out.drop("__translate_key", "__translate_val")

@@ -122,17 +122,22 @@ class ElasticsearchSink(Sink):
     def bulk_lines(self, df: DataFrame) -> DataFrame:
         """One string column 'line' = action-meta JSON + '\\n' + source JSON."""
         conf = self.conf
+        def safe(col):
+            # null render (missing field) must not null-propagate through
+            # concat and kill the whole bulk line
+            return F.coalesce(col.cast("string"), F.lit(""))
+
         index = compile_render(conf.get("index", "gohangout"), df, bare_is_field=False)
         action = conf.get("action", "index")
-        meta_fields = [F.lit('{"' + action + '":{"_index":"'), index.cast("string")]
+        meta_fields = [F.lit('{"' + action + '":{"_index":"'), safe(index)]
         if conf.get("index_type"):
             meta_fields += [F.lit('","_type":"'), F.lit(conf["index_type"])]
         if conf.get("id"):
-            meta_fields += [F.lit('","_id":"'), compile_render(conf["id"], df).cast("string")]
+            meta_fields += [F.lit('","_id":"'), safe(compile_render(conf["id"], df))]
         if conf.get("routing"):
             meta_fields += [
                 F.lit('","routing":"'),
-                compile_render(conf["routing"], df).cast("string"),
+                safe(compile_render(conf["routing"], df)),
             ]
         meta_fields += [F.lit('"}}')]
         source = F.to_json(F.struct(*[F.col(f"`{c}`") for c in df.columns]))
@@ -171,6 +176,8 @@ class ElasticsearchSink(Sink):
                 raise RuntimeError(f"ES bulk failed after {retries + 1} tries: {last}")
 
             for row in it:
+                if row["line"] is None:
+                    continue
                 buf.append(row["line"])
                 if len(buf) >= bulk_actions:
                     flush()
@@ -252,7 +259,10 @@ class ClickHouseSink(Sink):
             else:
                 c = F.lit(None).cast(sp)
             if not nullable:
-                default = F.lit(_ch_default(sp)).try_cast(sp)
+                if sp.startswith("array"):
+                    default = F.expr("array()").cast(sp)
+                else:
+                    default = F.lit(_ch_default(sp)).try_cast(sp)
                 c = F.coalesce(c, default)
             cols.append(c.alias(name))
         return df.select(*cols)

@@ -116,7 +116,13 @@ def cumulative_link_metric_stream(
         try:
             state.setTimeoutTimestamp(expiry_ms)
         except Exception:
-            pass  # older than current watermark → expires next batch
+            # expiry already behind the watermark: without a registered
+            # timeout the group would never be re-invoked and its state
+            # would leak — anchor the timeout just past the watermark
+            try:
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+            except Exception:
+                state.remove()
         yield pd.DataFrame([row], columns=out_cols)
 
     out = src.groupBy(

@@ -366,3 +366,86 @@ class TestReplaceBoundedCount:
         assert got["n"]["s"] is None
         got3 = rows_by_name(FilterBox(Replace([["s", "a", "X", 99]])).apply(df))
         assert got3["r"]["s"] == "X-b-X-b-X"
+
+
+class TestReviewFixes:
+    """Regression tests for behaviors found in the self-review pass."""
+
+    def test_kv_duplicate_keys_last_win(self, spark):
+        df = spark.createDataFrame([Row(name="r", kvs="a=1&b=2&a=3")])
+        box = FilterBox(KV(src="kvs", field_split="&", value_split="=", include=["a", "b"]))
+        got = rows_by_name(box.apply(df))["r"]
+        assert got["a"] == "3"  # last wins (kv.go overwrite), not a crash
+
+    def test_grok_first_match_blocks_later_fields(self, spark):
+        # p1 matches and captures only 'a'; p2 also matches and captures 'b'.
+        # Reference returns after p1 -> b must stay NULL.
+        df = spark.createDataFrame([Row(name="r", w="x 1")])
+        box = FilterBox(
+            Grok(src="w", match=[r"^(?P<a>\w+) \d+$", r"^(?P<a>\w+) (?P<b>\d+)$"])
+        )
+        got = rows_by_name(box.apply(df))["r"]
+        assert got["a"] == "x"
+        assert got["b"] is None
+
+    def test_date_location_not_applied_to_epochs(self, spark):
+        import datetime as dt
+
+        df = spark.createDataFrame([Row(name="r", t="1714564800")])
+        box = FilterBox(Date("t", ["UNIX"], target="parsed", location="Asia/Shanghai"))
+        got = rows_by_name(box.apply(df))["r"]
+        # epoch is absolute: location must NOT shift it
+        assert got["parsed"] == dt.datetime(2024, 5, 1, 12, 0, 0)
+
+    def test_translate_bigdict_honors_guard_and_failtag(self, spark):
+        big = {str(k): f"v{k}" for k in range(20_000)}
+        df = spark.createDataFrame(
+            [Row(name="hit", k="5"), Row(name="miss", k="999999"), Row(name="skip", k="6")]
+        )
+        box = FilterBox(
+            Translate(source="k", target="out", dictionary=big),
+            ifs=['!EQ(name,"skip")'],
+            fail_tag="nodict",
+        )
+        got = rows_by_name(box.apply(df))
+        assert got["hit"]["out"] == "v5"
+        assert got["miss"]["out"] is None and got["miss"]["tags"] == ["nodict"]
+        assert got["skip"]["out"] is None and got["skip"].get("tags") is None
+
+    def test_ipip_honors_guard(self, spark):
+        df = spark.createDataFrame([Row(name="yes", ip="8.8.8.8"), Row(name="no", ip="9.9.9.9")])
+        box = FilterBox(IPIP(src="ip"), ifs=['EQ(name,"yes")'])
+        got = rows_by_name(box.apply(df))
+        assert got["yes"]["country_name"] is not None
+        assert got["no"]["country_name"] is None
+
+    def test_filters_parent_if_snapshot(self, spark):
+        # child 1 rewrites the field the parent condition reads; child 2 must
+        # still run for rows that matched the ORIGINAL condition
+        df = spark.createDataFrame([Row(name="r", kind="click"), Row(name="o", kind="view")])
+        nested = Filters(
+            [
+                FilterBox(Uppercase(["kind"])),
+                FilterBox(Add({"flagged": "yes"})),
+            ]
+        )
+        box = FilterBox(nested, ifs=['EQ(kind,"click")'])
+        got = rows_by_name(box.apply(df))
+        assert got["r"]["kind"] == "CLICK" and got["r"]["flagged"] == "yes"
+        assert got["o"]["kind"] == "view" and got["o"]["flagged"] is None
+
+    def test_nested_missing_struct_field_is_null(self, spark):
+        from gohangout_spark.expr.conditions import compile_condition
+
+        df = spark.createDataFrame([Row(name="r", geo=Row(country="US"))])
+        # geo.city does not exist in the struct -> absent == null, no crash
+        assert df.filter(compile_condition("Exist(geo,city)", df)).count() == 0
+        assert df.filter(compile_condition("Exist(geo,country)", df)).count() == 1
+
+    def test_es_null_render_does_not_kill_line(self, spark):
+        from gohangout_spark.sinks import ElasticsearchSink
+
+        df = spark.createDataFrame([(None, "x")], "doc_id string, msg string")
+        sink = ElasticsearchSink({"index": "fixed", "id": "[doc_id]"})
+        line = sink.bulk_lines(df).first()["line"]
+        assert line is not None and '"_id":""' in line
