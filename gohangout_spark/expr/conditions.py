@@ -103,11 +103,15 @@ def _tokenize(s: str) -> list[Tok]:
 # ------------------------------------------------------------- arg parsing
 
 def _split_args(argstr: str) -> list[str]:
-    args, cur, depth, in_str = [], [], 0, False
+    args, cur, depth, in_str, escaped = [], [], 0, False, False
     for ch in argstr:
         if in_str:
             cur.append(ch)
-            if ch == '"' and (len(cur) < 2 or cur[-2] != "\\"):
+            if escaped:
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif ch == '"':
                 in_str = False
         elif ch == '"':
             cur.append(ch)
@@ -216,7 +220,7 @@ def _compile_pred(text: str, df: DataFrame | None, ts_field: str) -> Column:
         return F.rand() * n < 1
     if name in ("Before", "After"):
         secs = parse_go_duration(args[0])
-        bound = F.current_timestamp() + F.expr(f"INTERVAL {secs} SECOND")
+        bound = F.current_timestamp() + F.expr(f"INTERVAL {secs:.9f} SECOND")
         ts = field_col(ts_field, df)
         return ts < bound if name == "Before" else ts > bound
     raise ConditionSyntaxError(f"unknown predicate {name!r}")

@@ -147,7 +147,7 @@ class _Parser:
 
             ts = self.value(args[0])
             secs = parse_go_duration(args[1])
-            bound = F.current_timestamp() + F.expr(f"INTERVAL {secs} SECOND")
+            bound = F.current_timestamp() + F.expr(f"INTERVAL {secs:.9f} SECOND")
             return ts < bound if name == "before" else ts > bound
         raise TemplateConditionError(f"unsupported template function {name!r}")
 

@@ -217,3 +217,17 @@ class TestTemplateConditions:
         for bad in ["{{now}}", "{{if printf .x}}y{{end}}", "{{if .a}}n{{end}}"]:
             with pytest.raises((TemplateConditionError, ValueError)):
                 compile_condition(bad, df)
+
+
+class TestMinorEdges:
+    def test_subsecond_duration_condition(self, df):
+        # ns/ms durations must produce a parseable INTERVAL literal
+        assert names_matching(df, compile_condition("Before(100ms)", df, ts_field="ts")) == ["childe"]
+        assert names_matching(df, compile_condition("Before(500ns)", df, ts_field="ts")) == ["childe"]
+
+    def test_escaped_quote_in_args(self, df):
+        # value containing an escaped quote must not terminate the string early
+        col = compile_condition('Contains(message,"\\"x")', df)
+        assert names_matching(df, col) == []
+        col2 = compile_condition('EQ(name,"a\\\\")', df)  # trailing backslash value
+        assert names_matching(df, col2) == []
