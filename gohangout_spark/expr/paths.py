@@ -65,30 +65,40 @@ def field_col(path: str, df: DataFrame | None = None) -> Column:
     """
     segs = parse_field(path)
     top = str(segs[0])
-    if df is not None:
-        if top not in df.columns:
-            return F.lit(None)
-        # walk struct segments against the schema; a missing struct field
-        # would otherwise raise FIELD_NOT_FOUND at analysis
-        from pyspark.sql import types as T
+    if df is None:
+        return _navigate(F.col(f"`{top}`"), segs[1:])
 
-        dtype = df.schema[top].dataType
-        for seg in segs[1:]:
-            if isinstance(seg, int):
-                if isinstance(dtype, T.ArrayType):
-                    dtype = dtype.elementType
-                else:
-                    break  # jsonpath index on non-array: runtime null
-            elif isinstance(dtype, T.StructType):
-                if seg not in dtype.names:
-                    return F.lit(None)
-                dtype = dtype[seg].dataType
-            elif isinstance(dtype, T.MapType):
-                dtype = dtype.valueType  # missing keys are null at runtime
-            else:
-                return F.lit(None)  # navigating into a scalar
+    if top not in df.columns:
+        return F.lit(None)
+    # walk the schema while building the column: a missing struct field or a
+    # numeric index into a non-array resolves to NULL (absent == null)
+    # instead of an AnalysisException; int keys into maps use getItem
+    # directly (element_at's 1-based adjustment is only for arrays)
+    from pyspark.sql import types as T
+
     col = F.col(f"`{top}`")
-    return _navigate(col, segs[1:])
+    dtype = df.schema[top].dataType
+    for seg in segs[1:]:
+        if isinstance(seg, int):
+            if isinstance(dtype, T.ArrayType):
+                col = F.element_at(col, seg + 1)
+                dtype = dtype.elementType
+            elif isinstance(dtype, T.MapType):
+                col = col.getItem(seg)
+                dtype = dtype.valueType
+            else:
+                return F.lit(None)
+        elif isinstance(dtype, T.StructType):
+            if seg not in dtype.names:
+                return F.lit(None)
+            col = col.getItem(seg)
+            dtype = dtype[seg].dataType
+        elif isinstance(dtype, T.MapType):
+            col = col.getItem(seg)
+            dtype = dtype.valueType
+        else:
+            return F.lit(None)
+    return col
 
 
 def field_exists(path: str, df: DataFrame | None = None) -> Column:

@@ -79,6 +79,10 @@ class FilterBox:
         self.tags_field = tags_field
         self.ts_field = ts_field
 
+    # guard marker columns carried between the two stages
+    _EFF = "__box_eff"
+    _FAILED = "__box_failed"
+
     def apply(self, df: DataFrame) -> DataFrame:
         if self.filter.plan_level:
             return self.filter.apply_plan(df, self)
@@ -87,86 +91,130 @@ class FilterBox:
         effect = self.filter.build(df)
 
         if effect.drop_row is not None:
-            # Drop-with-if = selective delete (filter/drop.go:20-22)
-            return df.filter(~(cond & effect.drop_row))
+            # Drop-with-if = selective delete (filter/drop.go:20-22); a NULL
+            # condition means "conditions did not pass" → filter skipped →
+            # row KEPT (conditionFilter.Pass returns false, not null)
+            return df.filter(~F.coalesce(cond & effect.drop_row, F.lit(False)))
 
         unconditional = not self.ifs and effect.success is None
         success = effect.success if effect.success is not None else F.lit(True)
-        eff = cond & success
+        eff = F.coalesce(cond & success, F.lit(False))
+        failed = F.coalesce(cond & ~F.coalesce(success, F.lit(False)), F.lit(False))
 
-        # Build ONE projection: every expression references the ORIGINAL df,
-        # so per-row success / failtag logic sees pre-transform values (the
-        # reference applies Filter() then post-processes the same event).
+        # ---- stage 1: the filter's own mutations (Filter(event)) ----------
+        # one projection over the INPUT df (success/conditions see
+        # pre-transform values); guard markers ride along for stage 2
+        out = self._project(
+            df, effect.assignments, effect.otherwise, eff,
+            extra={self._EFF: eff, self._FAILED: failed},
+        )
+
+        # ---- stage 2: PostProcess on the MUTATED event --------------------
+        # (topology/filter.go:76-94: on success apply add_fields then
+        # remove_fields — renders resolve fields the filter just wrote;
+        # on failure append failTag to tags)
+        eff2 = F.col(self._EFF)
+        assigns2: dict[str, Column] = {}
+        for path, spec in self.add_fields.items():
+            assigns2[path] = compile_render(spec, out, self.ts_field, bare_is_field=False)
+
+        drops: list[str] = []
+        null_outs: list[str] = []
+        for path in list(self.remove_fields) + list(effect.deletions):
+            if unconditional:
+                drops.append(path)
+            else:
+                null_outs.append(path)
+        for path in null_outs:
+            assigns2[path] = F.lit(None)
+
+        tags_assign: dict[str, Column] = {}
+        if self.fail_tag is not None and effect.success is not None:
+            existing = (
+                field_col(self.tags_field, out)
+                if self.tags_field in out.columns
+                else F.lit(None).cast(T.ArrayType(T.StringType()))
+            )
+            if (
+                self.tags_field in out.columns
+                and isinstance(out.schema[self.tags_field].dataType, T.StringType)
+            ):
+                # string tags become [tags, failTag] (filter.go:84-89); the
+                # fixed schema upgrades the column to array<string> for all rows
+                existing = F.when(existing.isNotNull(), F.array(existing))
+            # append (concat), not array_union: the reference appends even
+            # duplicate tags
+            tagged = F.concat(
+                F.coalesce(existing, F.array().cast(T.ArrayType(T.StringType()))),
+                F.array(F.lit(self.fail_tag)),
+            )
+            tags_assign[self.tags_field] = F.when(
+                F.col(self._FAILED), tagged
+            ).otherwise(existing)
+
+        if assigns2 or tags_assign:
+            merged = dict(assigns2)
+            out = self._project(out, merged, {}, eff2, extra=tags_assign or None)
+        for path in drops:
+            out = delete_field(out, path)
+        return out.drop(self._EFF, self._FAILED)
+
+    @staticmethod
+    def _project(
+        df: DataFrame,
+        assignments: dict[str, Column],
+        otherwise: dict[str, Column],
+        eff: Column,
+        extra: dict[str, Column] | None = None,
+    ) -> DataFrame:
+        """One conditional projection: each assigned path becomes
+        when(eff, new).otherwise(old); nested paths are materialized through
+        temp columns computed in the SAME projection (so their expressions
+        resolve against this stage's input, not the transformed frame).
+        ``extra`` columns are appended verbatim (guard markers, tag columns).
+        """
         top_assign: dict[str, Column] = {}
-        nested_assign: list[tuple[str, Column]] = []
-        top_drop: set[str] = set()
-        nested_drop: list[str] = []
-
-        def assign(path: str, new_col: Column, otherwise: Column | None):
+        nested: list[tuple[str, str]] = []  # (path, temp col)
+        for path, new_col in assignments.items():
             segs = parse_field(path)
             top = str(segs[0])
             if len(segs) == 1:
-                if otherwise is not None:
-                    value = F.when(eff, new_col).otherwise(otherwise)
+                ow = otherwise.get(path)
+                if ow is not None:
+                    value = F.when(eff, new_col).otherwise(ow)
                 elif top in df.columns:
                     value = F.when(eff, new_col).otherwise(F.col(f"`{top}`"))
                 else:
                     value = F.when(eff, new_col)
                 top_assign[top] = value
             else:
-                old = otherwise
-                if old is None:
-                    old = field_col(path, df) if top in df.columns else F.lit(None)
-                nested_assign.append((path, F.when(eff, new_col).otherwise(old)))
+                ow = otherwise.get(path)
+                if ow is None:
+                    ow = field_col(path, df)
+                tmp = f"__nested_{len(nested)}"
+                nested.append((path, tmp))
+                top_assign[tmp] = F.when(eff, new_col).otherwise(ow)
 
-        # 1. filter's own assignments
-        for path, new_col in effect.assignments.items():
-            assign(path, new_col, effect.otherwise.get(path))
-        # 2. post-process on success: add_fields then remove_fields
-        #    (topology/filter.go:76-86)
-        for path, spec in self.add_fields.items():
-            rendered = compile_render(spec, df, self.ts_field, bare_is_field=False)
-            assign(path, rendered, None)
-        for path in list(self.remove_fields) + list(effect.deletions):
-            segs = parse_field(path)
-            if unconditional:
-                if len(segs) == 1:
-                    top_drop.add(str(segs[0]))
-                    top_assign.pop(str(segs[0]), None)
-                else:
-                    nested_drop.append(path)
-            else:
-                assign(path, F.lit(None), None)
-
-        # 3. failure: append failtag to tags (topology/filter.go:87-94)
-        if self.fail_tag is not None and effect.success is not None:
-            failed = cond & ~F.coalesce(success, F.lit(False))
-            existing = (
-                field_col(self.tags_field, df)
-                if self.tags_field in df.columns
-                else F.lit(None).cast(T.ArrayType(T.StringType()))
-            )
-            tagged = F.array_union(
-                F.coalesce(existing, F.array().cast(T.ArrayType(T.StringType()))),
-                F.array(F.lit(self.fail_tag)),
-            )
-            top_assign[self.tags_field] = F.when(failed, tagged).otherwise(existing)
-
+        extra = extra or {}
         select_cols: list[Column] = []
+        consumed: set[str] = set()
         for c in df.columns:
-            if c in top_drop:
-                continue
+            if c in extra:
+                continue  # replaced below with the extra value
             if c in top_assign:
-                select_cols.append(top_assign.pop(c).alias(c))
+                select_cols.append(top_assign[c].alias(c))
+                consumed.add(c)
             else:
                 select_cols.append(F.col(f"`{c}`"))
         for c, expr in top_assign.items():
+            if c not in consumed and c not in extra:
+                select_cols.append(expr.alias(c))
+        for c, expr in extra.items():
             select_cols.append(expr.alias(c))
         out = df.select(*select_cols)
-        for path, expr in nested_assign:
-            out = set_field(out, path, expr)
-        for path in nested_drop:
-            out = delete_field(out, path)
+        for path, tmp in nested:
+            out = set_field(out, path, F.col(tmp))
+            out = out.drop(tmp)
         return out
 
     @staticmethod

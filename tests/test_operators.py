@@ -449,3 +449,56 @@ class TestReviewFixes:
         sink = ElasticsearchSink({"index": "fixed", "id": "[doc_id]"})
         line = sink.bulk_lines(df).first()["line"]
         assert line is not None and '"_id":""' in line
+
+
+class TestReviewFixesRound2:
+    def test_drop_null_condition_keeps_row(self, spark):
+        # NULL condition = conditions didn't pass = filter skipped = row kept
+        df = spark.createDataFrame(
+            [("err1", 1), (None, 2), ("ok", 3)], "event_type string, id int"
+        )
+        out = FilterBox(Drop(), ifs=['HasPrefix(event_type,"err")']).apply(df)
+        assert sorted(r["id"] for r in out.collect()) == [2, 3]
+
+    def test_add_fields_sees_filter_output(self, spark):
+        # add_fields renders against the POST-filter event (filter.go:76-86)
+        df = spark.createDataFrame([Row(name="r", line="click 42")])
+        box = FilterBox(
+            Grok(src="line", match=[r"^(?P<etype>\w+) (?P<uid>\d+)$"]),
+            add_fields={"note": "etype=%{etype}"},
+        )
+        got = rows_by_name(box.apply(df))["r"]
+        assert got["note"] == "etype=click"
+
+    def test_nested_add_with_removed_source(self, spark):
+        # nested target fed by a field removed in the same box: the value is
+        # captured before removal (add then remove ordering)
+        df = spark.createDataFrame([Row(name="r", y="payload")])
+        box = FilterBox(Add({"[m][x]": "%{y}"}), remove_fields=["y"])
+        got = rows_by_name(box.apply(df))["r"]
+        assert got["m"]["x"] == "payload"
+        assert "y" not in got
+
+    def test_string_tags_upgraded_on_failtag(self, spark):
+        # reference filter.go:84-89 supports a plain-string tags field:
+        # failure turns it into [old_tags, failTag]
+        df = spark.createDataFrame(
+            [("r1", "bad", "pre-existing"), ("r2", "12", None)],
+            "id string, num string, tags string",
+        )
+        box = FilterBox(Convert({"num": {"to": "int"}}), fail_tag="cfail")
+        rows = {r["id"]: r for r in box.apply(df).collect()}
+        assert rows["r1"]["tags"] == ["pre-existing", "cfail"]
+        assert rows["r2"]["tags"] is None and rows["r2"]["num"] == 12
+
+    def test_failtag_appends_duplicates(self, spark):
+        df = spark.createDataFrame([Row(num="abc", tags=["cfail"])])
+        box = FilterBox(Convert({"num": {"to": "int"}}), fail_tag="cfail")
+        assert box.apply(df).first()["tags"] == ["cfail", "cfail"]  # append, not union
+
+    def test_int_index_on_struct_is_null(self, spark):
+        from gohangout_spark.expr.conditions import compile_condition
+
+        df = spark.createDataFrame([Row(name="r", a=Row(x=1, y=2))])
+        # $.a[0] over a struct: absent==null, not an AnalysisException
+        assert df.filter(compile_condition("EQ($.a[0],1)", df)).count() == 0
