@@ -49,13 +49,21 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 # ----------------------------------------------------------------- minhash
 
-def word_shingles(text_col, n: int = 3):
-    """String n-token shingles (see shingle_hashes for why this zips shifted
-    slices instead of indexing inside the lambda)."""
-    toks = tokens(text_col)
+def zipped_shingles(toks, n: int):
+    """n shifted equal-length slices of a token array, zipped — the shared
+    scaffold for every shingle builder. The tokenizer expression evaluates n
+    times per ROW; putting element_at(toks, i+k) inside a transform lambda
+    would make Catalyst re-evaluate the tokenizer per ELEMENT (O(tokens²)
+    per row, ~8× slower at sf0.1). Short docs (< n tokens) degrade to one
+    partial shingle via the greatest(…, 1) length floor."""
     length = F.greatest(F.size(toks) - (n - 1), F.lit(1))
     shifted = [F.slice(toks, F.lit(k + 1), length).alias(f"t{k}") for k in range(n)]
-    zipped = F.arrays_zip(*shifted)
+    return F.arrays_zip(*shifted)
+
+
+def word_shingles(text_col, n: int = 3):
+    """String n-token shingles."""
+    zipped = zipped_shingles(tokens(text_col), n)
     return F.array_distinct(
         F.transform(
             zipped,
@@ -65,19 +73,9 @@ def word_shingles(text_col, n: int = 3):
 
 
 def shingle_hashes(text_col, n: int = 3):
-    """array<bigint>: xxhash64 of each n-token shingle.
-
-    Formulated as arrays_zip over n shifted equal-length slices — the
-    tokenizer expression evaluates n times per ROW. The tempting
-    ``transform(sequence(...), i -> xxhash64(element_at(toks, i+k)))`` puts
-    the tokenizer inside the lambda, where Catalyst re-evaluates it per
-    ELEMENT: O(tokens²) per row, ~8× slower at sf0.1."""
-    toks = tokens(text_col)
-    length = F.greatest(F.size(toks) - (n - 1), F.lit(1))
-    shifted = [
-        F.slice(toks, F.lit(k + 1), length).alias(f"t{k}") for k in range(n)
-    ]
-    zipped = F.arrays_zip(*shifted)
+    """array<bigint>: xxhash64 of each n-token shingle (see zipped_shingles
+    for the performance rationale)."""
+    zipped = zipped_shingles(tokens(text_col), n)
     return F.array_distinct(
         F.transform(
             zipped, lambda s: F.xxhash64(*[s.getField(f"t{k}") for k in range(n)])
@@ -132,6 +130,10 @@ def minhash_lsh_candidates(
             F.col(id_col).alias("doc_id"),
             shingle_hashes(F.col(text_col), shingle_n).alias("shingles"),
         )
+        # empty/whitespace-only docs would all share the init signature and
+        # explode into one O(m²) hot bucket — they cannot be meaningful
+        # near-dups, so drop them before bucketing
+        .filter(F.size("shingles") > 0)
         .persist()
     )
     sigs = base.select(
@@ -199,12 +201,17 @@ def simhash_udf(num_bits: int = 64):
     @F.pandas_udf("long")
     def simhash(tok_series: pd.Series) -> pd.Series:
         out = np.zeros(len(tok_series), dtype=np.int64)
+        import hashlib
+
         for i, toks in enumerate(tok_series):
             if toks is None or len(toks) == 0:
                 continue
             acc = np.zeros(num_bits, dtype=np.int64)
             for t in toks:
-                h = np.int64(np.uint64(hash(t) & 0xFFFFFFFFFFFFFFFF).astype(np.int64))
+                # deterministic across workers/runs (builtin hash() is
+                # randomized per process via PYTHONHASHSEED)
+                digest = hashlib.blake2b(str(t).encode(), digest_size=8).digest()
+                h = np.int64(np.uint64(int.from_bytes(digest, "big")).astype(np.int64))
                 bits = (np.uint64(h) >> np.arange(num_bits, dtype=np.uint64)) & np.uint64(1)
                 acc += np.where(bits.astype(bool), 1, -1)
             sig = np.uint64(0)

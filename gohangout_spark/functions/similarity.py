@@ -204,7 +204,7 @@ def ivf_topk(
         .drop("__h")
         .collect()
     )
-    centroids = [(int(r["cid"]), [float(x) for x in r["cv"]]) for r in cent_rows]
+    centroids = [(r["cid"], [float(x) for x in r["cv"]]) for r in cent_rows]
 
     def cell_ranks(vec, n: int):
         """array of cell ids ordered by cosine desc, truncated to n."""

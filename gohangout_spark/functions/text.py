@@ -87,10 +87,9 @@ def rolling_hash_fingerprint(col: Column, window: int = 8, keep_every: int = 4) 
     keep hashes ≡ 0 (mod keep_every) → compact doc sketch (array<bigint>).
     Zipped shifted slices keep the tokenizer out of the per-element lambda
     (see dedup.shingle_hashes)."""
-    toks = tokens(col)
-    length = F.greatest(F.size(toks) - (window - 1), F.lit(1))
-    shifted = [F.slice(toks, F.lit(k + 1), length).alias(f"t{k}") for k in range(window)]
-    zipped = F.arrays_zip(*shifted)
+    from gohangout_spark.functions.dedup import zipped_shingles
+
+    zipped = zipped_shingles(tokens(col), window)
     hashes = F.transform(
         zipped, lambda s: F.xxhash64(*[s.getField(f"t{k}") for k in range(window)])
     )

@@ -117,6 +117,13 @@ class LinkMetric(Filter):
                     "LinkStatsMetric fieldsLink needs 'group...->value' "
                     f"(got {self.fields!r})"
                 )
+            # same skip-if-missing rule as metrics_df (updateMetric early
+            # return): null event time or link fields would otherwise become
+            # a None group key and crash the stateful update function
+            skip = field_col(self.ts_field, guarded).isNotNull()
+            for fname in self._group_fields():
+                skip = skip & field_col(fname, guarded).isNotNull()
+            guarded = guarded.filter(skip)
             metrics = cumulative_link_metric_stream(
                 guarded,
                 "->".join(self._group_fields()),

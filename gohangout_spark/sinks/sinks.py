@@ -120,28 +120,29 @@ class ElasticsearchSink(Sink):
         self.compress = bool(self.conf.get("compress", True))
 
     def bulk_lines(self, df: DataFrame) -> DataFrame:
-        """One string column 'line' = action-meta JSON + '\\n' + source JSON."""
+        """One string column 'line' = action-meta JSON + '\\n' + source JSON.
+
+        Action metadata goes through to_json (proper escaping of rendered
+        index/id/routing values — elasticsearch_output.go:49-92 JSON-encodes
+        every meta value; raw concat would break on quotes in user data)."""
         conf = self.conf
+
         def safe(col):
-            # null render (missing field) must not null-propagate through
-            # concat and kill the whole bulk line
+            # null render (missing field) must not null-propagate
             return F.coalesce(col.cast("string"), F.lit(""))
 
         index = compile_render(conf.get("index", "gohangout"), df, bare_is_field=False)
         action = conf.get("action", "index")
-        meta_fields = [F.lit('{"' + action + '":{"_index":"'), safe(index)]
+        meta_inner = [safe(index).alias("_index")]
         if conf.get("index_type"):
-            meta_fields += [F.lit('","_type":"'), F.lit(conf["index_type"])]
+            meta_inner.append(F.lit(conf["index_type"]).alias("_type"))
         if conf.get("id"):
-            meta_fields += [F.lit('","_id":"'), safe(compile_render(conf["id"], df))]
+            meta_inner.append(safe(compile_render(conf["id"], df)).alias("_id"))
         if conf.get("routing"):
-            meta_fields += [
-                F.lit('","routing":"'),
-                safe(compile_render(conf["routing"], df)),
-            ]
-        meta_fields += [F.lit('"}}')]
+            meta_inner.append(safe(compile_render(conf["routing"], df)).alias("routing"))
+        meta = F.to_json(F.struct(F.struct(*meta_inner).alias(action)))
         source = F.to_json(F.struct(*[F.col(f"`{c}`") for c in df.columns]))
-        return df.select(F.concat(*meta_fields, F.lit("\n"), source).alias("line"))
+        return df.select(F.concat(meta, F.lit("\n"), source).alias("line"))
 
     def write_batch(self, df: DataFrame) -> None:
         lines = self.bulk_lines(df)
@@ -169,10 +170,12 @@ class ElasticsearchSink(Sink):
                     if status < 300 and '"errors":false' in body.replace(" ", ""):
                         buf.clear()
                         return
-                    if status < 300:  # partial errors: caller-level retry policy
-                        buf.clear()
-                        return
-                    last = (status, body)
+                    # HTTP 200 + "errors":true (partial item failures) is
+                    # retried as a whole bulk — coarser than the reference's
+                    # per-item re-enqueue (elasticsearch_output.go:133-203)
+                    # but nothing is silently dropped; duplicate index
+                    # actions are idempotent when an _id is configured
+                    last = (status, body[:500])
                 raise RuntimeError(f"ES bulk failed after {retries + 1} tries: {last}")
 
             for row in it:
@@ -302,26 +305,49 @@ class InfluxdbSink(Sink):
     (influxdb_output.go:25-64): measurement,tag=v field=v ns-timestamp."""
 
     def lines(self, df: DataFrame) -> DataFrame:
+        """Null tags/fields are OMITTED from the line (influxdb_output.go:29-47
+        skips missing values); missing COLUMNS are skipped at compile time.
+        concat_ws assembles the parts so one null never nulls the line."""
         conf = self.conf
         measurement = compile_render(conf["measurement"], df, bare_is_field=False)
-        parts: list[Column] = [measurement.cast("string")]
-        for tag in conf.get("tags") or []:
-            parts.append(F.lit(f",{tag}="))
-            parts.append(F.col(f"`{tag}`").cast("string"))
         int_types = {"int", "bigint", "smallint", "tinyint"}
         dtypes = dict(df.dtypes)
+
+        tag_parts: list[Column] = [measurement.cast("string")]
+        for tag in conf.get("tags") or []:
+            if tag not in df.columns:
+                continue
+            c = F.col(f"`{tag}`")
+            tag_parts.append(
+                F.when(c.isNotNull(), F.concat(F.lit(f",{tag}="), c.cast("string")))
+            )
         field_parts: list[Column] = []
-        for i, fld in enumerate(conf.get("fields") or []):
-            if i:
-                field_parts.append(F.lit(","))
-            field_parts.append(F.lit(f"{fld}="))
-            field_parts.append(F.col(f"`{fld}`").cast("string"))
-            if dtypes.get(fld) in int_types:
-                field_parts.append(F.lit("i"))  # line-protocol integer suffix
+        for fld in conf.get("fields") or []:
+            if fld not in df.columns:
+                continue
+            c = F.col(f"`{fld}`")
+            suffix = "i" if dtypes.get(fld) in int_types else ""
+            field_parts.append(
+                F.when(
+                    c.isNotNull(),
+                    F.concat(F.lit(f"{fld}="), c.cast("string"), F.lit(suffix)),
+                )
+            )
         ts_field = conf.get("timestamp", "@timestamp")
-        ns = (F.unix_micros(F.col(f"`{ts_field}`")) * 1000).cast("string")
+        ns = F.coalesce(
+            (F.unix_micros(F.col(f"`{ts_field}`")) * 1000).cast("string"),
+            (F.unix_micros(F.current_timestamp()) * 1000).cast("string"),
+        ) if ts_field in df.columns else (
+            F.unix_micros(F.current_timestamp()) * 1000
+        ).cast("string")
         return df.select(
-            F.concat(*parts, F.lit(" "), *field_parts, F.lit(" "), ns).alias("line")
+            F.concat(
+                F.concat_ws("", *tag_parts),
+                F.lit(" "),
+                F.concat_ws(",", *field_parts),
+                F.lit(" "),
+                ns,
+            ).alias("line")
         )
 
     def write_batch(self, df: DataFrame) -> None:

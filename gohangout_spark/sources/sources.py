@@ -60,7 +60,10 @@ def apply_codec(df: DataFrame, codec: str = "plain", schema: str | None = None,
             for fld in StructType.fromDDL(schema).fields:
                 out = out.withColumn(fld.name, F.col("__parsed").getItem(fld.name))
             return out.drop("__parsed")
-        # schema-less: event payload as map<string,string>
+        # schema-less: event payload as a map<string,string> column named
+        # `event` — a fixed schema cannot flatten unknown keys to the top
+        # level like json_decoder.go does; provide `schema` for flat typed
+        # columns, or address payload fields as [event][key]
         parsed = F.from_json(raw, "map<string,string>")
         return df.select(
             F.current_timestamp().alias("@timestamp"),

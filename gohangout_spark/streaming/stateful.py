@@ -111,8 +111,14 @@ def cumulative_link_metric_stream(
                 cnt += int(len(pdf))
             state.update((cnt,))
             row = (window_start, *key[1:], cnt)
-        # event-time timeout at window_end + reserveWindow
-        expiry_ms = int((window_start.timestamp() + batch_window + reserve) * 1000)
+        # event-time timeout at window_end + reserveWindow; the key arrives
+        # as a tz-naive datetime in the SESSION timezone (pinned UTC by the
+        # engine) — timegm treats it as UTC regardless of the worker's OS tz
+        # (naive .timestamp() would re-interpret it in the OS zone)
+        import calendar
+
+        epoch = calendar.timegm(window_start.timetuple())
+        expiry_ms = int((epoch + batch_window + reserve) * 1000)
         try:
             state.setTimeoutTimestamp(expiry_ms)
         except Exception:
