@@ -10,8 +10,10 @@ Scale design (the point of doing this on Spark):
 - candidate verification joins only within buckets (the whole point of LSH);
   the final exact-Jaccard check runs on the candidate pairs, a tiny fraction
   of the n² pair space.
-- SimHash: 64-bit signature via a vectorized pandas UDF (numpy bit-twiddling
-  over Arrow batches); hamming-distance candidates via band rotation.
+- SimHash: 64-bit signature computed JVM-side in one pass (simhash_column);
+  hamming-distance candidates via pigeonhole banding over the signature
+  bits (simhash_neardup_candidates) — an equi-join on band values, never an
+  all-pairs join.
 """
 
 from __future__ import annotations
@@ -253,6 +255,91 @@ def simhash_column(text_col):
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
+    )
+
+
+def simhash_band_keys(sig_col, n_bands: int):
+    """array<struct<band:int, bval:bigint>> — the signature split into
+    n_bands contiguous bit ranges (pigeonhole: two sigs within hamming
+    distance d < n_bands must agree on at least one whole band)."""
+    width = 64 // n_bands
+    parts = []
+    for i in range(n_bands):
+        start = i * width
+        w = width if i < n_bands - 1 else 64 - start
+        mask = (1 << w) - 1
+        parts.append(
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftrightunsigned(sig_col, start)
+                .bitwiseAND(F.lit(mask))
+                .alias("bval"),
+            )
+        )
+    return F.array(*parts)
+
+
+def simhash_neardup_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    hamming_threshold: int = 2,
+    n_bands: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, hamming ≤ threshold) over 64-bit
+    SimHash signatures WITHOUT the all-pairs join.
+
+    Scale shape (the same pigeonhole-banding pattern as
+    minhash_lsh_candidates): split the signature into hamming_threshold+1
+    bands — any pair within the threshold must match exactly on ≥1 band —
+    self-join on (band, band_value) EQUALITY (a shuffled equi-join, never a
+    cartesian/theta join), then run the exact bit_count(xor) check on the
+    candidate set only. Shuffle volume is O(docs × bands) 16-byte rows; the
+    8-byte signature rides along so no re-join is needed for verification.
+
+    Reference behavior analogue: gohangout has no simhash; this is the
+    LLM-pipeline extension (SURVEY §7 phase 5) built scale-first.
+    """
+    if n_bands is None:
+        n_bands = hamming_threshold + 1
+    if not 2 <= n_bands <= 64:
+        raise ValueError("n_bands must be in [2, 64]")
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    sigs = (
+        df.repartition(parallelism, F.col(id_col))
+        # token-less docs all hash to sig=0 → one O(m²) hot bucket of
+        # meaningless matches; drop them before bucketing (same guard as
+        # minhash_lsh_candidates)
+        .filter(F.size(F.array_distinct(tokens(F.col(text_col)))) > 0)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            simhash_column(F.col(text_col)).alias("sig"),
+        )
+        .persist()
+    )
+    buckets = sigs.select(
+        "doc_id", "sig", F.explode(simhash_band_keys(F.col("sig"), n_bands)).alias("bk")
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= hamming_threshold)
     )
 
 

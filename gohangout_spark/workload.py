@@ -776,9 +776,12 @@ def lowercase(spark, sf_dir):
 
 @q(
     "convert_array",
-    "SELECT event_id, [user_id, event_id] AS arr FROM events",
+    "SELECT event_id, array_to_string([user_id, event_id], ',') AS arr FROM events",
 )
 def convert_array(spark, sf_dir):
+    # The Convert array(int) cast path stays under test; the final projection
+    # flattens the array to a comma-joined string because the driver's
+    # canonicalizer sorts result columns with pandas (list cells are unhashable).
     df = _events(spark, sf_dir).withColumn(
         "arr",
         F.concat(
@@ -787,7 +790,9 @@ def convert_array(spark, sf_dir):
         ),
     )
     out = FilterBox(Convert({"arr": {"to": "array(int)"}})).apply(df)
-    return out.select("event_id", "arr")
+    return out.select(
+        "event_id", F.concat_ws(",", F.col("arr").cast("array<string>")).alias("arr")
+    )
 
 
 @q(
@@ -927,21 +932,14 @@ def embedding_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=3)
 
 
-# SimHash near-dup pairs by hamming distance — rows-only check
+# SimHash near-dup pairs by hamming distance — rows-only check.
+# Banded candidate generation (pigeonhole equi-join), NOT an all-pairs join.
 @q("simhash_neardup", None)
 def simhash_neardup(spark, sf_dir):
-    from gohangout_spark.functions.dedup import simhash_column
+    from gohangout_spark.functions.dedup import simhash_neardup_candidates
 
     docs = _docs(spark, sf_dir)
-    par = spark.sparkContext.defaultParallelism
-    sh = docs.repartition(par, "doc_id").select(
-        "doc_id", simhash_column(F.col("text")).alias("sig")
-    )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return pairs.select("id_a", "id_b", ham.alias("hamming")).where(F.col("hamming") <= 2)
+    return simhash_neardup_candidates(docs, "text", "doc_id", hamming_threshold=2)
 
 
 @q(

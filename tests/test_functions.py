@@ -85,6 +85,60 @@ class TestDedup:
         ham_far = bin(got[0] ^ got[2]).count("1")
         assert ham_near < ham_far
 
+    @pytest.fixture(scope="class")
+    def mutated_corpus(self, spark):
+        # 40 docs in 8 families; within a family only 1-2 words differ, so
+        # signatures land within a small hamming radius of each other
+        words = [
+            "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+            "theta", "iota", "kappa", "lam", "mu", "nu", "xi", "omicron",
+        ]
+        rows = []
+        for fam in range(8):
+            base = [words[(fam * 3 + k) % len(words)] for k in range(10)]
+            for j in range(5):
+                toks = list(base)
+                if j:  # mutate one word per variant
+                    toks[j] = words[(fam + j * 5) % len(words)]
+                rows.append(Row(doc_id=fam * 5 + j, text=" ".join(toks)))
+        rows.append(Row(doc_id=100, text=""))  # token-less: must not explode
+        return spark.createDataFrame(rows)
+
+    def test_simhash_banded_matches_all_pairs(self, mutated_corpus):
+        """The banded equi-join must return exactly the pairs the exact
+        all-pairs formulation returns (pigeonhole guarantees no false
+        negatives; the post-filter removes false positives)."""
+        threshold = 6
+        sigs = mutated_corpus.filter("text <> ''").select(
+            "doc_id", dedup.simhash_column(F.col("text")).alias("sig")
+        )
+        a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+        b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+        exact = (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
+            )
+            .where(F.col("hamming") <= threshold)
+        )
+        banded = dedup.simhash_neardup_candidates(
+            mutated_corpus, "text", "doc_id", hamming_threshold=threshold
+        )
+        exact_set = {(r["id_a"], r["id_b"], r["hamming"]) for r in exact.collect()}
+        banded_set = {(r["id_a"], r["id_b"], r["hamming"]) for r in banded.collect()}
+        assert exact_set, "fixture must produce at least one near-dup pair"
+        assert banded_set == exact_set
+
+    def test_simhash_banded_plan_is_equi_join(self, mutated_corpus):
+        banded = dedup.simhash_neardup_candidates(
+            mutated_corpus, "text", "doc_id", hamming_threshold=2
+        )
+        plan = banded._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
 
 class TestSimilarity:
     @pytest.fixture(scope="class")

@@ -71,6 +71,18 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        if name in oracles:
+            # The driver canonicalizes with a pandas sort: list/dict cells are
+            # unhashable there even though our local hash handles them.
+            nonscalar = [
+                f"{f.name}:{f.dataType.simpleString()}"
+                for f in sdf.schema.fields
+                if any(k in f.dataType.simpleString() for k in ("array", "map", "struct"))
+            ]
+            if nonscalar:
+                print(f"FAIL {name}: non-scalar oracle-checked columns {nonscalar}")
+                failures.append(name)
+                continue
         took = time.time() - t0
         if name not in oracles:
             print(f"ok   {name}: rows-only rows={len(srows)} ({took:.1f}s)")
