@@ -352,9 +352,11 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     is the minimum doc id reachable through the pair graph.
 
     Scale shape: each iteration is one join + one aggregation on (node →
-    current_label); converges in O(log(diameter)) iterations for typical
-    near-dup graphs (shallow stars/chains), ``max_iter`` bounds pathological
-    chains. Labels persist per iteration to cut lineage growth.
+    current_label); labels propagate ONE hop per iteration, so convergence is
+    O(graph diameter) iterations — near-dup graphs are typically shallow
+    stars/chains (diameter ≤ 3). ``max_iter`` bounds pathological chains and
+    non-convergence raises a RuntimeWarning. Labels persist per iteration to
+    cut lineage growth.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -368,6 +370,7 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         .withColumn("label", F.col("node"))
         .persist()
     )
+    changed = 0
     for _ in range(max_iter):
         # each node adopts the min label among itself and its neighbors
         neighbor_labels = (
@@ -393,6 +396,18 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        import warnings
+
+        # propagation is one hop per iteration (O(diameter)); a chain longer
+        # than max_iter would otherwise silently resolve into split clusters
+        warnings.warn(
+            f"cluster_duplicates did not converge within max_iter={max_iter} "
+            "iterations; duplicate chains longer than max_iter are split into "
+            "separate clusters. Raise max_iter for deep chain graphs.",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

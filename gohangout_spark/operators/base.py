@@ -39,6 +39,10 @@ class FilterEffect:
     deletions: list[str] = field(default_factory=list)
     success: Column | None = None
     drop_row: Column | None = None
+    # apply assignments even on per-row FAILURE (success only drives
+    # failTag/add/remove) — KV semantics: a partially-malformed token list
+    # returns false but the parseable pairs are still written (kv.go:93-111)
+    assign_on_failure: bool = False
     # per-path override of the not-applied branch — needed when the filter
     # changes the column TYPE (e.g. Convert): rows skipped by the if-guard
     # cannot keep the old type in a fixed-schema column, so the filter
@@ -85,7 +89,18 @@ class FilterBox:
 
     def apply(self, df: DataFrame) -> DataFrame:
         if self.filter.plan_level:
-            return self.filter.apply_plan(df, self)
+            # Plan-level filters (joins, aggregations, pandas-UDF enrichers)
+            # restructure the frame themselves, then hand back per-row
+            # __box_eff/__box_failed markers so the SHARED PostProcess stage
+            # (add_fields/remove_fields/failTag, topology/filter.go:69-94)
+            # applies to them exactly as to expression-level filters. A
+            # filter that manages the box config itself (nested Filters)
+            # returns no markers.
+            out = self.filter.apply_plan(df, self)
+            if self._EFF in out.columns:
+                out = self._post_process(out, unconditional=False, has_success=True)
+                out = out.drop(self._EFF, self._FAILED)
+            return out
 
         cond = compile_conditions(self.ifs, df, self.ts_field)
         effect = self.filter.build(df)
@@ -104,15 +119,32 @@ class FilterBox:
         # ---- stage 1: the filter's own mutations (Filter(event)) ----------
         # one projection over the INPUT df (success/conditions see
         # pre-transform values); guard markers ride along for stage 2
+        assign_eff = F.coalesce(cond, F.lit(False)) if effect.assign_on_failure else eff
         out = self._project(
-            df, effect.assignments, effect.otherwise, eff,
+            df, effect.assignments, effect.otherwise, assign_eff,
             extra={self._EFF: eff, self._FAILED: failed},
         )
 
         # ---- stage 2: PostProcess on the MUTATED event --------------------
-        # (topology/filter.go:76-94: on success apply add_fields then
-        # remove_fields — renders resolve fields the filter just wrote;
-        # on failure append failTag to tags)
+        out = self._post_process(
+            out,
+            unconditional=unconditional,
+            has_success=effect.success is not None,
+            deletions=effect.deletions,
+        )
+        return out.drop(self._EFF, self._FAILED)
+
+    def _post_process(
+        self,
+        out: DataFrame,
+        unconditional: bool,
+        has_success: bool,
+        deletions: list[str] | None = None,
+    ) -> DataFrame:
+        """PostProcess on the MUTATED event (topology/filter.go:76-94): on
+        success apply add_fields then remove_fields — renders resolve fields
+        the filter just wrote; on failure append failTag to tags. Reads the
+        __box_eff/__box_failed marker columns left by stage 1."""
         eff2 = F.col(self._EFF)
         assigns2: dict[str, Column] = {}
         for path, spec in self.add_fields.items():
@@ -120,7 +152,7 @@ class FilterBox:
 
         drops: list[str] = []
         null_outs: list[str] = []
-        for path in list(self.remove_fields) + list(effect.deletions):
+        for path in list(self.remove_fields) + list(deletions or []):
             if unconditional:
                 drops.append(path)
             else:
@@ -129,7 +161,7 @@ class FilterBox:
             assigns2[path] = F.lit(None)
 
         tags_assign: dict[str, Column] = {}
-        if self.fail_tag is not None and effect.success is not None:
+        if self.fail_tag is not None and has_success:
             existing = (
                 field_col(self.tags_field, out)
                 if self.tags_field in out.columns
@@ -157,7 +189,7 @@ class FilterBox:
             out = self._project(out, merged, {}, eff2, extra=tags_assign or None)
         for path in drops:
             out = delete_field(out, path)
-        return out.drop(self._EFF, self._FAILED)
+        return out
 
     @staticmethod
     def _project(

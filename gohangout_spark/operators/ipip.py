@@ -103,6 +103,9 @@ class IPIP(Filter):
         self.provider = provider
 
     def apply_plan(self, df: DataFrame, box: FilterBox) -> DataFrame:
+        """Lookup hit/miss maps to the reference's Filter() success bool
+        (ipip.go:84-99 returns false on unrenderable src or failed Find) —
+        the shared FilterBox stage reads the markers for failTag/add/remove."""
         from gohangout_spark.expr.conditions import compile_conditions
 
         provider = self.provider
@@ -113,24 +116,22 @@ class IPIP(Filter):
         def geo_lookup(ips: pd.Series) -> pd.DataFrame:
             return provider.lookup_batch(ips)
 
-        geo = geo_lookup(src_col)
+        out = df.withColumn("__geo", geo_lookup(src_col))
+        found = src_col.isNotNull() & F.col("__geo.country_name").isNotNull()
+        eff = F.coalesce(cond & found, F.lit(False))
+        failed = F.coalesce(cond & ~found, F.lit(False))
 
+        assigns = {}
         if self.target:
-            value = geo
-            if box.ifs:
-                existing = (
-                    F.col(f"`{self.target}`")
-                    if self.target in df.columns
-                    else F.lit(None).cast(GEO_SCHEMA)
-                )
-                value = F.when(cond, geo).otherwise(existing)
-            return df.withColumn(self.target, value)
-        out = df.withColumn("__geo", F.when(cond, geo) if box.ifs else geo)
-        for fname in GEO_FIELDS:
-            new = F.col("__geo").getItem(fname)
-            if not self.overwrite and fname in df.columns:
-                new = F.coalesce(F.col(f"`{fname}`"), new)
-            elif box.ifs and fname in df.columns:
-                new = F.when(cond, new).otherwise(F.col(f"`{fname}`"))
-            out = out.withColumn(fname, new)
+            assigns[self.target] = F.col("__geo")
+        else:
+            for fname in GEO_FIELDS:
+                new = F.col("__geo").getItem(fname)
+                if not self.overwrite and fname in df.columns:
+                    new = F.coalesce(F.col(f"`{fname}`"), new)
+                assigns[fname] = new
+        out = FilterBox._project(
+            out, assigns, {}, eff,
+            extra={FilterBox._EFF: eff, FilterBox._FAILED: failed},
+        )
         return out.drop("__geo")

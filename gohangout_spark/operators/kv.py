@@ -71,7 +71,16 @@ class KV(Filter):
                 if k in self.exclude:
                     continue
                 eff.assignments[k] = F.element_at(m, F.lit(k))
-        eff.success = src.isNotNull()
+        # failure when any token lacks the value separator (kv.go:96-99
+        # sets success=false on len(SplitN(kv, value_split, 2)) != 2 but
+        # keeps processing the remaining tokens — same here: the map
+        # assignment above is not gated on full success)
+        tokens_ok = F.forall(
+            F.split(src, re.escape(self.field_split)),
+            lambda t: t.contains(self.value_split),
+        )
+        eff.success = F.coalesce(src.isNotNull() & tokens_ok, F.lit(False))
+        eff.assign_on_failure = True
         return eff
 
 

@@ -135,10 +135,21 @@ class LinkMetric(Filter):
         else:
             metrics = self.metrics_df(guarded, streaming=streaming)
         # metric events re-enter the chain (input_box.go:117-127); with
-        # drop_original_event only the metric stream continues
+        # drop_original_event only the metric stream continues (Filter
+        # returns nil → no PostProcess, link_metric.go:267-272)
         if self.drop_original_event:
             return metrics
-        return df.unionByName(metrics, allowMissingColumns=True)
+        # Filter() always returns success=false for the original event
+        # (link_metric.go:267-273) → the shared PostProcess appends failTag
+        # to every cond-passing original and never applies add/remove.
+        # Synthetic metric rows bypass PostProcess (emitted via next.Process,
+        # not returned) → their markers stay null, which the shared stage
+        # treats as no-op.
+        passthrough = df.withColumn(FilterBox._EFF, F.lit(False)).withColumn(
+            FilterBox._FAILED,
+            F.coalesce(cond, F.lit(False)) if box.ifs else F.lit(True),
+        )
+        return passthrough.unionByName(metrics, allowMissingColumns=True)
 
 
 class LinkStatsMetric(LinkMetric):

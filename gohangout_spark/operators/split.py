@@ -43,7 +43,10 @@ class Split(Filter):
             sep_col = F.regexp_replace(
                 field_col(self.sep, df).cast("string"), r"([.*+?^${}()|\[\]\\])", r"\\$1"
             )
-            parts = F.split(src, sep_col)
+            # the reference always applies maxSplit (strings.SplitN,
+            # split_filter.go:106) — the dynamic path is no exception, so the
+            # last field keeps the unsplit remainder when maxSplit==len(fields)
+            parts = F.split(src, sep_col, self.max_split)
         else:
             parts = F.split(src, re.escape(self.sep), self.max_split)
         eff = FilterEffect()

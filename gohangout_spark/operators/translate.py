@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from gohangout_spark.expr.paths import field_col, parse_field
+from gohangout_spark.expr.paths import field_col
 from gohangout_spark.operators.base import Filter, FilterBox, FilterEffect
 
 _LITERAL_MAP_MAX = 10_000
@@ -63,16 +63,17 @@ class Translate(Filter):
         return len(self.dictionary) > _LITERAL_MAP_MAX
 
     def apply_plan(self, df: DataFrame, box: FilterBox) -> DataFrame:
-        """Broadcast-join path for big dictionaries — honors the same box
-        contract as the literal-map path: if-guard, keep-old-on-miss,
-        failTag on lookup miss."""
-        from pyspark.sql import types as T
-
+        """Broadcast-join path for big dictionaries — same box contract as
+        the literal-map path: the join replaces the in-plan map lookup, and
+        the shared FilterBox stage (via __box_eff/__box_failed markers)
+        handles if-guard, keep-old-on-miss, nested targets, add/remove
+        fields, and duplicate-appending failTag — so both paths are
+        byte-identical for the same config."""
         from gohangout_spark.expr.conditions import compile_conditions
 
         spark = df.sparkSession
         dict_df = spark.createDataFrame(
-            [(str(k), v) for k, v in self.dictionary.items()],
+            [(str(k), str(v)) for k, v in self.dictionary.items()],
             schema="__translate_key string, __translate_val string",
         )
         src = field_col(self.source, df).cast("string")
@@ -81,26 +82,13 @@ class Translate(Filter):
         )
         cond = compile_conditions(box.ifs, df, box.ts_field)
         hit = F.col("__translate_val").isNotNull()
-        target_top = str(parse_field(self.target)[0])
-        existing = (
-            F.col(f"`{target_top}`") if target_top in df.columns else F.lit(None)
+        eff = F.coalesce(cond & hit, F.lit(False))
+        failed = F.coalesce(cond & ~hit, F.lit(False))
+        out = FilterBox._project(
+            joined,
+            {self.target: F.col("__translate_val")},
+            {},
+            eff,
+            extra={FilterBox._EFF: eff, FilterBox._FAILED: failed},
         )
-        out = joined.withColumn(
-            target_top,
-            F.when(cond & hit, F.col("__translate_val")).otherwise(existing),
-        )
-        if box.fail_tag is not None:
-            tags_existing = (
-                F.col(f"`{box.tags_field}`")
-                if box.tags_field in df.columns
-                else F.lit(None).cast(T.ArrayType(T.StringType()))
-            )
-            tagged = F.array_union(
-                F.coalesce(tags_existing, F.array().cast(T.ArrayType(T.StringType()))),
-                F.array(F.lit(box.fail_tag)),
-            )
-            out = out.withColumn(
-                box.tags_field,
-                F.when(cond & ~hit, tagged).otherwise(tags_existing),
-            )
         return out.drop("__translate_key", "__translate_val")

@@ -308,6 +308,22 @@ class TestMetrics:
         out = FilterBox(lm, ts_field="ts").apply(events)
         assert out.count() == 60 + 4  # originals + 2 windows × 2 names
 
+    def test_link_metric_failtag_on_originals(self, events):
+        """LinkMetric.Filter always returns success=false for the original
+        event (link_metric.go:267-273): failTag tags every passthrough row,
+        metric rows stay untagged, add_fields never applies."""
+        lm = LinkMetric(fields_link="name", batch_window=30, ts_field="ts")
+        box = FilterBox(lm, ts_field="ts", fail_tag="metricked",
+                        add_fields={"never": "1"})
+        out = box.apply(events)
+        rows = out.collect()
+        originals = [r for r in rows if r["window_start"] is None]
+        metrics = [r for r in rows if r["window_start"] is not None]
+        assert len(originals) == 60 and len(metrics) == 4
+        assert all(r["tags"] == ["metricked"] for r in originals)
+        assert all(r["tags"] is None for r in metrics)
+        assert all(r["never"] is None for r in rows)
+
     def test_link_stats(self, events):
         lm = LinkStatsMetric(fields_link="name->size", batch_window=60, ts_field="ts",
                              drop_original_event=True)
@@ -377,6 +393,49 @@ class TestReviewFixes:
         got = rows_by_name(box.apply(df))["r"]
         assert got["a"] == "3"  # last wins (kv.go overwrite), not a crash
 
+    def test_kv_partial_malformed_tags_but_still_parses(self, spark):
+        """kv.go:96-99: a token without the value separator flips success to
+        false (→ failTag) but the parseable pairs are STILL written."""
+        df = spark.createDataFrame(
+            [Row(name="good", kvs="a=1&b=2"), Row(name="part", kvs="a=1&junk&b=2")]
+        )
+        box = FilterBox(
+            KV(src="kvs", field_split="&", value_split="=", include=["a", "b"]),
+            fail_tag="kvfail",
+        )
+        got = rows_by_name(box.apply(df))
+        assert got["good"]["a"] == "1" and got["good"].get("tags") is None
+        assert got["part"]["a"] == "1" and got["part"]["b"] == "2"
+        assert got["part"]["tags"] == ["kvfail"]
+
+    def test_split_dynamic_sep_respects_maxsplit(self, spark):
+        """split_filter.go:106 uses SplitN on the dynamic path too: with
+        maxSplit == len(fields) the last field keeps the unsplit remainder."""
+        df = spark.createDataFrame([Row(name="r", c="a,b,c,d", s=",")])
+        box = FilterBox(
+            Split(src="c", sep="s", fields=["f1", "f2"], max_split=2, dynamic_sep=True)
+        )
+        got = rows_by_name(box.apply(df))["r"]
+        assert got["f1"] == "a" and got["f2"] == "b,c,d"
+
+    def test_cluster_duplicates_warns_on_non_convergence(self, spark):
+        import warnings
+
+        from gohangout_spark.functions.dedup import cluster_duplicates
+
+        # a 6-node chain: min-label needs 5 hops to reach the far end
+        pairs = spark.createDataFrame(
+            [Row(id_a=i, id_b=i + 1) for i in range(5)]
+        )
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = cluster_duplicates(pairs, max_iter=2)
+            out.collect()
+            assert any("did not converge" in str(x.message) for x in w)
+        converged = cluster_duplicates(pairs, max_iter=10)
+        labels = {r["doc_id"]: r["cluster_id"] for r in converged.collect()}
+        assert set(labels.values()) == {0}
+
     def test_grok_first_match_blocks_later_fields(self, spark):
         # p1 matches and captures only 'a'; p2 also matches and captures 'b'.
         # Reference returns after p1 -> b must stay NULL.
@@ -411,6 +470,73 @@ class TestReviewFixes:
         assert got["hit"]["out"] == "v5"
         assert got["miss"]["out"] is None and got["miss"]["tags"] == ["nodict"]
         assert got["skip"]["out"] is None and got["skip"].get("tags") is None
+
+    def test_translate_paths_byte_identical(self, spark, monkeypatch):
+        """Literal-map and broadcast-join Translate must produce identical
+        output for the same config — incl. duplicate-appended failTags,
+        string→array tags upgrade, and a nested [a][b] target."""
+        import gohangout_spark.operators.translate as tmod
+
+        d = {"a": "x", "b": "y"}
+        rows = [
+            Row(name="hit", k="a", tags=["nodict"]),   # duplicate failTag case
+            Row(name="miss", k="zzz", tags=["prior"]),
+            Row(name="miss2", k="qqq", tags=None),
+        ]
+        df = spark.createDataFrame(rows)
+
+        def run():
+            box = FilterBox(
+                Translate(source="k", target="[geo][team]", dictionary=dict(d)),
+                fail_tag="nodict",
+                add_fields={"marked": "1"},
+            )
+            out = box.apply(df)
+            return sorted(
+                (tuple(r.asDict(recursive=True).items()) for r in out.collect()),
+            )
+
+        literal = run()
+        monkeypatch.setattr(tmod, "_LITERAL_MAP_MAX", 0)  # force broadcast path
+        bcast = run()
+        assert literal == bcast
+        as_dicts = {dict(t)["name"]: dict(t) for t in bcast}
+        assert as_dicts["hit"]["geo"]["team"] == "x"
+        assert as_dicts["hit"]["marked"] == "1"
+        assert as_dicts["hit"]["tags"] == ["nodict"]  # success: no tag appended
+        assert as_dicts["miss"]["tags"] == ["prior", "nodict"]
+        assert as_dicts["miss"]["marked"] is None
+        assert as_dicts["miss2"]["tags"] == ["nodict"]
+
+    def test_translate_bigdict_string_tags_upgrade(self, spark, monkeypatch):
+        import gohangout_spark.operators.translate as tmod
+
+        monkeypatch.setattr(tmod, "_LITERAL_MAP_MAX", 0)
+        df = spark.createDataFrame([Row(name="m", k="no", tags="old")])
+        box = FilterBox(
+            Translate(source="k", target="out", dictionary={"a": "x"}),
+            fail_tag="nodict",
+        )
+        got = rows_by_name(box.apply(df))
+        assert got["m"]["tags"] == ["old", "nodict"]
+
+    def test_ipip_box_postprocess_applies(self, spark):
+        """Plan-level filters must honor box add_fields/remove_fields/failTag
+        (topology/filter.go:76-94 applies PostProcess to every filter)."""
+        df = spark.createDataFrame(
+            [Row(name="pub", ip="8.8.8.8", junk="z"), Row(name="bad", ip=None, junk="z")]
+        )
+        box = FilterBox(
+            IPIP(src="ip"),
+            add_fields={"enriched": "1"},
+            remove_fields=["junk"],
+            fail_tag="geofail",
+        )
+        got = rows_by_name(box.apply(df))
+        assert got["pub"]["enriched"] == "1" and got["pub"]["junk"] is None
+        assert got["pub"].get("tags") is None
+        assert got["bad"]["enriched"] is None and got["bad"]["junk"] == "z"
+        assert got["bad"]["tags"] == ["geofail"]
 
     def test_ipip_honors_guard(self, spark):
         df = spark.createDataFrame([Row(name="yes", ip="8.8.8.8"), Row(name="no", ip="9.9.9.9")])
