@@ -97,6 +97,62 @@ class KafkaSink(Sink):
         )
 
 
+class RRHostSelector:
+    """Weighted round-robin host selection with decay/recovery — the shared
+    bulk-engine selector (output/host_selector.go:23-75):
+
+    - hosts start at ``init_weight`` (the reference uses 3, bulk_http.go:123);
+    - round-robin skips hosts whose weight dropped to 0;
+    - a failed bulk decrements the current host's weight (ReduceWeight); a
+      host that hits 0 recovers to weight 1 after ``recover_after_s``
+      (the reference arms a 30-minute timer, host_selector.go:59-66 — here
+      recovery is applied lazily on the next selection, same visible effect
+      without a timer thread);
+    - a successful bulk increments the weight, capped at init (AddWeight);
+    - when every host is exhausted, weights reset and ``next()`` returns
+      None once — the caller waits and retries (bulk_http.go:157-161).
+    """
+
+    def __init__(self, hosts, init_weight: int = 3, recover_after_s: float = 1800.0,
+                 clock=None, start_index: int | None = None):
+        import random
+        import time as _time
+
+        self.hosts = list(hosts)
+        self.init_weight = init_weight
+        self.weight = [init_weight] * len(self.hosts)
+        self.index = (
+            start_index if start_index is not None
+            else random.randrange(len(self.hosts))
+        )
+        self.recover_after_s = recover_after_s
+        self.clock = clock or _time.monotonic
+        self._recover_at: list[float | None] = [None] * len(self.hosts)
+
+    def next(self) -> str | None:
+        now = self.clock()
+        for i, t in enumerate(self._recover_at):
+            if t is not None and now >= t:
+                self.weight[i] = max(self.weight[i], 1)
+                self._recover_at[i] = None
+        n = len(self.hosts)
+        for i in range(1, n + 1):
+            idx = (self.index + i) % n
+            if self.weight[idx] > 0:
+                self.index = idx
+                return self.hosts[idx]
+        self.weight = [self.init_weight] * n
+        return None
+
+    def reduce_weight(self) -> None:
+        self.weight[self.index] -= 1
+        if self.weight[self.index] <= 0:
+            self._recover_at[self.index] = self.clock() + self.recover_after_s
+
+    def add_weight(self) -> None:
+        self.weight[self.index] = min(self.weight[self.index] + 1, self.init_weight)
+
+
 class ElasticsearchSink(Sink):
     """Bulk-index via the _bulk API. The action+source NDJSON lines are built
     IN-PLAN (rendered index / id / routing / action — index patterns like
@@ -104,6 +160,13 @@ class ElasticsearchSink(Sink):
     like elasticsearch_output.go:49-92); executors POST partition-wise through
     a pluggable transport, so there is no driver bottleneck and no Python
     per-row loop for the encoding itself.
+
+    Bulk engine parity (output/bulk_http.go:16-20,126-143): flush triggers on
+    buffered BYTES (``bulk_size``, default 15 MB), action COUNT
+    (``bulk_actions``, default 5000), or ELAPSED time since the first
+    buffered doc (``flush_interval``, default 30 s — meaningful when a
+    partition iterator stalls, e.g. a slow upstream stage); host selection is
+    weighted round-robin with decay/recovery (RRHostSelector).
 
     transport: callable(host: str, payload: bytes) -> (status:int, body:str).
     Default transport uses urllib (no external deps); tests inject a fake.
@@ -115,7 +178,12 @@ class ElasticsearchSink(Sink):
         self.hosts = list(self.conf.get("hosts") or ["http://localhost:9200"])
         self.transport = transport or _urllib_transport
         self.bulk_actions = int(self.conf.get("bulk_actions", 5000))
+        self.bulk_size = int(self.conf.get("bulk_size", 15 * 1024 * 1024))
+        self.flush_interval = float(self.conf.get("flush_interval", 30))
         self.retries = int(self.conf.get("retry", 3))
+        # reference waits 30 s when every host's weight is exhausted
+        # (bulk_http.go:158-160); tests shrink this
+        self.no_host_wait = float(self.conf.get("no_host_wait", 30))
         # gzip on by default like the reference (elasticsearch_output.go:305-309)
         self.compress = bool(self.conf.get("compress", True))
 
@@ -148,12 +216,16 @@ class ElasticsearchSink(Sink):
         lines = self.bulk_lines(df)
         hosts, transport = self.hosts, self.transport
         bulk_actions, retries = self.bulk_actions, self.retries
+        bulk_size, flush_interval = self.bulk_size, self.flush_interval
+        no_host_wait = self.no_host_wait
         compress = self.compress
 
         def send_partition(it):
-            import random
+            import time as _time
 
-            buf = []
+            selector = RRHostSelector(hosts)
+            buf: list[str] = []
+            state = {"bytes": 0, "first_ts": None}
 
             def flush():
                 if not buf:
@@ -164,17 +236,28 @@ class ElasticsearchSink(Sink):
 
                     payload = gzip.compress(payload)
                 last = None
-                for attempt in range(retries + 1):
-                    host = hosts[(random.randrange(len(hosts)) + attempt) % len(hosts)]
+                for _attempt in range(retries + 1):
+                    host = selector.next()
+                    if host is None:
+                        # all hosts exhausted: weights were reset, wait then
+                        # pick again (bulk_http.go:157-161)
+                        _time.sleep(no_host_wait)
+                        host = selector.next()
+                        if host is None:
+                            continue
                     status, body = transport(host.rstrip("/") + "/_bulk", payload)
                     if status < 300 and '"errors":false' in body.replace(" ", ""):
+                        selector.add_weight()
                         buf.clear()
+                        state["bytes"] = 0
+                        state["first_ts"] = None
                         return
                     # HTTP 200 + "errors":true (partial item failures) is
                     # retried as a whole bulk — coarser than the reference's
                     # per-item re-enqueue (elasticsearch_output.go:133-203)
                     # but nothing is silently dropped; duplicate index
                     # actions are idempotent when an _id is configured
+                    selector.reduce_weight()
                     last = (status, body[:500])
                 raise RuntimeError(f"ES bulk failed after {retries + 1} tries: {last}")
 
@@ -182,7 +265,14 @@ class ElasticsearchSink(Sink):
                 if row["line"] is None:
                     continue
                 buf.append(row["line"])
-                if len(buf) >= bulk_actions:
+                state["bytes"] += len(row["line"]) + 1
+                if state["first_ts"] is None:
+                    state["first_ts"] = _time.monotonic()
+                if (
+                    len(buf) >= bulk_actions
+                    or state["bytes"] >= bulk_size
+                    or _time.monotonic() - state["first_ts"] >= flush_interval
+                ):
                     flush()
             flush()
 
@@ -215,27 +305,109 @@ CH_DEFAULTS = {
 
 class ClickHouseSink(Sink):
     """DESC-driven schema coercion (clickhouse_output.go:65-153,156-248):
-    given the table's column→type map, build a projection that casts each
-    event field to the column type and fills type-appropriate defaults for
-    missing/null columns. The projection is pure Column exprs; the actual
-    write goes through JDBC when a ClickHouse driver jar is on the classpath
-    (not bundled here), else raises with the projection still usable in a
-    custom foreachBatch."""
+    the table's column→type map comes from a live ``DESC TABLE`` against the
+    ClickHouse HTTP interface (no JDBC jar needed) — or a hand-supplied
+    ``table_schema`` for offline use. From it we build a projection that
+    casts each event field to the column type and fills the reference's
+    type-appropriate defaults (incl. ``DEFAULT`` expressions from the
+    server) for missing/null columns. The projection is pure Column exprs;
+    the actual write goes through JDBC when a ClickHouse driver jar is on
+    the classpath (not bundled here), else raises with the projection still
+    usable in a custom foreachBatch."""
 
-    def __init__(self, conf=None, table_schema: dict[str, str] | None = None):
+    def __init__(self, conf=None, table_schema: dict[str, str] | None = None,
+                 transport=None):
         super().__init__(conf)
+        self.transport = transport or _urllib_transport
+        self.column_defaults: dict[str, object] = {}
         self.table_schema = table_schema or self.conf.get("table_schema") or {}
         if not self.table_schema:
-            raise ValueError(
-                "ClickHouseSink needs table_schema ({col: clickhouse_type}); "
-                "live DESC TABLE introspection requires a JDBC connection"
-            )
+            hosts = self.conf.get("hosts")
+            table = self.conf.get("table")
+            if not (hosts and table):
+                raise ValueError(
+                    "ClickHouseSink needs table_schema ({col: clickhouse_type}) "
+                    "or hosts+table for live DESC TABLE introspection"
+                )
+            desc = self.desc_table(hosts, table, self.transport)
+            self.table_schema = {name: d["type"] for name, d in desc.items()}
+            self.column_defaults = self._defaults_from_desc(desc)
+
+    @staticmethod
+    def desc_table(hosts: list[str], table: str, transport) -> dict[str, dict]:
+        """``DESC TABLE`` over the ClickHouse HTTP interface
+        (clickhouse_output.go:65-153 does the same over native TCP): first
+        reachable host wins, rows come back as JSON. Enum8/16 types collapse
+        to their base name exactly like the reference (:108-114)."""
+        import json as _json
+        from urllib.parse import quote
+
+        query = f"DESC TABLE {table} FORMAT JSON"
+        last = None
+        for host in hosts:
+            url = host.rstrip("/") + "/?query=" + quote(query)
+            status, body = transport(url, None)
+            if status >= 300:
+                last = (host, status, body[:200])
+                continue
+            desc: dict[str, dict] = {}
+            for row in _json.loads(body)["data"]:
+                ch_type = row["type"]
+                if ch_type.startswith("Enum16"):
+                    ch_type = "Enum16"
+                elif ch_type.startswith("Enum8"):
+                    ch_type = "Enum8"
+                desc[row["name"]] = {
+                    "type": ch_type,
+                    "default_type": row.get("default_type", ""),
+                    "default_expression": row.get("default_expression", ""),
+                }
+            return desc
+        raise RuntimeError(f"DESC TABLE {table} failed on all hosts: {last}")
+
+    @staticmethod
+    def _defaults_from_desc(desc: dict[str, dict]) -> dict[str, object]:
+        """Server-declared DEFAULT expressions + type defaults
+        (clickhouse_output.go:156-248). MATERIALIZED/ALIAS columns are
+        rejected like the reference (it klog.Fatals)."""
+        out: dict[str, object] = {}
+        for name, d in desc.items():
+            dtype, expr = d.get("default_type", ""), d.get("default_expression", "")
+            if dtype in ("MATERIALIZED", "ALIAS"):
+                raise ValueError(
+                    f"column {name}: {dtype} expression not supported "
+                    "(clickhouse_output.go:166-170)"
+                )
+            has_default = dtype == "DEFAULT"
+            t = d["type"]
+            if t in ("String", "LowCardinality(String)"):
+                out[name] = expr.strip("'") if has_default else ""
+            elif t.startswith(("Date", "DateTime")):
+                out[name] = "1970-01-01 00:00:00"
+            elif t.startswith("Nullable("):
+                out[name] = None
+            elif t.startswith(("Int", "UInt")):
+                out[name] = int(expr) if has_default else 0
+            elif t.startswith("Float"):
+                out[name] = float(expr) if has_default else 0.0
+            elif t == "IPv4":
+                out[name] = "0.0.0.0"
+            elif t == "IPv6":
+                out[name] = "::"
+            elif t.startswith("Array("):
+                out[name] = []
+            elif t in ("Enum8", "Enum16"):
+                # reference requires the enum to declare '' as a member
+                out[name] = ""
+        return out
 
     @staticmethod
     def _spark_type(ch_type: str) -> str:
-        t = ch_type.replace("Nullable(", "").rstrip(")")
+        t = ch_type.replace("Nullable(", "").replace("LowCardinality(", "").rstrip(")")
         if t.startswith("Array("):
             return f"array<{ClickHouseSink._spark_type(t[6:])}>"
+        if t.startswith("Enum") or t in ("IPv4", "IPv6"):
+            return "string"
         if t.startswith(("Int8", "Int16", "Int32")):
             return "int"
         if t.startswith(("Int64", "UInt32", "UInt64")):
@@ -262,7 +434,14 @@ class ClickHouseSink(Sink):
             else:
                 c = F.lit(None).cast(sp)
             if not nullable:
-                if sp.startswith("array"):
+                if name in self.column_defaults:
+                    dv = self.column_defaults[name]
+                    default = (
+                        F.expr("array()").cast(sp)
+                        if isinstance(dv, list)
+                        else F.lit(dv).try_cast(sp)
+                    )
+                elif sp.startswith("array"):
                     default = F.expr("array()").cast(sp)
                 else:
                     default = F.lit(_ch_default(sp)).try_cast(sp)

@@ -13,6 +13,7 @@ from gohangout_spark.sinks import (
     InfluxdbSink,
     KafkaSink,
 )
+from gohangout_spark.sinks.sinks import RRHostSelector
 
 TS = datetime.datetime(2024, 5, 1, 12, 0, 0)
 
@@ -86,6 +87,114 @@ class TestElasticsearch:
         assert len(os.listdir(cap)) == 3  # initial + 2 retries
 
 
+class TestHostSelector:
+    """output/host_selector.go:23-75 weight decay/recovery semantics."""
+
+    def _sel(self, clk, **kw):
+        return RRHostSelector(
+            ["a", "b"], clock=lambda: clk["t"], start_index=0, **kw
+        )
+
+    def test_failure_storm_decays_then_skips(self):
+        clk = {"t": 0.0}
+        sel = self._sel(clk, init_weight=2, recover_after_s=60)
+        assert sel.next() == "b"  # RR advances past start_index
+        sel.reduce_weight()
+        sel.reduce_weight()  # b exhausted
+        assert sel.weight == [2, 0]
+        assert sel.next() == "a" and sel.next() == "a"  # b skipped
+
+    def test_recovery_after_window(self):
+        clk = {"t": 0.0}
+        sel = self._sel(clk, init_weight=1, recover_after_s=60)
+        assert sel.next() == "b"
+        sel.reduce_weight()  # b -> 0, recovery armed at t=60
+        assert sel.next() == "a"
+        clk["t"] = 61.0
+        assert sel.next() == "b"  # recovered with weight 1 (not init)
+        assert sel.weight[1] == 1
+
+    def test_success_restores_weight_capped(self):
+        clk = {"t": 0.0}
+        sel = self._sel(clk, init_weight=3)
+        sel.next()
+        sel.reduce_weight()
+        sel.add_weight()
+        sel.add_weight()  # capped at init
+        assert sel.weight[sel.index] == 3
+
+    def test_all_exhausted_resets_and_signals_wait(self):
+        clk = {"t": 0.0}
+        sel = self._sel(clk, init_weight=1, recover_after_s=1e9)
+        sel.next(); sel.reduce_weight()
+        sel.next(); sel.reduce_weight()
+        assert sel.next() is None  # caller waits (bulk_http.go:157-161)
+        assert sel.weight == [1, 1]  # weights were reset
+        assert sel.next() is not None
+
+
+class TestBulkTriggers:
+    def _capture_transport(self, cap):
+        def transport(url, payload, _cap=cap):
+            import os
+            import uuid
+
+            with open(os.path.join(_cap, uuid.uuid4().hex), "w") as f:
+                f.write(url + "\n" + payload.decode())
+            return 200, '{"errors":false}'
+
+        return transport
+
+    def test_byte_size_trigger(self, df, tmp_path):
+        """bulk_size (15 MB default, bulk_http.go:16-20) flushes before the
+        action count is reached."""
+        import os
+
+        cap = str(tmp_path / "byte_calls")
+        os.makedirs(cap, exist_ok=True)
+        sink = ElasticsearchSink(
+            {
+                "hosts": ["http://es1:9200"], "index": "x", "compress": False,
+                "bulk_actions": 10_000, "bulk_size": 1,  # every doc exceeds it
+            },
+            transport=self._capture_transport(cap),
+        )
+        sink.write_batch(df.coalesce(1))
+        assert len(os.listdir(cap)) == 2  # one request per doc
+
+    def test_host_routing_around_failures(self, df, tmp_path):
+        """A 5xx storm on one host decays it; the bulk succeeds via the
+        healthy host without exhausting retries."""
+        import os
+
+        cap = str(tmp_path / "storm_calls")
+        os.makedirs(cap, exist_ok=True)
+
+        def transport(url, payload, _cap=cap):
+            import os
+            import uuid
+
+            host = "bad" if "bad" in url else "good"
+            open(os.path.join(_cap, f"{host}-{uuid.uuid4().hex}"), "w").close()
+            if host == "bad":
+                return 503, "unavailable"
+            return 200, '{"errors":false}'
+
+        sink = ElasticsearchSink(
+            {
+                "hosts": ["http://bad:9200", "http://good:9200"],
+                "index": "x", "compress": False, "bulk_actions": 1, "retry": 3,
+            },
+            transport=transport,
+        )
+        sink.write_batch(df.coalesce(1))  # must NOT raise
+        calls = os.listdir(cap)
+        good = [c for c in calls if c.startswith("good")]
+        bad = [c for c in calls if c.startswith("bad")]
+        assert len(good) == 2  # both bulks landed on the healthy host
+        assert len(bad) <= 2  # decayed quickly, not retried per flush
+
+
 class TestClickHouse:
     def test_coercion_projection(self, spark):
         df = spark.createDataFrame([Row(a="12", b=None, extra="x"), Row(a="oops", b=3.5, extra="y")])
@@ -107,6 +216,79 @@ class TestClickHouse:
         sink = ClickHouseSink({"table": "t"}, table_schema={"a": "Int64"})
         with pytest.raises(NotImplementedError):
             sink.write_batch(df)
+
+    # recorded DESC TABLE response (ClickHouse HTTP interface, FORMAT JSON) —
+    # covers plain types, Nullable, LowCardinality, Enum8, Array, and a
+    # server-declared DEFAULT expression
+    _DESC_BODY = """{"data": [
+        {"name": "ts", "type": "DateTime", "default_type": "", "default_expression": ""},
+        {"name": "appid", "type": "LowCardinality(String)", "default_type": "", "default_expression": ""},
+        {"name": "status", "type": "Enum8('' = 0, 'ok' = 1, 'err' = 2)", "default_type": "", "default_expression": ""},
+        {"name": "n", "type": "Int64", "default_type": "DEFAULT", "default_expression": "42"},
+        {"name": "score", "type": "Nullable(Float64)", "default_type": "", "default_expression": ""},
+        {"name": "ids", "type": "Array(Int64)", "default_type": "", "default_expression": ""},
+        {"name": "ip", "type": "IPv4", "default_type": "", "default_expression": ""}
+    ]}"""
+
+    def _transport(self, log=None):
+        def t(url, payload):
+            if log is not None:
+                log.append(url)
+            assert "DESC%20TABLE%20weblog" in url
+            return 200, self._DESC_BODY
+        return t
+
+    def test_live_desc_drives_schema_and_defaults(self, spark):
+        """Mirror clickhouse_output.go:65-153 (DESC-derived column set) and
+        :156-248 (type + DEFAULT-expression defaults)."""
+        sink = ClickHouseSink(
+            {"table": "weblog", "hosts": ["http://ch1:8123"]},
+            transport=self._transport(),
+        )
+        assert sink.table_schema == {
+            "ts": "DateTime", "appid": "LowCardinality(String)", "status": "Enum8",
+            "n": "Int64", "score": "Nullable(Float64)", "ids": "Array(Int64)",
+            "ip": "IPv4",
+        }
+        assert sink.column_defaults["n"] == 42  # server DEFAULT expression
+        assert sink.column_defaults["status"] == ""
+        assert sink.column_defaults["ip"] == "0.0.0.0"
+
+        df = spark.createDataFrame(
+            [("web", None, 1.5, "drop-me")],
+            schema="appid string, n bigint, score double, junk string",
+        )
+        out = sink.projection(df)
+        assert out.columns == ["ts", "appid", "status", "n", "score", "ids", "ip"]
+        r = out.first()
+        assert r["n"] == 42  # null filled from the DESC default, not 0
+        assert r["appid"] == "web" and r["status"] == "" and r["ip"] == "0.0.0.0"
+        assert r["ids"] == [] and r["score"] == 1.5
+
+    def test_desc_failover_to_second_host(self, spark):
+        calls = []
+
+        def flaky(url, payload):
+            calls.append(url)
+            if "ch1" in url:
+                return 599, "connection refused"
+            return 200, self._DESC_BODY
+
+        sink = ClickHouseSink(
+            {"table": "weblog", "hosts": ["http://ch1:8123", "http://ch2:8123"]},
+            transport=flaky,
+        )
+        assert len(calls) == 2 and "ch2" in calls[1]
+        assert sink.table_schema["n"] == "Int64"
+
+    def test_desc_materialized_rejected(self):
+        body = ('{"data": [{"name": "x", "type": "Int64", '
+                '"default_type": "MATERIALIZED", "default_expression": "y*2"}]}')
+        with pytest.raises(ValueError, match="MATERIALIZED"):
+            ClickHouseSink(
+                {"table": "weblog", "hosts": ["http://ch1:8123"]},
+                transport=lambda url, payload: (200, body),
+            )
 
 
 class TestInflux:
