@@ -32,16 +32,41 @@ class Translate(Filter):
         refresh_interval: int | None = None,  # streaming: reload per micro-batch
     ):
         self.refresh_interval = refresh_interval
+        self.dictionary_path = dictionary_path
+        self._next_refresh: float | None = None
         if dictionary is None:
             if not dictionary_path:
                 raise ValueError("Translate: need dictionary or dictionary_path")
-            import yaml
+            dictionary = self._load_path()
+            if refresh_interval:
+                import time
 
-            with open(dictionary_path) as f:
-                dictionary = yaml.safe_load(f)
+                self._next_refresh = time.monotonic() + refresh_interval
         self.source = source
         self.target = target
         self.dictionary = dictionary
+
+    def _load_path(self) -> dict:
+        import yaml
+
+        with open(self.dictionary_path) as f:
+            return yaml.safe_load(f) or {}
+
+    def maybe_refresh(self, now: float | None = None) -> bool:
+        """Reload the dictionary file when ``refresh_interval`` has elapsed —
+        the streaming runner calls this at every micro-batch boundary, the
+        Spark analogue of the reference's background refresh goroutine
+        (filter/translate.go:108-116). Returns True when a reload happened."""
+        if not (self.refresh_interval and self.dictionary_path):
+            return False
+        import time
+
+        now = time.monotonic() if now is None else now
+        if self._next_refresh is not None and now < self._next_refresh:
+            return False
+        self.dictionary = self._load_path()
+        self._next_refresh = now + self.refresh_interval
+        return True
 
     # Small dict: in-plan literal map.
     def build(self, df: DataFrame) -> FilterEffect:

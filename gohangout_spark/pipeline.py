@@ -158,20 +158,43 @@ class Pipeline:
                 "org.apache.spark.sql.execution.streaming.state."
                 "RocksDBStateStoreProvider",
             )
+        refreshables = self._refreshable_translates()
         queries = []
         for i, source in enumerate(self.sources):
-            df = self.transform(source.stream(spark))
             sinks = self.sinks
+            if refreshables:
+                # Translate refresh_interval (filter/translate.go:108-116):
+                # a dict baked into a started streaming plan can never change,
+                # so the CHAIN is applied inside foreachBatch — each
+                # micro-batch recompiles against the (possibly reloaded)
+                # dictionary. Valid because refreshable chains are stateless
+                # per-row transforms; windowed metrics keep the in-plan path.
+                df = source.stream(spark)
 
-            def fan_out(batch_df: DataFrame, epoch_id: int, _sinks=sinks):
-                batch_df.persist()
-                try:
-                    for sink in _sinks:
-                        sink.write_micro_batch(
-                            self._sink_df(batch_df, sink), epoch_id
-                        )
-                finally:
-                    batch_df.unpersist()
+                def fan_out(batch_df: DataFrame, epoch_id: int, _sinks=sinks):
+                    for t in refreshables:
+                        t.maybe_refresh()
+                    out_df = self.transform(batch_df)
+                    out_df.persist()
+                    try:
+                        for sink in _sinks:
+                            sink.write_micro_batch(
+                                self._sink_df(out_df, sink), epoch_id
+                            )
+                    finally:
+                        out_df.unpersist()
+            else:
+                df = self.transform(source.stream(spark))
+
+                def fan_out(batch_df: DataFrame, epoch_id: int, _sinks=sinks):
+                    batch_df.persist()
+                    try:
+                        for sink in _sinks:
+                            sink.write_micro_batch(
+                                self._sink_df(batch_df, sink), epoch_id
+                            )
+                    finally:
+                        batch_df.unpersist()
 
             mode = output_mode or self._default_mode()
             w = df.writeStream.foreachBatch(fan_out).outputMode(mode)
@@ -184,6 +207,29 @@ class Pipeline:
             for q in queries:
                 q.awaitTermination()
         return queries
+
+    def _refreshable_translates(self) -> list:
+        """Translate filters with refresh_interval + dictionary_path,
+        anywhere in the chain (incl. nested Filters)."""
+        from gohangout_spark.operators.filters import Filters as _Filters
+        from gohangout_spark.operators.translate import Translate as _Translate
+
+        found: list = []
+
+        def scan(boxes):
+            for b in boxes:
+                f = b.filter
+                if (
+                    isinstance(f, _Translate)
+                    and f.refresh_interval
+                    and f.dictionary_path
+                ):
+                    found.append(f)
+                elif isinstance(f, _Filters):
+                    scan(f.boxes)
+
+        scan(self.chain.boxes)
+        return found
 
     def _default_mode(self) -> str:
         """cumulative → update (re-emit running totals); separate → append

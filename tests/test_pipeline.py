@@ -172,6 +172,57 @@ outputs:
         assert all(r["site"] == "demo" for r in rows)
         assert all(1 <= int(r["message"]) <= 5 for r in rows)
 
+    def test_translate_refresh_between_microbatches(self, spark, tmp_path):
+        """filter/translate.go:108-116: the dictionary file reloads every
+        refresh_interval — here at the micro-batch boundary. Swap the file
+        between batches and observe the new mapping."""
+        import os
+        import time as _time
+
+        src = str(tmp_path / "stream_in")
+        os.makedirs(src, exist_ok=True)
+        dict_path = str(tmp_path / "dict.yml")
+        with open(dict_path, "w") as f:
+            f.write("click: OLD\n")
+
+        yml = f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+    schema: "event_type string"
+filters:
+- Translate:
+    source: event_type
+    target: label
+    dictionary_path: "{dict_path}"
+    refresh_interval: 1
+outputs:
+- Stdout: {{}}
+"""
+        p = Pipeline.from_config(yml, is_text=True, sink_overrides={"Stdout": MemorySink})
+
+        batch1 = spark.createDataFrame([("click",)], "event_type string")
+        batch1.write.mode("append").parquet(src)
+        queries = p.run_streaming(
+            spark, checkpoint=str(tmp_path / "ckpt_tr"), output_mode="append"
+        )
+        try:
+            for q in queries:
+                q.processAllAvailable()
+            with open(dict_path, "w") as f:
+                f.write("click: NEW\n")
+            _time.sleep(1.1)  # let refresh_interval elapse
+            batch2 = spark.createDataFrame([("click",)], "event_type string")
+            batch2.write.mode("append").parquet(src)
+            for q in queries:
+                q.processAllAvailable()
+        finally:
+            for q in queries:
+                q.stop()
+        labels = [r["label"] for r in p.sinks[0].rows]
+        assert sorted(labels) == ["NEW", "OLD"]
+
     def test_streaming_windowed_metric(self, spark, tmp_path):
         """File-stream → watermarked windowed count → update-mode sink."""
         from gohangout_spark.io import load_table
