@@ -145,22 +145,48 @@ def cosine_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.9,
     n_planes: int = 0,
+    dim: int | None = None,
+    n_bands: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim ≥ threshold).
 
     n_planes == 0: exact all-pairs (oracle-checkable; O(n²) — small inputs or
-    pre-blocked). n_planes > 0: LSH-bucketed — hyperplane bucket equality
-    prunes the pair space first (the 100 TB path: near-dups almost surely
-    share the bucket; recall tunable via fewer planes / multi-probe)."""
+    pre-blocked). n_planes > 0: LSH-bucketed — candidate pairs must share a
+    hyperplane bucket in at least one of ``n_bands`` INDEPENDENT plane sets
+    (OR-amplification, the same band trick as MinHash LSH: each extra band
+    multiplies recall of boundary-crossing pairs at linear candidate cost —
+    the 100 TB path). ``dim`` (the vector dimensionality) is required on the
+    LSH path — it parameterizes the hyperplanes; plan construction must not
+    trigger a Spark job to probe it."""
     to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
     a = df.select(F.col(id_col).alias("id_a"), to_d(F.col(vec_col)).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), to_d(F.col(vec_col)).alias("vb"))
     if n_planes > 0:
-        dim = len(df.select(vec_col).first()[0])
-        key = lambda c: lsh_bucket_key(c, dim, n_planes)
-        a = a.withColumn("bucket", key(F.col("va")))
-        b = b.withColumn("bucket", key(F.col("vb")))
-        pairs = a.join(b, ["bucket"]).where(F.col("id_a") < F.col("id_b"))
+        if dim is None:
+            raise ValueError("cosine_neardup_pairs: dim is required when n_planes > 0")
+
+        def keys(c):
+            return F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band"),
+                        lsh_bucket_key(c, dim, n_planes, seed=42 + band).alias("bkey"),
+                    )
+                    for band in range(n_bands)
+                ]
+            )
+
+        a = a.select("id_a", "va", F.explode(keys(F.col("va"))).alias("bk")).select(
+            "id_a", "va", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+        )
+        b = b.select("id_b", "vb", F.explode(keys(F.col("vb"))).alias("bk")).select(
+            "id_b", "vb", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+        )
+        pairs = (
+            a.join(b, ["band", "bkey"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
     else:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sims = pairs.select(

@@ -920,7 +920,7 @@ def embedding_neardup_lsh(spark, sf_dir):
     from gohangout_spark.functions.similarity import cosine_neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs(emb, threshold=0.5, n_planes=4)
+    return cosine_neardup_pairs(emb, threshold=0.5, n_planes=4, dim=64)
 
 
 # IVF approximate top-k (probed cells only) — rows-only check

@@ -164,6 +164,90 @@ class TestSimilarity:
         assert rows and rows[0]["neighbor_id"] == 5
 
 
+class TestRecall:
+    """Recall@k of the approximate ANN paths against the exact baseline —
+    the quantitative guard behind the `no_oracle` rows-only checks."""
+
+    K = 5
+    N_QUERIES = 20
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        # 10 loose clusters of 15 vectors each: realistic ANN structure
+        centers = rng.randn(10, 16) * 3
+        vecs = []
+        for i in range(150):
+            vecs.append(centers[i % 10] + 0.6 * rng.randn(16))
+        rows = [
+            Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)
+        ]
+        return spark.createDataFrame(rows).cache()
+
+    def _topk_sets(self, df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return out
+
+    def _recall(self, approx, exact):
+        hits = total = 0
+        for qid, truth in exact.items():
+            got = approx.get(qid, set())
+            hits += len(got & truth)
+            total += len(truth)
+        return hits / total
+
+    def test_lsh_topk_recall(self, corpus):
+        queries = corpus.filter(F.col("vec_id") < self.N_QUERIES)
+        exact = self._topk_sets(
+            similarity.brute_force_topk(corpus, queries, k=self.K)
+        )
+        approx = self._topk_sets(
+            similarity.lsh_topk(
+                corpus, queries, dim=16, k=self.K, n_planes=6, multi_probe=1
+            )
+        )
+        recall = self._recall(approx, exact)
+        print(f"lsh_topk recall@{self.K} (n_planes=6, multi_probe=1): {recall:.3f}")
+        assert recall >= 0.8
+
+    def test_ivf_topk_recall(self, corpus):
+        queries = corpus.filter(F.col("vec_id") < self.N_QUERIES)
+        exact = self._topk_sets(
+            similarity.brute_force_topk(corpus, queries, k=self.K)
+        )
+        approx = self._topk_sets(
+            similarity.ivf_topk(corpus, queries, k=self.K, n_centroids=8, n_probe=3)
+        )
+        recall = self._recall(approx, exact)
+        print(f"ivf_topk recall@{self.K} (8 centroids, 3 probes): {recall:.3f}")
+        assert recall >= 0.6  # sampled (non-kmeans) centroids: weaker bound
+
+    def test_neardup_lsh_recall(self, corpus):
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.cosine_neardup_pairs(corpus, threshold=0.8).collect()
+        }
+        approx = {
+            (r["id_a"], r["id_b"])
+            for r in similarity.cosine_neardup_pairs(
+                corpus, threshold=0.8, n_planes=4, dim=16
+            ).collect()
+        }
+        assert exact, "fixture must contain near-dup pairs"
+        assert approx <= exact  # LSH only prunes, never invents pairs
+        recall = len(approx & exact) / len(exact)
+        print(f"neardup LSH recall (n_planes=4): {recall:.3f} over {len(exact)} pairs")
+        assert recall >= 0.8
+
+    def test_neardup_lsh_requires_dim(self, corpus):
+        with pytest.raises(ValueError, match="dim is required"):
+            similarity.cosine_neardup_pairs(corpus, n_planes=4)
+
+
 class TestMultimodal:
     def test_feature_extract_deterministic(self, spark):
         media = multimodal.make_fake_media_table(spark, n=8)

@@ -520,6 +520,51 @@ class TestReviewFixes:
         got = rows_by_name(box.apply(df))
         assert got["m"]["tags"] == ["old", "nodict"]
 
+    def test_datx_reader_parity(self, tmp_path):
+        """Round-trip through the public datx layout: build a small fixture
+        with build_datx, read it back with DatxProvider's binary search."""
+        import pandas as pd
+
+        from gohangout_spark.operators.ipip import DatxProvider, build_datx
+
+        ranges = [
+            ("0.255.255.255", ["*", "*", "*", "", "", "", ""]),
+            ("1.0.0.255", ["AU", "QLD", "brisbane", "", "APNIC", "-27.47", "153.03"]),
+            ("8.8.8.255", ["US", "CA", "mountainview", "", "Google", "37.4", "-122.1"]),
+            ("255.255.255.255", ["*", "*", "*", "", "", "", ""]),
+        ]
+        path = str(tmp_path / "city.datx")
+        with open(path, "wb") as f:
+            f.write(build_datx(ranges))
+
+        p = DatxProvider(path)
+        out = p.lookup_batch(
+            pd.Series(["8.8.8.8", "1.0.0.7", "9.9.9.9", None, "not-an-ip"])
+        )
+        assert list(out["country_name"]) == ["US", "AU", "*", None, None]
+        assert out["isp"][0] == "Google" and out["latitude"][0] == 37.4
+        assert out["isp"][1] == "APNIC"
+        assert out["isp"][2] is None  # catch-all has empty fields
+
+    def test_datx_provider_in_spark_plan(self, spark, tmp_path):
+        """The real provider plugs into the same pandas-UDF plumbing as the
+        fake (ipip.go:84-135 behavior parity at the box level)."""
+        from gohangout_spark.operators.ipip import build_datx
+
+        ranges = [
+            ("8.8.8.255", ["US", "CA", "mountainview", "", "Google", "37.4", "-122.1"]),
+            ("255.255.255.255", ["ZZ", "", "", "", "", "", ""]),
+        ]
+        path = str(tmp_path / "city2.datx")
+        with open(path, "wb") as f:
+            f.write(build_datx(ranges))
+        df = spark.createDataFrame(
+            [Row(name="g", ip="8.8.8.8"), Row(name="o", ip="9.9.9.9")]
+        )
+        got = rows_by_name(FilterBox(IPIP(src="ip", database=path)).apply(df))
+        assert got["g"]["country_name"] == "US" and got["g"]["city_name"] == "mountainview"
+        assert got["o"]["country_name"] == "ZZ"
+
     def test_ipip_box_postprocess_applies(self, spark):
         """Plan-level filters must honor box add_fields/remove_fields/failTag
         (topology/filter.go:76-94 applies PostProcess to every filter)."""
