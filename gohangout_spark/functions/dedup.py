@@ -351,12 +351,16 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
     Input: (id_a, id_b) edges. Output: (doc_id, cluster_id) where cluster_id
     is the minimum doc id reachable through the pair graph.
 
-    Scale shape: each iteration is one join + one aggregation on (node →
-    current_label); labels propagate ONE hop per iteration, so convergence is
-    O(graph diameter) iterations — near-dup graphs are typically shallow
-    stars/chains (diameter ≤ 3). ``max_iter`` bounds pathological chains and
-    non-convergence raises a RuntimeWarning. Labels persist per iteration to
-    cut lineage growth.
+    Scale shape: each iteration is (a) a min-label exchange with the
+    neighbors (one join + one aggregation on node → current_label) and
+    (b) a POINTER JUMP — every node re-reads its label's label
+    (label(x) ← label(label(x))), which halves chain depth per iteration,
+    so convergence is O(log diameter) even for long duplicate chains (the
+    large-star/small-star trick). Each iteration localCheckpoints the label
+    frame: the logical plan stays flat instead of growing per iteration
+    (an unbounded iterative lineage OOMs the planner long before the data
+    is big). ``max_iter`` bounds pathological graphs; non-convergence
+    raises a RuntimeWarning.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -368,21 +372,30 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     changed = 0
     for _ in range(max_iter):
-        # each node adopts the min label among itself and its neighbors
+        # (a) each node adopts the min label among itself and its neighbors
         neighbor_labels = (
             edges.join(labels, edges["dst"] == labels["node"])
             .select(edges["src"].alias("node"), "label")
         )
-        new_labels = (
+        l1 = (
             labels.select("node", "label")
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .persist()
+        )
+        # (b) pointer jump: follow the label's own label one more hop
+        lk = l1.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
+        new_labels = (
+            l1.join(lk, l1["label"] == lk["pnode"], "left")
+            .select(
+                l1["node"],
+                F.coalesce(lk["plabel"], l1["label"]).alias("label"),
+            )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -391,7 +404,6 @@ def cluster_duplicates(pairs: DataFrame, max_iter: int = 10) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -1032,16 +1032,56 @@ def quality_filter_pipeline(spark, sf_dir):
     return scored.where(F.col("n_tokens") >= 10)
 
 
-# duplicate-cluster resolution over near-dup pairs — rows-only
-@q("dedup_clusters", None)
+# duplicate-cluster resolution over near-dup pairs. The pair source here is
+# the SQL-expressible adjacent-id token-jaccard (so DuckDB can verify the
+# connected-components result with a recursive CTE); the same
+# cluster_duplicates runs over minhash_lsh_candidates pairs in production
+# (dedup_minhash_lsh covers that pair source rows-only).
+@q(
+    "dedup_clusters",
+    f"""WITH RECURSIVE t AS (
+         SELECT doc_id, list_distinct({_TOK_SQL}) AS toks FROM documents),
+       pairs AS (
+         SELECT id_a, id_b FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.toks, b.toks))::DOUBLE /
+               (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks)))::DOUBLE AS j
+           FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)
+         WHERE j >= 0.5),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       reach(node, r) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst)
+       SELECT CAST(node AS BIGINT) AS doc_id,
+              CAST(min(r) AS BIGINT) AS cluster_id
+       FROM reach GROUP BY node""",
+)
 def dedup_clusters(spark, sf_dir):
-    from gohangout_spark.functions.dedup import cluster_duplicates, minhash_lsh_candidates
+    from gohangout_spark.functions.dedup import cluster_duplicates
+    from gohangout_spark.functions.text import tokens
 
     docs = _docs(spark, sf_dir)
-    pairs = minhash_lsh_candidates(docs, "text", "doc_id", 32, 16, 3).filter(
-        F.col("jaccard") >= 0.5
+    t = docs.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks"))
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+    union = (F.size(F.col("a.toks")) + F.size(F.col("b.toks"))).cast("double") - inter
+    pairs = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (inter / union).alias("j"),
+        )
+        .where(F.col("j") >= 0.5)
     )
-    return cluster_duplicates(pairs)
+    return cluster_duplicates(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
 
 
 # audio feature extraction over generated binary payloads — rows-only
