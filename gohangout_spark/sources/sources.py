@@ -188,6 +188,112 @@ class SocketSource(Source):
         return self._decode(df)
 
 
+class UDPSource(Source):
+    """UDP datagram input (input/udp_input.go:32-116) — dev tier, like the
+    socket source. Spark has no native UDP source (SURVEY §2.1), so a
+    driver-side listener thread receives datagrams (``max_length`` cap,
+    :80-84) and spools them as JSON lines into a directory that a text
+    file-stream tails (batch mode reads the same spool);
+    ``add_remote_addr`` (:45-47,108-110) adds the sender IP as a field.
+    Datagrams flush to the spool per ``spool_batch`` messages or on a
+    200 ms idle gap; files appear atomically (write-then-rename) so the
+    file stream never reads partial batches."""
+
+    def __init__(self, conf):
+        super().__init__(conf)
+        if not self.conf.get("address"):
+            raise ValueError("address must be set in UDP input")
+        ml = self.conf.get("max_length", 65535)
+        if not isinstance(ml, int) or ml <= 0:
+            raise ValueError("max_length must be bigger than zero")
+        self.max_length = ml
+        import tempfile
+
+        self.spool_dir = self.conf.get("spool_dir") or tempfile.mkdtemp(
+            prefix="gohangout_udp_"
+        )
+        self._sock = None
+        self._thread = None
+        self._stop = False
+
+    @property
+    def port(self) -> int:
+        """Actual bound port (useful with address '...:0' in tests)."""
+        return self._sock.getsockname()[1]
+
+    def start_listener(self) -> "UDPSource":
+        import json
+        import os
+        import socket
+        import threading
+        import uuid
+
+        host, _, port = self.conf["address"].rpartition(":")
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._sock.bind((host or "0.0.0.0", int(port)))
+        self._sock.settimeout(0.2)
+        flush_every = int(self.conf.get("spool_batch", 100))
+
+        def loop():
+            buf: list[str] = []
+
+            def flush():
+                if not buf:
+                    return
+                p = os.path.join(self.spool_dir, uuid.uuid4().hex + ".jsonl")
+                with open(p + ".tmp", "w") as f:
+                    f.write("\n".join(buf) + "\n")
+                os.rename(p + ".tmp", p)
+                buf.clear()
+
+            while not self._stop:
+                try:
+                    data, addr = self._sock.recvfrom(self.max_length)
+                    buf.append(
+                        json.dumps(
+                            {"value": data.decode("utf-8", "replace"), "addr": addr[0]}
+                        )
+                    )
+                    if len(buf) >= flush_every:
+                        flush()
+                except socket.timeout:
+                    flush()
+                except OSError:
+                    break
+            flush()
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop_listener(self) -> None:
+        self._stop = True
+        if self._thread is not None:
+            self._thread.join(2.0)
+        if self._sock is not None:
+            self._sock.close()
+
+    def _frame(self, df: DataFrame) -> DataFrame:
+        parsed = F.from_json(
+            F.col("value").cast("string"), "value string, addr string"
+        )
+        df = df.select(
+            parsed.getItem("value").alias("value"),
+            parsed.getItem("addr").alias("__udp_addr"),
+        )
+        out = self._decode(df)
+        target = self.conf.get("add_remote_addr")
+        if target:
+            out = out.withColumn(target, F.col("__udp_addr"))
+        return out.drop("__udp_addr")
+
+    def batch(self, spark):
+        return self._frame(spark.read.text(self.spool_dir))
+
+    def stream(self, spark):
+        return self._frame(spark.readStream.format("text").load(self.spool_dir))
+
+
 class KafkaSource(Source):
     """subscribe (topic map) XOR assign (partition map), mirroring
     input/kafka_input.go:54-123; decorate_events adds the
@@ -251,5 +357,6 @@ SOURCE_REGISTRY = {
     "Stdin": StdinSource,
     "TCP": SocketSource,
     "Socket": SocketSource,
+    "UDP": UDPSource,
     "Kafka": KafkaSource,
 }

@@ -83,3 +83,49 @@ class TestRandom:
         assert len(vals) == 500
         assert all(10 <= v <= 20 for v in vals)
         assert len(set(vals)) > 5  # actually random
+
+
+class TestUDP:
+    def test_datagrams_to_events(self, spark, tmp_path):
+        """input/udp_input.go:32-116: datagrams decode per codec and
+        add_remote_addr adds the sender IP."""
+        import socket
+        import time
+
+        from gohangout_spark.sources.sources import UDPSource
+
+        src = UDPSource(
+            {
+                "address": "127.0.0.1:0",
+                "add_remote_addr": "peer",
+                "spool_dir": str(tmp_path / "spool"),
+                "spool_batch": 2,
+            }
+        )
+        import os
+
+        os.makedirs(src.spool_dir, exist_ok=True)
+        src.start_listener()
+        try:
+            s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            for payload in (b"hello", b"world", b"tail"):
+                s.sendto(payload, ("127.0.0.1", src.port))
+            # two flushes: batch of 2, then idle-timeout flush of the tail
+            deadline = time.time() + 5
+            while time.time() < deadline and len(os.listdir(src.spool_dir)) < 2:
+                time.sleep(0.1)
+        finally:
+            src.stop_listener()
+        df = src.batch(spark)
+        rows = df.collect()
+        assert sorted(r["message"] for r in rows) == ["hello", "tail", "world"]
+        assert all(r["peer"] == "127.0.0.1" for r in rows)
+        assert "@timestamp" in df.columns
+
+    def test_validation(self):
+        from gohangout_spark.sources.sources import UDPSource
+
+        with pytest.raises(ValueError, match="address"):
+            UDPSource({})
+        with pytest.raises(ValueError, match="max_length"):
+            UDPSource({"address": "127.0.0.1:0", "max_length": 0})
