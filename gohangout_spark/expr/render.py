@@ -50,7 +50,7 @@ def compile_render(
     if "%{" in s:
         return _compile_index_pattern(s, df, ts_field)
     if "{{" in s:
-        return _compile_template(s, df)
+        return _compile_template(s, df, ts_field)
     if bare_is_field and re.fullmatch(r"[A-Za-z_@][A-Za-z0-9_@.\-]*", s or "") and (
         df is None or s in df.columns
     ):
@@ -80,64 +80,225 @@ def _compile_index_pattern(s: str, df: DataFrame | None, ts_field: str) -> Colum
 _ANY_ACTION = re.compile(r"\{\{\s*(.*?)\s*\}\}", re.S)
 
 
-def _compile_template(s: str, df: DataFrame | None) -> Column:
-    """``{{.a}}-{{.b.c}}`` and the reference's custom template functions
-    (template_value_render.go:41-158): now, timestamp, plus/minus/multiply/
-    divide/mod, upper/lower/trim/title. Unknown actions raise."""
+def _compile_template(s: str, df: DataFrame | None, ts_field: str = "@timestamp") -> Column:
+    """``{{.a}}-{{.b.c}}``, the reference's custom template functions, and
+    the commonly-used sprig string/math subset
+    (template_value_render.go:41-158 registers sprig.FuncMap plus custom
+    funcs) — all compiled to Columns. Pipelines (``{{.msg | upper |
+    trunc 5}}``) append the piped value as the LAST argument, like Go
+    templates. Unknown actions raise at compile time."""
     cols: list[Column] = []
     pos = 0
     for m in _ANY_ACTION.finditer(s):
         if m.start() > pos:
             cols.append(F.lit(s[pos : m.start()]))
-        cols.append(_compile_action(m.group(1), df).cast("string"))
+        cols.append(_compile_action(m.group(1), df, ts_field).cast("string"))
         pos = m.end()
     if pos < len(s):
         cols.append(F.lit(s[pos:]))
     return cols[0] if len(cols) == 1 else F.concat(*cols)
 
 
-def _compile_action(expr: str, df: DataFrame | None) -> Column:
-    """One template action → Column."""
-    parts = expr.split()
-    if not parts:
-        raise ValueError("empty template action")
-    head = parts[0]
-    if head.startswith("."):
-        if len(parts) > 1:
-            raise ValueError(f"unsupported template pipeline: {expr!r}")
-        path = "".join(f"[{p}]" for p in head[1:].split("."))
-        return field_col(path, df)
-    args = [_action_arg(a, df) for a in parts[1:]]
-    if head == "now":
-        return F.current_timestamp()
-    if head == "timestamp":
-        return F.unix_timestamp(F.current_timestamp())
-    if head in ("plus", "minus", "multiply", "divide", "mod"):
-        if len(args) != 2:
-            raise ValueError(f"{head} needs 2 args: {expr!r}")
+_ACTION_TOK = re.compile(r'"(?:[^"\\]|\\.)*"|\S+')
+
+
+def _split_pipeline(expr: str) -> list[str]:
+    """Split a template action on top-level '|' (quote-aware)."""
+    segs, cur, in_str, escaped = [], [], False, False
+    for ch in expr:
+        if in_str:
+            cur.append(ch)
+            if escaped:
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif ch == '"':
+                in_str = False
+        elif ch == '"':
+            cur.append(ch)
+            in_str = True
+        elif ch == "|":
+            segs.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    segs.append("".join(cur))
+    return [s.strip() for s in segs]
+
+
+def _compile_action(expr: str, df: DataFrame | None, ts_field: str = "@timestamp") -> Column:
+    """One template action (possibly a pipeline) → Column."""
+    piped: Column | None = None
+    for i, seg in enumerate(_split_pipeline(expr)):
+        toks = _ACTION_TOK.findall(seg)
+        if not toks:
+            raise ValueError(f"empty template action in {expr!r}")
+        if toks[0].startswith("."):
+            if len(toks) > 1:
+                raise ValueError(f"bad template action {seg!r} in {expr!r}")
+            piped = _field_ref(toks[0], df)
+            continue
+        args = [_action_arg(a, df) for a in toks[1:]]
+        raw_args = toks[1:]
+        if i > 0:
+            args.append(piped)
+            raw_args.append(None)
+        piped = _apply_template_func(toks[0], args, raw_args, expr, df, ts_field)
+    return piped
+
+
+def _field_ref(tok: str, df: DataFrame | None) -> Column:
+    path = "".join(f"[{p}]" for p in tok[1:].split("."))
+    return field_col(path, df)
+
+
+def _apply_template_func(
+    head: str, args: list[Column], raw_args: list, expr: str,
+    df: DataFrame | None, ts_field: str,
+) -> Column:
+    def need(n):
+        if len(args) != n:
+            raise ValueError(f"{head} needs {n} arg(s): {expr!r}")
+
+    def s(i):
+        return args[i].cast("string")
+
+    # ---- reference custom funcs (template_value_render.go:41-158) ----
+    if head == "now":  # Unix MILLISECONDS (:58)
+        return F.unix_millis(F.current_timestamp())
+    if head == "timestamp":  # event @timestamp in ms, 0 when absent (:59-68)
+        ts = field_col(ts_field, df)
+        return F.coalesce(F.unix_millis(ts), F.lit(0).cast("long"))
+    if head in ("before", "after"):  # @timestamp vs now()+dur (:69-95)
+        from gohangout_spark.expr.conditions import parse_go_duration
+
+        need(1)
+        secs = parse_go_duration(raw_args[0].strip('"'))
+        bound = F.current_timestamp() + F.expr(f"INTERVAL {secs:.9f} SECOND")
+        ts = field_col(ts_field, df)
+        return ts < bound if head == "before" else ts > bound
+    if head in ("plus", "minus", "multiply", "divide"):  # float64 math (:97-129)
+        need(2)
         a, b = (c.cast("double") for c in args)
-        out = {
-            "plus": a + b,
-            "minus": a - b,
-            "multiply": a * b,
-            "divide": a / b,
-            "mod": a % b,
-        }[head]
-        return out
+        return {"plus": a + b, "minus": a - b, "multiply": a * b, "divide": a / b}[head]
+    if head == "mod":  # int64 (:130-137)
+        need(2)
+        a, b = (c.cast("long") for c in args)
+        return a % b
+    if head == "compare":  # strings.Compare
+        need(2)
+        return F.when(s(0) < s(1), -1).when(s(0) > s(1), 1).otherwise(0)
+    if head == "contains":
+        need(2)
+        return s(0).contains(s(1))
+    if head == "containsAny":
+        need(2)
+        return s(0).rlike(F.concat(F.lit("["), F.lit(re.escape(raw_args[1].strip('"'))), F.lit("]"))) \
+            if raw_args[1] is not None else s(0).rlike(F.concat(F.lit("["), s(1), F.lit("]")))
+    if head == "hasprefix":
+        need(2)
+        return s(0).startswith(s(1))
+    if head == "hassuffix":
+        need(2)
+        return s(0).endswith(s(1))
+    if head == "replace":  # strings.Replace(s, old, new, n); n=-1 → all
+        need(4)
+        n = raw_args[3]
+        if n is not None and n.strip() != "-1":
+            raise ValueError(f"replace: only n=-1 compiles to a Column ({expr!r})")
+        return F.replace(s(0), s(1), s(2))
+    if head == "timeFormat":  # t.Format(goLayout)
+        need(2)
+        return F.date_format(args[0], go_layout_to_java(raw_args[1].strip('"')))
+
+    # ---- sprig common subset (value-last calling convention) ----
     if head in ("upper", "lower", "trim", "title"):
-        if len(args) != 1:
-            raise ValueError(f"{head} needs 1 arg: {expr!r}")
+        need(1)
         fn = {"upper": F.upper, "lower": F.lower, "trim": F.trim, "title": F.initcap}[head]
-        return fn(args[0].cast("string"))
+        return fn(s(0))
+    if head == "trimAll":
+        need(2)
+        return F.btrim(s(1), s(0))
+    if head == "trimPrefix":
+        need(2)
+        rest = s(1).substr(F.length(s(0)) + 1, F.length(s(1)))
+        return F.when(s(1).startswith(s(0)), rest).otherwise(s(1))
+    if head == "trimSuffix":
+        need(2)
+        return F.when(
+            s(1).endswith(s(0)), s(1).substr(F.lit(1), F.length(s(1)) - F.length(s(0)))
+        ).otherwise(s(1))
+    if head == "repeat":
+        need(2)
+        return F.repeat(s(1), args[0].cast("int"))
+    if head == "substr":  # substr start end s — 0-based, end exclusive
+        need(3)
+        start, end = args[0].cast("int"), args[1].cast("int")
+        return s(2).substr(start + 1, end - start)
+    if head == "trunc":
+        need(2)
+        return s(1).substr(F.lit(1), args[0].cast("int"))
+    if head == "nospace":
+        need(1)
+        return F.regexp_replace(s(0), r"\s+", "")
+    if head == "b64enc":
+        need(1)
+        return F.base64(s(0).cast("binary"))
+    if head == "b64dec":
+        need(1)
+        return F.unbase64(s(0)).cast("string")
+    if head == "quote":
+        need(1)
+        return F.concat(F.lit('"'), s(0), F.lit('"'))
+    if head == "default":  # default d v → v unless null/empty
+        need(2)
+        v = args[1]
+        return F.when(v.isNull() | (v.cast("string") == ""), args[0]).otherwise(v)
+    if head == "coalesce":
+        return F.coalesce(*args)
+    if head == "ternary":  # ternary t f cond
+        need(3)
+        return F.when(args[2].cast("boolean"), args[0]).otherwise(args[1])
+    if head in ("add", "sub", "mul"):  # sprig int64 math
+        a = [c.cast("long") for c in args]
+        if head == "add":
+            out = a[0]
+            for c in a[1:]:
+                out = out + c
+            return out
+        need(2)
+        return a[0] - a[1] if head == "sub" else a[0] * a[1]
+    if head == "div":
+        need(2)
+        return (args[0].cast("long") / args[1].cast("long")).cast("long")
+    if head == "add1":
+        need(1)
+        return args[0].cast("long") + 1
+    if head == "len":
+        need(1)
+        return F.length(s(0))
+    if head == "atoi":
+        need(1)
+        return s(0).try_cast("int")
+    if head == "toString":
+        need(1)
+        return s(0)
+    if head == "cat":
+        return F.concat_ws(" ", *[s(i) for i in range(len(args))])
+    if head == "sha1sum":
+        need(1)
+        return F.sha1(s(0).cast("binary"))
+    if head == "sha256sum":
+        need(1)
+        return F.sha2(s(0).cast("binary"), 256)
     raise ValueError(f"unsupported template function {head!r} in {expr!r}")
 
 
 def _action_arg(tok: str, df: DataFrame | None) -> Column:
     if tok.startswith("."):
-        path = "".join(f"[{p}]" for p in tok[1:].split("."))
-        return field_col(path, df)
+        return _field_ref(tok, df)
     if tok.startswith('"') and tok.endswith('"'):
-        return F.lit(tok[1:-1])
+        return F.lit(tok[1:-1].replace('\\"', '"').replace("\\\\", "\\"))
     try:
         return F.lit(int(tok))
     except ValueError:

@@ -19,6 +19,8 @@ streaming, mirroring the single-pass semantics of topology/output.go:54-64).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -175,7 +177,8 @@ class ElasticsearchSink(Sink):
 
     def __init__(self, conf=None, transport=None):
         super().__init__(conf)
-        self.hosts = list(self.conf.get("hosts") or ["http://localhost:9200"])
+        self.seed_hosts = list(self.conf.get("hosts") or ["http://localhost:9200"])
+        self.hosts = list(self.seed_hosts)
         self.transport = transport or _urllib_transport
         self.bulk_actions = int(self.conf.get("bulk_actions", 5000))
         self.bulk_size = int(self.conf.get("bulk_size", 15 * 1024 * 1024))
@@ -186,6 +189,80 @@ class ElasticsearchSink(Sink):
         self.no_host_wait = float(self.conf.get("no_host_wait", 30))
         # gzip on by default like the reference (elasticsearch_output.go:305-309)
         self.compress = bool(self.conf.get("compress", True))
+        # node sniffing (elasticsearch_output.go:356-387,410-498): discover
+        # live data nodes from /_nodes/_all/http, optionally filtered by a
+        # condition-DSL `match` over each node's info map; refreshed lazily
+        # every refresh_interval seconds at write/micro-batch boundaries
+        # (the Spark stand-in for the reference's ticker goroutine)
+        self.sniff = self.conf.get("sniff")  # {} enables with defaults
+        self._next_sniff: float | None = None
+        if self.sniff is not None:
+            self.hosts = self._sniff_nodes()
+            if not self.hosts:
+                raise RuntimeError("no available hosts after sniff")
+            interval = float(self.sniff.get("refresh_interval", 0))
+            if interval > 0:
+                import time as _time
+
+                self._next_sniff = _time.monotonic() + interval
+
+    _HOST_RE = re.compile(r"(?i)^(https?)://(?:([^:]+):([^@]+)@)?(\S+?)/?$")
+
+    def _sniff_nodes(self) -> list[str]:
+        """GET /_nodes/_all/http from the first reachable SEED host; keep
+        nodes passing the `match` condition; address = $.http.publish_address
+        (elasticsearch_output.go:435-498). Scheme and credentials of the
+        seed host carry over to the discovered hosts (assembleHosts)."""
+        import json as _json
+
+        from gohangout_spark.expr.dict_conditions import evaluate_condition
+
+        match = self.sniff.get("match")
+        last = None
+        for seed in self.seed_hosts:
+            status, body = self.transport(
+                seed.rstrip("/") + "/_nodes/_all/http", None
+            )
+            if status >= 300:
+                last = (seed, status, str(body)[:200])
+                continue
+            try:
+                nodes = _json.loads(body)["nodes"]
+            except (ValueError, KeyError) as e:
+                last = (seed, status, f"bad sniff body: {e}")
+                continue
+            m = self._HOST_RE.match(seed)
+            scheme = m.group(1) if m else "http"
+            auth = f"{m.group(2)}:{m.group(3)}@" if m and m.group(2) else ""
+            hosts = []
+            for node in nodes.values():
+                if match and not evaluate_condition(match, node):
+                    continue
+                addr = (node.get("http") or {}).get("publish_address")
+                if addr:
+                    # "hostname/ip:port" publish form → take the ip:port part
+                    hosts.append(f"{scheme}://{auth}{addr.rsplit('/', 1)[-1]}")
+            return hosts
+        raise RuntimeError(f"sniff nodes error from all hosts: {last}")
+
+    def maybe_resniff(self) -> bool:
+        """Refresh the host list when the sniff interval elapsed."""
+        if self._next_sniff is None:
+            return False
+        import time as _time
+
+        now = _time.monotonic()
+        if now < self._next_sniff:
+            return False
+        self._next_sniff = now + float(self.sniff.get("refresh_interval", 0))
+        try:
+            hosts = self._sniff_nodes()
+        except RuntimeError:
+            return False  # keep serving the previous list (reference logs on)
+        if hosts and hosts != self.hosts:
+            self.hosts = hosts
+            return True
+        return False
 
     def bulk_lines(self, df: DataFrame) -> DataFrame:
         """One string column 'line' = action-meta JSON + '\\n' + source JSON.
@@ -213,6 +290,7 @@ class ElasticsearchSink(Sink):
         return df.select(F.concat(meta, F.lit("\n"), source).alias("line"))
 
     def write_batch(self, df: DataFrame) -> None:
+        self.maybe_resniff()
         lines = self.bulk_lines(df)
         hosts, transport = self.hosts, self.transport
         bulk_actions, retries = self.bulk_actions, self.retries

@@ -181,8 +181,61 @@ class TestRender:
         assert out["mixed"] == "a--10.0-z"
 
     def test_template_now(self, df):
+        # reference `now` returns Unix MILLISECONDS (template_value_render.go:58)
         v = df.select(compile_render("{{now}}", df).alias("n")).first()["n"]
-        assert v.startswith("20")  # current timestamp rendered as string
+        assert int(v) > 1_600_000_000_000
+
+    def test_template_sprig_subset(self, df):
+        out = df.select(
+            compile_render('{{trimPrefix "ch" .name}}', df).alias("tp"),
+            compile_render('{{trimSuffix "de" .name}}', df).alias("ts"),
+            compile_render("{{add .age 5 1}}", df).alias("add"),
+            compile_render('{{default "anon" .missing}}', df).alias("dflt"),
+            compile_render("{{len .name}}", df).alias("ln"),
+            compile_render('{{repeat 2 "ab"}}', df).alias("rep"),
+            compile_render('{{substr 0 3 .name}}', df).alias("sub"),
+            compile_render('{{contains .name "hil"}}', df).alias("has"),
+            compile_render('{{replace .name "ch" "x" -1}}', df).alias("repl"),
+            compile_render('{{b64enc .name}}', df).alias("b64"),
+        ).first()
+        assert out["tp"] == "ilde" and out["ts"] == "chil"
+        assert out["add"] == "26"  # sprig int math, not "26.0"
+        assert out["dflt"] == "anon"
+        assert out["ln"] == "6" and out["rep"] == "abab" and out["sub"] == "chi"
+        assert out["has"] == "true" and out["repl"] == "xilde"
+        import base64
+
+        assert base64.b64decode(out["b64"]).decode() == "childe"
+
+    def test_template_pipeline(self, df):
+        out = df.select(
+            compile_render("{{.name | upper}}", df).alias("up"),
+            compile_render("{{.name | upper | trunc 3}}", df).alias("both"),
+            compile_render('{{.name | hasprefix "chi"}}', df).alias("hp"),
+        ).first()
+        assert out["up"] == "CHILDE"
+        assert out["both"] == "CHI"
+        # Go pipelines append the piped value LAST: hasprefix("chi", name)
+        assert out["hp"] == "false"
+
+    def test_template_timestamp_is_event_time_ms(self, df):
+        # reference `timestamp` reads the EVENT @timestamp (not wall clock),
+        # 0 when absent (template_value_render.go:59-68)
+        import datetime
+
+        spark = df.sparkSession
+        from pyspark.sql import Row
+
+        d2 = spark.createDataFrame(
+            [Row(ts=datetime.datetime(2024, 1, 1, 0, 0, 0)), Row(ts=None)]
+        )
+        vals = [
+            r["t"]
+            for r in d2.select(
+                compile_render("{{timestamp}}", d2, ts_field="ts").alias("t")
+            ).collect()
+        ]
+        assert sorted(vals) == ["0", "1704067200000"]
 
 
 class TestTemplateConditions:

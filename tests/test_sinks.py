@@ -195,6 +195,93 @@ class TestBulkTriggers:
         assert len(bad) <= 2  # decayed quickly, not retried per flush
 
 
+class TestSniff:
+    """Node sniffing (elasticsearch_output.go:410-498): /_nodes/_all/http
+    discovery, condition-DSL match over node maps, periodic refresh."""
+
+    _NODES = json.dumps(
+        {
+            "nodes": {
+                "n1": {
+                    "attributes": {"box_type": "hot"},
+                    "http": {"publish_address": "10.0.0.1:9200"},
+                },
+                "n2": {
+                    "attributes": {"box_type": "warm"},
+                    "http": {"publish_address": "es2/10.0.0.2:9200"},
+                },
+                "n3": {"attributes": {"box_type": "hot"}, "http": {}},
+            }
+        }
+    )
+
+    def test_sniff_filters_and_assembles_hosts(self):
+        def transport(url, payload):
+            assert url.endswith("/_nodes/_all/http") and payload is None
+            return 200, self._NODES
+
+        sink = ElasticsearchSink(
+            {
+                "hosts": ["https://user:pw@seed:9200"],
+                "sniff": {"match": 'EQ($.attributes.box_type,"hot")'},
+            },
+            transport=transport,
+        )
+        # n1 passes match; n2 is warm; n3 has no publish_address
+        assert sink.hosts == ["https://user:pw@10.0.0.1:9200"]
+        assert sink.seed_hosts == ["https://user:pw@seed:9200"]
+
+    def test_sniff_no_match_keeps_all(self):
+        sink = ElasticsearchSink(
+            {"hosts": ["http://seed:9200"], "sniff": {}},
+            transport=lambda url, payload: (200, self._NODES),
+        )
+        assert sorted(sink.hosts) == [
+            "http://10.0.0.1:9200",
+            "http://10.0.0.2:9200",  # hostname/ip form keeps ip:port
+        ]
+
+    def test_sniff_refresh_swaps_hosts(self, monkeypatch):
+        state = {"body": self._NODES}
+
+        def transport(url, payload):
+            return 200, state["body"]
+
+        sink = ElasticsearchSink(
+            {"hosts": ["http://seed:9200"], "sniff": {"refresh_interval": 1}},
+            transport=transport,
+        )
+        assert len(sink.hosts) == 2
+        state["body"] = json.dumps(
+            {"nodes": {"n9": {"http": {"publish_address": "10.9.9.9:9200"}}}}
+        )
+        assert sink.maybe_resniff() is False  # interval not elapsed
+        sink._next_sniff = 0.0  # force elapse
+        assert sink.maybe_resniff() is True
+        assert sink.hosts == ["http://10.9.9.9:9200"]
+
+    def test_sniff_all_seeds_down_raises(self):
+        with pytest.raises(RuntimeError, match="sniff nodes error"):
+            ElasticsearchSink(
+                {"hosts": ["http://a:9200", "http://b:9200"], "sniff": {}},
+                transport=lambda url, payload: (599, "down"),
+            )
+
+    def test_dict_condition_dsl(self):
+        from gohangout_spark.expr.dict_conditions import evaluate_condition
+
+        node = {
+            "name": "data-1",
+            "roles": ["data", "ingest"],
+            "attributes": {"box_type": "hot", "zone": "a"},
+        }
+        assert evaluate_condition('EQ($.attributes.box_type,"hot")', node)
+        assert evaluate_condition('IN(roles,"data") && HasPrefix(name,"data")', node)
+        assert evaluate_condition('!EQ($.attributes.zone,"b")', node)
+        assert not evaluate_condition('Exist(missing) || Contains(name,"xyz")', node)
+        assert evaluate_condition('Match(name,"data-\\d+")', node)
+
+
 class TestClickHouse:
     def test_coercion_projection(self, spark):
         df = spark.createDataFrame([Row(a="12", b=None, extra="x"), Row(a="oops", b=3.5, extra="y")])
