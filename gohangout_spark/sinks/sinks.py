@@ -291,70 +291,97 @@ class ElasticsearchSink(Sink):
 
     def write_batch(self, df: DataFrame) -> None:
         self.maybe_resniff()
-        lines = self.bulk_lines(df)
-        hosts, transport = self.hosts, self.transport
-        bulk_actions, retries = self.bulk_actions, self.retries
-        bulk_size, flush_interval = self.bulk_size, self.flush_interval
-        no_host_wait = self.no_host_wait
-        compress = self.compress
+        bulk_send_lines(
+            self.bulk_lines(df),
+            hosts=self.hosts,
+            transport=self.transport,
+            endpoint="/_bulk",
+            # HTTP 200 + "errors":true (partial item failures) is retried as
+            # a whole bulk — coarser than the reference's per-item re-enqueue
+            # (elasticsearch_output.go:133-203) but nothing is silently
+            # dropped; duplicate index actions are idempotent with an _id
+            success=lambda status, body: status < 300
+            and '"errors":false' in body.replace(" ", ""),
+            bulk_actions=self.bulk_actions,
+            bulk_size=self.bulk_size,
+            flush_interval=self.flush_interval,
+            retries=self.retries,
+            no_host_wait=self.no_host_wait,
+            compress=self.compress,
+        )
 
-        def send_partition(it):
-            import time as _time
 
-            selector = RRHostSelector(hosts)
-            buf: list[str] = []
-            state = {"bytes": 0, "first_ts": None}
+def bulk_send_lines(
+    lines: DataFrame,
+    hosts: list[str],
+    transport,
+    endpoint: str,
+    success,
+    bulk_actions: int = 5000,
+    bulk_size: int = 15 * 1024 * 1024,
+    flush_interval: float = 30.0,
+    retries: int = 3,
+    no_host_wait: float = 30.0,
+    compress: bool = True,
+) -> None:
+    """The shared HTTP bulk engine (output/bulk_http.go:73-312) as a
+    partition-wise sender: flush on action count / buffered bytes / elapsed
+    interval; weighted-RR host selection with decay/recovery
+    (RRHostSelector); bounded retries. Used by the ES and InfluxDB sinks —
+    the same code path the reference shares between them."""
 
-            def flush():
-                if not buf:
-                    return
-                payload = ("\n".join(buf) + "\n").encode()
-                if compress:
-                    import gzip
+    def send_partition(it):
+        import time as _time
 
-                    payload = gzip.compress(payload)
-                last = None
-                for _attempt in range(retries + 1):
+        selector = RRHostSelector(hosts)
+        buf: list[str] = []
+        state = {"bytes": 0, "first_ts": None}
+
+        def flush():
+            if not buf:
+                return
+            payload = ("\n".join(buf) + "\n").encode()
+            if compress:
+                import gzip
+
+                payload = gzip.compress(payload)
+            last = None
+            for _attempt in range(retries + 1):
+                host = selector.next()
+                if host is None:
+                    # all hosts exhausted: weights were reset, wait then
+                    # pick again (bulk_http.go:157-161)
+                    _time.sleep(no_host_wait)
                     host = selector.next()
                     if host is None:
-                        # all hosts exhausted: weights were reset, wait then
-                        # pick again (bulk_http.go:157-161)
-                        _time.sleep(no_host_wait)
-                        host = selector.next()
-                        if host is None:
-                            continue
-                    status, body = transport(host.rstrip("/") + "/_bulk", payload)
-                    if status < 300 and '"errors":false' in body.replace(" ", ""):
-                        selector.add_weight()
-                        buf.clear()
-                        state["bytes"] = 0
-                        state["first_ts"] = None
-                        return
-                    # HTTP 200 + "errors":true (partial item failures) is
-                    # retried as a whole bulk — coarser than the reference's
-                    # per-item re-enqueue (elasticsearch_output.go:133-203)
-                    # but nothing is silently dropped; duplicate index
-                    # actions are idempotent when an _id is configured
-                    selector.reduce_weight()
-                    last = (status, body[:500])
-                raise RuntimeError(f"ES bulk failed after {retries + 1} tries: {last}")
+                        continue
+                status, body = transport(host.rstrip("/") + endpoint, payload)
+                if success(status, body):
+                    selector.add_weight()
+                    buf.clear()
+                    state["bytes"] = 0
+                    state["first_ts"] = None
+                    return
+                selector.reduce_weight()
+                last = (status, body[:500])
+            raise RuntimeError(f"bulk failed after {retries + 1} tries: {last}")
 
-            for row in it:
-                if row["line"] is None:
-                    continue
-                buf.append(row["line"])
-                state["bytes"] += len(row["line"]) + 1
-                if state["first_ts"] is None:
-                    state["first_ts"] = _time.monotonic()
-                if (
-                    len(buf) >= bulk_actions
-                    or state["bytes"] >= bulk_size
-                    or _time.monotonic() - state["first_ts"] >= flush_interval
-                ):
-                    flush()
-            flush()
+        for row in it:
+            if row["line"] is None:
+                continue
+            buf.append(row["line"])
+            state["bytes"] += len(row["line"]) + 1
+            if state["first_ts"] is None:
+                state["first_ts"] = _time.monotonic()
+            if (
+                len(buf) >= bulk_actions
+                or state["bytes"] >= bulk_size
+                or _time.monotonic() - state["first_ts"] >= flush_interval
+            ):
+                flush()
+        flush()
 
-        lines.foreachPartition(send_partition)
+    lines.foreachPartition(send_partition)
 
 
 def _urllib_transport(url: str, payload: bytes):
@@ -607,10 +634,30 @@ class InfluxdbSink(Sink):
             ).alias("line")
         )
 
+    def __init__(self, conf=None, transport=None):
+        super().__init__(conf)
+        self.transport = transport or _urllib_transport
+
     def write_batch(self, df: DataFrame) -> None:
-        raise NotImplementedError(
-            "no InfluxDB endpoint in this environment; use .lines(df) with a "
-            "transport in foreachBatch"
+        """POST line-protocol batches to /write?db=… through the shared
+        bulk engine (influxdb_output.go:180-210 wires the same
+        HTTPBulkProcessor the ES output uses); InfluxDB answers 204 on
+        success."""
+        conf = self.conf
+        hosts = list(conf.get("hosts") or [conf.get("addr", "http://localhost:8086")])
+        db = conf.get("db", "")
+        bulk_send_lines(
+            self.lines(df),
+            hosts=hosts,
+            transport=self.transport,
+            endpoint=f"/write?db={db}" if db else "/write",
+            success=lambda status, body: status < 300,
+            bulk_actions=int(conf.get("bulk_actions", 5000)),
+            bulk_size=int(conf.get("bulk_size", 15 * 1024 * 1024)),
+            flush_interval=float(conf.get("flush_interval", 30)),
+            retries=int(conf.get("retry", 3)),
+            no_host_wait=float(conf.get("no_host_wait", 30)),
+            compress=bool(conf.get("compress", False)),
         )
 
 
@@ -642,12 +689,15 @@ class TCPSink(Sink):
         def send_partition(it):
             import socket
 
-            rows = list(it)
-            if not rows:
-                return
-            with socket.create_connection((host, port), timeout=30) as sock:
-                for row in rows:
+            sock = None  # dial lazily so empty partitions open no connection
+            try:
+                for row in it:  # stream rows — never materialize the partition
+                    if sock is None:
+                        sock = socket.create_connection((host, port), timeout=30)
                     sock.sendall((row["line"] + "\n").encode())
+            finally:
+                if sock is not None:
+                    sock.close()
 
         payload.foreachPartition(send_partition)
 

@@ -1011,6 +1011,43 @@ def tpch_q6(spark, sf_dir):
     ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
 
 
+_PACK_MAX = 256
+_PACK_SHARDS = 8
+
+
+@q(
+    "pack_documents",
+    f"""WITH RECURSIVE t AS (
+         SELECT doc_id::BIGINT AS doc_id, (doc_id % {_PACK_SHARDS})::BIGINT AS shard,
+           len(list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+               x -> x <> ''))::BIGINT AS n_tokens,
+           row_number() OVER (PARTITION BY doc_id % {_PACK_SHARDS}
+                              ORDER BY doc_id) AS rn
+         FROM documents),
+       walk AS (
+         SELECT shard, rn, doc_id, n_tokens, n_tokens AS fill, 0::BIGINT AS pack
+         FROM t WHERE rn = 1
+         UNION ALL
+         SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+           CASE WHEN w.fill + t.n_tokens <= {_PACK_MAX}
+                THEN w.fill + t.n_tokens ELSE t.n_tokens END,
+           CASE WHEN w.fill + t.n_tokens <= {_PACK_MAX}
+                THEN w.pack ELSE w.pack + 1 END
+         FROM t JOIN walk w ON t.shard = w.shard AND t.rn = w.rn + 1)
+       SELECT doc_id, shard, pack, n_tokens FROM walk""",
+)
+def pack_documents_q(spark, sf_dir):
+    """Token-budget sequence packing (training-data step): sharded next-fit,
+    exact sequential semantics per shard, shards in parallel — the oracle
+    replays the same walk with a recursive CTE."""
+    from gohangout_spark.functions.packing import pack_documents
+
+    docs = _docs(spark, sf_dir)
+    return pack_documents(
+        docs, "text", "doc_id", max_tokens=_PACK_MAX, n_shards=_PACK_SHARDS
+    )
+
+
 _QF_SQL_TOKENS = "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 @q(

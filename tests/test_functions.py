@@ -248,6 +248,39 @@ class TestRecall:
             similarity.cosine_neardup_pairs(corpus, n_planes=4)
 
 
+class TestPacking:
+    def test_next_fit_invariants(self, spark):
+        from gohangout_spark.functions.packing import pack_documents, pack_stats
+
+        rows = [Row(doc_id=i, text=" ".join(["w"] * (3 + (i * 7) % 40))) for i in range(60)]
+        rows.append(Row(doc_id=100, text=" ".join(["w"] * 99)))  # longer than budget
+        df = spark.createDataFrame(rows)
+        packed = pack_documents(df, max_tokens=50, n_shards=4)
+        got = packed.collect()
+        assert len(got) == 61  # every doc assigned exactly once
+        stats = pack_stats(packed, max_tokens=50).collect()
+        for s in stats:
+            # a pack only exceeds the budget when it is one oversized doc
+            assert s["tokens"] <= 50 or s["n_docs"] == 1
+        # oversized doc sits alone in its pack
+        big = next(r for r in got if r["doc_id"] == 100)
+        mates = [
+            r for r in got
+            if r["shard"] == big["shard"] and r["pack"] == big["pack"]
+        ]
+        assert mates == [big]
+
+    def test_deterministic_across_layouts(self, spark):
+        from gohangout_spark.functions.packing import pack_documents
+
+        rows = [Row(doc_id=i, text=" ".join(["w"] * (5 + i % 20))) for i in range(40)]
+        df1 = spark.createDataFrame(rows).repartition(7)
+        df2 = spark.createDataFrame(rows).coalesce(1)
+        p1 = {(r["doc_id"], r["shard"], r["pack"]) for r in pack_documents(df1, max_tokens=64).collect()}
+        p2 = {(r["doc_id"], r["shard"], r["pack"]) for r in pack_documents(df2, max_tokens=64).collect()}
+        assert p1 == p2
+
+
 class TestMultimodal:
     def test_feature_extract_deterministic(self, spark):
         media = multimodal.make_fake_media_table(spark, n=8)

@@ -82,7 +82,7 @@ class TestElasticsearch:
         sink = ElasticsearchSink(
             {"hosts": ["http://es1:9200"], "index": "x", "retry": 2, "compress": False}, transport=transport
         )
-        with pytest.raises(Exception, match="ES bulk failed"):
+        with pytest.raises(Exception, match="bulk failed"):
             sink.write_batch(df.coalesce(1))
         assert len(os.listdir(cap)) == 3  # initial + 2 retries
 
@@ -385,6 +385,38 @@ class TestInflux:
         )
         lines = sorted(r["line"] for r in sink.lines(df).collect())
         assert lines[0] == f"events,appid=web1 n=1i {int(TS.timestamp()*1e9)}"
+
+    def test_write_batch_posts_lines(self, df, tmp_path):
+        """influxdb_output.go:180-210: lines go to /write?db=… via the
+        shared bulk engine; 204 = success."""
+        import os
+
+        cap = str(tmp_path / "influx")
+        os.makedirs(cap, exist_ok=True)
+
+        def transport(url, payload, _cap=cap):
+            import os
+            import uuid
+
+            with open(os.path.join(_cap, uuid.uuid4().hex), "w") as f:
+                f.write(url + "\n" + payload.decode())
+            return 204, ""
+
+        sink = InfluxdbSink(
+            {
+                "measurement": "events", "tags": ["appid"], "fields": ["n"],
+                "hosts": ["http://influx:8086"], "db": "metrics",
+                "compress": False,
+            },
+            transport=transport,
+        )
+        sink.write_batch(df.coalesce(1))
+        files = os.listdir(cap)
+        assert len(files) == 1
+        content = open(os.path.join(cap, files[0])).read()
+        url, body = content.split("\n", 1)
+        assert url == "http://influx:8086/write?db=metrics"
+        assert "events,appid=web1 n=1i" in body and "events,appid=web2 n=2i" in body
 
 
 class TestKafkaPayload:
