@@ -1,0 +1,48 @@
+"""Deterministic sampling — replayable random-like selection.
+
+Training-data pipelines need samples that survive task retries and
+re-runs: Spark's rand()/sample() resample per attempt, and the reference's
+Random(n) condition is likewise nondeterministic per run (SURVEY §7
+"what's hard" #6). Hash-ordering gives uniform pseudo-random selection
+that is a pure function of (id, seed) — same inputs, same sample, on any
+cluster layout.
+
+Scale shape: stratified_sample is ONE shuffle (hash partition by stratum)
+plus a per-partition top-n; deterministic_sample is a global
+TakeOrdered(n) — no full sort, the n smallest hashes stream out of each
+partition and merge on the driver-side heap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _hash_key(id_col, seed: int):
+    # md5 exists with identical output in every engine (incl. the DuckDB
+    # oracle) — xxhash64 does not; ordering by it is uniform enough for
+    # sampling and cross-engine reproducible
+    return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"-{seed}")))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep the n_per_stratum smallest-hash rows per stratum. Adds a
+    ``sample_rank`` column (1-based within the stratum)."""
+    w = Window.partitionBy(strata_col).orderBy(_hash_key(id_col, seed), F.col(id_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= n_per_stratum)
+    )
+
+
+def deterministic_sample(df: DataFrame, id_col: str, n: int, seed: int = 42) -> DataFrame:
+    """Global deterministic pseudo-random sample of n rows (smallest-hash)."""
+    return df.orderBy(_hash_key(id_col, seed), F.col(id_col)).limit(n)

@@ -1011,6 +1011,39 @@ def tpch_q6(spark, sf_dir):
     ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
 
 
+@q(
+    "stratified_sample",
+    """SELECT doc_id, lang, sample_rank FROM (
+         SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(doc_id::VARCHAR || '-42'), doc_id)
+             AS sample_rank
+         FROM documents)
+       WHERE sample_rank <= 5""",
+)
+def stratified_sample_q(spark, sf_dir):
+    """Deterministic per-language sample (training-data curation step):
+    hash-ordered top-n per stratum — replayable, unlike rand()."""
+    from gohangout_spark.functions.sampling import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return stratified_sample(docs, "lang", "doc_id", 5).select(
+        "doc_id", "lang", "sample_rank"
+    )
+
+
+@q(
+    "deterministic_sample",
+    """SELECT doc_id, lang FROM documents
+       ORDER BY md5(doc_id::VARCHAR || '-42'), doc_id LIMIT 20""",
+)
+def deterministic_sample_q(spark, sf_dir):
+    from gohangout_spark.functions.sampling import deterministic_sample
+
+    docs = _docs(spark, sf_dir)
+    return deterministic_sample(docs, "doc_id", 20).select("doc_id", "lang")
+
+
 _PACK_MAX = 256
 _PACK_SHARDS = 8
 

@@ -281,6 +281,31 @@ class TestPacking:
         assert p1 == p2
 
 
+class TestSampling:
+    def test_stratified_stable_and_uniformish(self, spark):
+        from gohangout_spark.functions.sampling import stratified_sample
+
+        rows = [Row(doc_id=i, lang=["en", "de", "fr"][i % 3]) for i in range(300)]
+        df1 = spark.createDataFrame(rows).repartition(13)
+        df2 = spark.createDataFrame(rows).coalesce(1)
+        s1 = {(r["doc_id"], r["lang"]) for r in stratified_sample(df1, "lang", "doc_id", 10).collect()}
+        s2 = {(r["doc_id"], r["lang"]) for r in stratified_sample(df2, "lang", "doc_id", 10).collect()}
+        assert s1 == s2 and len(s1) == 30  # layout-independent, 10 per stratum
+        seeded = {
+            r["doc_id"]
+            for r in stratified_sample(df1, "lang", "doc_id", 10, seed=7).collect()
+        }
+        assert seeded != {d for d, _ in s1}  # seed changes the draw
+
+    def test_deterministic_sample(self, spark):
+        from gohangout_spark.functions.sampling import deterministic_sample
+
+        df = spark.createDataFrame([Row(doc_id=i) for i in range(100)])
+        a = [r["doc_id"] for r in deterministic_sample(df, "doc_id", 10).collect()]
+        b = [r["doc_id"] for r in deterministic_sample(df.repartition(9), "doc_id", 10).collect()]
+        assert a == b and len(a) == 10
+
+
 class TestMultimodal:
     def test_feature_extract_deterministic(self, spark):
         media = multimodal.make_fake_media_table(spark, n=8)
