@@ -197,6 +197,79 @@ def cosine_neardup_pairs(
     )
 
 
+def _seed_centroids(
+    corpus: DataFrame, vec_col: str, id_col: str, n_centroids: int, seed: int
+) -> list[list[float]]:
+    """Deterministic centroid init: lowest n_centroids rows by hash(id, seed)."""
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), to_d(F.col(vec_col)).alias("cv"))
+        .withColumn("__h", F.xxhash64(F.col("cid"), F.lit(seed)))
+        .orderBy("__h")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r["cv"]] for r in rows]
+
+
+def _nearest_cell(vec, centroids: list[list[float]]):
+    """0-based index of the max-cosine centroid (broadcast as literals)."""
+    scored = F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("s"),
+                F.lit(i).alias("cell"),
+            )
+            for i, cv in enumerate(centroids)
+        ]
+    )
+    return F.reverse(F.array_sort(scored))[0]["cell"]
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> list[list[float]]:
+    """Lloyd's k-means over an embedding column, fully deterministic.
+
+    Each iteration: assign every vector to its max-cosine centroid (scan-side
+    argmax over literal centroids — no shuffle), then recompute the cell means
+    with ``posexplode`` + ``groupBy(cell, pos).avg``. The avg has map-side
+    partial aggregation, so the shuffle per iteration is
+    O(partitions × n_centroids × dim) regardless of corpus size, and only
+    n_centroids × dim rows are ever collected. Empty cells keep their
+    previous centroid.
+    """
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
+    vecs = corpus.select(to_d(F.col(vec_col)).alias("v")).persist()
+    try:
+        cents = _seed_centroids(corpus, vec_col, id_col, n_centroids, seed)
+        for _ in range(n_iter):
+            mean_rows = (
+                vecs.withColumn("cell", _nearest_cell(F.col("v"), cents))
+                .select("cell", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                # round: partial-agg summation order depends on the physical
+                # layout; 9 dp keeps the centroids a pure function of the DATA
+                .agg(F.round(F.avg("x"), 9).alias("m"))
+                .collect()
+            )
+            new = [list(cv) for cv in cents]
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in mean_rows:
+                by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+            for cell, comps in by_cell.items():
+                new[cell] = [comps[p] for p in range(len(comps))]
+            cents = new
+    finally:
+        vecs.unpersist()
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -206,31 +279,30 @@ def ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: corpus vectors are assigned to
-    their nearest of ``n_centroids`` sampled centroids (deterministic seeded
-    sample); each query probes its ``n_probe`` nearest centroid cells and
-    exact-ranks only those cells.
+    their nearest of ``n_centroids`` centroids; each query probes its
+    ``n_probe`` nearest centroid cells and exact-ranks only those cells.
 
     Scale shape: centroid assignment is a scan-side argmin against a
     broadcast centroid list; the search join keys on cell id, so the shuffle
     is O(corpus) once (partition-by-cell) and each query touches
-    n_probe/n_centroids of the data. A production system would k-means the
-    centroids; seeded sampling keeps this deterministic and dependency-free.
+    n_probe/n_centroids of the data. ``refine_iters > 0`` runs that many
+    Lloyd iterations (:func:`kmeans_centroids`) to tighten the cells —
+    deterministic, and each iteration's shuffle is bounded by the partial
+    aggregation, not the corpus; 0 keeps the seeded-sample centroids.
     """
     from pyspark.sql.window import Window
 
     to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
-    # deterministic centroid sample: lowest n_centroids by hash(id, seed)
-    cent_rows = (
-        corpus.select(F.col(id_col).alias("cid"), to_d(F.col(vec_col)).alias("cv"))
-        .withColumn("__h", F.xxhash64(F.col("cid"), F.lit(seed)))
-        .orderBy("__h")
-        .limit(n_centroids)
-        .drop("__h")
-        .collect()
-    )
-    centroids = [(r["cid"], [float(x) for x in r["cv"]]) for r in cent_rows]
+    if refine_iters > 0:
+        cvs = kmeans_centroids(
+            corpus, n_centroids, refine_iters, vec_col, id_col, seed
+        )
+    else:
+        cvs = _seed_centroids(corpus, vec_col, id_col, n_centroids, seed)
+    centroids = [(i, cv) for i, cv in enumerate(cvs)]
 
     def cell_ranks(vec, n: int):
         """array of cell ids ordered by cosine desc, truncated to n."""

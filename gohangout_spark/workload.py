@@ -929,7 +929,14 @@ def embedding_ivf_topk(spark, sf_dir):
     from gohangout_spark.functions.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, emb.filter(F.col("vec_id") < 10), k=5, n_centroids=16, n_probe=3)
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=16,
+        n_probe=3,
+        refine_iters=2,
+    )
 
 
 # SimHash near-dup pairs by hamming distance — rows-only check.

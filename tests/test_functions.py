@@ -226,6 +226,33 @@ class TestRecall:
         print(f"ivf_topk recall@{self.K} (8 centroids, 3 probes): {recall:.3f}")
         assert recall >= 0.6  # sampled (non-kmeans) centroids: weaker bound
 
+    def test_ivf_kmeans_refinement(self, corpus):
+        queries = corpus.filter(F.col("vec_id") < self.N_QUERIES)
+        exact = self._topk_sets(
+            similarity.brute_force_topk(corpus, queries, k=self.K)
+        )
+        seeded = self._recall(
+            self._topk_sets(
+                similarity.ivf_topk(corpus, queries, k=self.K, n_centroids=8, n_probe=3)
+            ),
+            exact,
+        )
+        refined = self._recall(
+            self._topk_sets(
+                similarity.ivf_topk(
+                    corpus, queries, k=self.K, n_centroids=8, n_probe=3, refine_iters=3
+                )
+            ),
+            exact,
+        )
+        print(f"ivf recall@{self.K}: seeded {seeded:.3f} -> kmeans {refined:.3f}")
+        assert refined >= 0.8 and refined >= seeded - 0.05
+
+    def test_kmeans_deterministic(self, corpus):
+        c1 = similarity.kmeans_centroids(corpus, n_centroids=8, n_iter=2)
+        c2 = similarity.kmeans_centroids(corpus.repartition(7), n_centroids=8, n_iter=2)
+        assert c1 == c2
+
     def test_neardup_lsh_recall(self, corpus):
         exact = {
             (r["id_a"], r["id_b"])
