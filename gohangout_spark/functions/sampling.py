@@ -46,3 +46,30 @@ def stratified_sample(
 def deterministic_sample(df: DataFrame, id_col: str, n: int, seed: int = 42) -> DataFrame:
     """Global deterministic pseudo-random sample of n rows (smallest-hash)."""
     return df.orderBy(_hash_key(id_col, seed), F.col(id_col)).limit(n)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    max_per_group: int,
+    order_by=None,
+    seed: int = 42,
+) -> DataFrame:
+    """Cap rows per group (training-data curation: bound any one domain /
+    source / site to ``max_per_group`` documents so it can't dominate the
+    mixture).
+
+    ``order_by`` (a Column, e.g. ``F.desc("quality")``) keeps the BEST rows
+    within each group; default keeps a deterministic hash-ordered draw —
+    both tie-break on ``id_col`` so the result is a pure function of the
+    data. One shuffle (hash-partition by group) + per-partition top-n; the
+    rank column is dropped, output schema == input schema.
+    """
+    order = [order_by] if order_by is not None else [_hash_key(id_col, seed)]
+    w = Window.partitionBy(group_col).orderBy(*order, F.col(id_col))
+    return (
+        df.withColumn("__cap_rank", F.row_number().over(w))
+        .where(F.col("__cap_rank") <= max_per_group)
+        .drop("__cap_rank")
+    )

@@ -1051,6 +1051,26 @@ def deterministic_sample_q(spark, sf_dir):
     return deterministic_sample(docs, "doc_id", 20).select("doc_id", "lang")
 
 
+@q(
+    "cap_per_source",
+    """SELECT doc_id, source, n_chars FROM (
+         SELECT doc_id, source, n_chars,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY n_chars DESC, doc_id) AS rn
+         FROM documents)
+       WHERE rn <= 8""",
+)
+def cap_per_source_q(spark, sf_dir):
+    """Bound any one source to 8 documents, keeping the longest — the
+    anti-domination cap every web-scale training mixture applies."""
+    from gohangout_spark.functions.sampling import cap_per_group
+
+    docs = _docs(spark, sf_dir)
+    return cap_per_group(
+        docs, "source", "doc_id", 8, order_by=F.desc("n_chars")
+    ).select("doc_id", "source", "n_chars")
+
+
 _PACK_MAX = 256
 _PACK_SHARDS = 8
 

@@ -324,6 +324,33 @@ class TestSampling:
         }
         assert seeded != {d for d, _ in s1}  # seed changes the draw
 
+    def test_cap_per_group(self, spark):
+        from gohangout_spark.functions.sampling import cap_per_group
+
+        rows = [
+            Row(doc_id=i, source=f"s{i % 4}", quality=float(i % 7)) for i in range(80)
+        ]
+        df = spark.createDataFrame(rows).repartition(5)
+        capped = cap_per_group(df, "source", "doc_id", 6, order_by=F.desc("quality"))
+        assert capped.columns == df.columns  # rank column dropped
+        per = {r["source"]: r["count"] for r in capped.groupBy("source").count().collect()}
+        assert all(c == 6 for c in per.values()) and len(per) == 4
+        # keeps the BEST rows: per group, min kept quality >= max dropped quality
+        kept_min = {
+            r["source"]: r["mn"]
+            for r in capped.groupBy("source").agg(F.min("quality").alias("mn")).collect()
+        }
+        dropped = df.join(capped.select("doc_id"), "doc_id", "left_anti")
+        drop_max = {
+            r["source"]: r["mx"]
+            for r in dropped.groupBy("source").agg(F.max("quality").alias("mx")).collect()
+        }
+        assert all(kept_min[s] >= drop_max[s] for s in drop_max)
+        # hash-order default is layout-stable
+        a = {r["doc_id"] for r in cap_per_group(df, "source", "doc_id", 3).collect()}
+        b = {r["doc_id"] for r in cap_per_group(df.coalesce(1), "source", "doc_id", 3).collect()}
+        assert a == b
+
     def test_deterministic_sample(self, spark):
         from gohangout_spark.functions.sampling import deterministic_sample
 
