@@ -24,6 +24,10 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q6",
     "tpch_q5",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
     "order_priority_semijoin",
     "segment_topk_rank",
     "grok_extract",

@@ -1019,6 +1019,269 @@ def tpch_q6(spark, sf_dir):
 
 
 @q(
+    "tpch_q7",
+    """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                    year(l_shipdate) AS l_year,
+                    l_extendedprice * (1 - l_discount) AS volume
+             FROM supplier, lineitem, orders, customer, nation n1, nation n2
+             WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+               AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+               AND c_nationkey = n2.n_nationkey
+               AND ((n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_6')
+                 OR (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_9'))
+               AND l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                                  AND TIMESTAMP '1997-12-31')
+       GROUP BY supp_nation, cust_nation, l_year""",
+)
+def tpch_q7(spark, sf_dir):
+    """Volume shipping between two nations. Scale shape: the two dimension
+    sides (supplier⋈nation, customer⋈nation) are nation-filtered FIRST and
+    broadcast; lineitem⋈orders stays a shuffle join of the two big facts."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["supplier", "lineitem", "orders", "customer", "nation"]}
+    nations = t["nation"].filter(F.col("n_name").isin("NATION_9", "NATION_6"))
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t["customer"]
+        .join(F.broadcast(nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t["lineitem"].filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    # supp (2 nations' suppliers) broadcasts like q5's supplier side; cust is
+    # 10% of customers — too big to broadcast at scale, stays a shuffle join
+    joined = (
+        li.join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return (
+        joined.withColumn("l_year", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@q(
+    "tpch_q10",
+    """SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+              AS revenue, c_acctbal, n_name
+       FROM customer, orders, lineitem, nation
+       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+         AND o_orderdate >= TIMESTAMP '1996-10-01'
+         AND o_orderdate < TIMESTAMP '1997-01-01'
+         AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+       GROUP BY c_custkey, c_name, c_acctbal, n_name
+       ORDER BY revenue DESC, c_custkey LIMIT 20""",
+)
+def tpch_q10(spark, sf_dir):
+    """Returned-item reporting, top 20 customers by lost revenue. Quarter
+    filter pushes to the orders scan, returnflag to the lineitem scan;
+    nation broadcasts; top-20 is TakeOrdered (no global sort)."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["customer", "orders", "lineitem", "nation"]}
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        joined.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "tpch_q13",
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+             GROUP BY c_custkey)
+       GROUP BY c_count""",
+)
+def tpch_q13(spark, sf_dir):
+    """Customer order-count distribution (q13 minus the o_comment NOT LIKE
+    filter — the reduced schema has no comment column). Two hash aggs; the
+    second one's input is only |customers| rows."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@q(
+    "tpch_q14",
+    """SELECT round(100.0 * promo / total, 3) AS promo_revenue
+       FROM (SELECT
+               sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                                  AS BIGINT) ELSE 0 END) AS promo,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                 AS total
+             FROM lineitem, part
+             WHERE l_partkey = p_partkey
+               AND l_shipdate >= TIMESTAMP '1996-09-01'
+               AND l_shipdate < TIMESTAMP '1996-10-01')""",
+)
+def tpch_q14(spark, sf_dir):
+    """Promotion revenue share. Sums are integer cents so the ratio is a
+    division of exact integers (float-summation order can't flip the
+    rounding). part joins broadcast; month filter pushes to the scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    # part is the biggest dimension — no forced broadcast; AQE picks
+    # broadcast at small SF and shuffle join when part outgrows the threshold
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))).alias(
+            "promo"
+        ),
+        F.sum(cents).alias("total"),
+    )
+    return agg.select(
+        F.round(100.0 * F.col("promo") / F.col("total"), 3).alias("promo_revenue")
+    )
+
+
+@q(
+    "tpch_q15",
+    """WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1996-04-01'
+         GROUP BY l_suppkey)
+       SELECT s_suppkey, s_name, total_revenue
+       FROM supplier, revenue
+       WHERE s_suppkey = supplier_no
+         AND total_revenue = (SELECT max(total_revenue) FROM revenue)""",
+)
+def tpch_q15(spark, sf_dir):
+    """Top supplier by quarter revenue. The max is a scalar broadcast
+    (cross-join of a 1-row agg), not a driver collect; revenue is rounded
+    BEFORE the max comparison so tie semantics match the oracle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_rev"))
+    supplier = load_table(spark, sf_dir, "supplier")
+    # broadcast the ~1-row winning side INTO supplier (broadcasting supplier
+    # itself would ship the whole dimension at scale)
+    winners = revenue.join(
+        F.broadcast(best), F.col("total_revenue") == F.col("best_rev")
+    )
+    return supplier.join(
+        F.broadcast(winners), F.col("s_suppkey") == F.col("supplier_no")
+    ).select("s_suppkey", "s_name", "total_revenue")
+
+
+@q(
+    "tpch_q17",
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey AND p_brand = 'Brand#23'
+         AND l_quantity < (SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+                           WHERE l2.l_partkey = p_partkey)""",
+)
+def tpch_q17(spark, sf_dir):
+    """Small-quantity-order revenue (q17 keyed on p_brand only — the reduced
+    schema has no p_container). The correlated avg decorrelates into a
+    per-part agg joined back; quantities are integer-valued doubles so the
+    0.2·avg threshold is exact in both engines."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    # branded already holds EVERY lineitem of each Brand#23 part, so the
+    # correlated per-part avg is a window over it — one shuffle keyed on
+    # partkey, no |parts|-sized aggregate to join (never broadcastable)
+    branded = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    small = branded.withColumn(
+        "qty_threshold", 0.2 * F.avg("l_quantity").over(w)
+    ).where(F.col("l_quantity") < F.col("qty_threshold"))
+    return small.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+@q(
+    "tpch_q18",
+    """SELECT c_custkey, c_name, o_orderkey, o_totalprice,
+              round(sum(l_quantity), 2) AS total_qty
+       FROM customer, orders, lineitem
+       WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                            GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+         AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+       GROUP BY c_custkey, c_name, o_orderkey, o_totalprice""",
+)
+def tpch_q18(spark, sf_dir):
+    """Large-volume customers. The HAVING subquery is a left-semi join on a
+    pre-aggregated key set (small), so the big lineitem⋈orders join only
+    sees qualifying orders."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 300)
+        .select(F.col("l_orderkey").alias("big_okey"))
+    )
+    orders_f = orders.join(
+        big_orders, F.col("o_orderkey") == F.col("big_okey"), "left_semi"
+    )
+    joined = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        cust, F.col("o_custkey") == F.col("c_custkey")
+    )
+    return joined.groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice").agg(
+        F.round(F.sum("l_quantity"), 2).alias("total_qty")
+    )
+
+
+@q(
     "stratified_sample",
     """SELECT doc_id, lang, sample_rank FROM (
          SELECT doc_id, lang,
