@@ -1,0 +1,120 @@
+"""Corpus-curation operators: decontamination, PII redaction, repetition
+scoring, deterministic mixture weighting.
+
+The four standard steps between a raw crawl and a training mixture that the
+reference's ETL-filter model (filter chains over event streams) doesn't
+cover. All are Spark-first:
+
+- decontaminate: benchmark snippets broadcast to the scan (a few thousand
+  strings), membership is a JVM ``exists``/``contains`` — no shuffle, no
+  Python. At 100 TB the corpus side streams; only the snippet list ships.
+- redact_pii: chained ``regexp_replace`` — pure codegen projection.
+- repetition_stats: explode→count→agg; two shuffles keyed on doc_id, both
+  combiner-reduced (counts), so shuffle volume is O(distinct words per doc).
+- weighted_mixture: per-source keep-probability via md5 HEX-PREFIX
+  comparison — uniform, layout-independent, and expressible identically in
+  any engine (string compare), so the draw itself is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# RE2-and-Java-compatible patterns (no backrefs/lookaround): these must run
+# unchanged in Spark, the DuckDB oracle, and any downstream engine
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}"
+
+PII_PATTERNS: list[tuple[str, str]] = [
+    (EMAIL_RE, "<EMAIL>"),
+    (IPV4_RE, "<IP>"),
+    (PHONE_RE, "<PHONE>"),
+]
+
+
+def redact_pii(col: Column, patterns: list[tuple[str, str]] | None = None) -> Column:
+    """Replace emails / IPv4s / phone numbers with typed placeholders."""
+    out = col
+    for pat, repl in patterns or PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def decontaminate(
+    docs: DataFrame,
+    snippets: list[str],
+    text_col: str = "text",
+    mark_col: str = "contaminated",
+) -> DataFrame:
+    """Mark documents containing any benchmark snippet verbatim.
+
+    ``snippets`` is the eval-benchmark text fragments (driver-side list —
+    benchmarks are small by nature); membership is
+    ``exists(snippets, s -> contains(text, s))`` evaluated scan-side.
+    Filter with ``~F.col(mark_col)`` to drop contaminated docs.
+    """
+    arr = F.array(*[F.lit(s) for s in snippets])
+    return docs.withColumn(
+        mark_col,
+        F.exists(arr, lambda s: F.col(text_col).contains(s)),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition: for each doc, the total word count, the
+    distinct word count, and the frequency of the most repeated word.
+    ``top_word_ratio`` near 1.0 ⇒ degenerate/boilerplate text (the
+    C4/Gopher-style repetition signal).
+
+    Shape: explode to (doc, word) → count per pair (combiner-reduced) →
+    one agg per doc. Shuffle rows are distinct (doc, word) pairs, not raw
+    tokens.
+    """
+    words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("word"),
+    )
+    per_word = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
+    return per_word.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("cnt").alias("top_word_count"),
+        F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_word_ratio"),
+    )
+
+
+def _hex_prefix_threshold(p: float, k: int = 4) -> str:
+    """Hex string t of length k such that P[substr(md5,1,k) < t] == p
+    (granularity 16^-k)."""
+    if not 0.0 <= p <= 1.0:
+        raise ValueError(f"keep probability out of range: {p}")
+    return format(min(int(p * 16**k), 16**k - 1), f"0{k}x") if p < 1.0 else "g" * k
+
+
+def weighted_mixture(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Deterministic mixture weighting: keep each row with its source's
+    probability, decided by comparing an md5 hex prefix of (id, seed)
+    against the per-source threshold. A pure function of the data — the
+    same mixture on any cluster layout or retry, and the thresholds are
+    plain string compares any engine reproduces bit-for-bit.
+    """
+    h = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"-{seed}"))), 1, 4
+    )
+    thr = F.lit(_hex_prefix_threshold(default_weight))
+    for src, p in sorted(weights.items()):
+        thr = F.when(F.col(source_col) == src, F.lit(_hex_prefix_threshold(p))).otherwise(thr)
+    return df.where(h < thr)

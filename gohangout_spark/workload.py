@@ -1282,6 +1282,105 @@ def tpch_q18(spark, sf_dir):
 
 
 @q(
+    "decontaminate_docs",
+    """SELECT d.doc_id,
+              EXISTS(SELECT 1 FROM (SELECT substring(text, 21, 40) AS snip
+                                    FROM documents WHERE doc_id % 37 = 0) b
+                     WHERE contains(d.text, b.snip)) AS contaminated
+       FROM documents d""",
+)
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination: mark docs containing any eval-set snippet.
+    The snippet set (docs ≡ 0 mod 37, chars 21-60) is aggregated to a 1-row
+    array and broadcast — the corpus streams scan-side through an
+    ``exists``/``contains``, no collect during plan construction and no
+    shuffle of the big side."""
+    docs = _docs(spark, sf_dir)
+    snips = (
+        docs.where(F.col("doc_id") % 37 == 0)
+        .select(F.substring("text", 21, 40).alias("snip"))
+        .agg(F.collect_list("snip").alias("snips"))
+    )
+    return docs.crossJoin(F.broadcast(snips)).select(
+        "doc_id",
+        F.exists(F.col("snips"), lambda s: F.col("text").contains(s)).alias(
+            "contaminated"
+        ),
+    )
+
+
+@q(
+    "redact_pii",
+    r"""SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(
+          text || ' contact u' || doc_id || '@ex.com from 10.0.'
+               || (doc_id % 256) || '.7 call +1 555 012 3456',
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+          '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ][0-9]{3,4}', '<PHONE>', 'g')
+          AS clean
+        FROM documents""",
+)
+def redact_pii_q(spark, sf_dir):
+    """PII redaction. The synthetic corpus has no PII, so the query injects
+    a deterministic email/IP/phone per doc first — the regexes (RE2- and
+    Java-compatible by construction) are exercised for real in BOTH
+    engines, not vacuously green."""
+    from gohangout_spark.functions.curation import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    injected = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call +1 555 012 3456"),
+    )
+    return docs.select("doc_id", redact_pii(injected).alias("clean"))
+
+
+@q(
+    "repetition_stats",
+    r"""WITH words AS (SELECT doc_id,
+                              unnest(string_split_regex(lower(text), '\s+')) AS word
+                       FROM documents),
+            pw AS (SELECT doc_id, word, count(*) AS cnt FROM words
+                   WHERE word <> '' GROUP BY doc_id, word)
+       SELECT doc_id, sum(cnt) AS n_words, count(*) AS n_distinct_words,
+              max(cnt) AS top_word_count,
+              round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS top_word_ratio
+       FROM pw GROUP BY doc_id""",
+)
+def repetition_stats_q(spark, sf_dir):
+    from gohangout_spark.functions.curation import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+@q(
+    "weighted_mixture",
+    """SELECT doc_id, source FROM documents
+       WHERE substring(md5(doc_id::VARCHAR || '-42'), 1, 4) <
+         CASE source WHEN 'src0' THEN 'gggg' WHEN 'src1' THEN '8000'
+                     WHEN 'src2' THEN '4000' WHEN 'src3' THEN '1999'
+                     ELSE '0ccc' END""",
+)
+def weighted_mixture_q(spark, sf_dir):
+    """Deterministic mixture weighting: per-source keep probability decided
+    by an md5 hex-prefix compare — replayable on any layout, and the draw
+    itself (not just the rate) is oracle-checked string-for-string."""
+    from gohangout_spark.functions.curation import weighted_mixture
+
+    docs = _docs(spark, sf_dir)
+    return weighted_mixture(
+        docs,
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1},
+        default_weight=0.05,
+    ).select("doc_id", "source")
+
+
+@q(
     "stratified_sample",
     """SELECT doc_id, lang, sample_rank FROM (
          SELECT doc_id, lang,

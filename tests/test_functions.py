@@ -360,6 +360,71 @@ class TestSampling:
         assert a == b and len(a) == 10
 
 
+class TestCuration:
+    def test_redact_pii(self, spark):
+        from gohangout_spark.functions import curation
+
+        df = spark.createDataFrame(
+            [
+                Row(s="mail bob.smith+x@corp.example.org now"),
+                Row(s="server at 192.168.001.27 port 80"),
+                Row(s="call +44 020 7946 0958 today"),
+                Row(s="clean text stays clean"),
+            ]
+        )
+        out = [r["c"] for r in df.select(curation.redact_pii(F.col("s")).alias("c")).collect()]
+        assert out == [
+            "mail <EMAIL> now",
+            "server at <IP> port 80",
+            "call <PHONE> today",
+            "clean text stays clean",
+        ]
+
+    def test_decontaminate(self, spark):
+        from gohangout_spark.functions import curation
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="the quick brown fox jumps"),
+                Row(doc_id=2, text="a totally innocent document"),
+                Row(doc_id=3, text="contains quick brown fox inside"),
+            ]
+        )
+        out = {
+            r["doc_id"]: r["contaminated"]
+            for r in curation.decontaminate(df, ["quick brown fox", "zzz"]).collect()
+        }
+        assert out == {1: True, 2: False, 3: True}
+
+    def test_repetition_stats(self, spark):
+        from gohangout_spark.functions import curation
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="spam spam spam spam eggs"),
+                Row(doc_id=2, text="all words here are unique"),
+            ]
+        )
+        out = {r["doc_id"]: r for r in curation.repetition_stats(df).collect()}
+        assert out[1]["n_words"] == 5 and out[1]["top_word_count"] == 4
+        assert out[1]["top_word_ratio"] == 0.8
+        assert out[2]["n_distinct_words"] == 5 and out[2]["top_word_ratio"] == 0.2
+
+    def test_weighted_mixture(self, spark):
+        from gohangout_spark.functions import curation
+
+        rows = [Row(doc_id=i, source=f"s{i % 2}") for i in range(2000)]
+        df = spark.createDataFrame(rows)
+        kept = curation.weighted_mixture(df, {"s0": 1.0, "s1": 0.25}).collect()
+        per = {}
+        for r in kept:
+            per[r["source"]] = per.get(r["source"], 0) + 1
+        assert per["s0"] == 1000  # p=1.0 keeps everything
+        assert 180 <= per["s1"] <= 320  # p=0.25 of 1000, binomial slack
+        again = curation.weighted_mixture(df.repartition(7), {"s0": 1.0, "s1": 0.25})
+        assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in kept}
+
+
 class TestMultimodal:
     def test_feature_extract_deterministic(self, spark):
         media = multimodal.make_fake_media_table(spark, n=8)
