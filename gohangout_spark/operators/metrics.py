@@ -60,10 +60,13 @@ class LinkMetric(Filter):
         self.accumulate_mode = accumulate_mode
         self.drop_original_event = drop_original_event
         self.reduce = reduce
-        # windowOffset delays emission by N windows in the reference
-        # (link_metric.go windowOffset); with event-time processing the
-        # watermark already withholds a window until reserveWindow passes, so
-        # the knob is accepted for config parity and otherwise a no-op.
+        # windowOffset delays a window's emission until N further windows
+        # have elapsed (link_metric.go:164: emit only k <= now_floor -
+        # batchWindow*windowOffset). Event-time translation: widen the
+        # watermark delay to batch_window*window_offset (floored at
+        # reserve_window, which still governs state retention) — in append
+        # mode the window then finalizes only after offset windows' worth
+        # of event time has passed its end.
         self.window_offset = int(window_offset)
         # strict_cumulative routes streaming runs through the
         # applyInPandasWithState op (exact per-tick re-emission + explicit
@@ -90,7 +93,8 @@ class LinkMetric(Filter):
             cond = cond & field_col(fname, df).isNotNull()
         src = df.filter(cond)
         if streaming:
-            src = src.withWatermark(self.ts_field, f"{self.reserve_window} seconds")
+            delay = max(self.reserve_window, self.batch_window * self.window_offset)
+            src = src.withWatermark(self.ts_field, f"{delay} seconds")
         win = F.window(ts, f"{self.batch_window} seconds")
         grouped = src.groupBy(win.alias("window"), *[F.col(f"`{f}`") for f in gf])
         out = grouped.agg(*self._aggs(df))

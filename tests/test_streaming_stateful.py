@@ -140,6 +140,52 @@ outputs:
     assert counts == [25, 40], p.sinks[0].rows
 
 
+def test_window_offset_delays_emission(spark, tmp_path):
+    """windowOffset: 2 (link_metric.go:164) — a window that WOULD finalize
+    under the plain reserveWindow watermark is withheld until two further
+    windows of event time pass its end."""
+    from gohangout_spark.pipeline import Pipeline
+    from gohangout_spark.sinks import MemorySink
+
+    def run(offset):
+        src = str(tmp_path / f"wo{offset}_src")
+        _write_chunk(spark, src, 0, 20, "g")    # window [0, 100)
+        _write_chunk(spark, src, 250, 3, "g")   # event time 250
+        yml = f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+    options: {{maxFilesPerTrigger: "1"}}
+filters:
+- LinkMetric:
+    fieldsLink: name
+    timestamp: ts
+    batchWindow: 100
+    reserveWindow: 100
+    accumulateMode: separate
+    windowOffset: {offset}
+    drop_original_event: true
+timestamp_field: ts
+outputs:
+- Stdout: {{}}
+"""
+        p = Pipeline.from_config(yml, is_text=True, sink_overrides={"Stdout": MemorySink})
+        queries = p.run_streaming(spark, checkpoint=str(tmp_path / f"wo{offset}_ck"))
+        try:
+            for q in queries:
+                q.processAllAvailable()
+        finally:
+            for q in queries:
+                q.stop()
+        return [(r["window_start"], r["count"]) for r in p.sinks[0].rows]
+
+    # watermark 250-100=150 > 100 finalizes the first window without offset...
+    assert any(c == 20 for _, c in run(0))
+    # ...but offset 2 widens the delay to 200s: watermark 50 < 100, withheld
+    assert not any(c == 20 for _, c in run(2))
+
+
 def test_separate_mode_append_finalizes_on_watermark(spark, tmp_path):
     """accumulateMode: separate ≈ append mode — a window is emitted ONCE,
     when the advancing watermark passes its end (reserveWindow expiry rule,
