@@ -556,11 +556,35 @@ class ClickHouseSink(Sink):
 
     def write_batch(self, df: DataFrame) -> None:
         out = self.projection(df)
+        hosts = self.conf.get("hosts")
+        if hosts:
+            # HTTP INSERT ... FORMAT JSONEachRow through the shared bulk
+            # engine — the jar-free path (same interface desc_table uses).
+            # best_effort lets the server parse Spark's ISO8601 timestamps.
+            from urllib.parse import quote
+
+            q = quote(f"INSERT INTO {self.conf['table']} FORMAT JSONEachRow")
+            endpoint = f"/?query={q}&date_time_input_format=best_effort"
+            lines = out.select(F.to_json(F.struct(*out.columns)).alias("line"))
+            bulk_send_lines(
+                lines,
+                hosts,
+                self.transport,
+                endpoint,
+                success=lambda status, body: status == 200,
+                bulk_actions=int(self.conf.get("bulk_actions", 5000)),
+                bulk_size=int(self.conf.get("bulk_size", 15 * 1024 * 1024)),
+                flush_interval=float(self.conf.get("flush_interval", 30.0)),
+                retries=int(self.conf.get("retry", 3)),
+                compress=bool(self.conf.get("compress", True)),
+            )
+            return
         url = self.conf.get("jdbc_url")
         if not url:
             raise NotImplementedError(
                 "ClickHouse JDBC driver not bundled; use .projection(df) in a "
-                "custom foreachBatch or provide jdbc_url with a driver jar"
+                "custom foreachBatch, provide hosts for the HTTP JSONEachRow "
+                "path, or jdbc_url with a driver jar"
             )
         (
             out.write.format("jdbc")

@@ -298,11 +298,69 @@ class TestClickHouse:
         bad = byid[3.5]
         assert bad["a"] == 0  # failed cast -> non-nullable default
 
-    def test_write_without_jdbc_raises(self, spark):
+    def test_write_without_jdbc_or_hosts_raises(self, spark):
         df = spark.createDataFrame([Row(a=1)])
         sink = ClickHouseSink({"table": "t"}, table_schema={"a": "Int64"})
         with pytest.raises(NotImplementedError):
             sink.write_batch(df)
+
+    def test_http_jsoneachrow_write(self, spark, tmp_path):
+        """Jar-free write path: coerced rows go as NDJSON to
+        /?query=INSERT INTO t FORMAT JSONEachRow via the shared bulk
+        engine; 200 = success."""
+        import json
+        import os
+
+        cap = str(tmp_path / "ch")
+        os.makedirs(cap, exist_ok=True)
+
+        def transport(url, payload, _cap=cap):
+            import os
+            import uuid
+
+            with open(os.path.join(_cap, uuid.uuid4().hex), "w") as f:
+                f.write(url + "\n" + payload.decode())
+            return 200, ""
+
+        df = spark.createDataFrame([Row(a="12", b=1.5), Row(a="7", b=None)])
+        sink = ClickHouseSink(
+            {"table": "t", "hosts": ["http://ch:8123"], "compress": False},
+            table_schema={"a": "Int64", "b": "Float64"},
+            transport=transport,
+        )
+        sink.write_batch(df.coalesce(1))
+        files = os.listdir(cap)
+        assert len(files) == 1
+        url, body = open(os.path.join(cap, files[0])).read().split("\n", 1)
+        assert url.startswith("http://ch:8123/?query=INSERT%20INTO%20t%20FORMAT%20JSONEachRow")
+        assert "date_time_input_format=best_effort" in url
+        got = sorted(
+            (json.loads(l) for l in body.strip().split("\n")), key=lambda d: d["a"]
+        )
+        assert got == [{"a": 7, "b": 0.0}, {"a": 12, "b": 1.5}]
+
+    def test_http_write_retries_on_5xx(self, spark, tmp_path):
+        import os
+
+        cap = str(tmp_path / "chr")
+        os.makedirs(cap, exist_ok=True)
+
+        def transport(url, payload, _cap=cap):
+            import os
+            import uuid
+
+            n = len(os.listdir(_cap))
+            open(os.path.join(_cap, uuid.uuid4().hex), "w").write(str(n))
+            return (500, "boom") if n == 0 else (200, "")
+
+        df = spark.createDataFrame([Row(a="1")])
+        sink = ClickHouseSink(
+            {"table": "t", "hosts": ["http://ch:8123"], "compress": False},
+            table_schema={"a": "Int64"},
+            transport=transport,
+        )
+        sink.write_batch(df.coalesce(1))
+        assert len(os.listdir(cap)) == 2  # one failure, one success
 
     # recorded DESC TABLE response (ClickHouse HTTP interface, FORMAT JSON) —
     # covers plain types, Nullable, LowCardinality, Enum8, Array, and a
