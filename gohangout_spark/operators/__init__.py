@@ -23,6 +23,7 @@ from gohangout_spark.operators.metrics import LinkMetric, LinkStatsMetric
 from gohangout_spark.operators.textops import (
     Fingerprint,
     LanguageId,
+    RedactPii,
     SimHash,
     TextQuality,
     TokenCount,
@@ -54,6 +55,7 @@ FILTER_REGISTRY = {
     "TokenCount": TokenCount,
     "Fingerprint": Fingerprint,
     "SimHash": SimHash,
+    "RedactPii": RedactPii,
 }
 
 __all__ = ["Chain", "Filter", "FilterBox", "FilterEffect", "FILTER_REGISTRY"] + list(

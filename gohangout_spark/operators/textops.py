@@ -76,3 +76,19 @@ class SimHash(_TextOp):
         from gohangout_spark.functions.dedup import simhash_column
 
         return simhash_column(col)
+
+
+class RedactPii(_TextOp):
+    """Scrub emails/IPv4s/phones in place (``target`` defaults to ``src`` —
+    redaction replaces the field, matching how a log pipeline uses it)."""
+
+    default_target = None
+
+    def __init__(self, src: str = "message", target: str | None = None):
+        self.src = src
+        self.target = target or src
+
+    def expr(self, col):
+        from gohangout_spark.functions.curation import redact_pii
+
+        return redact_pii(col)

@@ -348,3 +348,22 @@ outputs:
     assert r["n_tokens"] > 0 and 0 <= r["quality"] <= 1
     assert r["lang_pred"] != "unknown" and len(r["fp"]) == 32
     assert isinstance(r["simhash"], int)
+
+
+def test_redact_pii_filter(spark):
+    """PII scrubbing as a YAML filter — in-place on the message field."""
+    yml = """
+inputs:
+- Random: {max_messages: 3}
+filters:
+- Add:
+    fields: {message: "user bob@x.io from 10.1.2.3"}
+    overwrite: true
+- RedactPii: {src: message}
+outputs:
+- Stdout: {}
+"""
+    sinks = run_yaml(spark, yml)
+    assert all(
+        r["message"] == "user <EMAIL> from <IP>" for r in sinks[0].rows
+    ) and sinks[0].rows

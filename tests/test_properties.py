@@ -104,3 +104,66 @@ class TestDateLayoutProperties:
             if "15" not in layout:  # date-only layout truncates to midnight
                 expect = expect.replace(hour=0, minute=0, second=0)
             assert r["rt"] == expect, (layout, java, r["t"])
+
+
+class TestCurationProperties:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        p_lo=st.floats(min_value=0.05, max_value=0.45),
+        p_hi=st.floats(min_value=0.55, max_value=0.95),
+        seed=st.integers(min_value=0, max_value=100),
+    )
+    def test_mixture_monotone_in_weight(self, spark, p_lo, p_hi, seed):
+        """Raising a source's keep-probability only ADDS rows (the hex-prefix
+        draw nests: hash < t_lo implies hash < t_hi) — reweighting a mixture
+        never churns the already-kept subset."""
+        from gohangout_spark.functions.curation import weighted_mixture
+
+        df = spark.createDataFrame([Row(doc_id=i, source="s") for i in range(400)])
+        lo = {r["doc_id"] for r in weighted_mixture(df, {"s": p_lo}, seed=seed).collect()}
+        hi = {r["doc_id"] for r in weighted_mixture(df, {"s": p_hi}, seed=seed).collect()}
+        assert lo <= hi
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        texts=st.lists(
+            st.text(
+                alphabet=st.characters(whitelist_categories=("Ll", "Nd"), whitelist_characters=" .@+-"),
+                max_size=60,
+            ),
+            min_size=1,
+            max_size=8,
+        )
+    )
+    def test_redact_idempotent(self, spark, texts):
+        """Redacting already-redacted text is a no-op (placeholders never
+        re-match any PII pattern)."""
+        from gohangout_spark.functions.curation import redact_pii
+
+        df = spark.createDataFrame([(t,) for t in texts], "s string")
+        once = df.select(redact_pii(F.col("s")).alias("c"))
+        twice = once.select(redact_pii(F.col("c")).alias("c"))
+        assert [r["c"] for r in once.collect()] == [r["c"] for r in twice.collect()]
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        n_small=st.integers(min_value=1, max_value=4),
+        n_big=st.integers(min_value=5, max_value=12),
+    )
+    def test_cap_nests(self, spark, n_small, n_big):
+        """cap(n_small) ⊆ cap(n_big), and capping at n_big then n_small
+        equals capping at n_small directly (prefix property of the ranked
+        order)."""
+        from gohangout_spark.functions.sampling import cap_per_group
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, source=f"s{i % 3}") for i in range(60)]
+        )
+        small = {r["doc_id"] for r in cap_per_group(df, "source", "doc_id", n_small).collect()}
+        big_df = cap_per_group(df, "source", "doc_id", n_big)
+        big = {r["doc_id"] for r in big_df.collect()}
+        nested = {
+            r["doc_id"]
+            for r in cap_per_group(big_df, "source", "doc_id", n_small).collect()
+        }
+        assert small <= big and nested == small
