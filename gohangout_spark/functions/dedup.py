@@ -304,6 +304,14 @@ def simhash_neardup_candidates(
         n_bands = hamming_threshold + 1
     if not 2 <= n_bands <= 64:
         raise ValueError("n_bands must be in [2, 64]")
+    if n_bands < hamming_threshold + 1:
+        # pigeonhole needs threshold+1 bands: at distance d, d flips can
+        # touch d distinct bands, so only d+1 bands guarantee one agrees.
+        # Fewer bands would silently DROP true near-duplicates.
+        raise ValueError(
+            f"n_bands={n_bands} cannot guarantee recall at "
+            f"hamming_threshold={hamming_threshold}; need >= threshold+1"
+        )
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     sigs = (
         df.repartition(parallelism, F.col(id_col))
@@ -337,10 +345,16 @@ def simhash_neardup_candidates(
         .dropDuplicates(["id_a", "id_b"])
     )
     ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        pairs.select("id_a", "id_b", ham.alias("hamming"))
-        .where(F.col("hamming") <= hamming_threshold)
+    result = pairs.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= hamming_threshold
     )
+    # materialize the (small) pair set eagerly so the corpus-sized signature
+    # cache can be released NOW instead of leaking for the session lifetime
+    # (same pattern as cluster_duplicates' per-iteration localCheckpoint)
+    try:
+        return result.localCheckpoint()
+    finally:
+        sigs.unpersist()
 
 
 def cluster_duplicates(pairs: DataFrame, max_iter: int = 10) -> DataFrame:

@@ -42,7 +42,7 @@ class FilterEffect:
     # apply assignments even on per-row FAILURE (success only drives
     # failTag/add/remove) — KV semantics: a partially-malformed token list
     # returns false but the parseable pairs are still written (kv.go:93-111)
-    assign_on_failure: bool = False
+    assign_on_failure: bool | Column = False
     # per-path override of the not-applied branch — needed when the filter
     # changes the column TYPE (e.g. Convert): rows skipped by the if-guard
     # cannot keep the old type in a fixed-schema column, so the filter
@@ -119,7 +119,15 @@ class FilterBox:
         # ---- stage 1: the filter's own mutations (Filter(event)) ----------
         # one projection over the INPUT df (success/conditions see
         # pre-transform values); guard markers ride along for stage 2
-        assign_eff = F.coalesce(cond, F.lit(False)) if effect.assign_on_failure else eff
+        # assign_on_failure True applies assignments to every cond-passing
+        # row even when success=false; a Column value narrows that to rows
+        # matching the mask (KV: a NULL src writes nothing, kv.go:93)
+        if isinstance(effect.assign_on_failure, Column):
+            assign_eff = F.coalesce(cond & effect.assign_on_failure, F.lit(False))
+        elif effect.assign_on_failure:
+            assign_eff = F.coalesce(cond, F.lit(False))
+        else:
+            assign_eff = eff
         out = self._project(
             df, effect.assignments, effect.otherwise, assign_eff,
             extra={self._EFF: eff, self._FAILED: failed},

@@ -80,7 +80,9 @@ class KV(Filter):
             lambda t: t.contains(self.value_split),
         )
         eff.success = F.coalesce(src.isNotNull() & tokens_ok, F.lit(False))
-        eff.assign_on_failure = True
+        # partially-malformed input still writes its parseable pairs, but a
+        # MISSING src writes nothing (kv.go:93 returns before any set)
+        eff.assign_on_failure = src.isNotNull()
         return eff
 
 

@@ -68,14 +68,27 @@ class Translate(Filter):
         self._next_refresh = now + self.refresh_interval
         return True
 
+    def _value_type(self) -> str | None:
+        """Common Spark type of the dict values, or None → stringify.
+        BOTH lookup paths use this, so the target column's type never
+        depends on whether the dict crossed the broadcast threshold."""
+        kinds = {type(v) for v in self.dictionary.values()}
+        for py, spark_t in ((bool, "boolean"), (int, "long"), (float, "double"), (str, "string")):
+            if kinds == {py}:
+                return spark_t
+        return None
+
     # Small dict: in-plan literal map.
     def build(self, df: DataFrame) -> FilterEffect:
         if len(self.dictionary) > _LITERAL_MAP_MAX:
             raise RuntimeError("large dict handled by apply_plan")
+        vt = self._value_type()
         entries = []
         for k, v in self.dictionary.items():
             entries.append(F.lit(str(k)))
-            entries.append(F.lit(v))
+            # cast to the shared type so e.g. int values are bigint here
+            # exactly as the broadcast path's typed schema makes them
+            entries.append(F.lit(str(v)) if vt is None else F.lit(v).cast(vt))
         m = F.create_map(*entries)
         looked_up = F.element_at(m, field_col(self.source, df).cast("string"))
         eff = FilterEffect()
@@ -97,9 +110,13 @@ class Translate(Filter):
         from gohangout_spark.expr.conditions import compile_conditions
 
         spark = df.sparkSession
+        vt = self._value_type()
         dict_df = spark.createDataFrame(
-            [(str(k), str(v)) for k, v in self.dictionary.items()],
-            schema="__translate_key string, __translate_val string",
+            [
+                (str(k), str(v) if vt is None else v)
+                for k, v in self.dictionary.items()
+            ],
+            schema=f"__translate_key string, __translate_val {vt or 'string'}",
         )
         src = field_col(self.source, df).cast("string")
         joined = df.join(

@@ -159,6 +159,21 @@ class Pipeline:
                 "RocksDBStateStoreProvider",
             )
         refreshables = self._refreshable_translates()
+        if refreshables:
+            # the refresh path re-applies the chain per micro-batch, where a
+            # windowed metric would see a non-streaming frame: no watermark,
+            # no cross-batch state — partial windows re-emitted every batch.
+            # Refuse loudly instead of corrupting the metric stream.
+            from gohangout_spark.operators.metrics import LinkMetric
+
+            if any(isinstance(b.filter, LinkMetric) for b in self.chain.boxes):
+                raise ValueError(
+                    "Translate refresh_interval cannot be combined with "
+                    "LinkMetric/LinkStatsMetric in one streaming pipeline: "
+                    "the dict-refresh path recompiles the chain per "
+                    "micro-batch, which would reset windowed-metric state. "
+                    "Split into two pipelines, or drop refresh_interval."
+                )
         queries = []
         for i, source in enumerate(self.sources):
             sinks = self.sinks

@@ -323,21 +323,35 @@ def bulk_send_lines(
     retries: int = 3,
     no_host_wait: float = 30.0,
     compress: bool = True,
+    host_ok=None,
 ) -> None:
     """The shared HTTP bulk engine (output/bulk_http.go:73-312) as a
     partition-wise sender: flush on action count / buffered bytes / elapsed
     interval; weighted-RR host selection with decay/recovery
     (RRHostSelector); bounded retries. Used by the ES and InfluxDB sinks —
-    the same code path the reference shares between them."""
+    the same code path the reference shares between them.
+
+    The interval trigger runs on a ticker thread (the reference's ticker
+    goroutine, bulk_http.go:92-101) so a stalled upstream iterator cannot
+    hold buffered docs past ``flush_interval``. ``host_ok(status, body)``
+    separates HOST health from DOCUMENT outcomes: only a transport/HTTP
+    failure decays the host weight (HostSelector.ReduceWeight is called on
+    request failure only); a 2xx whose body reports per-doc errors
+    (ES ``"errors":true``) retries WITHOUT punishing the healthy host.
+    Default: any 2xx counts as a healthy host."""
+    if host_ok is None:
+        host_ok = lambda status, body: 200 <= status < 300
 
     def send_partition(it):
+        import threading
         import time as _time
 
         selector = RRHostSelector(hosts)
         buf: list[str] = []
         state = {"bytes": 0, "first_ts": None}
+        lock = threading.Lock()
 
-        def flush():
+        def flush_locked():
             if not buf:
                 return
             payload = ("\n".join(buf) + "\n").encode()
@@ -362,24 +376,43 @@ def bulk_send_lines(
                     state["bytes"] = 0
                     state["first_ts"] = None
                     return
-                selector.reduce_weight()
+                if host_ok(status, body):
+                    # doc-level failure on a healthy host: retry, no decay
+                    selector.add_weight()
+                else:
+                    selector.reduce_weight()
                 last = (status, body[:500])
             raise RuntimeError(f"bulk failed after {retries + 1} tries: {last}")
 
-        for row in it:
-            if row["line"] is None:
-                continue
-            buf.append(row["line"])
-            state["bytes"] += len(row["line"]) + 1
-            if state["first_ts"] is None:
-                state["first_ts"] = _time.monotonic()
-            if (
-                len(buf) >= bulk_actions
-                or state["bytes"] >= bulk_size
-                or _time.monotonic() - state["first_ts"] >= flush_interval
-            ):
-                flush()
-        flush()
+        stop = threading.Event()
+
+        def ticker():
+            while not stop.wait(min(flush_interval, 1.0)):
+                with lock:
+                    if (
+                        state["first_ts"] is not None
+                        and _time.monotonic() - state["first_ts"] >= flush_interval
+                    ):
+                        flush_locked()
+
+        t = threading.Thread(target=ticker, daemon=True)
+        t.start()
+        try:
+            for row in it:
+                if row["line"] is None:
+                    continue
+                with lock:
+                    buf.append(row["line"])
+                    state["bytes"] += len(row["line"]) + 1
+                    if state["first_ts"] is None:
+                        state["first_ts"] = _time.monotonic()
+                    if len(buf) >= bulk_actions or state["bytes"] >= bulk_size:
+                        flush_locked()
+            with lock:
+                flush_locked()
+        finally:
+            stop.set()
+            t.join(2.0)
 
     lines.foreachPartition(send_partition)
 
@@ -388,7 +421,8 @@ def _urllib_transport(url: str, payload: bytes):
     import urllib.request
 
     headers = {"Content-Type": "application/x-ndjson"}
-    if payload[:2] == b"\x1f\x8b":  # gzip magic
+    # payload None = GET-style probe (ES /_nodes sniff, ClickHouse DESC)
+    if payload and payload[:2] == b"\x1f\x8b":  # gzip magic
         headers["Content-Encoding"] = "gzip"
     req = urllib.request.Request(url, data=payload, headers=headers)
     try:
@@ -485,16 +519,28 @@ class ClickHouseSink(Sink):
                 )
             has_default = dtype == "DEFAULT"
             t = d["type"]
+
+            def literal(parse, fallback):
+                # only LITERAL default expressions are honored; a server-side
+                # expression ('now()', '1 + 2') cannot be evaluated here →
+                # type default, never a construction-time crash
+                if not has_default:
+                    return fallback
+                try:
+                    return parse(expr)
+                except (TypeError, ValueError):
+                    return fallback
+
             if t in ("String", "LowCardinality(String)"):
                 out[name] = expr.strip("'") if has_default else ""
             elif t.startswith(("Date", "DateTime")):
-                out[name] = "1970-01-01 00:00:00"
+                out[name] = literal(_ch_datetime_literal, "1970-01-01 00:00:00")
             elif t.startswith("Nullable("):
                 out[name] = None
             elif t.startswith(("Int", "UInt")):
-                out[name] = int(expr) if has_default else 0
+                out[name] = literal(int, 0)
             elif t.startswith("Float"):
-                out[name] = float(expr) if has_default else 0.0
+                out[name] = literal(float, 0.0)
             elif t == "IPv4":
                 out[name] = "0.0.0.0"
             elif t == "IPv6":
@@ -594,6 +640,14 @@ class ClickHouseSink(Sink):
             .mode("append")
             .save()
         )
+
+
+def _ch_datetime_literal(expr: str) -> str:
+    """'2020-01-01 00:00:00' (quoted literal) passes; 'now()' raises."""
+    s = expr.strip("'")
+    if not s[:4].isdigit():
+        raise ValueError(f"not a datetime literal: {expr}")
+    return s
 
 
 def _ch_default(spark_type: str):

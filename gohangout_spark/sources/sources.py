@@ -207,11 +207,13 @@ class UDPSource(Source):
         if not isinstance(ml, int) or ml <= 0:
             raise ValueError("max_length must be bigger than zero")
         self.max_length = ml
+        import os
         import tempfile
 
         self.spool_dir = self.conf.get("spool_dir") or tempfile.mkdtemp(
             prefix="gohangout_udp_"
         )
+        os.makedirs(self.spool_dir, exist_ok=True)
         self._sock = None
         self._thread = None
         self._stop = False
@@ -288,9 +290,15 @@ class UDPSource(Source):
         return out.drop("__udp_addr")
 
     def batch(self, spark):
+        # a pipeline-built source must receive without an explicit
+        # start_listener() call — bind lazily and idempotently here
+        if self._thread is None:
+            self.start_listener()
         return self._frame(spark.read.text(self.spool_dir))
 
     def stream(self, spark):
+        if self._thread is None:
+            self.start_listener()
         return self._frame(spark.readStream.format("text").load(self.spool_dir))
 
 

@@ -408,6 +408,20 @@ class TestReviewFixes:
         assert got["part"]["a"] == "1" and got["part"]["b"] == "2"
         assert got["part"]["tags"] == ["kvfail"]
 
+    def test_kv_null_src_keeps_existing_fields(self, spark):
+        """kv.go:93: a missing src returns (event, false) WITHOUT touching
+        fields — a pre-existing column must not be overwritten with null."""
+        df = spark.createDataFrame(
+            [Row(name="miss", kvs=None, a="keep"), Row(name="hit", kvs="a=1", a="old")]
+        )
+        box = FilterBox(
+            KV(src="kvs", field_split="&", value_split="=", include=["a"]),
+            fail_tag="kvfail",
+        )
+        got = rows_by_name(box.apply(df))
+        assert got["miss"]["a"] == "keep" and got["miss"]["tags"] == ["kvfail"]
+        assert got["hit"]["a"] == "1"
+
     def test_split_dynamic_sep_respects_maxsplit(self, spark):
         """split_filter.go:106 uses SplitN on the dynamic path too: with
         maxSplit == len(fields) the last field keeps the unsplit remainder."""
@@ -507,6 +521,23 @@ class TestReviewFixes:
         assert as_dicts["miss"]["tags"] == ["prior", "nodict"]
         assert as_dicts["miss"]["marked"] is None
         assert as_dicts["miss2"]["tags"] == ["nodict"]
+
+    def test_translate_typed_values_same_on_both_paths(self, spark, monkeypatch):
+        """An int-valued dict yields a LONG target on the literal path — the
+        broadcast path must match, not silently stringify."""
+        import gohangout_spark.operators.translate as tmod
+
+        df = spark.createDataFrame([Row(name="r", k="a")])
+
+        def run():
+            box = FilterBox(Translate(source="k", target="n", dictionary={"a": 7}))
+            out = box.apply(df)
+            return dict(out.dtypes)["n"], rows_by_name(out)["r"]["n"]
+
+        lit_type, lit_val = run()
+        monkeypatch.setattr(tmod, "_LITERAL_MAP_MAX", 0)
+        b_type, b_val = run()
+        assert (lit_type, lit_val) == ("bigint", 7) == (b_type, b_val)
 
     def test_translate_bigdict_string_tags_upgrade(self, spark, monkeypatch):
         import gohangout_spark.operators.translate as tmod

@@ -195,6 +195,37 @@ class TestBulkTriggers:
         assert len(bad) <= 2  # decayed quickly, not retried per flush
 
 
+    def test_doc_errors_do_not_decay_host(self, df, tmp_path):
+        """HTTP 200 + "errors":true is a DOCUMENT problem: the engine
+        retries but must not punish the healthy host (bulk_http.go
+        ReduceWeight fires on request failure only)."""
+        import json
+        import os
+
+        cap = str(tmp_path / "doc_err")
+        os.makedirs(cap, exist_ok=True)
+
+        def transport(url, payload, _cap=cap):
+            import os
+            import uuid
+
+            open(os.path.join(_cap, uuid.uuid4().hex), "w").close()
+            return 200, '{"errors":true}'  # poison doc, healthy host
+
+        sink = ElasticsearchSink(
+            {"hosts": ["http://es1:9200"], "index": "x", "compress": False,
+             "bulk_actions": 10, "retry": 2},
+            transport=transport,
+        )
+        with pytest.raises(Exception) as ei:
+            sink.write_batch(df.coalesce(1))
+        # bounded retries all reached the host — it was never zero-weighted
+        # into the reset-and-wait path (which would sleep 30 s and shrink
+        # the attempt count)
+        assert len(os.listdir(cap)) == 3
+        assert "errors" in str(ei.value)
+
+
 class TestSniff:
     """Node sniffing (elasticsearch_output.go:410-498): /_nodes/_all/http
     discovery, condition-DSL match over node maps, periodic refresh."""
@@ -338,6 +369,22 @@ class TestClickHouse:
             (json.loads(l) for l in body.strip().split("\n")), key=lambda d: d["a"]
         )
         assert got == [{"a": 7, "b": 0.0}, {"a": 12, "b": 1.5}]
+
+    def test_default_expressions_nonliteral_fall_back(self, spark):
+        """now()/computed DEFAULT expressions can't be evaluated client-side:
+        they must fall back to the type default, not crash construction."""
+        body = """{"data": [
+            {"name": "ts", "type": "DateTime", "default_type": "DEFAULT", "default_expression": "now()"},
+            {"name": "n", "type": "Int64", "default_type": "DEFAULT", "default_expression": "1 + 2"},
+            {"name": "d", "type": "DateTime", "default_type": "DEFAULT", "default_expression": "'2020-05-01 00:00:00'"}
+        ]}"""
+        sink = ClickHouseSink(
+            {"table": "weblog", "hosts": ["http://ch:8123"]},
+            transport=lambda url, payload: (200, body),
+        )
+        assert sink.column_defaults["ts"] == "1970-01-01 00:00:00"
+        assert sink.column_defaults["n"] == 0
+        assert sink.column_defaults["d"] == "2020-05-01 00:00:00"
 
     def test_http_write_retries_on_5xx(self, spark, tmp_path):
         import os
