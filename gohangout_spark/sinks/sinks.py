@@ -296,12 +296,12 @@ class ElasticsearchSink(Sink):
             hosts=self.hosts,
             transport=self.transport,
             endpoint="/_bulk",
-            # HTTP 200 + "errors":true (partial item failures) is retried as
-            # a whole bulk — coarser than the reference's per-item re-enqueue
-            # (elasticsearch_output.go:133-203) but nothing is silently
-            # dropped; duplicate index actions are idempotent with an _id
+            # fast path: "errors":false substring scan skips the JSON decode
+            # (elasticsearch_output.go:133-139, the "90%+ scenes" note);
+            # partial failures go through _es_retry_lines per-item verdicts
             success=lambda status, body: status < 300
             and '"errors":false' in body.replace(" ", ""),
+            get_retry_lines=_es_retry_lines,
             bulk_actions=self.bulk_actions,
             bulk_size=self.bulk_size,
             flush_interval=self.flush_interval,
@@ -309,6 +309,36 @@ class ElasticsearchSink(Sink):
             no_host_wait=self.no_host_wait,
             compress=self.compress,
         )
+
+
+def _es_retry_lines(body: str, buf: list[str]) -> list[str] | None:
+    """Per-item bulk verdicts (elasticsearch_output.go:134-179): item status
+    429 or >= 500 → re-bulk that doc; other failed statuses (mapping errors
+    etc.) are logged and dropped; an unparseable response drops the batch
+    ("will NOT retry", :143-144). items[i] aligns with buf[i] — each buffered
+    line is one action+source pair."""
+    import json
+    import logging
+
+    log = logging.getLogger("gohangout_spark.sinks.es")
+    try:
+        items = json.loads(body)["items"]
+        if len(items) != len(buf):
+            raise ValueError(f"{len(items)} items for {len(buf)} actions")
+    except (ValueError, KeyError, TypeError) as e:
+        log.error("could not parse bulk response (%s); will NOT retry", e)
+        return []
+    retry: list[str] = []
+    for item, line in zip(items, buf):
+        result = next(iter(item.values()))  # {"index": {...}} etc.
+        status = int(result.get("status", 200))
+        if status < 300:
+            continue
+        if status == 429 or status >= 500:
+            retry.append(line)
+        else:
+            log.warning("dropping failed doc (status %s): %.200s", status, line)
+    return retry
 
 
 def bulk_send_lines(
@@ -324,6 +354,7 @@ def bulk_send_lines(
     no_host_wait: float = 30.0,
     compress: bool = True,
     host_ok=None,
+    get_retry_lines=None,
 ) -> None:
     """The shared HTTP bulk engine (output/bulk_http.go:73-312) as a
     partition-wise sender: flush on action count / buffered bytes / elapsed
@@ -354,11 +385,16 @@ def bulk_send_lines(
         def flush_locked():
             if not buf:
                 return
-            payload = ("\n".join(buf) + "\n").encode()
-            if compress:
-                import gzip
 
-                payload = gzip.compress(payload)
+            def encode():
+                p = ("\n".join(buf) + "\n").encode()
+                if compress:
+                    import gzip
+
+                    p = gzip.compress(p)
+                return p
+
+            payload = encode()
             last = None
             for _attempt in range(retries + 1):
                 host = selector.next()
@@ -377,8 +413,19 @@ def bulk_send_lines(
                     state["first_ts"] = None
                     return
                 if host_ok(status, body):
-                    # doc-level failure on a healthy host: retry, no decay
+                    # doc-level failure on a healthy host: no weight decay
                     selector.add_weight()
+                    if get_retry_lines is not None:
+                        subset = get_retry_lines(body, list(buf))
+                        if subset is not None:
+                            # per-item verdicts: re-bulk only the retryable
+                            # docs (429/5xx); the rest were logged+dropped
+                            buf[:] = subset
+                            if not buf:
+                                state["bytes"] = 0
+                                state["first_ts"] = None
+                                return
+                            payload = encode()
                 else:
                     selector.reduce_weight()
                 last = (status, body[:500])

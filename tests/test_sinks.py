@@ -195,14 +195,52 @@ class TestBulkTriggers:
         assert len(bad) <= 2  # decayed quickly, not retried per flush
 
 
-    def test_doc_errors_do_not_decay_host(self, df, tmp_path):
-        """HTTP 200 + "errors":true is a DOCUMENT problem: the engine
-        retries but must not punish the healthy host (bulk_http.go
-        ReduceWeight fires on request failure only)."""
+    def test_partial_item_failures_retry_only_retryable(self, df, tmp_path):
+        """elasticsearch_output.go:134-179: item status 429/5xx re-bulks
+        that doc only; 4xx mapping errors are logged+dropped; the healthy
+        host's weight is never decayed by doc-level failures."""
         import json
         import os
 
-        cap = str(tmp_path / "doc_err")
+        cap = str(tmp_path / "partial")
+        os.makedirs(cap, exist_ok=True)
+
+        def transport(url, payload, _cap=cap):
+            import json
+            import os
+            import uuid
+
+            n = sorted(os.listdir(_cap))
+            with open(os.path.join(_cap, f"{len(n)}-{uuid.uuid4().hex}"), "w") as f:
+                f.write(payload.decode())
+            docs = payload.decode().strip().split("\n")
+            n_actions = len(docs) // 2  # meta+source per action
+            if len(n) == 0:
+                # first bulk: doc0 throttled (retry), doc1 mapping error
+                # (drop), rest ok
+                items = [{"index": {"status": 429}}, {"index": {"status": 400}}]
+                items += [{"index": {"status": 201}}] * (n_actions - 2)
+                return 200, json.dumps({"errors": True, "items": items})
+            return 200, '{"errors":false}'
+
+        sink = ElasticsearchSink(
+            {"hosts": ["http://es1:9200"], "index": "x", "compress": False,
+             "bulk_actions": 10, "retry": 2},
+            transport=transport,
+        )
+        sink.write_batch(df.coalesce(1))  # must NOT raise
+        calls = sorted(os.listdir(cap))
+        assert len(calls) == 2
+        resent = open(os.path.join(cap, calls[1])).read().strip().split("\n")
+        assert len(resent) == 2  # exactly the throttled doc (meta+source)
+
+    def test_unparseable_bulk_response_drops_batch(self, df, tmp_path):
+        """Malformed errors:true response: "will NOT retry"
+        (elasticsearch_output.go:143-144) — batch dropped, no crash, host
+        not punished."""
+        import os
+
+        cap = str(tmp_path / "unparse")
         os.makedirs(cap, exist_ok=True)
 
         def transport(url, payload, _cap=cap):
@@ -210,20 +248,15 @@ class TestBulkTriggers:
             import uuid
 
             open(os.path.join(_cap, uuid.uuid4().hex), "w").close()
-            return 200, '{"errors":true}'  # poison doc, healthy host
+            return 200, '{"errors":true}'  # no items array
 
         sink = ElasticsearchSink(
             {"hosts": ["http://es1:9200"], "index": "x", "compress": False,
              "bulk_actions": 10, "retry": 2},
             transport=transport,
         )
-        with pytest.raises(Exception) as ei:
-            sink.write_batch(df.coalesce(1))
-        # bounded retries all reached the host — it was never zero-weighted
-        # into the reset-and-wait path (which would sleep 30 s and shrink
-        # the attempt count)
-        assert len(os.listdir(cap)) == 3
-        assert "errors" in str(ei.value)
+        sink.write_batch(df.coalesce(1))  # no raise
+        assert len(os.listdir(cap)) == 1  # single attempt, then dropped
 
 
 class TestSniff:
