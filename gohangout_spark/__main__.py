@@ -22,23 +22,46 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--cpus", type=int, default=None, help="local[N] cores")
     ap.add_argument("--worker", type=int, default=None, help="ignored (reference compat)")
+    ap.add_argument(
+        "--reload",
+        action="store_true",
+        help="watch the config file and restart the pipeline on change "
+        "(gohangout --reload; streaming only)",
+    )
+    ap.add_argument(
+        "--prometheus",
+        default=None,
+        metavar="HOST:PORT",
+        help="serve /metrics in Prometheus format (gohangout --prometheus)",
+    )
     args = ap.parse_args(argv)
 
     from gohangout_spark import get_spark
-    from gohangout_spark.pipeline import Pipeline
+    from gohangout_spark.pipeline import Pipeline, run_streaming_with_reload
 
     master = f"local[{args.cpus}]" if args.cpus else None
     spark = get_spark("gohangout-spark", master=master)
-    pipeline = Pipeline.from_config(args.config)
+    if args.prometheus:
+        from gohangout_spark.streaming.observability import attach, serve_prometheus
+
+        serve_prometheus(attach(spark), args.prometheus)
     if args.streaming:
-        pipeline.run_streaming(
-            spark,
-            trigger_seconds=args.trigger_seconds,
-            checkpoint=args.checkpoint,
-            await_termination=True,
-        )
+        if args.reload:
+            run_streaming_with_reload(
+                spark,
+                args.config,
+                trigger_seconds=args.trigger_seconds,
+                checkpoint=args.checkpoint,
+            )
+        else:
+            Pipeline.from_config(args.config).run_streaming(
+                spark,
+                trigger_seconds=args.trigger_seconds,
+                checkpoint=args.checkpoint,
+                await_termination=True,
+            )
     else:
-        pipeline.run_batch(spark)
+        Pipeline.from_config(args.config).run_batch(spark)
     return 0
 
 

@@ -74,6 +74,7 @@ class FilterBox:
         fail_tag: str | None = None,
         tags_field: str = "tags",
         ts_field: str = "@timestamp",
+        prometheus_counter: dict | None = None,
     ):
         self.filter = flt
         self.ifs = ifs or []
@@ -82,12 +83,25 @@ class FilterBox:
         self.fail_tag = fail_tag
         self.tags_field = tags_field
         self.ts_field = ts_field
+        # topology/prom_counter.go GetPromCounter: a per-box event counter
+        # exposed on the prometheus endpoint. Spark-side it is df.observe —
+        # counted inside the plan (no extra pass), surfaced per micro-batch
+        # through StreamingQueryProgress.observedMetrics.
+        self.prometheus_counter = prometheus_counter or None
 
     # guard marker columns carried between the two stages
     _EFF = "__box_eff"
     _FAILED = "__box_failed"
 
     def apply(self, df: DataFrame) -> DataFrame:
+        out = self._apply_inner(df)
+        if self.prometheus_counter:
+            name = self.prometheus_counter.get("name")
+            if name:
+                out = out.observe(name, F.count(F.lit(1)).alias("events"))
+        return out
+
+    def _apply_inner(self, df: DataFrame) -> DataFrame:
         if self.filter.plan_level:
             # Plan-level filters (joins, aggregations, pandas-UDF enrichers)
             # restructure the frame themselves, then hand back per-row

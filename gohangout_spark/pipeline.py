@@ -52,6 +52,7 @@ def compile_filter(name: str, conf: dict, ts_field: str = "@timestamp") -> Filte
     add_fields = conf.pop("add_fields", None)
     remove_fields = conf.pop("remove_fields", None)
     fail_tag = conf.pop("failTag", conf.pop("fail_tag", None))
+    prometheus_counter = conf.pop("prometheus_counter", None)
 
     if name not in FILTER_REGISTRY:
         raise ValueError(f"unknown filter {name!r} (have {sorted(FILTER_REGISTRY)})")
@@ -76,6 +77,7 @@ def compile_filter(name: str, conf: dict, ts_field: str = "@timestamp") -> Filte
         remove_fields=remove_fields,
         fail_tag=fail_tag,
         ts_field=ts_field,
+        prometheus_counter=prometheus_counter,
     )
 
 
@@ -256,3 +258,68 @@ class Pipeline:
             if isinstance(b.filter, LinkMetric):
                 return "update" if b.filter.accumulate_mode == "cumulative" else "append"
         return "append"
+
+
+def run_streaming_with_reload(
+    spark,
+    config_path: str,
+    poll_seconds: float = 5.0,
+    sink_overrides: dict | None = None,
+    stop_flag=None,
+    **run_kw,
+):
+    """``gohangout --reload`` (gohangout.go:113-151 + internal/config
+    WatchConfig): watch the YAML config file; on change, stop the running
+    queries, rebuild the pipeline from the new config, and restart.
+
+    A changed chain generally cannot resume the previous plan's checkpoint
+    (Spark refuses incompatible state), so each config version checkpoints
+    under ``<checkpoint>/v<N>`` — windowed-metric state restarts with the
+    new topology exactly as the reference's reload restarts its inputs.
+
+    ``stop_flag`` (a ``threading.Event``) ends the loop from another thread
+    (tests / signal handlers — the reference's exit channel). Returns the
+    last-built Pipeline. A config edit that fails to parse is logged and
+    IGNORED, keeping the old pipeline running (gohangout.go:115-118).
+    """
+    import logging
+    import os
+    import time
+
+    log = logging.getLogger("gohangout_spark.reload")
+    version = 0
+    pipeline = Pipeline.from_config(config_path, sink_overrides=sink_overrides)
+    while True:
+        mtime = os.path.getmtime(config_path)
+        kw = dict(run_kw)
+        if kw.get("checkpoint"):
+            kw["checkpoint"] = os.path.join(run_kw["checkpoint"], f"v{version}")
+        queries = pipeline.run_streaming(spark, **kw)
+        changed = False
+        try:
+            while True:
+                if stop_flag is not None and stop_flag.is_set():
+                    return pipeline
+                if queries and all(not q.isActive for q in queries):
+                    return pipeline
+                try:
+                    new_mtime = os.path.getmtime(config_path)
+                except OSError:
+                    new_mtime = mtime  # mid-swap; retry next poll
+                if new_mtime != mtime:
+                    try:
+                        pipeline = Pipeline.from_config(
+                            config_path, sink_overrides=sink_overrides
+                        )
+                        changed = True
+                        break
+                    except Exception as e:
+                        log.error("could not parse config, ignore reload: %s", e)
+                        mtime = new_mtime
+                time.sleep(poll_seconds)
+        finally:
+            for q in queries:
+                q.stop()
+        if not changed:
+            return pipeline
+        version += 1

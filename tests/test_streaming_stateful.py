@@ -228,3 +228,129 @@ outputs:
     # exactly one finalized emission for the first window, count 20
     firsts = [c for w, c in emitted if w.second == 0 and w.minute == 0]
     assert firsts == [20], emitted
+
+
+def test_prometheus_counter_and_endpoint(spark, tmp_path):
+    """Per-filter prometheus_counter (topology/prom_counter.go) counted via
+    df.observe, served on /metrics (gohangout --prometheus)."""
+    import time
+    import urllib.request
+
+    from gohangout_spark.pipeline import Pipeline
+    from gohangout_spark.sinks import MemorySink
+    from gohangout_spark.streaming.observability import attach, serve_prometheus
+
+    m = attach(spark)
+    server = serve_prometheus(m, "127.0.0.1:0")
+    try:
+        src = str(tmp_path / "prom_src")
+        _write_chunk(spark, src, 0, 25, "g")
+        yml = f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+filters:
+- Add:
+    fields: {{stage: enriched}}
+    prometheus_counter: {{name: filter_processed_count}}
+timestamp_field: ts
+outputs:
+- Stdout: {{}}
+"""
+        p = Pipeline.from_config(yml, is_text=True, sink_overrides={"Stdout": MemorySink})
+        queries = p.run_streaming(spark, checkpoint=str(tmp_path / "prom_ck"))
+        try:
+            for q in queries:
+                q.processAllAvailable()
+            deadline = time.time() + 10
+            while time.time() < deadline:
+                if m.counters().get("filter_processed_count", 0) >= 25:
+                    break
+                time.sleep(0.3)
+        finally:
+            for q in queries:
+                q.stop()
+        assert m.counters()["filter_processed_count"] == 25
+        port = server.server_address[1]
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics", timeout=5
+        ).read().decode()
+        assert 'gohangout_filter_events_total{counter="filter_processed_count"} 25' in body
+        assert "gohangout_input_rows_total" in body
+    finally:
+        server.shutdown()
+        spark.streams.removeListener(m)
+
+
+def test_config_hot_reload(spark, tmp_path):
+    """gohangout --reload: editing the config file swaps the chain — rows
+    written after the swap carry the NEW filter output."""
+    import threading
+    import time
+
+    from gohangout_spark.pipeline import run_streaming_with_reload
+    from gohangout_spark.sinks import MemorySink
+
+    src = str(tmp_path / "rl_src")
+    _write_chunk(spark, src, 0, 5, "g")
+    cfg = tmp_path / "pipeline.yml"
+
+    def write_cfg(version):
+        cfg.write_text(f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+filters:
+- Add:
+    fields: {{cfg_version: "v{version}"}}
+    overwrite: true
+timestamp_field: ts
+outputs:
+- Stdout: {{}}
+""")
+
+    write_cfg(1)
+    stop = threading.Event()
+    sinks_seen = []
+
+    captured = []
+
+    class CapturingSink(MemorySink):
+        def __init__(self, conf=None):
+            super().__init__(conf)
+            captured.append(self)
+
+    t = threading.Thread(
+        target=run_streaming_with_reload,
+        args=(spark, str(cfg)),
+        kwargs=dict(
+            poll_seconds=0.2,
+            sink_overrides={"Stdout": CapturingSink},
+            stop_flag=stop,
+            checkpoint=str(tmp_path / "rl_ck"),
+        ),
+        daemon=True,
+    )
+    t.start()
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if captured and any(r["cfg_version"] == "v1" for s in captured for r in s.rows):
+                break
+            time.sleep(0.3)
+        assert any(r["cfg_version"] == "v1" for s in captured for r in s.rows)
+
+        write_cfg(2)  # hot-swap
+        _write_chunk(spark, src, 100, 3, "g")
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if any(r["cfg_version"] == "v2" for s in captured for r in s.rows):
+                break
+            time.sleep(0.3)
+        assert any(r["cfg_version"] == "v2" for s in captured for r in s.rows)
+    finally:
+        stop.set()
+        t.join(15)
+    assert not t.is_alive()
