@@ -89,6 +89,34 @@ def repetition_stats(
     )
 
 
+def vocabulary(
+    docs: DataFrame, text_col: str = "text", top_n: int = 1000
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_n`` most frequent lowercase words with
+    counts and 1-based rank (count desc, word asc tiebreak — deterministic).
+
+    Shape: explode → groupBy(word) with map-side combine (shuffle rows =
+    distinct words per partition, not tokens), then a global top-n. The
+    top-n is a single-partition sort of the ALREADY-AGGREGATED word counts
+    — |vocab| rows, not corpus rows — which is the cheapest correct global
+    rank; at 100 TB |vocab| is millions of rows, still one executor's work.
+    """
+    from pyspark.sql.window import Window
+
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select("word", "n", "rank")
+    )
+
+
 def _hex_prefix_threshold(p: float, k: int = 4) -> str:
     """Hex string t of length k such that P[substr(md5,1,k) < t] == p
     (granularity 16^-k)."""

@@ -95,8 +95,7 @@ def expand_grok(pattern: str, library: dict[str, str], _depth: int = 0) -> str:
             raise ValueError(f"unknown grok pattern %{{{name}}}")
         inner = expand_grok(library[name], library, _depth + 1)
         if field:
-            safe = re.sub(r"[^A-Za-z0-9]", "_", field)
-            return f"(?<{safe}>{inner})"
+            return f"(?<{field}>{inner})"
         return f"(?:{inner})"
 
     return _GROK_REF.sub(sub, pattern)
@@ -105,6 +104,29 @@ def expand_grok(pattern: str, library: dict[str, str], _depth: int = 0) -> str:
 def _go_to_java_groups(pattern: str) -> str:
     """Go named groups (?P<x>...) → Java (?<x>...)."""
     return pattern.replace("(?P<", "(?<")
+
+
+def _javaify_groups(pattern: str) -> tuple[str, dict[str, str]]:
+    """Rename every named group to a unique Java-legal name ``gN``.
+
+    Java named groups only allow ``[A-Za-z][A-Za-z0-9]*`` — the reference's
+    RE2 accepts underscores/dots, and real logstash fields are full of them
+    (``ts_raw``, ``response.time``). Extraction is by INDEX anyway
+    (group_index_map), so the in-pattern name is free to be synthetic;
+    returns the rewritten pattern plus {gN: original field name} so event
+    fields keep their exact reference spelling."""
+    mapping: dict[str, str] = {}
+    counter = [0]
+
+    def repl(m: re.Match) -> str:
+        safe = f"g{counter[0]}"
+        counter[0] += 1
+        mapping[safe] = m.group(1)
+        return f"(?<{safe}>"
+
+    # [^>=!] first: never rewrite lookbehind (?<= / (?<!
+    new = re.sub(r"\(\?P?<([^>=!][^>]*)>", repl, pattern)
+    return new, mapping
 
 
 def group_index_map(pattern: str) -> dict[str, int]:
@@ -160,8 +182,11 @@ class Grok(Filter):
             lib.update(pattern_library)
         self.patterns: list[tuple[str, dict[str, int]]] = []
         for p in match or []:
-            expanded = _go_to_java_groups(expand_grok(p, lib))
-            self.patterns.append((expanded, group_index_map(expanded)))
+            expanded, nmap = _javaify_groups(_go_to_java_groups(expand_grok(p, lib)))
+            idx = group_index_map(expanded)
+            self.patterns.append(
+                (expanded, {nmap.get(g, g): i for g, i in idx.items()})
+            )
         self.ignore_blank = ignore_blank
         self.overwrite = overwrite
         self.target = target

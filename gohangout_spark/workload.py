@@ -1381,6 +1381,22 @@ def weighted_mixture_q(spark, sf_dir):
 
 
 @q(
+    "vocabulary_topn",
+    r"""SELECT word, n, rank FROM (
+          SELECT word, count(*) AS n,
+                 row_number() OVER (ORDER BY count(*) DESC, word) AS rank
+          FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+                FROM documents)
+          WHERE word <> '' GROUP BY word)
+        WHERE rank <= 25""",
+)
+def vocabulary_topn(spark, sf_dir):
+    from gohangout_spark.functions.curation import vocabulary
+
+    return vocabulary(_docs(spark, sf_dir), top_n=25)
+
+
+@q(
     "stratified_sample",
     """SELECT doc_id, lang, sample_rank FROM (
          SELECT doc_id, lang,

@@ -408,6 +408,25 @@ class TestReviewFixes:
         assert got["part"]["a"] == "1" and got["part"]["b"] == "2"
         assert got["part"]["tags"] == ["kvfail"]
 
+    def test_grok_field_names_beyond_java_identifiers(self, spark):
+        """grok.go (RE2) accepts %{DATA:ts_raw} / %{NUMBER:response.time};
+        Java named groups do not allow '_' or '.' — the compiler must rename
+        groups internally while events keep the exact reference field
+        spelling."""
+        from gohangout_spark.operators.grok import Grok
+
+        df = spark.createDataFrame([Row(name="r", message="abc 12 [x]")])
+        box = FilterBox(
+            Grok(
+                src="message",
+                match=[r"%{WORD:word_tok} %{NUMBER:response.time} \[%{DATA:ts_raw}\]"],
+            )
+        )
+        got = box.apply(df).collect()[0].asDict()
+        assert got["word_tok"] == "abc"
+        assert got["response.time"] == "12"
+        assert got["ts_raw"] == "x"
+
     def test_kv_null_src_keeps_existing_fields(self, spark):
         """kv.go:93: a missing src returns (event, false) WITHOUT touching
         fields — a pre-existing column must not be overwritten with null."""
