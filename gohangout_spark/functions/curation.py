@@ -96,10 +96,11 @@ def vocabulary(
     counts and 1-based rank (count desc, word asc tiebreak — deterministic).
 
     Shape: explode → groupBy(word) with map-side combine (shuffle rows =
-    distinct words per partition, not tokens), then a global top-n. The
-    top-n is a single-partition sort of the ALREADY-AGGREGATED word counts
-    — |vocab| rows, not corpus rows — which is the cheapest correct global
-    rank; at 100 TB |vocab| is millions of rows, still one executor's work.
+    distinct words per partition, not tokens), then ``orderBy().limit()``
+    — Spark's distributed TakeOrdered, each partition keeps its own top_n
+    and only those merge — never a single-partition sort of the whole
+    vocabulary. Ranks are assigned over the top_n survivors (tiny) and are
+    deterministic because (n desc, word asc) is a total order.
     """
     from pyspark.sql.window import Window
 
@@ -109,12 +110,9 @@ def vocabulary(
         ).alias("word")
     )
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("word")).limit(top_n)
     w = Window.orderBy(F.desc("n"), F.asc("word"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_n)
-        .select("word", "n", "rank")
-    )
+    return top.withColumn("rank", F.row_number().over(w)).select("word", "n", "rank")
 
 
 def _hex_prefix_threshold(p: float, k: int = 4) -> str:

@@ -97,8 +97,20 @@ class FilterBox:
         out = self._apply_inner(df)
         if self.prometheus_counter:
             name = self.prometheus_counter.get("name")
-            if name:
+            if name and out.isStreaming:
                 out = out.observe(name, F.count(F.lit(1)).alias("events"))
+            elif name:
+                # batch runs and the foreachBatch refresh path have no
+                # StreamingQueryProgress to carry observed metrics — the
+                # counter would silently read 0; say so once instead
+                import logging
+
+                logging.getLogger("gohangout_spark.metrics").warning(
+                    "prometheus_counter %r only reports on the in-plan "
+                    "streaming path; this chain is applied per-batch, the "
+                    "counter will not be populated",
+                    name,
+                )
         return out
 
     def _apply_inner(self, df: DataFrame) -> DataFrame:

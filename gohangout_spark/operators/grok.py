@@ -116,17 +116,37 @@ def _javaify_groups(pattern: str) -> tuple[str, dict[str, str]]:
     returns the rewritten pattern plus {gN: original field name} so event
     fields keep their exact reference spelling."""
     mapping: dict[str, str] = {}
-    counter = [0]
-
-    def repl(m: re.Match) -> str:
-        safe = f"g{counter[0]}"
-        counter[0] += 1
-        mapping[safe] = m.group(1)
-        return f"(?<{safe}>"
-
-    # [^>=!] first: never rewrite lookbehind (?<= / (?<!
-    new = re.sub(r"\(\?P?<([^>=!][^>]*)>", repl, pattern)
-    return new, mapping
+    out: list[str] = []
+    i = 0
+    in_class = False
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\":
+            # escaped char (incl. \( ) — copy verbatim, never a group start
+            out.append(pattern[i : i + 2])
+            i += 2
+            continue
+        if in_class:
+            out.append(c)
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+            i += 1
+            continue
+        m = re.match(r"\(\?P?<([^>=!][^>]*)>", pattern[i:])
+        if m:
+            safe = f"g{len(mapping)}"
+            mapping[safe] = m.group(1)
+            out.append(f"(?<{safe}>")
+            i += m.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out), mapping
 
 
 def group_index_map(pattern: str) -> dict[str, int]:
@@ -184,9 +204,17 @@ class Grok(Filter):
         for p in match or []:
             expanded, nmap = _javaify_groups(_go_to_java_groups(expand_grok(p, lib)))
             idx = group_index_map(expanded)
-            self.patterns.append(
-                (expanded, {nmap.get(g, g): i for g, i in idx.items()})
-            )
+            groups: dict[str, int] = {}
+            for g, i in idx.items():
+                field = nmap.get(g, g)
+                if field in groups:
+                    # Go's regexp rejects duplicate group names too — fail
+                    # at compile, not with silently-null extractions
+                    raise ValueError(
+                        f"grok pattern captures field {field!r} twice: {p!r}"
+                    )
+                groups[field] = i
+            self.patterns.append((expanded, groups))
         self.ignore_blank = ignore_blank
         self.overwrite = overwrite
         self.target = target

@@ -273,53 +273,85 @@ def run_streaming_with_reload(
     queries, rebuild the pipeline from the new config, and restart.
 
     A changed chain generally cannot resume the previous plan's checkpoint
-    (Spark refuses incompatible state), so each config version checkpoints
-    under ``<checkpoint>/v<N>`` — windowed-metric state restarts with the
-    new topology exactly as the reference's reload restarts its inputs.
+    (Spark refuses incompatible state), so each config VERSION checkpoints
+    under ``<checkpoint>/<md5-of-config>`` — content-derived, so a process
+    restart on unchanged config resumes its own state, while any edit gets
+    a fresh directory (a volatile counter would alias old state after a
+    restart).
 
     ``stop_flag`` (a ``threading.Event``) ends the loop from another thread
     (tests / signal handlers — the reference's exit channel). Returns the
-    last-built Pipeline. A config edit that fails to parse is logged and
-    IGNORED, keeping the old pipeline running (gohangout.go:115-118).
+    last-built Pipeline. A config edit that fails to parse OR fails to
+    start is logged and the previous pipeline is restarted — the old chain
+    keeps running (gohangout.go:115-126). A query that dies on its own is
+    a real failure: its exception is raised, never a silent clean exit.
     """
+    import hashlib
     import logging
     import os
     import time
 
     log = logging.getLogger("gohangout_spark.reload")
-    version = 0
-    pipeline = Pipeline.from_config(config_path, sink_overrides=sink_overrides)
-    while True:
+
+    def read_cfg():
+        """(mtime, bytes) — stat BEFORE read so an edit landing during a
+        slow parse/sink build (ES sniff, CH DESC) is seen next poll."""
         mtime = os.path.getmtime(config_path)
+        with open(config_path, "rb") as f:
+            return mtime, f.read()
+
+    def start(pipeline, raw: bytes):
         kw = dict(run_kw)
         if kw.get("checkpoint"):
-            kw["checkpoint"] = os.path.join(run_kw["checkpoint"], f"v{version}")
-        queries = pipeline.run_streaming(spark, **kw)
-        changed = False
+            tag = hashlib.md5(raw).hexdigest()[:12]
+            kw["checkpoint"] = os.path.join(run_kw["checkpoint"], tag)
+        return pipeline.run_streaming(spark, **kw)
+
+    def check_dead(queries):
+        """Raise the real failure of any self-terminated query."""
+        for q in queries:
+            if not q.isActive and q.exception() is not None:
+                raise q.exception()
+
+    mtime, raw = read_cfg()
+    pipeline = Pipeline.from_config(config_path, sink_overrides=sink_overrides)
+    queries = start(pipeline, raw)
+    prev = None  # (pipeline, raw) that last ran successfully
+    while True:
         try:
             while True:
                 if stop_flag is not None and stop_flag.is_set():
                     return pipeline
                 if queries and all(not q.isActive for q in queries):
+                    check_dead(queries)
                     return pipeline
+                check_dead(queries)
                 try:
-                    new_mtime = os.path.getmtime(config_path)
+                    new_mtime, new_raw = read_cfg()
                 except OSError:
-                    new_mtime = mtime  # mid-swap; retry next poll
-                if new_mtime != mtime:
+                    new_mtime, new_raw = mtime, raw  # mid-swap; retry next poll
+                if new_mtime != mtime and new_raw != raw:
                     try:
-                        pipeline = Pipeline.from_config(
+                        candidate = Pipeline.from_config(
                             config_path, sink_overrides=sink_overrides
                         )
-                        changed = True
                         break
                     except Exception as e:
                         log.error("could not parse config, ignore reload: %s", e)
                         mtime = new_mtime
+                elif new_mtime != mtime:
+                    mtime = new_mtime  # touched, content identical
                 time.sleep(poll_seconds)
         finally:
             for q in queries:
                 q.stop()
-        if not changed:
-            return pipeline
-        version += 1
+        prev = (pipeline, raw)
+        pipeline, mtime, raw = candidate, new_mtime, new_raw
+        try:
+            queries = start(pipeline, raw)
+        except Exception as e:
+            # parses but cannot start (missing path, invalid combination):
+            # fall back to the previous working chain, keep watching
+            log.error("new config failed to start, keeping old chain: %s", e)
+            pipeline, raw = prev
+            queries = start(pipeline, raw)

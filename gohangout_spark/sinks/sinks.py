@@ -325,20 +325,23 @@ def _es_retry_lines(body: str, buf: list[str]) -> list[str] | None:
         items = json.loads(body)["items"]
         if len(items) != len(buf):
             raise ValueError(f"{len(items)} items for {len(buf)} actions")
-    except (ValueError, KeyError, TypeError) as e:
+        retry: list[str] = []
+        for item, line in zip(items, buf):
+            result = next(iter(item.values()))  # {"index": {...}} etc.
+            status = int(result.get("status", 200))
+            if status < 300:
+                continue
+            if status == 429 or status >= 500:
+                retry.append(line)
+            else:
+                log.warning("dropping failed doc (status %s): %.200s", status, line)
+        return retry
+    except (ValueError, KeyError, TypeError, AttributeError, StopIteration) as e:
+        # any structural surprise (null items, non-dict entries): drop the
+        # batch like the reference, never crash the Spark task into a
+        # partition-level re-send of already-indexed docs
         log.error("could not parse bulk response (%s); will NOT retry", e)
         return []
-    retry: list[str] = []
-    for item, line in zip(items, buf):
-        result = next(iter(item.values()))  # {"index": {...}} etc.
-        status = int(result.get("status", 200))
-        if status < 300:
-            continue
-        if status == 429 or status >= 500:
-            retry.append(line)
-        else:
-            log.warning("dropping failed doc (status %s): %.200s", status, line)
-    return retry
 
 
 def bulk_send_lines(

@@ -42,11 +42,13 @@ class PipelineMetrics(StreamingQueryListener):
             else None,
         }
         observed = {}
-        try:
-            for name, row in (p.observedMetrics or {}).items():
+        for name, row in (p.observedMetrics or {}).items():
+            # per-item: a foreign observation (user df.observe without an
+            # "events" field) must not abort the pipeline's own counters
+            try:
                 observed[name] = int(row["events"])
-        except (KeyError, TypeError, ValueError):
-            pass
+            except (KeyError, TypeError, ValueError):
+                continue
         with self._lock:
             q = self._by_query.setdefault(str(p.id), {"name": p.name, "batches": 0,
                                                       "input_rows": 0, "last": {}})

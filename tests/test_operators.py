@@ -427,6 +427,26 @@ class TestReviewFixes:
         assert got["response.time"] == "12"
         assert got["ts_raw"] == "x"
 
+    def test_grok_escaped_paren_before_group_survives(self, spark):
+        r"""A literal \( immediately before a named group must not confuse
+        the group renamer (the '(' is escaped, not a group start)."""
+        from gohangout_spark.operators.grok import Grok
+
+        df = spark.createDataFrame([Row(name="r", message="(main) ok")])
+        box = FilterBox(
+            Grok(src="message", match=[r"\(%{WORD:thread_name}\) %{WORD:state}"])
+        )
+        got = box.apply(df).collect()[0].asDict()
+        assert got["thread_name"] == "main" and got["state"] == "ok"
+
+    def test_grok_duplicate_field_rejected_at_compile(self):
+        """Go's regexp rejects duplicate group names; silently taking the
+        last index would null the field on the other alternation branch."""
+        from gohangout_spark.operators.grok import Grok
+
+        with pytest.raises(ValueError, match="twice"):
+            Grok(src="m", match=[r"(?:%{IP:client}|%{WORD:client})"])
+
     def test_kv_null_src_keeps_existing_fields(self, spark):
         """kv.go:93: a missing src returns (event, false) WITHOUT touching
         fields — a pre-existing column must not be overwritten with null."""
