@@ -1381,6 +1381,86 @@ def weighted_mixture_q(spark, sf_dir):
 
 
 @q(
+    "tpch_q19",
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       FROM lineitem, part
+       WHERE p_partkey = l_partkey
+         AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+               AND l_quantity >= 1 AND l_quantity <= 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+               AND l_quantity >= 10 AND l_quantity <= 20)
+           OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35
+               AND l_quantity >= 20 AND l_quantity <= 30))""",
+)
+def tpch_q19(spark, sf_dir):
+    """Discounted revenue (q19 on the reduced schema: p_container/shipmode
+    clauses dropped, brand+size+quantity OR-of-ANDs kept). The disjunction
+    splits per side: part predicates prune the part scan, quantity bounds
+    push to the lineitem scan as (1<=q AND q<=30), exact branch check after
+    the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+    branch = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#33")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return joined.where(branch).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@q(
+    "tpch_q22",
+    """SELECT c_nationkey AS cntry, count(*) AS numcust,
+              round(sum(c_acctbal), 2) AS totacctbal
+       FROM customer
+       WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)
+         AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                          WHERE c_acctbal > 0.0
+                            AND c_nationkey IN (1, 3, 5, 7, 9, 11))
+         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                         AND o_totalprice > 450000)
+       GROUP BY c_nationkey""",
+)
+def tpch_q22(spark, sf_dir):
+    """Global sales opportunity (q22 adapted twice for the testdata: keyed
+    on c_nationkey — no c_phone for country codes — and the anti-join is
+    "never placed a >450k order" since every synthetic customer has
+    orders). The scalar avg is a 1-row broadcast cross join; the NOT
+    EXISTS is a left_anti against the pre-filtered order set."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nations = [1, 3, 5, 7, 9, 11]
+    eligible = cust.filter(F.col("c_nationkey").isin(nations))
+    avg_bal = eligible.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    rich = eligible.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("ab")
+    )
+    big_orders = orders.filter(F.col("o_totalprice") > 450000)
+    no_orders = rich.join(
+        big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return no_orders.groupBy(F.col("c_nationkey").alias("cntry")).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
+@q(
     "vocabulary_topn",
     r"""SELECT word, n, rank FROM (
           SELECT word, count(*) AS n,
