@@ -68,6 +68,54 @@ def pack_documents(
     )
 
 
+def pack_documents_bestfit(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 512,
+    n_shards: int = 8,
+) -> DataFrame:
+    """First-fit-decreasing packing per shard: docs sorted by token count
+    descending, each placed into the lowest-numbered pack with room, else a
+    new pack. Classic FFD guarantee (≤ 11/9·OPT + 1 packs) — measurably
+    tighter than next-fit when document lengths vary; next-fit stays the
+    oracle-checkable baseline. Same shard/parallelism shape as
+    :func:`pack_documents`; deterministic (ties broken by doc_id).
+
+    Not SQL-expressible (per-doc placement depends on every prior
+    placement across ALL open packs, not a single running total) → rows-only
+    in the correctness gate; invariants (fits budget, fewer-or-equal packs
+    than next-fit, layout determinism) are pinned in pytest.
+    """
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        (F.col(id_col) % n_shards).cast("long").alias("shard"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+
+    def pack_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []  # fill level per open pack
+        assigned = []
+        for n in pdf["n_tokens"]:
+            for i, f in enumerate(fills):
+                if f + n <= max_tokens:
+                    fills[i] = f + n
+                    assigned.append(i)
+                    break
+            else:
+                fills.append(n)
+                assigned.append(len(fills) - 1)
+        pdf["pack"] = assigned
+        return pdf[["doc_id", "shard", "pack", "n_tokens"]]
+
+    return base.groupBy("shard").applyInPandas(
+        pack_shard, "doc_id long, shard long, pack long, n_tokens long"
+    )
+
+
 def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
     """Per-pack fill statistics — the padding-waste report: one row per
     (shard, pack) with doc count, token total, and utilization."""

@@ -1566,6 +1566,20 @@ def pack_documents_q(spark, sf_dir):
     )
 
 
+@q("pack_documents_bestfit", None)
+def pack_documents_bestfit_q(spark, sf_dir):
+    """First-fit-decreasing packing. Rows-only by design: FFD placement
+    depends on the fill of every open pack, which no recursive CTE over a
+    single running total can replay; pytest pins the invariants (budget,
+    ≤ next-fit pack count, layout determinism)."""
+    from gohangout_spark.functions.packing import pack_documents_bestfit
+
+    docs = _docs(spark, sf_dir)
+    return pack_documents_bestfit(
+        docs, "text", "doc_id", max_tokens=_PACK_MAX, n_shards=_PACK_SHARDS
+    )
+
+
 _QF_SQL_TOKENS = "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '')"
 
 @q(

@@ -307,6 +307,37 @@ class TestPacking:
         p2 = {(r["doc_id"], r["shard"], r["pack"]) for r in pack_documents(df2, max_tokens=64).collect()}
         assert p1 == p2
 
+    def test_bestfit_tighter_than_nextfit(self, spark):
+        from gohangout_spark.functions.packing import (
+            pack_documents,
+            pack_documents_bestfit,
+            pack_stats,
+        )
+
+        # mixed lengths: FFD's sweet spot (big docs first, small ones fill gaps)
+        rows = [Row(doc_id=i, text=" ".join(["w"] * (3 + (i * 13) % 45))) for i in range(80)]
+        df = spark.createDataFrame(rows)
+        nf = pack_documents(df, max_tokens=50, n_shards=4)
+        bf = pack_documents_bestfit(df, max_tokens=50, n_shards=4)
+        assert bf.count() == 80  # every doc assigned exactly once
+        for s in pack_stats(bf, max_tokens=50).collect():
+            assert s["tokens"] <= 50 or s["n_docs"] == 1  # budget invariant
+        # per shard, FFD never needs MORE packs than next-fit
+        nf_packs = {r["shard"]: r["p"] for r in nf.groupBy("shard").agg(
+            F.countDistinct("pack").alias("p")).collect()}
+        bf_packs = {r["shard"]: r["p"] for r in bf.groupBy("shard").agg(
+            F.countDistinct("pack").alias("p")).collect()}
+        assert all(bf_packs[s] <= nf_packs[s] for s in nf_packs)
+        assert sum(bf_packs.values()) < sum(nf_packs.values())  # strictly wins here
+        # layout-independent
+        again = {
+            (r["doc_id"], r["shard"], r["pack"])
+            for r in pack_documents_bestfit(
+                df.repartition(9), max_tokens=50, n_shards=4
+            ).collect()
+        }
+        assert again == {(r["doc_id"], r["shard"], r["pack"]) for r in bf.collect()}
+
 
 class TestSampling:
     def test_stratified_stable_and_uniformish(self, spark):
