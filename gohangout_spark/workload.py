@@ -1381,6 +1381,89 @@ def weighted_mixture_q(spark, sf_dir):
 
 
 @q(
+    "tpch_q8",
+    """SELECT o_year,
+              round(CAST(sum(CASE WHEN nation = 'NATION_9' THEN cents ELSE 0 END)
+                         AS DOUBLE) / sum(cents), 4) AS mkt_share
+       FROM (SELECT year(o_orderdate) AS o_year,
+                    CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                         AS BIGINT) AS cents,
+                    n2.n_name AS nation
+             FROM part, supplier, lineitem, orders, customer,
+                  nation n1, nation n2, region
+             WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+               AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+               AND c_nationkey = n1.n_nationkey
+               AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+               AND s_nationkey = n2.n_nationkey
+               AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                   AND TIMESTAMP '1997-12-31'
+               AND p_type = 'PROMO')
+       GROUP BY o_year""",
+)
+def tpch_q8(spark, sf_dir):
+    """National market share — the eight-table TPC-H join (p_type keyed to
+    the testdata's single-word types). Scale shape: region-filtered
+    customer⋈nation⋈region and the supplier⋈nation sides broadcast like
+    q5/q7; lineitem⋈orders stays the fact-fact shuffle join; the market
+    share divides integer-cents sums so the ratio is layout-exact."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["part", "supplier", "lineitem", "orders", "customer",
+          "nation", "region"]}
+    cust_in_region = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = (
+        t["supplier"]
+        .join(
+            F.broadcast(t["nation"].select(
+                F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+            )),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    orders = t["orders"].filter(
+        F.col("o_orderdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+        )
+    )
+    promo = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    joined = (
+        t["lineitem"]
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust_in_region, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            cents.alias("cents"),
+            F.col("nation"),
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("nation") == "NATION_9", F.col("cents")).otherwise(
+                    F.lit(0)
+                )
+            ).cast("double")
+            / F.sum("cents"),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+@q(
     "tpch_q19",
     """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
        FROM lineitem, part
