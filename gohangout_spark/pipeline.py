@@ -214,7 +214,22 @@ class Pipeline:
                         batch_df.unpersist()
 
             mode = output_mode or self._default_mode()
-            w = df.writeStream.foreachBatch(fan_out).outputMode(mode)
+            from gohangout_spark.sinks import FileSink as _FileSink
+
+            if (
+                not refreshables
+                and mode == "append"
+                and checkpoint
+                and len(sinks) == 1
+                and type(sinks[0]) is _FileSink
+                and not sinks[0].ifs
+            ):
+                # single unconditional FileSink on an append stream: use the
+                # NATIVE file sink — exactly-once via _spark_metadata commit
+                # log, vs foreachBatch's at-least-once on batch retry
+                w = sinks[0].stream_writer(df)
+            else:
+                w = df.writeStream.foreachBatch(fan_out).outputMode(mode)
             if trigger_seconds:
                 w = w.trigger(processingTime=f"{trigger_seconds} seconds")
             if checkpoint:

@@ -64,13 +64,49 @@ class MemorySink(Sink):
 
 
 class FileSink(Sink):
+    """Partitioned file output (parquet/orc/json/csv/text).
+
+    The reference's outputs are all service connectors (ES/Kafka/CH/...);
+    a training-data engine's default output is partitioned parquet on a
+    shared filesystem, so this sink is first-class here:
+
+    - ``partition_by``: hive-style directory partitioning (partition
+      pruning for downstream readers)
+    - ``max_records_per_file`` / ``compression``: file sizing knobs — at
+      100 TB the failure mode is thousands of tiny files or single
+      multi-GB ones; bound both
+    - batch: ``df.write``; streaming: the pipeline routes an eligible
+      single-FileSink chain through Spark's NATIVE file sink
+      (exactly-once via the ``_spark_metadata`` commit log) instead of
+      foreachBatch (at-least-once on batch retry).
+    """
+
+    def _apply_common(self, w):
+        if self.conf.get("compression"):
+            w = w.option("compression", self.conf["compression"])
+        if self.conf.get("max_records_per_file"):
+            w = w.option("maxRecordsPerFile", int(self.conf["max_records_per_file"]))
+        for k, v in (self.conf.get("options") or {}).items():
+            w = w.option(k, v)
+        part = self.conf.get("partition_by")
+        if part:
+            w = w.partitionBy(*([part] if isinstance(part, str) else list(part)))
+        return w
+
     def write_batch(self, df: DataFrame) -> None:
         w = df.write.format(self.conf.get("format", "parquet")).mode(
             self.conf.get("mode", "append")
         )
-        for k, v in (self.conf.get("options") or {}).items():
-            w = w.option(k, v)
-        w.save(self.conf["path"])
+        self._apply_common(w).save(self.conf["path"])
+
+    def stream_writer(self, df: DataFrame):
+        """Native streaming file-sink writer (append-only; the caller owns
+        checkpointLocation). Exactly-once: re-run micro-batches are
+        deduplicated by the file sink's _spark_metadata commit log."""
+        w = df.writeStream.format(self.conf.get("format", "parquet"))
+        return self._apply_common(w).option("path", self.conf["path"]).outputMode(
+            "append"
+        )
 
 
 class KafkaSink(Sink):
