@@ -1,0 +1,165 @@
+"""Time-series joins Spark lacks natively, built shuffle-bounded.
+
+As-of join (the timeseries-DB staple: for each left row, the latest right
+row at-or-before its timestamp, per key) and binned range join (point-in-
+interval). Neither exists as a DataFrame primitive, and the naive
+formulations are scale-killers:
+
+- naive as-of: ``left JOIN right ON key AND r.ts <= l.ts`` then keep the
+  max — a theta join whose intermediate is O(left × right-per-key).
+- naive range: same theta shape.
+
+Spark-first shapes used instead:
+
+- ``asof_join``: UNION the two sides, one window over (key, ts) with
+  ``last(payload, ignorenulls)`` propagating the most recent right payload
+  onto each left row. Exactly ONE shuffle (by key), zero row explosion,
+  whole-stage-codegen window — the plan a timeseries engine would emit.
+- ``range_join``: explode each right interval into the coarse time buckets
+  it covers, equi-join on (key, bucket), exact range post-filter. Shuffle
+  is an equi-join; right-side duplication is bounded by
+  ceil(interval/bucket)+1 (pick ``bucket_seconds`` ≈ typical interval).
+  This is the standard binned range-join strategy.
+
+Determinism contract: among right rows with identical (key, ts) the
+propagated payload is tie-broken arbitrarily — deduplicate the right side
+first if that matters (the workload queries do).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _keys(on) -> list[str]:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    direction: str = "backward",
+    tolerance_seconds: int | None = None,
+    how: str = "left",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row: the single right row with the same key(s) and the
+    nearest ``right_ts`` at-or-before (``backward``) / at-or-after
+    (``forward``) ``left_ts``. Equal timestamps match (DuckDB ``ASOF``
+    ``>=`` semantics). Null keys never match (SQL join semantics).
+
+    Right non-key columns land on the output, renamed with ``suffix`` when
+    they collide with a left column. ``tolerance_seconds`` voids matches
+    further than the tolerance; ``how="inner"`` drops unmatched left rows.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: direction must be backward/forward, got {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join: how must be left/inner, got {how!r}")
+    keys = _keys(on)
+    rcols = [c for c in right.columns if c not in keys]
+    if right_ts not in rcols:
+        raise ValueError(f"asof_join: right_ts {right_ts!r} not in right columns")
+    out_names = {c: (c + suffix if c in left.columns else c) for c in rcols}
+
+    # SQL semantics: a null key matches nothing — drop such right rows so
+    # they cannot pair with null-key left rows in the window partition
+    r_nonnull = right
+    for k in keys:
+        r_nonnull = r_nonnull.filter(F.col(k).isNotNull())
+    pay = F.struct(*[F.col(c).alias(out_names[c]) for c in rcols])
+    r2 = r_nonnull.select(
+        *keys,
+        F.col(right_ts).alias("__ats"),
+        pay.alias("__pay"),
+        F.lit(1).alias("__r"),
+    )
+    l2 = left.withColumn("__ats", F.col(left_ts)).withColumn("__r", F.lit(0))
+    u = l2.unionByName(r2, allowMissingColumns=True)
+
+    ts_order = F.col("__ats").asc() if direction == "backward" else F.col("__ats").desc()
+    # at equal __ats the right row must precede the left row so the window
+    # sees it (inclusive match) — __r desc does that for both directions
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_order, F.col("__r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = F.last(F.when(F.col("__r") == 1, F.col("__pay")), ignorenulls=True).over(w)
+    out = u.withColumn("__m", matched).filter(F.col("__r") == 0)
+
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_timestamp(F.col(left_ts))
+            - F.unix_timestamp(F.col("__m")[out_names[right_ts]])
+        )
+        out = out.withColumn(
+            "__m", F.when(gap <= int(tolerance_seconds), F.col("__m"))
+        )
+    if how == "inner":
+        out = out.filter(F.col("__m").isNotNull())
+    return out.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__m")[out_names[c]].alias(out_names[c]) for c in rcols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on,
+    point_ts: str,
+    range_start: str,
+    range_end: str,
+    bucket_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left points into right half-open intervals
+    ``[range_start, range_end)`` sharing the key(s) — as a binned equi-join,
+    never a theta join.
+
+    Each right interval is exploded into the ``bucket_seconds``-wide epoch
+    buckets it covers; left probes with its single bucket; the exact range
+    predicate filters after the (key, bucket) equi-join. Output carries all
+    left columns plus the right columns (caller resolves collisions by
+    renaming beforehand; overlapping intervals multiply matches, as in SQL).
+    ``how="left"`` keeps unmatched left rows with null right columns.
+    """
+    if bucket_seconds <= 0:
+        raise ValueError("range_join: bucket_seconds must be positive")
+    if how not in ("left", "inner"):
+        raise ValueError(f"range_join: how must be left/inner, got {how!r}")
+    keys = _keys(on)
+    collide = [c for c in right.columns if c in left.columns and c not in keys]
+    if collide:
+        raise ValueError(
+            f"range_join: right columns collide with left: {collide} — rename first"
+        )
+    b = int(bucket_seconds)
+    r2 = (
+        right.filter(F.col(range_end) >= F.col(range_start))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(range_start)) / b),
+                    F.floor(F.unix_timestamp(F.col(range_end)) / b),
+                )
+            ),
+        )
+    )
+    l2 = left.withColumn("__bucket", F.floor(F.unix_timestamp(F.col(point_ts)) / b))
+    cond = [l2[k] == r2[k] for k in keys] + [
+        l2["__bucket"] == r2["__bucket"],
+        l2[point_ts] >= r2[range_start],
+        l2[point_ts] < r2[range_end],
+    ]
+    joined = l2.join(r2, cond, how)
+    return joined.select(
+        *[l2[c] for c in left.columns],
+        *[r2[c] for c in right.columns if c not in keys],
+    )

@@ -1868,3 +1868,69 @@ def etl_pipeline_chain(spark, sf_dir):
         "event_id", "etype", "status", "tclass",
         F.date_format("event_time", "yyyy-MM-dd HH:mm:ss").alias("event_time"),
     )
+
+
+# ========================================================================
+# Time-series joins (functions/joins.py): as-of + binned range join
+# ========================================================================
+
+@q(
+    "purchase_attribution",
+    """SELECT p.event_id, p.user_id, c.click_id
+       FROM (SELECT event_id, user_id, ts FROM events
+             WHERE event_type = 'purchase') p
+       ASOF LEFT JOIN (SELECT user_id, ts, event_id AS click_id FROM events
+                       WHERE event_type = 'click') c
+         ON p.user_id = c.user_id AND p.ts >= c.ts""",
+)
+def purchase_attribution(spark, sf_dir):
+    """As-of join: attribute every purchase to the user's most recent click
+    (inclusive, per DuckDB ASOF `>=` — the oracle here is DuckDB's own
+    native ASOF JOIN, an independent implementation of the semantics).
+    Plan: union + one window over (user_id, ts) — single shuffle, no
+    theta join, no row explosion (functions/joins.py docstring)."""
+    from gohangout_spark.functions.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(purchases, clicks, "user_id", direction="backward")
+    return out.select("event_id", "user_id", "click_id")
+
+
+@q(
+    "signup_error_window",
+    """SELECT s.signup_id, count(*) AS n_errors
+       FROM (SELECT event_id AS signup_id, user_id, ts FROM events
+             WHERE event_type = 'signup') s
+       JOIN (SELECT user_id, ts AS err_ts FROM events
+             WHERE event_type = 'error') e
+         ON s.user_id = e.user_id
+        AND e.err_ts >= s.ts AND e.err_ts < s.ts + INTERVAL 1 DAY
+       GROUP BY s.signup_id""",
+)
+def signup_error_window(spark, sf_dir):
+    """Binned range join: errors landing in the day after each signup of
+    the same user, counted per signup. The right intervals explode into
+    86400s epoch buckets (≤2 per interval), the join is a (key, bucket)
+    equi-join with an exact range post-filter — never a theta join."""
+    from gohangout_spark.functions.joins import range_join
+
+    ev = _events(spark, sf_dir)
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("end"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts")
+    )
+    out = range_join(
+        errors, signups, "user_id", "err_ts", "start", "end", bucket_seconds=86400
+    )
+    return out.groupBy("signup_id").agg(F.count("*").alias("n_errors"))

@@ -539,3 +539,137 @@ class TestMultiProbeLSH:
         r0, r2 = recall(0), recall(2)
         assert r2 >= r0
         assert r2 >= 0.6, (r0, r2)
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        import datetime
+
+        t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+        left = spark.createDataFrame(
+            [
+                Row(k="a", ts=t(10), lv="L10"),
+                Row(k="a", ts=t(20), lv="L20"),
+                Row(k="b", ts=t(15), lv="L15"),
+                Row(k="c", ts=t(5), lv="L5"),    # no right rows for c
+                Row(k=None, ts=t(30), lv="Lnull"),
+            ]
+        )
+        right = spark.createDataFrame(
+            [
+                Row(k="a", ts=t(10), rv="R10"),   # equal-ts: must match L10
+                Row(k="a", ts=t(18), rv="R18"),
+                Row(k="b", ts=t(25), rv="R25"),   # after L15: backward misses
+                Row(k=None, ts=t(1), rv="Rnull"), # null key must never match
+            ]
+        )
+        return left, right
+
+    def test_backward_inclusive(self, spark):
+        from gohangout_spark.functions.joins import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            (r["k"], r["lv"]): r["rv"]
+            for r in asof_join(left, right, "k", direction="backward").collect()
+        }
+        assert out[("a", "L10")] == "R10"   # ts equality matches
+        assert out[("a", "L20")] == "R18"   # latest at-or-before
+        assert out[("b", "L15")] is None    # only future right rows
+        assert out[("c", "L5")] is None     # no right rows
+        assert out[(None, "Lnull")] is None # null key never matches
+
+    def test_forward_tolerance_inner(self, spark):
+        from gohangout_spark.functions.joins import asof_join
+
+        left, right = self._frames(spark)
+        fwd = {
+            (r["k"], r["lv"]): r["rv"]
+            for r in asof_join(left, right, "k", direction="forward").collect()
+        }
+        assert fwd[("a", "L10")] == "R10"
+        assert fwd[("a", "L20")] is None    # nothing at-or-after 20 for a
+        assert fwd[("b", "L15")] == "R25"
+        # tolerance 5s: b's match is 10s away -> voided
+        tol = {
+            (r["k"], r["lv"]): r["rv"]
+            for r in asof_join(
+                left, right, "k", direction="forward", tolerance_seconds=5
+            ).collect()
+        }
+        assert tol[("b", "L15")] is None
+        inner = asof_join(left, right, "k", direction="backward", how="inner")
+        assert sorted(r["lv"] for r in inner.collect()) == ["L10", "L20"]
+
+    def test_collision_suffix_and_right_ts(self, spark):
+        """Right ts column collides with left's -> suffixed; usable for gap
+        computation."""
+        from gohangout_spark.functions.joins import asof_join
+
+        left, right = self._frames(spark)
+        out = asof_join(left, right, "k")
+        assert "ts_right" in out.columns and "rv" in out.columns
+        row = {r["lv"]: r for r in out.collect()}["L20"]
+        assert row["ts_right"].second == 18
+
+    def test_no_theta_join_in_plan(self, spark):
+        from gohangout_spark.functions.joins import asof_join
+
+        left, right = self._frames(spark)
+        plan = asof_join(left, right, "k")._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRangeJoin:
+    def _frames(self, spark):
+        import datetime
+
+        t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+        points = spark.createDataFrame(
+            [
+                Row(k="u", ts=t(0), pid=0),    # == start: inclusive
+                Row(k="u", ts=t(30), pid=1),   # inside
+                Row(k="u", ts=t(40), pid=2),   # == end: EXCLUDED (half-open)
+                Row(k="u", ts=t(50), pid=3),   # outside
+                Row(k="v", ts=t(30), pid=4),   # other key
+            ]
+        )
+        ivals = spark.createDataFrame(
+            [Row(k="u", start=t(0), end=t(40), iid=100)]
+        )
+        return points, ivals
+
+    @pytest.mark.parametrize("bucket", [7, 40, 1000])
+    def test_half_open_semantics_any_bucket(self, spark, bucket):
+        """Bucket width must not change results — including widths that
+        split the interval across many buckets and widths larger than it."""
+        from gohangout_spark.functions.joins import range_join
+
+        points, ivals = self._frames(spark)
+        out = range_join(
+            points, ivals, "k", "ts", "start", "end", bucket_seconds=bucket
+        )
+        assert sorted(r["pid"] for r in out.collect()) == [0, 1]
+        assert all(r["iid"] == 100 for r in out.collect())
+
+    def test_left_keeps_unmatched(self, spark):
+        from gohangout_spark.functions.joins import range_join
+
+        points, ivals = self._frames(spark)
+        out = range_join(
+            points, ivals, "k", "ts", "start", "end", bucket_seconds=60, how="left"
+        )
+        got = {r["pid"]: r["iid"] for r in out.collect()}
+        assert got == {0: 100, 1: 100, 2: None, 3: None, 4: None}
+
+    def test_collision_rejected(self, spark):
+        from gohangout_spark.functions.joins import range_join
+
+        points, ivals = self._frames(spark)
+        with pytest.raises(ValueError, match="collide"):
+            range_join(
+                points,
+                ivals.withColumnRenamed("iid", "pid"),
+                "k", "ts", "start", "end", bucket_seconds=60,
+            )
