@@ -44,6 +44,9 @@ HEADLINE = [
     "doc_fingerprint",
     "quality_score",
     "lang_id",
+    "purchase_attribution",
+    "signup_error_window",
+    "semantic_dedup_by_label",
 ]
 
 

@@ -11,6 +11,7 @@ from gohangout_spark.operators.basic import (
     URLDecode,
 )
 from gohangout_spark.operators.convert import Convert
+from gohangout_spark.operators.dedup_filter import Dedup
 from gohangout_spark.operators.date import Date
 from gohangout_spark.operators.grok import Grok
 from gohangout_spark.operators.json_filter import Json
@@ -41,6 +42,7 @@ FILTER_REGISTRY = {
     "URLDecode": URLDecode,
     "Convert": Convert,
     "Date": Date,
+    "Dedup": Dedup,
     "Grok": Grok,
     "Json": Json,
     "KV": KV,

@@ -1976,3 +1976,24 @@ def semantic_dedup_kmeans(spark, sf_dir):
     return semantic_dedup(emb, threshold=0.3, n_centroids=8, n_iter=2).select(
         "vec_id", "cluster"
     )
+
+
+@q(
+    "dedup_filter_events",
+    """SELECT event_id, user_id, event_type FROM (
+         SELECT event_id, user_id, event_type,
+                row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts) AS rn
+         FROM events) WHERE rn = 1""",
+)
+def dedup_filter_events(spark, sf_dir):
+    """Dedup filter (operators/dedup_filter.py) in deterministic order_by
+    mode: first event per (user, type) by event time. (user_id, ts) is
+    unique in the corpus, so the ordering has no ties. The streaming
+    variant (dropDuplicatesWithinWatermark, bounded state) is covered by
+    TestDedup::test_streaming_replay_dedup."""
+    from gohangout_spark.operators import Dedup
+
+    ev = _events(spark, sf_dir)
+    out = FilterBox(Dedup(fields=["user_id", "event_type"], order_by="ts")).apply(ev)
+    return out.select("event_id", "user_id", "event_type")

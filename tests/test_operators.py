@@ -743,3 +743,94 @@ class TestReviewFixesRound2:
         df = spark.createDataFrame([Row(name="r", a=Row(x=1, y=2))])
         # $.a[0] over a struct: absent==null, not an AnalysisException
         assert df.filter(compile_condition("EQ($.a[0],1)", df)).count() == 0
+
+
+class TestDedup:
+    def test_batch_order_by_deterministic(self, spark):
+        from gohangout_spark.operators import Dedup, FilterBox
+
+        df = spark.createDataFrame(
+            [Row(k="a", seq=3, v="late"), Row(k="a", seq=1, v="first"),
+             Row(k="b", seq=2, v="only")]
+        )
+        out = FilterBox(Dedup(fields="k", order_by="seq")).apply(df)
+        got = {r["k"]: r["v"] for r in out.collect()}
+        assert got == {"a": "first", "b": "only"}
+
+    def test_batch_multi_key_and_box_postprocess(self, spark):
+        from gohangout_spark.operators import Dedup, FilterBox
+
+        df = spark.createDataFrame(
+            [Row(k="a", t="x", n=1), Row(k="a", t="x", n=1), Row(k="a", t="y", n=2)]
+        )
+        out = FilterBox(
+            Dedup(fields=["k", "t"], order_by="n"),
+            add_fields={"deduped": "yes"},
+        ).apply(df)
+        rows = out.collect()
+        assert len(rows) == 2
+        assert all(r["deduped"] == "yes" for r in rows)
+
+    def test_if_guard_passthrough(self, spark):
+        """Only condition-matching rows are deduped; others pass through
+        (including their duplicates)."""
+        from gohangout_spark.operators import Dedup, FilterBox
+
+        df = spark.createDataFrame(
+            [Row(k="a", grp="hot"), Row(k="a", grp="hot"),
+             Row(k="z", grp="cold"), Row(k="z", grp="cold")]
+        )
+        out = FilterBox(
+            Dedup(fields="k"), ifs=['EQ(grp,"hot")'], ts_field="grp"
+        ).apply(df)
+        got = sorted((r["k"], r["grp"]) for r in out.collect())
+        assert got == [("a", "hot"), ("z", "cold"), ("z", "cold")]
+
+    def test_streaming_requires_keep_within(self, spark, tmp_path):
+        import datetime
+
+        import pytest as _pytest
+
+        from gohangout_spark.operators import Dedup, FilterBox
+
+        p = str(tmp_path / "ddsrc")
+        spark.createDataFrame(
+            [Row(eid=1, ts=datetime.datetime(2024, 1, 1))]
+        ).write.parquet(p)
+        stream = spark.readStream.schema("eid long, ts timestamp").parquet(p)
+        with _pytest.raises(ValueError, match="keep_within"):
+            FilterBox(Dedup(fields="eid"), ts_field="ts").apply(stream)
+
+    def test_streaming_replay_dedup(self, spark, tmp_path):
+        """Kafka-replay shape: the same event ids delivered again in a later
+        micro-batch are suppressed within the keep_within horizon."""
+        import datetime
+
+        from gohangout_spark.operators import Dedup, FilterBox
+
+        src = str(tmp_path / "replay_src")
+        base = datetime.datetime(2024, 1, 1)
+        mk = lambda ids: spark.createDataFrame(
+            [Row(eid=i, ts=base + datetime.timedelta(seconds=i)) for i in ids]
+        )
+        mk([1, 2, 3, 2]).coalesce(1).write.mode("append").parquet(src)   # intra-batch dup
+        mk([2, 3, 4]).coalesce(1).write.mode("append").parquet(src)      # replayed batch
+        stream = (
+            spark.readStream.schema("eid long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = FilterBox(
+            Dedup(fields="eid", timestamp="ts", keep_within="1 hour"),
+            ts_field="ts",
+        ).apply(stream)
+        q = (
+            out.writeStream.format("memory").queryName("dd_replay")
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+            got = sorted(r["eid"] for r in spark.sql("SELECT * FROM dd_replay").collect())
+        finally:
+            q.stop()
+        assert got == [1, 2, 3, 4], got
