@@ -167,3 +167,49 @@ class TestCurationProperties:
             for r in cap_per_group(big_df, "source", "doc_id", n_small).collect()
         }
         assert small <= big and nested == small
+
+
+# --------------------------------------------------------------- asof join
+
+class TestAsofJoinProperties:
+    @given(
+        left=st.lists(
+            st.tuples(st.sampled_from("ab"), st.integers(0, 20)),
+            min_size=1, max_size=8,
+        ),
+        right=st.lists(
+            st.tuples(st.sampled_from("ab"), st.integers(0, 20)),
+            min_size=0, max_size=8, unique=True,  # unique (key, ts): no ties
+        ),
+        direction=st.sampled_from(["backward", "forward"]),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_matches_brute_force(self, spark, left, right, direction):
+        """asof_join (union + window propagation) ≡ the O(n·m) definitional
+        scan, on arbitrary small inputs, both directions."""
+        import datetime
+
+        from gohangout_spark.functions.joins import asof_join
+
+        t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, s)
+        ldf = spark.createDataFrame(
+            [Row(k=k, ts=t(s), lid=i) for i, (k, s) in enumerate(left)]
+        )
+        rdf = spark.createDataFrame(
+            [Row(k=k, ts=t(s), rid=100 + i) for i, (k, s) in enumerate(right)],
+            schema="k string, ts timestamp, rid long",
+        )
+        got = {
+            r["lid"]: r["rid"]
+            for r in asof_join(ldf, rdf, "k", direction=direction).collect()
+        }
+
+        def brute(k, s):
+            if direction == "backward":
+                cands = [(rs, i) for i, (rk, rs) in enumerate(right) if rk == k and rs <= s]
+                return 100 + max(cands)[1] if cands else None
+            cands = [(rs, i) for i, (rk, rs) in enumerate(right) if rk == k and rs >= s]
+            return 100 + min(cands)[1] if cands else None
+
+        expect = {i: brute(k, s) for i, (k, s) in enumerate(left)}
+        assert got == expect
