@@ -14,6 +14,26 @@ import argparse
 import sys
 
 
+def _run_until_signal(queries) -> None:
+    """Graceful shutdown parity (internal/signal/signal.go → inputs.stop(),
+    gohangout.go:155-158): on SIGTERM/SIGINT stop every streaming query —
+    offsets/state are checkpointed, so a restart resumes without loss —
+    then return so the process exits 0 instead of dying mid-batch."""
+    import signal as _signal
+    import threading
+
+    stop_evt = threading.Event()
+    for s in (_signal.SIGTERM, _signal.SIGINT):
+        _signal.signal(s, lambda *_: stop_evt.set())
+    while not stop_evt.is_set() and any(q.isActive for q in queries):
+        stop_evt.wait(1.0)
+    for q in queries:
+        if q.isActive:
+            q.stop()
+    for q in queries:
+        q.awaitTermination()
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="gohangout-spark")
     ap.add_argument("--config", required=True, help="YAML pipeline config (path or URL)")
@@ -47,19 +67,26 @@ def main(argv: list[str] | None = None) -> int:
         serve_prometheus(attach(spark), args.prometheus)
     if args.streaming:
         if args.reload:
+            import signal as _signal
+            import threading
+
+            stop = threading.Event()
+            for s in (_signal.SIGTERM, _signal.SIGINT):
+                _signal.signal(s, lambda *_: stop.set())
             run_streaming_with_reload(
                 spark,
                 args.config,
                 trigger_seconds=args.trigger_seconds,
                 checkpoint=args.checkpoint,
+                stop_flag=stop,
             )
         else:
-            Pipeline.from_config(args.config).run_streaming(
+            queries = Pipeline.from_config(args.config).run_streaming(
                 spark,
                 trigger_seconds=args.trigger_seconds,
                 checkpoint=args.checkpoint,
-                await_termination=True,
             )
+            _run_until_signal(queries)
     else:
         Pipeline.from_config(args.config).run_batch(spark)
     return 0

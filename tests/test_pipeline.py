@@ -367,3 +367,69 @@ outputs:
     assert all(
         r["message"] == "user <EMAIL> from <IP>" for r in sinks[0].rows
     ) and sinks[0].rows
+
+
+def test_cli_sigterm_graceful_shutdown(tmp_path):
+    """python -m gohangout_spark --streaming stops cleanly on SIGTERM
+    (internal/signal parity): exit code 0, checkpointed file-sink output
+    readable and complete."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    src = tmp_path / "sig_src"
+    out = tmp_path / "sig_out"
+    ck = tmp_path / "sig_ck"
+    cfg = tmp_path / "sig.yml"
+
+    import duckdb  # stdlib-free parquet writer for the source fixture
+
+    con = duckdb.connect()
+    src.mkdir()
+    con.execute(
+        "COPY (SELECT range AS id, now()::TIMESTAMP AS ts FROM range(100)) "
+        f"TO '{src}/part0.parquet' (FORMAT PARQUET)"
+    )
+    cfg.write_text(f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+    schema: "id long, ts timestamp"
+filters:
+- Add:
+    fields: {{tag: signal}}
+timestamp_field: ts
+outputs:
+- File:
+    path: "{out}"
+    format: parquet
+""")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "gohangout_spark", "--config", str(cfg),
+         "--streaming", "--checkpoint", str(ck), "--cpus", "2"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            # batch 0's entry in the file-sink commit log = output committed
+            if (out / "_spark_metadata" / "0").is_file():
+                break
+            if proc.poll() is not None:
+                raise AssertionError(f"CLI died early rc={proc.returncode}")
+            time.sleep(0.5)
+        else:
+            raise AssertionError("streaming output never appeared")
+        proc.send_signal(signal.SIGTERM)
+        rc = proc.wait(timeout=60)
+        assert rc == 0, rc
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    n = con.execute(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    assert n == 100
