@@ -1997,3 +1997,59 @@ def dedup_filter_events(spark, sf_dir):
     ev = _events(spark, sf_dir)
     out = FilterBox(Dedup(fields=["user_id", "event_type"], order_by="ts")).apply(ev)
     return out.select("event_id", "user_id", "event_type")
+
+
+@q(
+    "user_rolling_avg",
+    """SELECT event_id, user_id,
+              round(avg(value) OVER (
+                PARTITION BY user_id
+                ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4)
+              AS rolling_avg
+       FROM events""",
+)
+def user_rolling_avg(spark, sf_dir):
+    """Event-time rolling mean (trailing hour per user) via a RANGE window
+    frame — pure Catalyst WindowExec, one shuffle on user_id. Frame bounds
+    are defined on whole epoch seconds in BOTH engines (Spark's
+    unix_timestamp truncates; DuckDB floor(epoch)) so boundary rows agree;
+    round(4) absorbs summation-order float noise."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).alias("rolling_avg")
+    )
+
+
+@q(
+    "event_type_pivot",
+    """SELECT user_id,
+              count(*) FILTER (event_type = 'click') AS click,
+              count(*) FILTER (event_type = 'view') AS view,
+              count(*) FILTER (event_type = 'purchase') AS purchase,
+              count(*) FILTER (event_type = 'signup') AS signup,
+              count(*) FILTER (event_type = 'error') AS error
+       FROM events GROUP BY user_id""",
+)
+def event_type_pivot(spark, sf_dir):
+    """Wide-format per-user event counts: DataFrame pivot with an EXPLICIT
+    value list (no extra distinct-scan job; single partial+final agg) —
+    the oracle is the equivalent FILTERed conditional aggregation."""
+    ev = _events(spark, sf_dir)
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c)
+          for c in ["click", "view", "purchase", "signup", "error"]],
+    )
