@@ -376,10 +376,28 @@ def semantic_dedup(
             "cluster", _nearest_cell(to_d(F.col(vec_col)), cents).cast("long")
         )
     # self-join shares the (possibly kmeans-assigned) subplan: persist so it
-    # is computed once, not twice (no automatic ReusedExchange on self-joins)
-    pairs_src = assigned.select(
-        F.col(id_col).alias("__id"), "cluster", to_d(F.col(vec_col)).alias("__v")
-    ).persist()
+    # is computed once, not twice (no automatic ReusedExchange on self-joins).
+    # Vectors are L2-normalized ONCE here so the per-pair predicate is a
+    # bare dot product — cosine() would recompute BOTH norms for every pair
+    # (|cell|× redundant work). The norm is a separate column, not inlined
+    # in the transform lambda (a norm referenced inside the lambda would be
+    # re-evaluated per element). Zero-norm vectors get NULL (undefined
+    # similarity) → the null predicate filters them → never dropped as dups.
+    pairs_src = (
+        assigned.select(
+            F.col(id_col).alias("__id"), "cluster", to_d(F.col(vec_col)).alias("__v")
+        )
+        .withColumn("__nrm", _norm(F.col("__v")))
+        .select(
+            "__id",
+            "cluster",
+            F.when(
+                F.col("__nrm") > 0,
+                F.transform(F.col("__v"), lambda x: x / F.col("__nrm")),
+            ).alias("__v"),
+        )
+        .persist()
+    )
     try:
         a = pairs_src.select(
             F.col("__id").alias("__id_a"), "cluster", F.col("__v").alias("__va")
@@ -390,7 +408,7 @@ def semantic_dedup(
         dups = (
             a.join(b, ["cluster"])
             .where(F.col("__id_b") < F.col("__id_a"))
-            .where(cosine(F.col("__va"), F.col("__vb")) >= threshold)
+            .where(_dot(F.col("__va"), F.col("__vb")) >= threshold)
             .select(F.col("__id_a").alias(id_col))
             .distinct()
             # dup ids are the SMALL side — materialize them eagerly so the
