@@ -37,6 +37,26 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _unit(df: DataFrame, vec_alias: str) -> DataFrame:
+    """L2-normalize a vector column in place so downstream pair predicates
+    are bare dot products (cosine() would recompute both norms per PAIR).
+    The norm is computed once as its own column — inlining it in the
+    transform lambda would re-evaluate it per element. Zero-norm vectors
+    become NULL: undefined similarity, never NaN (which Spark sorts ABOVE
+    every real sim in a desc ranking)."""
+    return (
+        df.withColumn("__n", _norm(F.col(vec_alias)))
+        .withColumn(
+            vec_alias,
+            F.when(
+                F.col("__n") > 0,
+                F.transform(F.col(vec_alias), lambda x: x / F.col("__n")),
+            ),
+        )
+        .drop("__n")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,9 +73,10 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     )
+    q, c = _unit(q, "qv"), _unit(c, "cv")
     joined = c.crossJoin(F.broadcast(q)).where(F.col("query_id") != F.col("neighbor_id"))
     sims = joined.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+        "query_id", "neighbor_id", _dot(F.col("qv"), F.col("cv")).alias("sim")
     )
     from pyspark.sql.window import Window
 
@@ -106,9 +127,12 @@ def lsh_topk(
     fan-out scales with the (small) query side only."""
     to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
     key = lambda c: lsh_bucket_key(c, dim, n_planes)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), to_d(F.col(vec_col)).alias("qv")
-    ).withColumn("bucket", key(F.col("qv")))
+    q = _unit(
+        queries.select(
+            F.col(id_col).alias("query_id"), to_d(F.col(vec_col)).alias("qv")
+        ).withColumn("bucket", key(F.col("qv"))),
+        "qv",
+    )
     if multi_probe > 0:
         probes = [F.col("bucket")]
         for b in range(n_planes):
@@ -120,14 +144,17 @@ def lsh_topk(
                         F.col("bucket").bitwiseXOR(F.lit((2**b1) | (2**b2)).cast("long"))
                     )
         q = q.withColumn("bucket", F.explode(F.array_distinct(F.array(*probes))))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), to_d(F.col(vec_col)).alias("cv")
-    ).withColumn("bucket", key(F.col("cv")))
+    c = _unit(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), to_d(F.col(vec_col)).alias("cv")
+        ).withColumn("bucket", key(F.col("cv"))),
+        "cv",
+    )
     joined = c.join(F.broadcast(q), "bucket").where(
         F.col("query_id") != F.col("neighbor_id")
     )
     sims = joined.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+        "query_id", "neighbor_id", _dot(F.col("qv"), F.col("cv")).alias("sim")
     )
     from pyspark.sql.window import Window
 
@@ -159,8 +186,10 @@ def cosine_neardup_pairs(
     LSH path — it parameterizes the hyperplanes; plan construction must not
     trigger a Spark job to probe it."""
     to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
-    a = df.select(F.col(id_col).alias("id_a"), to_d(F.col(vec_col)).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), to_d(F.col(vec_col)).alias("vb"))
+    # normalize once per vector (hyperplane bucket signs are invariant to
+    # the positive rescale); the per-pair predicate is then a bare dot
+    a = _unit(df.select(F.col(id_col).alias("id_a"), to_d(F.col(vec_col)).alias("va")), "va")
+    b = _unit(df.select(F.col(id_col).alias("id_b"), to_d(F.col(vec_col)).alias("vb")), "vb")
     if n_planes > 0:
         if dim is None:
             raise ValueError("cosine_neardup_pairs: dim is required when n_planes > 0")
@@ -190,7 +219,7 @@ def cosine_neardup_pairs(
     else:
         pairs = a.join(b, F.col("id_a") < F.col("id_b"))
     sims = pairs.select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim")
+        "id_a", "id_b", _dot(F.col("va"), F.col("vb")).alias("sim")
     )
     return sims.where(F.col("sim") >= threshold).select(
         "id_a", "id_b", F.round("sim", 4).alias("sim")
@@ -319,13 +348,13 @@ def ivf_topk(
         return F.slice(F.transform(ordered, lambda x: x.getField("cid")), 1, n)
 
     c = corpus.select(F.col(id_col).alias("neighbor_id"), to_d(F.col(vec_col)).alias("cv"))
-    c = c.withColumn("cell", F.element_at(cell_ranks(F.col("cv"), 1), 1))
+    c = _unit(c.withColumn("cell", F.element_at(cell_ranks(F.col("cv"), 1), 1)), "cv")
     q = queries.select(F.col(id_col).alias("query_id"), to_d(F.col(vec_col)).alias("qv"))
-    q = q.withColumn("cell", F.explode(cell_ranks(F.col("qv"), n_probe)))
+    q = _unit(q.withColumn("cell", F.explode(cell_ranks(F.col("qv"), n_probe))), "qv")
 
     joined = c.join(F.broadcast(q), "cell").where(F.col("query_id") != F.col("neighbor_id"))
     sims = joined.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+        "query_id", "neighbor_id", _dot(F.col("qv"), F.col("cv")).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
