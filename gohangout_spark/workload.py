@@ -2053,3 +2053,34 @@ def event_type_pivot(spark, sf_dir):
         *[F.coalesce(F.col(c), F.lit(0)).alias(c)
           for c in ["click", "view", "purchase", "signup", "error"]],
     )
+
+
+@q(
+    "sliding_window_counts",
+    """SELECT strftime(make_timestamp(s * 1000000), '%Y-%m-%d %H:%M:%S')
+                AS window_start,
+              event_type, count(*) AS n
+       FROM (SELECT event_type,
+                    unnest([(floor(epoch(ts))::BIGINT // 300) * 300,
+                            (floor(epoch(ts))::BIGINT // 300) * 300 - 300]) AS s
+             FROM events)
+       GROUP BY 1, 2""",
+)
+def sliding_window_counts(spark, sf_dir):
+    """Sliding event-time windows (10 min wide, 5 min slide) — explicitly
+    beyond the reference, whose LinkMetric is tumbling-only (SURVEY §2.6).
+    Spark's window() expands each event into its 2 overlapping windows
+    in-plan; the oracle unnests the same two aligned starts. Window starts
+    are emitted as formatted strings (timezone-representation-proof)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
