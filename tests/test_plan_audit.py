@@ -1,0 +1,37 @@
+"""Whole-workload physical-plan audit: the 100 TB guardrail.
+
+Every workload query's executed plan is checked for join shapes that do not
+survive scale. CartesianProduct is never acceptable. BroadcastNestedLoopJoin
+is acceptable ONLY where the broadcast side is provably tiny and the shape
+is the intended design — each whitelisted query documents why. A new query
+that accidentally plans a theta join fails here before it ever reaches the
+driver gate.
+"""
+
+from gohangout_spark.workload import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# BroadcastNestedLoopJoin allowed: broadcast side is small BY CONSTRUCTION
+BNLJ_OK = {
+    # deliberate O(n²) exact baseline the LSH variant is recall-tested against
+    "embedding_neardup_exact",
+    # brute-force ANN baseline: query block broadcast, corpus streams
+    "embedding_topk",
+    # avg(c_acctbal) scalar subquery: a 1-row broadcast
+    "tpch_q22",
+    # benchmark snippet list (KBs) broadcast for substring containment —
+    # no equi-key exists for substring matching
+    "decontaminate_docs",
+}
+
+
+def test_no_scale_killer_joins(spark):
+    offenders = {}
+    for name, (fn, _) in sorted(QUERIES.items()):
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            offenders[name] = "BroadcastNestedLoopJoin (not whitelisted)"
+    assert not offenders, offenders
