@@ -2084,3 +2084,47 @@ def sliding_window_counts(spark, sf_dir):
             "n",
         )
     )
+
+
+@q(
+    "intersect_buyers_clickers",
+    """SELECT user_id FROM events WHERE event_type = 'purchase'
+       INTERSECT
+       SELECT user_id FROM events WHERE event_type = 'click'""",
+)
+def intersect_buyers_clickers(spark, sf_dir):
+    """Set operation (SURVEY §2.6: the reference has none): users present
+    in BOTH the purchase and click streams. Spark INTERSECT plans as a
+    left-semi aggregate join — dedup + semi in one shuffle pair."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_type") == "purchase").select("user_id")
+        .intersect(ev.filter(F.col("event_type") == "click").select("user_id"))
+    )
+
+
+@q(
+    "event_value_geomean",
+    """SELECT event_type,
+              round(exp(avg(ln(value + 1.0))), 4) AS geomean
+       FROM events GROUP BY event_type""",
+)
+def event_value_geomean(spark, sf_dir):
+    """Custom UDAF surface (SURVEY §2.6: reference has no UDAF): geometric
+    mean of (value+1) per event type as an Arrow-batched pandas GROUPED_AGG
+    UDF — the documented shape for aggregations Spark lacks natively.
+    Partial results combine per Arrow batch; round(4) absorbs
+    summation-order float noise vs the oracle's closed form."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG (the module's postponed annotations would leave
+    # the decorator unable to infer the aggregate signature)
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy() + 1.0).mean()))
+
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.round(geomean("value"), 4).alias("geomean")
+    )
