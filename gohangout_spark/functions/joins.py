@@ -64,6 +64,9 @@ def asof_join(
     rcols = [c for c in right.columns if c not in keys]
     if right_ts not in rcols:
         raise ValueError(f"asof_join: right_ts {right_ts!r} not in right columns")
+    reserved = {"__ats", "__pay", "__r", "__m"} & set(left.columns)
+    if reserved:
+        raise ValueError(f"asof_join: left columns collide with internals: {sorted(reserved)}")
     out_names = {c: (c + suffix if c in left.columns else c) for c in rcols}
 
     # SQL semantics: a null key matches nothing — drop such right rows so
@@ -90,6 +93,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = F.last(F.when(F.col("__r") == 1, F.col("__pay")), ignorenulls=True).over(w)
+    # SQL comparison semantics: a NULL left timestamp matches nothing (in
+    # forward mode it would otherwise sort past every right row and "see"
+    # them all)
+    matched = F.when(F.col(left_ts).isNotNull(), matched)
     out = u.withColumn("__m", matched).filter(F.col("__r") == 0)
 
     if tolerance_seconds is not None:

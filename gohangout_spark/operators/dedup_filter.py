@@ -60,6 +60,14 @@ class Dedup(Filter):
                     "watermark horizon bounding dedup state), e.g. "
                     "keep_within: '10 minutes'"
                 )
+            if self.order_by:
+                import logging
+
+                logging.getLogger("gohangout_spark.dedup").warning(
+                    "Dedup order_by=%r is batch-only: the streaming path "
+                    "keeps the FIRST-ARRIVED copy (dropDuplicatesWithin"
+                    "Watermark has no ordering)", self.order_by
+                )
             ts = self.timestamp or ts_field
             out = keyed.withWatermark(ts, self.keep_within)
             out = out.dropDuplicatesWithinWatermark(key_names)

@@ -778,3 +778,39 @@ class TestSemanticDedup:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestAsofJoinNulls:
+    def test_null_left_ts_never_matches(self, spark):
+        """SQL comparison semantics: NULL left timestamp matches nothing in
+        either direction (forward previously risked 'seeing' all rights)."""
+        import datetime
+
+        from gohangout_spark.functions.joins import asof_join
+
+        t = datetime.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [Row(k="a", ts=None, lid=0), Row(k="a", ts=t, lid=1)],
+            schema="k string, ts timestamp, lid long",
+        )
+        right = spark.createDataFrame([Row(k="a", ts=t, rid=9)])
+        for direction in ("backward", "forward"):
+            got = {
+                r["lid"]: r["rid"]
+                for r in asof_join(left, right, "k", direction=direction).collect()
+            }
+            assert got[0] is None, (direction, got)
+            assert got[1] == 9
+
+    def test_reserved_columns_rejected(self, spark):
+        import datetime
+
+        import pytest as _pytest
+
+        from gohangout_spark.functions.joins import asof_join
+
+        t = datetime.datetime(2024, 1, 1)
+        left = spark.createDataFrame([Row(k="a", ts=t, __ats=1)])
+        right = spark.createDataFrame([Row(k="a", ts=t, rid=9)])
+        with _pytest.raises(ValueError, match="internals"):
+            asof_join(left, right, "k")
