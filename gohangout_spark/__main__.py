@@ -14,17 +14,23 @@ import argparse
 import sys
 
 
-def _run_until_signal(queries) -> None:
-    """Graceful shutdown parity (internal/signal/signal.go → inputs.stop(),
-    gohangout.go:155-158): on SIGTERM/SIGINT stop every streaming query —
-    offsets/state are checkpointed, so a restart resumes without loss —
-    then return so the process exits 0 instead of dying mid-batch."""
+def _install_stop_handlers():
+    """SIGTERM/SIGINT → a threading.Event (internal/signal/signal.go)."""
     import signal as _signal
     import threading
 
     stop_evt = threading.Event()
     for s in (_signal.SIGTERM, _signal.SIGINT):
         _signal.signal(s, lambda *_: stop_evt.set())
+    return stop_evt
+
+
+def _run_until_signal(queries) -> None:
+    """Graceful shutdown parity (internal/signal/signal.go → inputs.stop(),
+    gohangout.go:155-158): on SIGTERM/SIGINT stop every streaming query —
+    offsets/state are checkpointed, so a restart resumes without loss —
+    then return so the process exits 0 instead of dying mid-batch."""
+    stop_evt = _install_stop_handlers()
     while not stop_evt.is_set() and any(q.isActive for q in queries):
         stop_evt.wait(1.0)
     for q in queries:
@@ -67,12 +73,7 @@ def main(argv: list[str] | None = None) -> int:
         serve_prometheus(attach(spark), args.prometheus)
     if args.streaming:
         if args.reload:
-            import signal as _signal
-            import threading
-
-            stop = threading.Event()
-            for s in (_signal.SIGTERM, _signal.SIGINT):
-                _signal.signal(s, lambda *_: stop.set())
+            stop = _install_stop_handlers()
             run_streaming_with_reload(
                 spark,
                 args.config,

@@ -69,9 +69,10 @@ def asof_join(
         raise ValueError(f"asof_join: left columns collide with internals: {sorted(reserved)}")
     out_names = {c: (c + suffix if c in left.columns else c) for c in rcols}
 
-    # SQL semantics: a null key matches nothing — drop such right rows so
-    # they cannot pair with null-key left rows in the window partition
-    r_nonnull = right
+    # SQL semantics: a null key or null timestamp matches nothing — drop
+    # such right rows; a NULL __ats would otherwise sort FIRST ascending
+    # and propagate its payload to left rows with no real earlier match
+    r_nonnull = right.filter(F.col(right_ts).isNotNull())
     for k in keys:
         r_nonnull = r_nonnull.filter(F.col(k).isNotNull())
     pay = F.struct(*[F.col(c).alias(out_names[c]) for c in rcols])

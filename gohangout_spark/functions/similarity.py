@@ -350,7 +350,9 @@ def ivf_topk(
     c = corpus.select(F.col(id_col).alias("neighbor_id"), to_d(F.col(vec_col)).alias("cv"))
     c = _unit(c.withColumn("cell", F.element_at(cell_ranks(F.col("cv"), 1), 1)), "cv")
     q = queries.select(F.col(id_col).alias("query_id"), to_d(F.col(vec_col)).alias("qv"))
-    q = _unit(q.withColumn("cell", F.explode(cell_ranks(F.col("qv"), n_probe))), "qv")
+    # normalize BEFORE the probe explode: once per query, not once per probe
+    # (cell ranks use cosine — invariant to the rescale)
+    q = _unit(q, "qv").withColumn("cell", F.explode(cell_ranks(F.col("qv"), n_probe)))
 
     joined = c.join(F.broadcast(q), "cell").where(F.col("query_id") != F.col("neighbor_id"))
     sims = joined.select(
@@ -406,27 +408,15 @@ def semantic_dedup(
         )
     # self-join shares the (possibly kmeans-assigned) subplan: persist so it
     # is computed once, not twice (no automatic ReusedExchange on self-joins).
-    # Vectors are L2-normalized ONCE here so the per-pair predicate is a
-    # bare dot product — cosine() would recompute BOTH norms for every pair
-    # (|cell|× redundant work). The norm is a separate column, not inlined
-    # in the transform lambda (a norm referenced inside the lambda would be
-    # re-evaluated per element). Zero-norm vectors get NULL (undefined
-    # similarity) → the null predicate filters them → never dropped as dups.
-    pairs_src = (
+    # _unit: vectors L2-normalized ONCE so the per-pair predicate is a bare
+    # dot product; zero-norm vectors get NULL (undefined similarity) → the
+    # null predicate filters them → never dropped as dups.
+    pairs_src = _unit(
         assigned.select(
             F.col(id_col).alias("__id"), "cluster", to_d(F.col(vec_col)).alias("__v")
-        )
-        .withColumn("__nrm", _norm(F.col("__v")))
-        .select(
-            "__id",
-            "cluster",
-            F.when(
-                F.col("__nrm") > 0,
-                F.transform(F.col("__v"), lambda x: x / F.col("__nrm")),
-            ).alias("__v"),
-        )
-        .persist()
-    )
+        ),
+        "__v",
+    ).persist()
     try:
         a = pairs_src.select(
             F.col("__id").alias("__id_a"), "cluster", F.col("__v").alias("__va")

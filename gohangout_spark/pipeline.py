@@ -223,6 +223,10 @@ class Pipeline:
                 and len(sinks) == 1
                 and type(sinks[0]) is _FileSink
                 and not sinks[0].ifs
+                # one source only: N queries on one output path would fight
+                # over the single per-path _spark_metadata commit log while
+                # each numbers batches from its own checkpoint
+                and len(self.sources) == 1
             ):
                 # single unconditional FileSink on an append stream: use the
                 # NATIVE file sink — exactly-once via _spark_metadata commit

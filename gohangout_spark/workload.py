@@ -2112,9 +2112,13 @@ def intersect_buyers_clickers(spark, sf_dir):
 def event_value_geomean(spark, sf_dir):
     """Custom UDAF surface (SURVEY §2.6: reference has no UDAF): geometric
     mean of (value+1) per event type as an Arrow-batched pandas GROUPED_AGG
-    UDF — the documented shape for aggregations Spark lacks natively.
-    Partial results combine per Arrow batch; round(4) absorbs
-    summation-order float noise vs the oracle's closed form."""
+    UDF. Scale caveat, stated honestly: GROUPED_AGG materializes each FULL
+    group as one pandas Series (no partial aggregation) — fine for bounded
+    group sizes, but for an algebraic aggregate like this one the 100 TB
+    path is the closed form the oracle uses, F.exp(F.avg(F.log(v + 1))),
+    which gets normal partial+final aggregation. This query exists to
+    prove the UDAF surface, not to recommend it for algebraic cases.
+    round(4) absorbs summation-order float noise."""
     import numpy as np
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 

@@ -814,3 +814,22 @@ class TestAsofJoinNulls:
         right = spark.createDataFrame([Row(k="a", ts=t, rid=9)])
         with _pytest.raises(ValueError, match="internals"):
             asof_join(left, right, "k")
+
+    def test_null_right_ts_never_matches(self, spark):
+        """A right row with NULL timestamp must never be the match — it
+        would otherwise sort first ascending and propagate to left rows
+        with no real earlier match (review finding, reproduced)."""
+        import datetime
+
+        from gohangout_spark.functions.joins import asof_join
+
+        t = datetime.datetime(2024, 1, 1)
+        left = spark.createDataFrame([Row(k="a", ts=t, lid=0)])
+        right = spark.createDataFrame(
+            [Row(k="a", ts=None, rid=9)], schema="k string, ts timestamp, rid long"
+        )
+        for direction in ("backward", "forward"):
+            rows = asof_join(left, right, "k", direction=direction).collect()
+            assert rows[0]["rid"] is None, (direction, rows)
+            inner = asof_join(left, right, "k", direction=direction, how="inner")
+            assert inner.count() == 0

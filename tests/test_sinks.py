@@ -714,3 +714,46 @@ outputs:
         back = spark.read.parquet(out)
         assert back.count() == 80  # no duplicates, no loss
         assert back.filter("stage = 'packed'").count() == 80
+
+    def test_streaming_multi_source_uses_foreachbatch(self, spark, tmp_path):
+        """TWO sources + one FileSink must NOT take the native path: two
+        queries sharing one output's _spark_metadata commit log would
+        drop/corrupt batches. The fallback (foreachBatch) writes plain
+        parquet — asserted by the absence of _spark_metadata and by both
+        sources' rows arriving."""
+        import os
+
+        from gohangout_spark.pipeline import Pipeline
+
+        src1 = str(tmp_path / "ms_src1")
+        src2 = str(tmp_path / "ms_src2")
+        out = str(tmp_path / "ms_out")
+        spark.range(10).selectExpr("id", "'s1' AS src").write.parquet(src1)
+        spark.range(10, 30).selectExpr("id", "'s2' AS src").write.parquet(src2)
+        yml = f"""
+inputs:
+- File:
+    path: "{src1}"
+    format: parquet
+- File:
+    path: "{src2}"
+    format: parquet
+filters: []
+timestamp_field: ts
+outputs:
+- File:
+    path: "{out}"
+    format: parquet
+"""
+        p = Pipeline.from_config(yml, is_text=True)
+        queries = p.run_streaming(spark, checkpoint=str(tmp_path / "ms_ck"))
+        try:
+            for q in queries:
+                q.processAllAvailable()
+        finally:
+            for q in queries:
+                q.stop()
+        assert not os.path.isdir(os.path.join(out, "_spark_metadata"))
+        back = spark.read.parquet(out)
+        assert back.count() == 30
+        assert back.select("src").distinct().count() == 2
