@@ -94,6 +94,12 @@ class Pipeline:
     chain: Chain = None
     sinks: list = field(default_factory=list)
     ts_field: str = "@timestamp"
+    # union_inputs: true merges every input into ONE stream through ONE
+    # chain instance — the reference topology, where all input goroutines
+    # feed the same filter chain and shared outputs (gohangout.go
+    # boxes→inputs). Default false keeps one independent query per source
+    # (better isolation: one slow source cannot stall the others' triggers).
+    union_inputs: bool = False
 
     @classmethod
     def from_config(
@@ -119,7 +125,13 @@ class Pipeline:
             if name not in SINK_REGISTRY:
                 raise ValueError(f"unknown output {name!r}")
             sinks.append(SINK_REGISTRY[name](c or {}))
-        return cls(sources=sources, chain=Chain(boxes), sinks=sinks, ts_field=ts_field)
+        return cls(
+            sources=sources,
+            chain=Chain(boxes),
+            sinks=sinks,
+            ts_field=ts_field,
+            union_inputs=bool(conf.get("union_inputs", False)),
+        )
 
     # ---------------------------------------------------------------- batch
     def transform(self, df: DataFrame) -> DataFrame:
@@ -131,9 +143,28 @@ class Pipeline:
             return df.filter(compile_conditions(sink.ifs, df, self.ts_field))
         return df
 
+    def _input_frames(self, spark: SparkSession, streaming: bool) -> list:
+        """One raw frame per query: per-source by default; with
+        ``union_inputs`` a single unionByName merge of every input — the
+        reference topology, where all inputs feed ONE shared chain
+        (gohangout.go boxes→inputs). Schemas may differ per source
+        (Kafka vs file): missing columns null-fill."""
+        frames = [
+            (s.stream(spark) if streaming else s.batch(spark)) for s in self.sources
+        ]
+        if self.union_inputs and len(frames) > 1:
+            from functools import reduce
+
+            return [
+                reduce(
+                    lambda a, b: a.unionByName(b, allowMissingColumns=True), frames
+                )
+            ]
+        return frames
+
     def run_batch(self, spark: SparkSession) -> None:
-        for source in self.sources:
-            df = self.transform(source.batch(spark))
+        for raw in self._input_frames(spark, streaming=False):
+            df = self.transform(raw)
             for sink in self.sinks:
                 sink.write_batch(self._sink_df(df, sink))
 
@@ -177,7 +208,8 @@ class Pipeline:
                     "Split into two pipelines, or drop refresh_interval."
                 )
         queries = []
-        for i, source in enumerate(self.sources):
+        input_frames = self._input_frames(spark, streaming=True)
+        for i, raw in enumerate(input_frames):
             sinks = self.sinks
             if refreshables:
                 # Translate refresh_interval (filter/translate.go:108-116):
@@ -186,7 +218,7 @@ class Pipeline:
                 # micro-batch recompiles against the (possibly reloaded)
                 # dictionary. Valid because refreshable chains are stateless
                 # per-row transforms; windowed metrics keep the in-plan path.
-                df = source.stream(spark)
+                df = raw
 
                 def fan_out(batch_df: DataFrame, epoch_id: int, _sinks=sinks):
                     for t in refreshables:
@@ -201,7 +233,7 @@ class Pipeline:
                     finally:
                         out_df.unpersist()
             else:
-                df = self.transform(source.stream(spark))
+                df = self.transform(raw)
 
                 def fan_out(batch_df: DataFrame, epoch_id: int, _sinks=sinks):
                     batch_df.persist()
@@ -223,10 +255,12 @@ class Pipeline:
                 and len(sinks) == 1
                 and type(sinks[0]) is _FileSink
                 and not sinks[0].ifs
-                # one source only: N queries on one output path would fight
+                # one QUERY only: N queries on one output path would fight
                 # over the single per-path _spark_metadata commit log while
                 # each numbers batches from its own checkpoint
-                and len(self.sources) == 1
+                # (union_inputs merges sources into one query, so it
+                # re-qualifies)
+                and len(input_frames) == 1
             ):
                 # single unconditional FileSink on an append stream: use the
                 # NATIVE file sink — exactly-once via _spark_metadata commit

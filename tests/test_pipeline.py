@@ -433,3 +433,79 @@ outputs:
             proc.kill()
     n = con.execute(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
     assert n == 100
+
+
+def test_union_inputs_single_query(spark, tmp_path):
+    """union_inputs: true — all inputs merge into ONE stream through ONE
+    chain (the reference topology), missing columns null-fill, and a
+    single FileSink re-qualifies for the native exactly-once path."""
+    import os
+
+    from gohangout_spark.pipeline import Pipeline
+
+    src1 = str(tmp_path / "ui_src1")
+    src2 = str(tmp_path / "ui_src2")
+    out = str(tmp_path / "ui_out")
+    spark.range(10).selectExpr("id", "'alpha' AS src").write.parquet(src1)
+    spark.range(10, 25).selectExpr("id", "42.0 AS extra").write.parquet(src2)
+    yml = f"""
+union_inputs: true
+inputs:
+- File:
+    path: "{src1}"
+    format: parquet
+- File:
+    path: "{src2}"
+    format: parquet
+filters:
+- Add:
+    fields: {{chain: shared}}
+timestamp_field: ts
+outputs:
+- File:
+    path: "{out}"
+    format: parquet
+"""
+    p = Pipeline.from_config(yml, is_text=True)
+    queries = p.run_streaming(spark, checkpoint=str(tmp_path / "ui_ck"))
+    assert len(queries) == 1  # one merged query, not one per source
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+    assert os.path.isdir(os.path.join(out, "_spark_metadata"))  # native path
+    back = spark.read.parquet(out)
+    assert back.count() == 25
+    assert back.filter("chain = 'shared'").count() == 25
+    # null-filled columns from the union
+    assert back.filter("src IS NULL").count() == 15
+    assert back.filter("extra IS NULL").count() == 10
+
+
+def test_union_inputs_batch(spark, tmp_path):
+    from gohangout_spark.pipeline import Pipeline
+    from gohangout_spark.sinks import MemorySink
+
+    src1 = str(tmp_path / "uib1")
+    src2 = str(tmp_path / "uib2")
+    spark.range(5).selectExpr("id").write.parquet(src1)
+    spark.range(5, 8).selectExpr("id").write.parquet(src2)
+    yml = f"""
+union_inputs: true
+inputs:
+- File:
+    path: "{src1}"
+    format: parquet
+- File:
+    path: "{src2}"
+    format: parquet
+filters: []
+timestamp_field: ts
+outputs:
+- Stdout: {{}}
+"""
+    p = Pipeline.from_config(yml, is_text=True, sink_overrides={"Stdout": MemorySink})
+    p.run_batch(spark)
+    assert sorted(r["id"] for r in p.sinks[0].rows) == list(range(8))
