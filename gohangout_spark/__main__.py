@@ -44,6 +44,12 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="gohangout-spark")
     ap.add_argument("--config", required=True, help="YAML pipeline config (path or URL)")
     ap.add_argument("--streaming", action="store_true", help="run as Structured Streaming")
+    ap.add_argument(
+        "--available-now",
+        action="store_true",
+        help="streaming backfill: process everything available (checkpointed, "
+        "rate-limited micro-batches), then exit — resumable via --checkpoint",
+    )
     ap.add_argument("--trigger-seconds", type=int, default=None)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--cpus", type=int, default=None, help="local[N] cores")
@@ -86,8 +92,13 @@ def main(argv: list[str] | None = None) -> int:
                 spark,
                 trigger_seconds=args.trigger_seconds,
                 checkpoint=args.checkpoint,
+                available_now=args.available_now,
             )
-            _run_until_signal(queries)
+            if args.available_now:
+                for q in queries:
+                    q.awaitTermination()
+            else:
+                _run_until_signal(queries)
     else:
         Pipeline.from_config(args.config).run_batch(spark)
     return 0

@@ -177,6 +177,7 @@ class Pipeline:
         output_mode: str | None = None,
         await_termination: bool = False,
         state_store: str | None = None,
+        available_now: bool = False,
     ):
         """One StreamingQuery per input; multi-sink fan-out inside ONE
         foreachBatch (single-pass like topology/output.go:54-64). Windowed
@@ -268,7 +269,13 @@ class Pipeline:
                 w = sinks[0].stream_writer(df)
             else:
                 w = df.writeStream.foreachBatch(fan_out).outputMode(mode)
-            if trigger_seconds:
+            if available_now:
+                # bounded backfill: process everything currently available
+                # in rate-limited micro-batches, then terminate — the
+                # streaming engine's checkpointed semantics with a batch
+                # job's lifecycle
+                w = w.trigger(availableNow=True)
+            elif trigger_seconds:
                 w = w.trigger(processingTime=f"{trigger_seconds} seconds")
             if checkpoint:
                 w = w.option("checkpointLocation", f"{checkpoint}/q{i}")

@@ -509,3 +509,39 @@ outputs:
     p = Pipeline.from_config(yml, is_text=True, sink_overrides={"Stdout": MemorySink})
     p.run_batch(spark)
     assert sorted(r["id"] for r in p.sinks[0].rows) == list(range(8))
+
+
+def test_available_now_terminates(spark, tmp_path):
+    """available_now: bounded backfill — queries process what exists and
+    terminate on their own; a later run with new data resumes from the
+    checkpoint and picks up ONLY the new files."""
+    from gohangout_spark.pipeline import Pipeline
+    from gohangout_spark.sinks import MemorySink
+
+    src = str(tmp_path / "an_src")
+    spark.range(20).selectExpr("id").write.mode("append").parquet(src)
+    yml = f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+    schema: "id long"
+filters: []
+timestamp_field: ts
+outputs:
+- Stdout: {{}}
+"""
+
+    def run():
+        p = Pipeline.from_config(yml, is_text=True, sink_overrides={"Stdout": MemorySink})
+        qs = p.run_streaming(
+            spark, checkpoint=str(tmp_path / "an_ck"), available_now=True
+        )
+        for q in qs:
+            q.awaitTermination(120)
+        assert all(not q.isActive for q in qs)
+        return [r["id"] for r in p.sinks[0].rows]
+
+    assert sorted(run()) == list(range(20))
+    spark.range(20, 30).selectExpr("id").write.mode("append").parquet(src)
+    assert sorted(run()) == list(range(20, 30))  # only the new files

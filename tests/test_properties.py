@@ -213,3 +213,50 @@ class TestAsofJoinProperties:
 
         expect = {i: brute(k, s) for i, (k, s) in enumerate(left)}
         assert got == expect
+
+
+# --------------------------------------------------------------- range join
+
+class TestRangeJoinProperties:
+    @given(
+        points=st.lists(
+            st.tuples(st.sampled_from("ab"), st.integers(0, 40)),
+            min_size=1, max_size=8,
+        ),
+        ivals=st.lists(
+            st.tuples(st.sampled_from("ab"), st.integers(0, 40), st.integers(0, 40)),
+            min_size=0, max_size=5,
+        ),
+        bucket=st.sampled_from([1, 7, 13, 100]),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_brute_force(self, spark, points, ivals, bucket):
+        """range_join (bucket-exploded equi-join) ≡ the definitional
+        half-open theta scan for any bucket width, including degenerate
+        (end < start) and empty intervals."""
+        import datetime
+
+        from gohangout_spark.functions.joins import range_join
+
+        t = lambda s: datetime.datetime(2024, 1, 1, 0, 0, 0) + datetime.timedelta(seconds=s)
+        pdf = spark.createDataFrame(
+            [Row(k=k, ts=t(s), pid=i) for i, (k, s) in enumerate(points)]
+        )
+        idf = spark.createDataFrame(
+            [Row(k=k, start=t(a), end=t(b), iid=100 + i)
+             for i, (k, a, b) in enumerate(ivals)],
+            schema="k string, start timestamp, end timestamp, iid long",
+        )
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in range_join(
+                pdf, idf, "k", "ts", "start", "end", bucket_seconds=bucket
+            ).collect()
+        )
+        expect = sorted(
+            (i, 100 + j)
+            for i, (pk, ps) in enumerate(points)
+            for j, (ik, a, b) in enumerate(ivals)
+            if pk == ik and a <= ps < b
+        )
+        assert got == expect
