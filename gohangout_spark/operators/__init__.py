@@ -10,6 +10,7 @@ from gohangout_spark.operators.basic import (
     Uppercase,
     URLDecode,
 )
+from gohangout_spark.operators.asof_lookup import AsofLookup
 from gohangout_spark.operators.convert import Convert
 from gohangout_spark.operators.dedup_filter import Dedup
 from gohangout_spark.operators.date import Date
@@ -32,6 +33,7 @@ from gohangout_spark.operators.textops import (
 
 FILTER_REGISTRY = {
     "Add": Add,
+    "AsofLookup": AsofLookup,
     "Remove": Remove,
     "Rename": Rename,
     "Drop": Drop,

@@ -42,6 +42,8 @@ _KEY_MAP = {
     "Split": {"maxSplit": "max_split", "dynamicSep": "dynamic_sep"},
     "KV": {"include_keys": "include", "exclude_keys": "exclude"},
     "Json": {},
+    # YAML 1.1 parses a bare `on:` key as boolean True — map it back
+    "AsofLookup": {True: "on"},
 }
 _KEY_MAP["LinkStatsMetric"] = _KEY_MAP["LinkMetric"]
 

@@ -834,3 +834,86 @@ class TestDedup:
         finally:
             q.stop()
         assert got == [1, 2, 3, 4], got
+
+
+class TestAsofLookup:
+    def _dim(self, spark, tmp_path):
+        import datetime
+
+        t = lambda d: datetime.datetime(2024, 1, d)
+        path = str(tmp_path / "price_dim")
+        spark.createDataFrame(
+            [Row(item="x", valid_from=t(1), price=10.0),
+             Row(item="x", valid_from=t(10), price=12.5),
+             Row(item="y", valid_from=t(5), price=99.0)]
+        ).write.parquet(path)
+        return path, t
+
+    def test_yaml_enrichment_with_failtag(self, spark, tmp_path):
+        import yaml as _yaml
+
+        from gohangout_spark.pipeline import Pipeline
+        from gohangout_spark.sinks import MemorySink
+
+        dim, t = self._dim(spark, tmp_path)
+        src = str(tmp_path / "al_src")
+        spark.createDataFrame(
+            [Row(item="x", ts=t(3), eid=0),    # price 10.0 era
+             Row(item="x", ts=t(20), eid=1),   # price 12.5 era
+             Row(item="y", ts=t(4), eid=2),    # before y's first version
+             Row(item="z", ts=t(4), eid=3)]    # unknown item
+        ).write.parquet(src)
+        yml = f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+filters:
+- AsofLookup:
+    path: "{dim}"
+    on: item
+    timestamp: ts
+    right_timestamp: valid_from
+    select: [price]
+    failTag: _nodim
+timestamp_field: ts
+outputs:
+- Stdout: {{}}
+"""
+        p = Pipeline.from_config(yml, is_text=True, sink_overrides={"Stdout": MemorySink})
+        p.run_batch(spark)
+        rows = {r["eid"]: r for r in p.sinks[0].rows}
+        assert rows[0]["price"] == 10.0
+        assert rows[1]["price"] == 12.5
+        assert rows[2]["price"] is None and "_nodim" in (rows[2]["tags"] or [])
+        assert rows[3]["price"] is None and "_nodim" in (rows[3]["tags"] or [])
+
+    def test_tolerance_and_suffix(self, spark, tmp_path):
+        from gohangout_spark.operators import AsofLookup, FilterBox
+
+        dim, t = self._dim(spark, tmp_path)
+        df = spark.createDataFrame([Row(item="x", ts=t(25), eid=0)])
+        out = FilterBox(
+            AsofLookup(
+                path=dim, on="item", timestamp="ts",
+                right_timestamp="valid_from", tolerance_seconds=5 * 86400,
+            )
+        ).apply(df)
+        row = out.collect()[0]
+        # last version is 15 days old > 5-day tolerance: no match
+        assert row["price"] is None
+
+    def test_streaming_rejected(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from gohangout_spark.operators import AsofLookup, FilterBox
+
+        dim, _ = self._dim(spark, tmp_path)
+        src = str(tmp_path / "al_stream")
+        spark.createDataFrame([Row(item="x")]).write.parquet(src)
+        stream = spark.readStream.schema("item string").parquet(src)
+        with _pytest.raises(ValueError, match="batch-only"):
+            FilterBox(
+                AsofLookup(path=dim, on="item", timestamp="ts",
+                           right_timestamp="valid_from")
+            ).apply(stream)
