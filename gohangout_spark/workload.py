@@ -2132,3 +2132,22 @@ def event_value_geomean(spark, sf_dir):
     return ev.groupBy("event_type").agg(
         F.round(geomean("value"), 4).alias("geomean")
     )
+
+
+@q("multimodal_frame_sample", None)
+def multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling contract: every-Nth-frame explode through
+    mapInPandas (Arrow batches; deterministic fake decoder — the container
+    has no ffmpeg, functions/multimodal.py docstring). Rows-only by design;
+    frame bytes are projected to a hex fingerprint so the result is
+    scalar-canonicalizable."""
+    from gohangout_spark.functions.multimodal import (
+        make_fake_media_table,
+        sample_video_frames,
+    )
+
+    media = make_fake_media_table(spark, n=32)
+    frames = sample_video_frames(media, every_n=10)
+    return frames.select(
+        "media_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
+    )
