@@ -15,6 +15,22 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+def ensure_event_time(df: DataFrame, col_name: str) -> DataFrame:
+    """Coerce a TIMESTAMP_NTZ event-time column to TIMESTAMP (LTZ).
+
+    ``withWatermark`` rejects TIMESTAMP_NTZ ([EVENT_TIME_IS_NOT_ON_
+    TIMESTAMP_TYPE]), and tz-naive parquet (pandas/pyarrow ``timestamp[us]``)
+    infers as NTZ under Spark 4. The session timezone is pinned to UTC
+    (session.py), so the cast preserves the instant.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if f.name == col_name and isinstance(f.dataType, TimestampNTZType):
+            return df.withColumn(col_name, F.col(f"`{col_name}`").cast("timestamp"))
+    return df
+
+
 TABLES = [
     "region",
     "nation",

@@ -69,6 +69,9 @@ class Dedup(Filter):
                     "Watermark has no ordering)", self.order_by
                 )
             ts = self.timestamp or ts_field
+            from gohangout_spark.io import ensure_event_time
+
+            keyed = ensure_event_time(keyed, ts)
             out = keyed.withWatermark(ts, self.keep_within)
             out = out.dropDuplicatesWithinWatermark(key_names)
         elif self.order_by:

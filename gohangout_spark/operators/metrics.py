@@ -93,7 +93,10 @@ class LinkMetric(Filter):
             cond = cond & field_col(fname, df).isNotNull()
         src = df.filter(cond)
         if streaming:
+            from gohangout_spark.io import ensure_event_time
+
             delay = max(self.reserve_window, self.batch_window * self.window_offset)
+            src = ensure_event_time(src, self.ts_field)
             src = src.withWatermark(self.ts_field, f"{delay} seconds")
         win = F.window(ts, f"{self.batch_window} seconds")
         grouped = src.groupBy(win.alias("window"), *[F.col(f"`{f}`") for f in gf])
