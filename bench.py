@@ -16,6 +16,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# local[N] runs the whole "cluster" in one JVM: 32 task threads sharing the
+# driver heap. 8g (the library default) GC-thrashes once the heavier dedup/
+# join queries have run; 16g keeps the measured pass steady-state.
+os.environ.setdefault("SPARK_DRIVER_MEMORY", "16g")
+
 from gohangout_spark import get_spark
 from gohangout_spark.workload import QUERIES
 

@@ -174,7 +174,15 @@ def minhash_lsh_candidates(
     withsh = pairs.join(sh_a, "id_a").join(sh_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return withsh.select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
+    out = withsh.select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
+    # candidate pairs are tiny relative to the corpus: materialize them
+    # eagerly so the two corpus-sized persisted frames can be released —
+    # without this every call leaks (base, sigs) cache blocks for the
+    # session's lifetime and later queries pay the GC/memory pressure
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    sigs.unpersist()
+    return out
 
 
 # ------------------------------------------------------------ ngram jaccard
