@@ -62,6 +62,76 @@ def decontaminate(
     )
 
 
+def _word_ngrams(col: Column, n: int, hashed: bool) -> Column:
+    """Distinct word n-grams of a text column, scan-side.
+
+    ``transform(sequence(1, len-n+1), i -> slice(words, i, n))`` — all
+    built-in HOFs, no Python. ``hashed`` emits xxhash64 of each gram (8-byte
+    join keys) instead of the gram string. Docs shorter than ``n`` words
+    yield an empty array (sequence(1, 0) would count DOWN, so guard first).
+    """
+    ws = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+    gram = lambda i: F.concat_ws(" ", F.slice(ws, i, n))  # noqa: E731
+    mk = (lambda i: F.xxhash64(gram(i))) if hashed else gram
+    empty = F.array().cast("array<bigint>" if hashed else "array<string>")
+    return F.when(
+        F.size(ws) >= n,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), F.size(ws) - (n - 1)), mk)
+        ),
+    ).otherwise(empty)
+
+
+def decontaminate_ngrams(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    min_hits: int = 1,
+    hashed: bool = True,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """N-gram decontamination (the GPT-3/PaLM-style scale path): mark a
+    training doc contaminated when it shares ≥ ``min_hits`` distinct word
+    ``n``-grams with the eval corpus.
+
+    Complements ``decontaminate`` (verbatim-snippet ``contains``): the
+    snippet path is O(corpus × snippets) scan work and needs exact substring
+    matches; the n-gram path catches partial/reflowed overlap and scales as
+    a join. Shape: the eval side reduces to DISTINCT grams (eval suites are
+    MBs — broadcast by default, so corpus grams are NEVER shuffled); corpus
+    grams are generated scan-side, hash-joined, and only MATCHED rows reach
+    the per-doc count agg. ``hashed`` joins on xxhash64 (8-byte keys; a
+    collision needs ~2^32 distinct grams).
+
+    Returns ``docs`` + ``contam_hits`` (distinct shared grams, 0 for clean)
+    + ``contaminated`` boolean. Filter with ``~F.col("contaminated")``.
+    """
+    eval_grams = (
+        eval_docs.select(
+            F.explode(_word_ngrams(F.col(eval_text_col), n, hashed)).alias("__gram")
+        )
+        .dropDuplicates(["__gram"])
+    )
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    corpus_grams = docs.select(
+        F.col(id_col).alias("__cid"),
+        F.explode(_word_ngrams(F.col(text_col), n, hashed)).alias("__gram"),
+    )
+    hits = (
+        corpus_grams.join(eval_grams, "__gram")
+        .groupBy("__cid")
+        .agg(F.count(F.lit(1)).alias("contam_hits"))
+    )
+    out = docs.join(hits, docs[id_col] == hits["__cid"], "left").drop("__cid")
+    return out.withColumn(
+        "contam_hits", F.coalesce(F.col("contam_hits"), F.lit(0))
+    ).withColumn("contaminated", F.col("contam_hits") >= min_hits)
+
+
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

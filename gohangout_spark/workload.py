@@ -1310,6 +1310,50 @@ def decontaminate_docs(spark, sf_dir):
 
 
 @q(
+    "ngram_decontaminate",
+    r"""WITH ws AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), w -> w <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 4
+           THEN list_distinct(list_transform(generate_series(1, len(w)-3),
+                                             i -> array_to_string(w[i:i+3], ' ')))
+           ELSE CAST([] AS VARCHAR[]) END AS g
+  FROM ws
+),
+ev AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 37 = 0),
+hits AS (
+  SELECT c.doc_id, count(*) AS contam_hits
+  FROM (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 37 <> 0) c
+  JOIN ev USING (gram)
+  GROUP BY c.doc_id
+)
+SELECT d.doc_id, coalesce(h.contam_hits, 0) AS contam_hits,
+       coalesce(h.contam_hits, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 37 <> 0""",
+)
+def ngram_decontaminate(spark, sf_dir):
+    """N-gram decontamination, the join-shaped scale path next to
+    decontaminate_docs' broadcast-contains: eval set = docs ≡ 0 mod 37,
+    corpus = the rest, contaminated = sharing any word 4-gram (n=4 here so
+    the synthetic near-dups actually light up; production default is the
+    GPT-3-style 13). Eval grams are DISTINCT + broadcast, corpus grams are
+    generated scan-side and joined on xxhash64 keys — the oracle joins the
+    gram strings themselves, so a hash-collision divergence would surface
+    as a count mismatch."""
+    from gohangout_spark.functions.curation import decontaminate_ngrams
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    out = decontaminate_ngrams(corpus, ev, n=4)
+    return out.select("doc_id", "contam_hits", "contaminated")
+
+
+@q(
     "redact_pii",
     r"""SELECT doc_id,
         regexp_replace(regexp_replace(regexp_replace(

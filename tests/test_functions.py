@@ -427,6 +427,46 @@ class TestCuration:
         }
         assert out == {1: True, 2: False, 3: True}
 
+    def test_decontaminate_ngrams(self, spark):
+        from gohangout_spark.functions import curation
+
+        ev = spark.createDataFrame(
+            [Row(doc_id=100, text="alpha beta gamma delta epsilon zeta")]
+        )
+        corpus = spark.createDataFrame(
+            [
+                # shares the 3-grams "beta gamma delta" and "gamma delta epsilon"
+                Row(doc_id=1, text="x beta gamma delta epsilon y"),
+                Row(doc_id=2, text="nothing in common at all here"),
+                Row(doc_id=3, text="alpha beta only"),  # shorter than any shared 3-gram run
+                Row(doc_id=4, text="al be"),  # shorter than n words entirely
+            ]
+        )
+        out = {
+            r["doc_id"]: (r["contam_hits"], r["contaminated"])
+            for r in curation.decontaminate_ngrams(corpus, ev, n=3).collect()
+        }
+        assert out[1] == (2, True)
+        assert out[2] == (0, False)
+        assert out[3] == (0, False)
+        assert out[4] == (0, False)
+        # min_hits raises the bar; unhashed path agrees with the hashed one
+        strict = {
+            r["doc_id"]: r["contaminated"]
+            for r in curation.decontaminate_ngrams(
+                corpus, ev, n=3, min_hits=3, hashed=False
+            ).collect()
+        }
+        assert strict == {1: False, 2: False, 3: False, 4: False}
+        # scale shape: the eval side must broadcast (corpus grams never shuffle)
+        plan = (
+            curation.decontaminate_ngrams(corpus, ev, n=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
     def test_repetition_stats(self, spark):
         from gohangout_spark.functions import curation
 
