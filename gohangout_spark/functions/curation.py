@@ -185,6 +185,46 @@ def vocabulary(
     return top.withColumn("rank", F.row_number().over(w)).select("word", "n", "rank")
 
 
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_col: str | None = None,
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+    bucket_col: str = "bucket",
+    labels: list[str] | None = None,
+) -> DataFrame:
+    """Per-group equal-count quality buckets (the CCNet head/middle/tail
+    split: rank docs by score WITHIN each language/source group, cut into
+    ``n_buckets`` equal-count bands).
+
+    ``ntile`` over (score, id) — the id tiebreak makes the cut deterministic
+    on any layout and lets any other engine reproduce it bit-for-bit.
+    Bucket 1 is the LOWEST scores; pass ``labels`` (low→high, e.g.
+    ``["tail", "middle", "head"]``) to emit names instead of numbers.
+
+    Scale: one shuffle on ``group_col`` (none if already partitioned);
+    ntile is a single window pass, no global sort. Skewed groups (one
+    dominant language) sort within one task chain — for extreme skew
+    pre-split the group and merge bucket ids.
+    """
+    from pyspark.sql.window import Window
+
+    order = [F.col(score_col).asc(), F.col(id_col).asc()]
+    w = (
+        Window.partitionBy(group_col).orderBy(*order)
+        if group_col
+        else Window.orderBy(*order)
+    )
+    tile = F.ntile(n_buckets).over(w)
+    if labels is not None:
+        if len(labels) != n_buckets:
+            raise ValueError(f"need {n_buckets} labels, got {len(labels)}")
+        lab = F.array(*[F.lit(s) for s in labels])
+        tile = F.element_at(lab, tile)
+    return df.withColumn(bucket_col, tile)
+
+
 def _hex_prefix_threshold(p: float, k: int = 4) -> str:
     """Hex string t of length k such that P[substr(md5,1,k) < t] == p
     (granularity 16^-k)."""

@@ -1354,6 +1354,30 @@ def ngram_decontaminate(spark, sf_dir):
 
 
 @q(
+    "quantile_buckets_lang",
+    """SELECT doc_id, lang,
+              (['tail','middle','head'])[nt] AS bucket
+       FROM (SELECT doc_id, lang,
+                    ntile(3) OVER (PARTITION BY lang
+                                   ORDER BY n_chars, doc_id) AS nt
+             FROM documents)""",
+)
+def quantile_buckets_lang(spark, sf_dir):
+    """CCNet-style per-language head/middle/tail split: equal-count quality
+    bands within each lang (score = n_chars here; any score column works).
+    The (score, doc_id) tiebreak makes the cut a pure function of the data —
+    the oracle reproduces it with the identical ntile window."""
+    from gohangout_spark.functions.curation import quantile_buckets
+
+    docs = _docs(spark, sf_dir)
+    out = quantile_buckets(
+        docs, score_col="n_chars", group_col="lang",
+        labels=["tail", "middle", "head"],
+    )
+    return out.select("doc_id", "lang", "bucket")
+
+
+@q(
     "redact_pii",
     r"""SELECT doc_id,
         regexp_replace(regexp_replace(regexp_replace(

@@ -481,6 +481,37 @@ class TestCuration:
         assert out[1]["top_word_ratio"] == 0.8
         assert out[2]["n_distinct_words"] == 5 and out[2]["top_word_ratio"] == 0.2
 
+    def test_quantile_buckets(self, spark):
+        from gohangout_spark.functions import curation
+
+        rows = [
+            Row(doc_id=i, lang="en" if i < 9 else "fr", score=float(i % 9))
+            for i in range(12)
+        ]
+        df = spark.createDataFrame(rows)
+        out = curation.quantile_buckets(
+            df, score_col="score", group_col="lang",
+            labels=["tail", "middle", "head"],
+        )
+        en = [r for r in out.collect() if r["lang"] == "en"]
+        per = {}
+        for r in en:
+            per.setdefault(r["bucket"], []).append(r["score"])
+        # 9 en docs -> 3 per band, ordered low->high
+        assert sorted(len(v) for v in per.values()) == [3, 3, 3]
+        assert max(per["tail"]) <= min(per["middle"]) <= min(per["head"])
+        # deterministic on any layout
+        again = curation.quantile_buckets(
+            df.repartition(5), score_col="score", group_col="lang",
+            labels=["tail", "middle", "head"],
+        )
+        key = lambda rs: sorted((r["doc_id"], r["bucket"]) for r in rs)  # noqa: E731
+        assert key(again.collect()) == key(out.collect())
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            curation.quantile_buckets(df, score_col="score", labels=["a", "b"])
+
     def test_weighted_mixture(self, spark):
         from gohangout_spark.functions import curation
 
