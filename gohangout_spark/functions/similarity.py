@@ -366,6 +366,203 @@ def ivf_topk(
     )
 
 
+def _sq_l2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sub(vec, j: int, d_sub: int):
+    """j-th subspace slice (0-based) of a vector column."""
+    return F.slice(vec, j * d_sub + 1, d_sub)
+
+
+def _nearest_code(subvec, codebook: list[list[float]]):
+    """0-based index of the min-L2 codeword (codebook broadcast as literals).
+    Ties break toward the lower code id (array_sort on (dist, code))."""
+    scored = F.array(
+        *[
+            F.struct(
+                _sq_l2(subvec, F.array(*[F.lit(float(x)) for x in cw])).alias("d"),
+                F.lit(i).alias("code"),
+            )
+            for i, cw in enumerate(codebook)
+        ]
+    )
+    return F.array_sort(scored)[0]["code"]
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 16,
+    n_iter: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    train_size: int = 16384,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011): split the
+    ``dim``-dimensional space into ``m`` subspaces and fit ``n_codes``
+    L2-k-means codewords per subspace. Returns codebooks[j][c] = codeword.
+
+    Codebooks train on a BOUNDED deterministic sample (hash-ordered lowest
+    ``train_size`` rows — the FAISS convention: quantizers train on
+    10⁴-10⁶ vectors no matter how big the corpus is), brought to the driver
+    as one train_size × dim block and fit with numpy Lloyd per subspace
+    (k-means++-style farthest-point seeded, fixed RandomState). The corpus
+    itself never moves: encoding is scan-side (:func:`pq_encode`).
+    Deterministic end to end; codewords round to 9 dp.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m} subspaces")
+    d_sub = dim // m
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
+    # zero-norm vectors normalize to NULL upstream — they carry no direction
+    # to quantize and would poison the sample
+    rows = (
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(to_d(F.col(vec_col)).alias("v"), F.col(id_col).alias("i"))
+        .withColumn("__h", F.xxhash64(F.col("i"), F.lit(seed)))
+        .orderBy("__h")
+        .limit(train_size)
+        .select("v")
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    if X.shape[0] < n_codes:
+        raise ValueError(
+            f"pq_codebooks: {X.shape[0]} training vectors < n_codes {n_codes}"
+        )
+    rng = np.random.RandomState(seed)
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        S = X[:, j * d_sub : (j + 1) * d_sub]
+        # k-means++ seeding (deterministic rng), then Lloyd
+        cents = [S[rng.randint(len(S))]]
+        for _ in range(n_codes - 1):
+            d2 = np.min(
+                [((S - c) ** 2).sum(axis=1) for c in cents], axis=0
+            )
+            tot = d2.sum()
+            if tot <= 0:
+                cents.append(S[rng.randint(len(S))])
+                continue
+            cents.append(S[np.searchsorted(np.cumsum(d2 / tot), rng.rand())])
+        C = np.array(cents)
+        for _ in range(n_iter):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            newC = C.copy()
+            for c in range(n_codes):
+                mask = assign == c
+                if mask.any():
+                    newC[c] = S[mask].mean(axis=0)
+            if np.allclose(newC, C):
+                C = newC
+                break
+            C = newC
+        books.append([[round(float(x), 9) for x in cw] for cw in C])
+    return books
+
+
+def pq_encode(vec, codebooks: list[list[list[float]]]):
+    """Encode a vector column to its PQ code array (m small ints — the
+    4-16 bytes/vector that replace dim × 8 at scan time)."""
+    m = len(codebooks)
+    d_sub = len(codebooks[0][0])
+    return F.array(
+        *[_nearest_code(_sub(vec, j, d_sub), codebooks[j]) for j in range(m)]
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 4,
+    n_codes: int = 16,
+    k: int = 5,
+    n_iter: int = 3,
+    rerank: int = 0,
+    codebooks: list[list[list[float]]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """PQ-compressed approximate top-k by asymmetric distance computation:
+    corpus rows are scanned as (id, codes) — m ints instead of dim floats —
+    and each query scores a row as Σ_j dot(q_sub_j, codebook[j][codes[j]]),
+    i.e. the exact dot against the RECONSTRUCTED vector, never the raw one.
+
+    Scale shape: this is the memory/IO half of FAISS-style IVF-PQ (compose
+    with :func:`ivf_topk`'s cells to also prune the scan): at 100 TB the
+    codes table is ~dim×8/m smaller than the embeddings, the codebooks are
+    a few KB of literals in the plan, and the query side broadcasts — the
+    only shuffle is the per-query top-k window over O(queries × corpus)
+    scored rows, same as brute force but over compressed reads.
+    ``rerank`` > 0 re-ranks the top ``rerank × k`` ADC candidates per query
+    against the TRUE vectors (one equi-join on id — candidates are
+    O(queries × rerank × k), tiny), recovering near-exact recall.
+    """
+    from pyspark.sql.window import Window
+
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
+    # PQ approximates the UNIT-vector dot product: normalize before encode
+    c_unit = _unit(
+        corpus.select(F.col(id_col).alias("neighbor_id"), to_d(F.col(vec_col)).alias("cv")),
+        "cv",
+    )
+    if codebooks is None:
+        codebooks = pq_codebooks(
+            c_unit, dim, m, n_codes, n_iter, vec_col="cv", id_col="neighbor_id", seed=seed
+        )
+    d_sub = dim // m
+    codes = c_unit.select(
+        "neighbor_id", pq_encode(F.col("cv"), codebooks).alias("codes")
+    )
+    q = _unit(
+        queries.select(F.col(id_col).alias("query_id"), to_d(F.col(vec_col)).alias("qv")),
+        "qv",
+    )
+    joined = codes.crossJoin(F.broadcast(q)).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    # ADC: per subspace, dot(q_sub, codebook[j][ codes[j] ]) — the codebook
+    # rides the plan as a literal array<array<double>> per subspace
+    score = F.lit(0.0)
+    for j, book in enumerate(codebooks):
+        lut = F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in book])
+        score = score + _dot(
+            _sub(F.col("qv"), j, d_sub),
+            F.element_at(lut, F.element_at(F.col("codes"), j + 1) + 1),
+        )
+    sims = joined.select("query_id", "neighbor_id", score.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    if rerank > 0:
+        cand = (
+            sims.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= rerank * k)
+            .select("query_id", "neighbor_id")
+        )
+        exact = (
+            cand.join(c_unit, "neighbor_id")
+            .join(F.broadcast(q), "query_id")
+            .select(
+                "query_id", "neighbor_id", _dot(F.col("qv"), F.col("cv")).alias("sim")
+            )
+        )
+        sims = exact
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.9,

@@ -939,6 +939,25 @@ def embedding_ivf_topk(spark, sf_dir):
     )
 
 
+# PQ-compressed approximate top-k (ADC over m-int codes + exact re-rank of
+# the tiny candidate set) — rows-only check; recall floors live in
+# tests/test_functions.py::TestRecall::test_pq_topk_recall
+@q("embedding_pq_topk", None)
+def embedding_pq_topk(spark, sf_dir):
+    from gohangout_spark.functions.similarity import pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        dim=64,
+        m=8,
+        n_codes=16,
+        k=5,
+        rerank=4,
+    )
+
+
 # SimHash near-dup pairs by hamming distance — rows-only check.
 # Banded candidate generation (pigeonhole equi-join), NOT an all-pairs join.
 @q("simhash_neardup", None)

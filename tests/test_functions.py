@@ -248,6 +248,41 @@ class TestRecall:
         print(f"ivf recall@{self.K}: seeded {seeded:.3f} -> kmeans {refined:.3f}")
         assert refined >= 0.8 and refined >= seeded - 0.05
 
+    def test_pq_topk_recall(self, corpus):
+        queries = corpus.filter(F.col("vec_id") < self.N_QUERIES)
+        exact = self._topk_sets(
+            similarity.brute_force_topk(corpus, queries, k=self.K)
+        )
+        # ADC-only ordering is a CANDIDATE GENERATOR: quantization noise
+        # (~0.14 recon err) swamps within-cluster sim gaps (~0.01), so its
+        # top-k is weak by construction...
+        adc_only = self._recall(
+            self._topk_sets(
+                similarity.pq_topk(corpus, queries, dim=16, m=8, n_codes=16, k=self.K)
+            ),
+            exact,
+        )
+        # ...and exact re-rank of the top rerank×k ADC candidates is the
+        # standard remedy (FAISS IVF-PQ shape) — full recall on this fixture
+        reranked = self._recall(
+            self._topk_sets(
+                similarity.pq_topk(
+                    corpus, queries, dim=16, m=8, n_codes=16, k=self.K, rerank=4
+                )
+            ),
+            exact,
+        )
+        print(f"pq recall@{self.K}: adc-only {adc_only:.3f} -> rerank4 {reranked:.3f}")
+        assert adc_only >= 0.25
+        assert reranked >= 0.9
+
+    def test_pq_codebooks_deterministic(self, corpus):
+        b1 = similarity.pq_codebooks(corpus, dim=16, m=4, n_codes=8)
+        b2 = similarity.pq_codebooks(corpus.repartition(7), dim=16, m=4, n_codes=8)
+        assert b1 == b2
+        with pytest.raises(ValueError):
+            similarity.pq_codebooks(corpus, dim=16, m=5, n_codes=8)
+
     def test_kmeans_deterministic(self, corpus):
         c1 = similarity.kmeans_centroids(corpus, n_centroids=8, n_iter=2)
         c2 = similarity.kmeans_centroids(corpus.repartition(7), n_centroids=8, n_iter=2)
