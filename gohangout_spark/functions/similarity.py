@@ -479,6 +479,21 @@ def pq_encode(vec, codebooks: list[list[list[float]]]):
     )
 
 
+def _adc_score(qv, codes, codebooks: list[list[list[float]]]):
+    """Asymmetric distance: Σ_j dot(q_sub_j, codebook[j][codes[j]]) — the
+    exact dot against the RECONSTRUCTED vector. Each codebook rides the
+    plan as a literal array<array<double>> lookup table."""
+    d_sub = len(codebooks[0][0])
+    score = F.lit(0.0)
+    for j, book in enumerate(codebooks):
+        lut = F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in book])
+        score = score + _dot(
+            _sub(qv, j, d_sub),
+            F.element_at(lut, F.element_at(codes, j + 1) + 1),
+        )
+    return score
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -531,16 +546,11 @@ def pq_topk(
     joined = codes.crossJoin(F.broadcast(q)).where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    # ADC: per subspace, dot(q_sub, codebook[j][ codes[j] ]) — the codebook
-    # rides the plan as a literal array<array<double>> per subspace
-    score = F.lit(0.0)
-    for j, book in enumerate(codebooks):
-        lut = F.array(*[F.array(*[F.lit(float(x)) for x in cw]) for cw in book])
-        score = score + _dot(
-            _sub(F.col("qv"), j, d_sub),
-            F.element_at(lut, F.element_at(F.col("codes"), j + 1) + 1),
-        )
-    sims = joined.select("query_id", "neighbor_id", score.alias("sim"))
+    sims = joined.select(
+        "query_id",
+        "neighbor_id",
+        _adc_score(F.col("qv"), F.col("codes"), codebooks).alias("sim"),
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     if rerank > 0:
         cand = (
@@ -556,6 +566,105 @@ def pq_topk(
             )
         )
         sims = exact
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    m: int = 4,
+    n_codes: int = 16,
+    k: int = 5,
+    rerank: int = 4,
+    refine_iters: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the full FAISS-style composition — IVF cells prune WHICH rows
+    each query scores (n_probe/n_centroids of the corpus), PQ codes compress
+    WHAT a scored row costs (m ints instead of dim floats), exact re-rank of
+    the top ``rerank × k`` candidates recovers recall.
+
+    Residual-free variant (codes quantize the unit vectors themselves, not
+    vector − centroid): for inner-product/cosine search the dot decomposes
+    per subspace without residual bookkeeping, and the same codebooks serve
+    every cell. Scale shape: one corpus shuffle keyed on cell id; query side
+    broadcasts; candidates for re-rank are O(queries × rerank × k).
+    """
+    from pyspark.sql.window import Window
+
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
+    c_unit = _unit(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), to_d(F.col(vec_col)).alias("cv")
+        ),
+        "cv",
+    )
+    if refine_iters > 0:
+        cvs = kmeans_centroids(corpus, n_centroids, refine_iters, vec_col, id_col, seed)
+    else:
+        cvs = _seed_centroids(corpus, vec_col, id_col, n_centroids, seed)
+    centroids = [(i, cv) for i, cv in enumerate(cvs)]
+    codebooks = pq_codebooks(
+        c_unit, dim, m, n_codes, vec_col="cv", id_col="neighbor_id", seed=seed
+    )
+
+    def cell_ranks(vec, n: int):
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("s"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in centroids
+            ]
+        )
+        return F.slice(
+            F.transform(F.reverse(F.array_sort(scored)), lambda x: x.getField("cid")),
+            1,
+            n,
+        )
+
+    c = c_unit.select(
+        "neighbor_id",
+        F.element_at(cell_ranks(F.col("cv"), 1), 1).alias("cell"),
+        pq_encode(F.col("cv"), codebooks).alias("codes"),
+    )
+    q = _unit(
+        queries.select(F.col(id_col).alias("query_id"), to_d(F.col(vec_col)).alias("qv")),
+        "qv",
+    )
+    q = q.withColumn("cell", F.explode(cell_ranks(F.col("qv"), n_probe)))
+    joined = c.join(F.broadcast(q), "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    sims = joined.select(
+        "query_id",
+        "neighbor_id",
+        _adc_score(F.col("qv"), F.col("codes"), codebooks).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    if rerank > 0:
+        cand = (
+            sims.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= rerank * k)
+            .select("query_id", "neighbor_id")
+        )
+        sims = (
+            cand.join(c_unit, "neighbor_id")
+            .join(F.broadcast(q.drop("cell").dropDuplicates(["query_id"])), "query_id")
+            .select(
+                "query_id", "neighbor_id", _dot(F.col("qv"), F.col("cv")).alias("sim")
+            )
+        )
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -958,6 +958,26 @@ def embedding_pq_topk(spark, sf_dir):
     )
 
 
+# IVF-PQ composition: cell pruning × compressed ADC scan × exact re-rank —
+# rows-only check; recall floor in TestRecall::test_ivf_pq_topk_recall
+@q("embedding_ivf_pq_topk", None)
+def embedding_ivf_pq_topk(spark, sf_dir):
+    from gohangout_spark.functions.similarity import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        dim=64,
+        n_centroids=16,
+        n_probe=4,
+        m=8,
+        n_codes=16,
+        k=5,
+        rerank=4,
+    )
+
+
 # SimHash near-dup pairs by hamming distance — rows-only check.
 # Banded candidate generation (pigeonhole equi-join), NOT an all-pairs join.
 @q("simhash_neardup", None)

@@ -276,6 +276,24 @@ class TestRecall:
         assert adc_only >= 0.25
         assert reranked >= 0.9
 
+    def test_ivf_pq_topk_recall(self, corpus):
+        queries = corpus.filter(F.col("vec_id") < self.N_QUERIES)
+        exact = self._topk_sets(
+            similarity.brute_force_topk(corpus, queries, k=self.K)
+        )
+        out = similarity.ivf_pq_topk(
+            corpus, queries, dim=16, n_centroids=8, n_probe=3,
+            m=8, n_codes=16, k=self.K, rerank=4,
+        )
+        recall = self._recall(self._topk_sets(out), exact)
+        print(f"ivf_pq recall@{self.K} (8 cells, 3 probes, m=8): {recall:.3f}")
+        assert recall >= 0.85
+        # the composed plan must stay equi-join-only: the cell join prunes,
+        # never a broadcast nested loop over the corpus
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_pq_codebooks_deterministic(self, corpus):
         b1 = similarity.pq_codebooks(corpus, dim=16, m=4, n_codes=8)
         b2 = similarity.pq_codebooks(corpus.repartition(7), dim=16, m=4, n_codes=8)

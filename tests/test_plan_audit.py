@@ -18,6 +18,9 @@ BNLJ_OK = {
     "embedding_neardup_exact",
     # brute-force ANN baseline: query block broadcast, corpus streams
     "embedding_topk",
+    # PQ ADC scan: same broadcast-query shape, but the corpus side is the
+    # compressed (id, codes) projection — m ints per row, not the vectors
+    "embedding_pq_topk",
     # avg(c_acctbal) scalar subquery: a 1-row broadcast
     "tpch_q22",
     # benchmark snippet list (KBs) broadcast for substring containment —
