@@ -23,8 +23,10 @@ from gohangout_spark.operators.filters import Filters
 from gohangout_spark.operators.ipip import IPIP
 from gohangout_spark.operators.metrics import LinkMetric, LinkStatsMetric
 from gohangout_spark.operators.textops import (
+    Decontaminate,
     Fingerprint,
     LanguageId,
+    QuantileBucket,
     RedactPii,
     SimHash,
     TextQuality,
@@ -60,6 +62,8 @@ FILTER_REGISTRY = {
     "Fingerprint": Fingerprint,
     "SimHash": SimHash,
     "RedactPii": RedactPii,
+    "Decontaminate": Decontaminate,
+    "QuantileBucket": QuantileBucket,
 }
 
 __all__ = ["Chain", "Filter", "FilterBox", "FilterEffect", "FILTER_REGISTRY"] + list(

@@ -17,9 +17,10 @@ curation pipeline is just another YAML config:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from gohangout_spark.expr.paths import field_col
-from gohangout_spark.operators.base import Filter, FilterEffect
+from gohangout_spark.operators.base import Filter, FilterBox, FilterEffect
 
 
 class _TextOp(Filter):
@@ -76,6 +77,167 @@ class SimHash(_TextOp):
         from gohangout_spark.functions.dedup import simhash_column
 
         return simhash_column(col)
+
+
+class _GuardedPlanOp(Filter):
+    """Plan-level curation op with the Dedup-style guard pattern: box ``if``
+    conditions split the frame, the op transforms the passing rows, the rest
+    pass through untouched with the op's output columns NULLed."""
+
+    plan_level = True
+
+    def apply_plan(self, df: DataFrame, box: FilterBox) -> DataFrame:
+        from gohangout_spark.expr.conditions import compile_conditions
+
+        if box.ifs:
+            cond = F.coalesce(
+                compile_conditions(box.ifs, df, box.ts_field), F.lit(False)
+            )
+            hit = self._transform(df.filter(cond)).withColumns(
+                {FilterBox._EFF: F.lit(True), FilterBox._FAILED: F.lit(False)}
+            )
+            passthrough = df.filter(~cond).withColumns(
+                dict(
+                    self._null_outputs(),
+                    **{FilterBox._EFF: F.lit(False), FilterBox._FAILED: F.lit(False)},
+                )
+            )
+            return hit.unionByName(passthrough)
+        return self._transform(df).withColumns(
+            {FilterBox._EFF: F.lit(True), FilterBox._FAILED: F.lit(False)}
+        )
+
+
+class Decontaminate(_GuardedPlanOp):
+    """Benchmark decontamination as a YAML filter.
+
+        - Decontaminate:
+            snippets: ["the exact eval passage", ...]    # substring mode
+            action: drop                                  # or: mark
+        - Decontaminate:
+            eval_path: /benchmarks/eval_docs.parquet      # n-gram mode
+            ngram: 13
+            id_field: doc_id
+            action: mark
+            target: contaminated
+
+    Substring mode broadcasts the literal snippet list scan-side
+    (functions.curation.decontaminate); n-gram mode reads the eval corpus
+    and joins on hashed word n-grams (functions.curation.decontaminate_
+    ngrams — needs ``id_field`` to count per-doc hits). ``drop`` removes
+    contaminated rows; ``mark`` keeps them with a boolean ``target``.
+    """
+
+    def __init__(
+        self,
+        snippets: list[str] | None = None,
+        eval_path: str | None = None,
+        eval_format: str = "parquet",
+        eval_field: str = "text",
+        src: str = "text",
+        ngram: int = 0,
+        min_hits: int = 1,
+        id_field: str = "doc_id",
+        action: str = "drop",
+        target: str = "contaminated",
+    ):
+        if (snippets is None) == (eval_path is None):
+            raise ValueError(
+                "Decontaminate: exactly one of snippets / eval_path required"
+            )
+        if eval_path is not None and ngram < 2:
+            raise ValueError(
+                "Decontaminate: eval_path mode needs ngram >= 2 "
+                "(substring matching against a file is snippets mode)"
+            )
+        if action not in ("drop", "mark"):
+            raise ValueError(f"Decontaminate: unknown action {action!r}")
+        self.snippets = snippets
+        self.eval_path = eval_path
+        self.eval_format = eval_format
+        self.eval_field = eval_field
+        self.src = src
+        self.ngram = int(ngram)
+        self.min_hits = int(min_hits)
+        self.id_field = id_field
+        self.action = action
+        self.target = target
+
+    def _marked(self, df: DataFrame) -> DataFrame:
+        from gohangout_spark.functions import curation
+
+        if self.snippets is not None:
+            return curation.decontaminate(
+                df, self.snippets, text_col=self.src, mark_col=self.target
+            )
+        ev = df.sparkSession.read.format(self.eval_format).load(self.eval_path)
+        out = curation.decontaminate_ngrams(
+            df,
+            ev,
+            n=self.ngram,
+            text_col=self.src,
+            id_col=self.id_field,
+            eval_text_col=self.eval_field,
+            min_hits=self.min_hits,
+        )
+        out = out.drop("contam_hits")
+        if self.target != "contaminated":
+            out = out.withColumnRenamed("contaminated", self.target)
+        return out
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        marked = self._marked(df)
+        if self.action == "drop":
+            return marked.where(~F.col(self.target)).drop(self.target)
+        return marked
+
+    def _null_outputs(self):
+        if self.action == "drop":
+            return {}
+        return {self.target: F.lit(None).cast("boolean")}
+
+
+class QuantileBucket(_GuardedPlanOp):
+    """Per-group quantile bands as a YAML filter (CCNet head/middle/tail):
+
+        - QuantileBucket:
+            score_field: quality
+            group_by: lang
+            labels: [tail, middle, head]
+    """
+
+    def __init__(
+        self,
+        score_field: str,
+        group_by: str | None = None,
+        n_buckets: int = 3,
+        labels: list[str] | None = None,
+        id_field: str = "doc_id",
+        target: str = "bucket",
+    ):
+        self.score_field = score_field
+        self.group_by = group_by
+        self.n_buckets = int(n_buckets)
+        self.labels = labels
+        self.id_field = id_field
+        self.target = target
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from gohangout_spark.functions.curation import quantile_buckets
+
+        return quantile_buckets(
+            df,
+            score_col=self.score_field,
+            group_col=self.group_by,
+            n_buckets=self.n_buckets,
+            id_col=self.id_field,
+            bucket_col=self.target,
+            labels=self.labels,
+        )
+
+    def _null_outputs(self):
+        typ = "string" if self.labels is not None else "int"
+        return {self.target: F.lit(None).cast(typ)}
 
 
 class RedactPii(_TextOp):

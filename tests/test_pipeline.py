@@ -350,6 +350,62 @@ outputs:
     assert isinstance(r["simhash"], int)
 
 
+def test_decontaminate_and_bucket_filters(spark, tmp_path):
+    """Decontaminate (both modes) and QuantileBucket as YAML filters."""
+    from pyspark.sql import functions as F
+
+    from gohangout_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "docs_pq")
+    evp = str(tmp_path / "eval_pq")
+    docs.write.parquet(src)
+    # eval corpus: every 37th doc — same split the workload oracle uses
+    docs.where(F.col("doc_id") % 37 == 0).write.parquet(evp)
+    n_docs = docs.count()
+    yml = f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+filters:
+- Decontaminate:
+    eval_path: "{evp}"
+    ngram: 4
+    action: mark
+- QuantileBucket:
+    score_field: n_chars
+    group_by: lang
+    labels: [tail, middle, head]
+outputs:
+- Stdout: {{}}
+"""
+    sinks = run_yaml(spark, yml)
+    rows = sinks[0].rows
+    assert len(rows) == n_docs
+    assert all(r["bucket"] in ("tail", "middle", "head") for r in rows)
+    assert any(r["contaminated"] for r in rows)  # eval docs flag themselves
+    # substring mode + drop action, guarded by an if condition
+    snip = docs.first()["text"][:40]
+    yml2 = f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+filters:
+- Decontaminate:
+    snippets: ["{snip}"]
+    action: drop
+    if: ['Exist(text)']
+outputs:
+- Stdout: {{}}
+"""
+    sinks2 = run_yaml(spark, yml2)
+    kept = sinks2[0].rows
+    assert 0 < len(kept) < n_docs
+    assert all(snip not in r["text"] for r in kept)
+
+
 def test_redact_pii_filter(spark):
     """PII scrubbing as a YAML filter — in-place on the message field."""
     yml = """
