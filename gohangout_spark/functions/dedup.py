@@ -457,3 +457,77 @@ def dedup_keep_cluster_representative(
     return df.join(
         losers, df[id_col] == F.col("__loser"), "left_anti"
     )
+
+
+# -------------------------------------------------- content-defined chunks
+
+def chunk_dedup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    boundary_hex: str = "08",
+    min_shared_docs: int = 2,
+) -> DataFrame:
+    """Sub-document duplication via content-defined chunking: split each doc
+    into variable-size chunks whose boundaries depend only on CONTENT (a
+    word starts a new chunk when md5(word) begins with a char from
+    ``boundary_hex`` — expected chunk length 16/len(boundary_hex) words),
+    hash each chunk, and count how many of a doc's chunks also occur in
+    ≥ ``min_shared_docs`` distinct docs. Catches partial duplication
+    (shared boilerplate, quoted passages, concatenated dumps) that doc-level
+    fingerprints miss entirely; content-defined boundaries survive
+    insertions/deletions that would shift fixed-size windows.
+
+    Returns (id_col, n_chunks, n_shared, dup_chunk_ratio).
+
+    Scale shape: chunk assembly is one shuffle on (doc, chunk) with
+    string_agg-style reduction; the cross-corpus share count is one more
+    shuffle keyed on the 16-byte chunk hash with combiner-side partials —
+    both O(chunks), never O(pairs). All hashing is md5 (engine-portable:
+    the DuckDB oracle reproduces every boundary bit-for-bit).
+    """
+    from pyspark.sql.window import Window
+
+    words = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+        ).alias("pos", "word"),
+    )
+    boundary = F.substring(F.md5(F.col("word")), 1, 1).isin(*list(boundary_hex))
+    w = (
+        Window.partitionBy("__id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = words.withColumn("chunk", F.sum(boundary.cast("int")).over(w))
+    chunks = (
+        chunked.groupBy("__id", "chunk")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s.getField("word"),
+                ),
+            ).alias("chunk_text")
+        )
+        .select("__id", F.md5(F.col("chunk_text")).alias("chash"))
+    )
+    share = chunks.groupBy("chash").agg(
+        F.count_distinct(F.col("__id")).alias("n_docs")
+    )
+    per_doc = (
+        chunks.join(share, "chash")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_docs") >= min_shared_docs).cast("int")).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_chunks",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_chunks"), 4).alias("dup_chunk_ratio"),
+    )

@@ -1393,6 +1393,42 @@ def ngram_decontaminate(spark, sf_dir):
 
 
 @q(
+    "chunk_dedup_stats",
+    r"""WITH w AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        FROM documents)
+),
+ch AS (
+  SELECT doc_id, pos, word,
+         SUM(CASE WHEN substring(md5(word),1,1) IN ('0','8') THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS chunk
+  FROM w
+),
+chunks AS (
+  SELECT doc_id, md5(string_agg(word, ' ' ORDER BY pos)) AS chash
+  FROM ch GROUP BY doc_id, chunk
+),
+share AS (SELECT chash, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY chash)
+SELECT c.doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) / count(*), 4)
+         AS dup_chunk_ratio
+FROM chunks c JOIN share s USING (chash)
+GROUP BY c.doc_id""",
+)
+def chunk_dedup_stats_q(spark, sf_dir):
+    """Sub-document dedup: content-defined chunking (md5-prefix boundaries —
+    engine-portable, insertion/deletion-stable), chunk-hash share counts
+    across the corpus, per-doc duplicated-chunk ratio. The signal that
+    catches partially-duplicated docs doc-level fingerprints miss."""
+    from gohangout_spark.functions.dedup import chunk_dedup_stats
+
+    return chunk_dedup_stats(_docs(spark, sf_dir))
+
+
+@q(
     "quantile_buckets_lang",
     """SELECT doc_id, lang,
               (['tail','middle','head'])[nt] AS bucket

@@ -61,6 +61,34 @@ class TestDedup:
         ids = sorted(r["doc_id"] for r in out.collect())
         assert ids == [0, 1, 2, 4]  # keeps min doc_id
 
+    def test_chunk_dedup_stats(self, spark):
+        long_a = " ".join(f"w{i}" for i in range(60))
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=long_a),
+                Row(doc_id=2, text=long_a),  # full duplicate -> ratio 1.0
+                Row(doc_id=3, text=" ".join(f"z{i}" for i in range(60))),
+            ]
+        )
+        out = {r["doc_id"]: r for r in dedup.chunk_dedup_stats(df).collect()}
+        assert out[1]["dup_chunk_ratio"] == 1.0 and out[2]["dup_chunk_ratio"] == 1.0
+        # disjoint vocabulary shares nothing
+        assert out[3]["n_shared"] == 0 and out[3]["dup_chunk_ratio"] == 0.0
+        for r in out.values():
+            assert 0 < r["n_chunks"] and r["n_shared"] <= r["n_chunks"]
+        # partial duplication: doc 4 = first half of doc 1's words + fresh
+        # tail -> strictly between 0 and 1 (the signal doc-level hashing
+        # misses entirely)
+        half = " ".join(f"w{i}" for i in range(30))
+        df2 = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=long_a),
+                Row(doc_id=4, text=half + " " + " ".join(f"q{i}" for i in range(30))),
+            ]
+        )
+        out2 = {r["doc_id"]: r for r in dedup.chunk_dedup_stats(df2).collect()}
+        assert 0.0 < out2[4]["dup_chunk_ratio"] < 1.0
+
     def test_minhash_finds_near_dups(self, docs):
         cands = dedup.minhash_lsh_candidates(
             docs, "text", "doc_id", num_hashes=16, bands=8, shingle_n=2
