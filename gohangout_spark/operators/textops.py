@@ -170,6 +170,16 @@ class Decontaminate(_GuardedPlanOp):
             return curation.decontaminate(
                 df, self.snippets, text_col=self.src, mark_col=self.target
             )
+        if df.isStreaming:
+            # per-doc hit counts re-join the aggregated grams to the input —
+            # a stream-stream join Spark rejects with an opaque analysis
+            # error; say what the user should do instead
+            raise ValueError(
+                "Decontaminate ngram mode is batch-only (the per-doc hit "
+                "count joins an aggregation back to the input); use "
+                "snippets mode on streams, or decontaminate in a batch "
+                "curation pass"
+            )
         ev = df.sparkSession.read.format(self.eval_format).load(self.eval_path)
         out = curation.decontaminate_ngrams(
             df,
@@ -225,6 +235,15 @@ class QuantileBucket(_GuardedPlanOp):
     def _transform(self, df: DataFrame) -> DataFrame:
         from gohangout_spark.functions.curation import quantile_buckets
 
+        if df.isStreaming:
+            # ntile needs the group's full score distribution — Spark would
+            # reject the non-time window with an opaque analysis error
+            raise ValueError(
+                "QuantileBucket is batch-only (equal-count bands need the "
+                "whole group's score distribution); bucket in a batch "
+                "curation pass, or gate on absolute score thresholds in "
+                "streams"
+            )
         return quantile_buckets(
             df,
             score_col=self.score_field,

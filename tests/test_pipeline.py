@@ -406,6 +406,29 @@ outputs:
     assert all(snip not in r["text"] for r in kept)
 
 
+def test_decontaminate_ngram_streaming_rejected(spark, tmp_path):
+    """ngram mode re-joins an aggregation to the input — batch-only, and it
+    must say so instead of surfacing Spark's stream-stream join error."""
+    import pytest
+
+    from gohangout_spark.operators import FilterBox
+    from gohangout_spark.operators.textops import Decontaminate
+
+    evp = str(tmp_path / "ev")
+    spark.range(3).selectExpr("id AS doc_id", "'x y z w' AS text").write.parquet(evp)
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .selectExpr("value AS doc_id", "'x y z w' AS text")
+    )
+    box = FilterBox(Decontaminate(eval_path=evp, ngram=2, action="mark"))
+    with pytest.raises(ValueError, match="batch-only"):
+        box.apply(stream)
+    from gohangout_spark.operators.textops import QuantileBucket
+
+    with pytest.raises(ValueError, match="batch-only"):
+        FilterBox(QuantileBucket(score_field="doc_id")).apply(stream)
+
+
 def test_redact_pii_filter(spark):
     """PII scrubbing as a YAML filter — in-place on the message field."""
     yml = """
