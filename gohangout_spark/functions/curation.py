@@ -42,6 +42,13 @@ def redact_pii(col: Column, patterns: list[tuple[str, str]] | None = None) -> Co
     return out
 
 
+def _words(col: Column) -> Column:
+    """The module's single whitespace tokenizer — n-gram decontamination,
+    repetition stats, and vocabulary must tokenize IDENTICALLY or their
+    signals silently diverge."""
+    return F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+
+
 def decontaminate(
     docs: DataFrame,
     snippets: list[str],
@@ -54,11 +61,15 @@ def decontaminate(
     benchmarks are small by nature); membership is
     ``exists(snippets, s -> contains(text, s))`` evaluated scan-side.
     Filter with ``~F.col(mark_col)`` to drop contaminated docs.
+    NULL text marks False (clean), never NULL — ``exists`` is three-valued
+    and a NULL mark would make ``where(~mark)`` silently DROP the row.
     """
     arr = F.array(*[F.lit(s) for s in snippets])
     return docs.withColumn(
         mark_col,
-        F.exists(arr, lambda s: F.col(text_col).contains(s)),
+        F.coalesce(
+            F.exists(arr, lambda s: F.col(text_col).contains(s)), F.lit(False)
+        ),
     )
 
 
@@ -70,7 +81,7 @@ def _word_ngrams(col: Column, n: int, hashed: bool) -> Column:
     join keys) instead of the gram string. Docs shorter than ``n`` words
     yield an empty array (sequence(1, 0) would count DOWN, so guard first).
     """
-    ws = F.filter(F.split(F.lower(col), r"\s+"), lambda t: t != "")
+    ws = _words(col)
     gram = lambda i: F.concat_ws(" ", F.slice(ws, i, n))  # noqa: E731
     mk = (lambda i: F.xxhash64(gram(i))) if hashed else gram
     empty = F.array().cast("array<bigint>" if hashed else "array<string>")
@@ -142,20 +153,31 @@ def repetition_stats(
 
     Shape: explode to (doc, word) → count per pair (combiner-reduced) →
     one agg per doc. Shuffle rows are distinct (doc, word) pairs, not raw
-    tokens.
+    tokens. Empty/whitespace-only docs still get a row (all-zero counts,
+    NULL ratio) — explode would silently omit them and an inner join on the
+    stats would lose the doc.
     """
     words = docs.select(
         F.col(id_col),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).alias("word"),
+        F.explode(_words(F.col(text_col))).alias("word"),
     )
     per_word = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
-    return per_word.groupBy(id_col).agg(
+    stats = per_word.groupBy(id_col).agg(
         F.sum("cnt").alias("n_words"),
         F.count(F.lit(1)).alias("n_distinct_words"),
         F.max("cnt").alias("top_word_count"),
         F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_word_ratio"),
+    )
+    return (
+        docs.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_distinct_words", F.lit(0)).alias("n_distinct_words"),
+            F.coalesce("top_word_count", F.lit(0)).alias("top_word_count"),
+            F.col("top_word_ratio"),
+        )
     )
 
 
@@ -174,11 +196,7 @@ def vocabulary(
     """
     from pyspark.sql.window import Window
 
-    words = docs.select(
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
-        ).alias("word")
-    )
+    words = docs.select(F.explode(_words(F.col(text_col))).alias("word"))
     counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
     top = counts.orderBy(F.desc("n"), F.asc("word")).limit(top_n)
     w = Window.orderBy(F.desc("n"), F.asc("word"))
@@ -247,9 +265,9 @@ def weighted_mixture(
     same mixture on any cluster layout or retry, and the thresholds are
     plain string compares any engine reproduces bit-for-bit.
     """
-    h = F.substring(
-        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"-{seed}"))), 1, 4
-    )
+    from gohangout_spark.functions.sampling import _hash_key
+
+    h = F.substring(_hash_key(id_col, seed), 1, 4)
     thr = F.lit(_hex_prefix_threshold(default_weight))
     for src, p in sorted(weights.items()):
         thr = F.when(F.col(source_col) == src, F.lit(_hex_prefix_threshold(p))).otherwise(thr)

@@ -23,8 +23,12 @@ from pyspark.sql.window import Window
 def _hash_key(id_col, seed: int):
     # md5 exists with identical output in every engine (incl. the DuckDB
     # oracle) — xxhash64 does not; ordering by it is uniform enough for
-    # sampling and cross-engine reproducible
-    return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f"-{seed}")))
+    # sampling and cross-engine reproducible. NULL ids hash as the empty
+    # string: concat(NULL, ...) is NULL, and a NULL key would silently DROP
+    # the row from every where(hash < threshold) draw
+    return F.md5(
+        F.concat(F.coalesce(F.col(id_col).cast("string"), F.lit("")), F.lit(f"-{seed}"))
+    )
 
 
 def stratified_sample(

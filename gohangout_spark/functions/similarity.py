@@ -134,15 +134,17 @@ def lsh_topk(
         "qv",
     )
     if multi_probe > 0:
+        from itertools import combinations
+
+        # every XOR mask with 1..multi_probe set bits — C(n_planes, r) probe
+        # buckets per r; query side only, the corpus stays single-bucket
         probes = [F.col("bucket")]
-        for b in range(n_planes):
-            probes.append(F.col("bucket").bitwiseXOR(F.lit(2**b).cast("long")))
-        if multi_probe > 1:
-            for b1 in range(n_planes):
-                for b2 in range(b1 + 1, n_planes):
-                    probes.append(
-                        F.col("bucket").bitwiseXOR(F.lit((2**b1) | (2**b2)).cast("long"))
-                    )
+        for r in range(1, multi_probe + 1):
+            for bits in combinations(range(n_planes), r):
+                mask = 0
+                for b in bits:
+                    mask |= 1 << b
+                probes.append(F.col("bucket").bitwiseXOR(F.lit(mask).cast("long")))
         q = q.withColumn("bucket", F.explode(F.array_distinct(F.array(*probes))))
     c = _unit(
         corpus.select(
@@ -187,9 +189,14 @@ def cosine_neardup_pairs(
     trigger a Spark job to probe it."""
     to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
     # normalize once per vector (hyperplane bucket signs are invariant to
-    # the positive rescale); the per-pair predicate is then a bare dot
+    # the positive rescale); the per-pair predicate is then a bare dot.
+    # NULL/zero-norm vectors (→ NULL after _unit) are dropped up front: they
+    # can never clear the sim threshold, but on the LSH path they would ALL
+    # collide in bucket key 0 of every band — an O(z²) candidate blowup of
+    # pure wasted work when failed-embedding rows number in the millions
     a = _unit(df.select(F.col(id_col).alias("id_a"), to_d(F.col(vec_col)).alias("va")), "va")
     b = _unit(df.select(F.col(id_col).alias("id_b"), to_d(F.col(vec_col)).alias("vb")), "vb")
+    a, b = a.where(F.col("va").isNotNull()), b.where(F.col("vb").isNotNull())
     if n_planes > 0:
         if dim is None:
             raise ValueError("cosine_neardup_pairs: dim is required when n_planes > 0")
@@ -229,10 +236,13 @@ def cosine_neardup_pairs(
 def _seed_centroids(
     corpus: DataFrame, vec_col: str, id_col: str, n_centroids: int, seed: int
 ) -> list[list[float]]:
-    """Deterministic centroid init: lowest n_centroids rows by hash(id, seed)."""
+    """Deterministic centroid init: lowest n_centroids rows by hash(id, seed).
+    NULL vectors are excluded — one landing in the sample would crash the
+    driver-side float conversion (failed-embedding rows are common)."""
     to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
     rows = (
-        corpus.select(F.col(id_col).alias("cid"), to_d(F.col(vec_col)).alias("cv"))
+        corpus.where(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("cid"), to_d(F.col(vec_col)).alias("cv"))
         .withColumn("__h", F.xxhash64(F.col("cid"), F.lit(seed)))
         .orderBy("__h")
         .limit(n_centroids)
@@ -451,7 +461,10 @@ def pq_codebooks(
             if tot <= 0:
                 cents.append(S[rng.randint(len(S))])
                 continue
-            cents.append(S[np.searchsorted(np.cumsum(d2 / tot), rng.rand())])
+            # clamp: float rounding can leave cumsum[-1] just below 1.0 and
+            # searchsorted would then index one past the end
+            idx = min(np.searchsorted(np.cumsum(d2 / tot), rng.rand()), len(S) - 1)
+            cents.append(S[idx])
         C = np.array(cents)
         for _ in range(n_iter):
             d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -535,7 +548,11 @@ def pq_topk(
         codebooks = pq_codebooks(
             c_unit, dim, m, n_codes, n_iter, vec_col="cv", id_col="neighbor_id", seed=seed
         )
-    d_sub = dim // m
+    elif len(codebooks) != m or len(codebooks[0][0]) != dim // m:
+        raise ValueError(
+            f"codebooks shape ({len(codebooks)} subspaces × dim "
+            f"{len(codebooks[0][0])}) inconsistent with m={m}, dim={dim}"
+        )
     codes = c_unit.select(
         "neighbor_id", pq_encode(F.col("cv"), codebooks).alias("codes")
     )

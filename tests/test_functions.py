@@ -334,6 +334,28 @@ class TestRecall:
         c2 = similarity.kmeans_centroids(corpus.repartition(7), n_centroids=8, n_iter=2)
         assert c1 == c2
 
+    def test_null_embeddings_tolerated(self, spark, corpus):
+        # a NULL embedding row anywhere in the corpus must not crash the
+        # seeded centroid collect or explode LSH near-dup bucket 0
+        from pyspark.sql.types import (
+            ArrayType, DoubleType, LongType, StructField, StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(DoubleType())),
+            ]
+        )
+        null_row = spark.createDataFrame([(10_000, None)], schema)
+        dirty = corpus.unionByName(null_row)
+        cents = similarity.kmeans_centroids(dirty, n_centroids=8, n_iter=1)
+        assert len(cents) == 8 and all(v is not None for c in cents for v in c)
+        pairs = similarity.cosine_neardup_pairs(
+            dirty, threshold=0.8, n_planes=4, dim=16, n_bands=2
+        ).collect()
+        assert all(r["id_a"] != 10_000 and r["id_b"] != 10_000 for r in pairs)
+
     def test_neardup_lsh_recall(self, corpus):
         exact = {
             (r["id_a"], r["id_b"])
@@ -507,6 +529,35 @@ class TestCuration:
             for r in curation.decontaminate(df, ["quick brown fox", "zzz"]).collect()
         }
         assert out == {1: True, 2: False, 3: True}
+
+    def test_decontaminate_null_text_is_clean(self, spark):
+        from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+        from gohangout_spark.functions import curation
+
+        schema = StructType(
+            [StructField("doc_id", LongType()), StructField("text", StringType())]
+        )
+        df = spark.createDataFrame(
+            [(1, "has the quick brown fox"), (2, None)], schema
+        )
+        out = {
+            r["doc_id"]: r["contaminated"]
+            for r in curation.decontaminate(df, ["quick brown fox"]).collect()
+        }
+        # NULL text must mark False, not NULL — where(~NULL) would silently
+        # drop the clean row in Decontaminate action=drop
+        assert out == {1: True, 2: False}
+
+    def test_repetition_stats_includes_empty_docs(self, spark):
+        from gohangout_spark.functions import curation
+
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a a b"), Row(doc_id=2, text="   ")]
+        )
+        out = {r["doc_id"]: r for r in curation.repetition_stats(df).collect()}
+        assert set(out) == {1, 2}
+        assert out[2]["n_words"] == 0 and out[2]["top_word_ratio"] is None
 
     def test_decontaminate_ngrams(self, spark):
         from gohangout_spark.functions import curation
