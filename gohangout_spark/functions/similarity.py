@@ -233,6 +233,35 @@ def cosine_neardup_pairs(
     )
 
 
+def random_projection(
+    df: DataFrame,
+    dim: int,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_rp",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: v' = R·v / √out_dim with a
+    seeded Gaussian R — the standard preprocessing that shrinks 1-4k-dim
+    embeddings to O(100) dims (pairwise distances preserved within ε w.h.p.)
+    before ANN indexing or near-dup banding.
+
+    Scan-side: ``out_dim`` dot products against literal matrix rows — pure
+    codegen, no shuffle, no Python, deterministic on any layout. The matrix
+    rides the plan as out_dim × dim literals; that is the right shape up to
+    ~10⁵ literals (e.g. 768→128). For 4096-dim inputs precompute R once and
+    apply it in an Arrow-batched pandas_udf instead — the plan-literal route
+    is for the common mid-size case.
+    """
+    rng = np.random.RandomState(seed)
+    R = rng.randn(out_dim, dim) / np.sqrt(out_dim)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    comps = [
+        _dot(v, F.array(*[F.lit(round(float(x), 9)) for x in row])) for row in R
+    ]
+    return df.withColumn(out_col, F.array(*comps))
+
+
 def _seed_centroids(
     corpus: DataFrame, vec_col: str, id_col: str, n_centroids: int, seed: int
 ) -> list[list[float]]:

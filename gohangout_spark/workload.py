@@ -958,6 +958,28 @@ def embedding_pq_topk(spark, sf_dir):
     )
 
 
+# JL random projection (64→16 dims) then exact top-k in the projected
+# space — rows-only. The synthetic embeddings are structure-free (pairwise
+# distances concentrate), so ranking there is noise-dominated by design;
+# the meaningful recall validation is the clustered fixture in
+# TestRecall::test_random_projection (16→8 dims, recall ≥ 0.6)
+@q("embedding_rp_topk", None)
+def embedding_rp_topk(spark, sf_dir):
+    from gohangout_spark.functions.similarity import (
+        brute_force_topk,
+        random_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, dim=64, out_dim=16)
+    return brute_force_topk(
+        proj,
+        proj.filter(F.col("vec_id") < 10),
+        vec_col="embedding_rp",
+        k=5,
+    )
+
+
 # IVF-PQ composition: cell pruning × compressed ADC scan × exact re-rank —
 # rows-only check; recall floor in TestRecall::test_ivf_pq_topk_recall
 @q("embedding_ivf_pq_topk", None)

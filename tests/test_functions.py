@@ -334,6 +334,33 @@ class TestRecall:
         c2 = similarity.kmeans_centroids(corpus.repartition(7), n_centroids=8, n_iter=2)
         assert c1 == c2
 
+    def test_random_projection(self, corpus):
+        # 16 -> 8 dims: projected-space top-k must still recover most true
+        # neighbors (JL distance preservation), deterministically
+        queries = corpus.filter(F.col("vec_id") < self.N_QUERIES)
+        proj = similarity.random_projection(corpus, dim=16, out_dim=8)
+        exact = self._topk_sets(
+            similarity.brute_force_topk(corpus, queries, k=self.K)
+        )
+        approx = self._topk_sets(
+            similarity.brute_force_topk(
+                proj,
+                proj.filter(F.col("vec_id") < self.N_QUERIES),
+                vec_col="embedding_rp",
+                k=self.K,
+            )
+        )
+        recall = self._recall(approx, exact)
+        print(f"random_projection 16->8 recall@{self.K}: {recall:.3f}")
+        assert recall >= 0.6
+        a = similarity.random_projection(corpus, dim=16, out_dim=8).collect()
+        b = similarity.random_projection(
+            corpus.repartition(7), dim=16, out_dim=8
+        ).collect()
+        am = {r["vec_id"]: r["embedding_rp"] for r in a}
+        bm = {r["vec_id"]: r["embedding_rp"] for r in b}
+        assert am == bm
+
     def test_null_embeddings_tolerated(self, spark, corpus):
         # a NULL embedding row anywhere in the corpus must not crash the
         # seeded centroid collect or explode LSH near-dup bucket 0
