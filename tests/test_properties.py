@@ -107,6 +107,35 @@ class TestDateLayoutProperties:
 
 
 class TestCurationProperties:
+    @settings(max_examples=8, deadline=None)
+    @given(
+        words=st.lists(
+            st.sampled_from([f"w{i}" for i in range(12)]), min_size=8, max_size=40
+        ),
+        extra=st.lists(
+            st.sampled_from([f"z{i}" for i in range(12)]), min_size=8, max_size=40
+        ),
+    )
+    def test_chunk_dedup_invariants(self, spark, words, extra):
+        """Identical docs always score dup_chunk_ratio 1.0; a doc over a
+        disjoint vocabulary scores 0; counts never exceed totals — for ANY
+        word sequence, i.e. regardless of where the content-defined
+        boundaries fall."""
+        from gohangout_spark.functions.dedup import chunk_dedup_stats
+
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=" ".join(words)),
+                Row(doc_id=2, text=" ".join(words)),
+                Row(doc_id=3, text=" ".join(extra)),
+            ]
+        )
+        out = {r["doc_id"]: r for r in chunk_dedup_stats(df).collect()}
+        assert out[1]["dup_chunk_ratio"] == 1.0 == out[2]["dup_chunk_ratio"]
+        assert out[3]["n_shared"] == 0
+        for r in out.values():
+            assert 0 < r["n_chunks"] and 0 <= r["n_shared"] <= r["n_chunks"]
+
     @settings(max_examples=10, deadline=None)
     @given(
         p_lo=st.floats(min_value=0.05, max_value=0.45),
