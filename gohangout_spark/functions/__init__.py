@@ -1,3 +1,23 @@
-from gohangout_spark.functions import dedup, similarity, text, multimodal
+from gohangout_spark.functions import (
+    curation,
+    dedup,
+    joins,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+    skew,
+    text,
+)
 
-__all__ = ["dedup", "similarity", "text", "multimodal"]
+__all__ = [
+    "curation",
+    "dedup",
+    "joins",
+    "multimodal",
+    "packing",
+    "sampling",
+    "similarity",
+    "skew",
+    "text",
+]
