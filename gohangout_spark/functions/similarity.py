@@ -15,6 +15,7 @@ Python in the scan.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -534,6 +535,41 @@ def _adc_score(qv, codes, codebooks: list[list[list[float]]]):
             F.element_at(lut, F.element_at(codes, j + 1) + 1),
         )
     return score
+
+
+def pq_encode_pandas(codebooks: list[list[list[float]]]):
+    """Arrow-batched PQ encoder for HIGH-dim vectors (4k+ dims × 256 codes
+    would blow up the plan-literal route): the codebooks broadcast once as
+    numpy arrays inside the UDF closure and each batch argmins per subspace
+    with a vectorized ‖s−c‖² = ‖s‖² − 2s·C + ‖C‖² expansion. Same output as
+    :func:`pq_encode` (asserted by test); returns a Column-producing callable
+    to use as ``pq_encode_pandas(books)(F.col("v"))``.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    Cs = [np.asarray(book, dtype=np.float64) for book in codebooks]
+    d_sub = Cs[0].shape[1]
+
+    dim = d_sub * len(Cs)
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        null = np.array([v is None for v in vs])
+        X = np.array(
+            [np.zeros(dim) if v is None else np.asarray(v, np.float64) for v in vs]
+        )
+        out = np.empty((len(X), len(Cs)), dtype=np.int32)
+        for j, C in enumerate(Cs):
+            S = X[:, j * d_sub : (j + 1) * d_sub]
+            # argmin over -2 s·C + ‖C‖² (‖s‖² is constant per row); ties
+            # resolve to the lowest code, matching the expression path
+            d2 = -2.0 * (S @ C.T) + (C * C).sum(axis=1)[None, :]
+            out[:, j] = d2.argmin(axis=1)
+        return pd.Series(
+            [None if n else codes for n, codes in zip(null, out.tolist())]
+        )
+
+    return encode
 
 
 def pq_topk(

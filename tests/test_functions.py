@@ -322,6 +322,33 @@ class TestRecall:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
 
+    def test_pq_encode_pandas_matches_expr(self, spark, corpus):
+        # the Arrow-batched encoder (high-dim path) must emit the SAME codes
+        # as the plan-literal expression path, and NULL vectors encode NULL
+        from pyspark.sql.types import (
+            ArrayType, DoubleType, LongType, StructField, StructType,
+        )
+
+        books = similarity.pq_codebooks(corpus, dim=16, m=4, n_codes=8)
+        schema = StructType(
+            [
+                StructField("vec_id", LongType()),
+                StructField("embedding", ArrayType(DoubleType())),
+            ]
+        )
+        null_row = spark.createDataFrame([(10_000, None)], schema)
+        df = corpus.unionByName(null_row)
+        both = df.select(
+            "vec_id",
+            similarity.pq_encode(F.col("embedding"), books).alias("expr"),
+            similarity.pq_encode_pandas(books)(F.col("embedding")).alias("pd"),
+        ).collect()
+        for r in both:
+            if r["vec_id"] == 10_000:
+                assert r["pd"] is None
+            else:
+                assert list(r["expr"]) == list(r["pd"]), r["vec_id"]
+
     def test_pq_codebooks_deterministic(self, corpus):
         b1 = similarity.pq_codebooks(corpus, dim=16, m=4, n_codes=8)
         b2 = similarity.pq_codebooks(corpus.repartition(7), dim=16, m=4, n_codes=8)
