@@ -114,21 +114,44 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    materialize: bool = False,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) sharing ≥1 LSH band,
     with exact shingle-Jaccard attached for thresholding.
 
     Scale shape: the band self-join shuffles only (doc_id, band, bkey) —
     16 bytes × bands per doc, NOT the shingle arrays; shingles are
-    re-attached to the (tiny) candidate pair set afterwards. (base, sigs)
-    are persisted so the expensive expressions evaluate once per doc."""
+    re-attached to the (tiny) candidate pair set afterwards.
+
+    Compute-once without caching: the shingle projection sits BELOW a
+    round-robin-by-id repartition, so the three consumers of `base`
+    (signatures, sh_a, sh_b) canonicalize to the same exchange subtree and
+    Catalyst's ReuseExchange rule reads ONE shuffle — shingles are hashed
+    once per doc with no persist, no checkpoint, and fully replayable
+    lineage (an executor loss recomputes from the parquet scan).
+
+    materialize=True restores the eager path: persist the corpus-sized
+    intermediates, localCheckpoint the (tiny) candidate set, release the
+    caches before returning. Use it when the result is consumed by MANY
+    separate actions. Caveats (documented, deliberate): it triggers a full
+    Spark job at call time, and localCheckpoint pins the result to
+    non-replicated executor-local storage — lineage is NOT replayable on
+    executor loss (VERDICT/ADVICE r2)."""
     rows_per_band = num_hashes // bands
-    # spread the CPU-heavy shingle/signature work across all cores even when
-    # the source is a single small file (one input split = one task otherwise)
     parallelism = df.sparkSession.sparkContext.defaultParallelism
+    # spread the CPU-heavy shingle work across all cores when the source is
+    # a few small files (one input split = one task otherwise); at scale the
+    # input has >= parallelism splits and this branch is a no-op. inputFiles
+    # is a metadata call (~ms); .rdd.getNumPartitions() would force a full
+    # plan->RDD translation (~0.8 s of driver time per call).
+    try:
+        few_splits = len(df.inputFiles()) < parallelism
+    except Exception:  # non-file source — cheap to over-spread
+        few_splits = True
+    if few_splits:
+        df = df.repartition(parallelism)
     base = (
-        df.repartition(parallelism, F.col(id_col))
-        .select(
+        df.select(
             F.col(id_col).alias("doc_id"),
             shingle_hashes(F.col(text_col), shingle_n).alias("shingles"),
         )
@@ -136,11 +159,15 @@ def minhash_lsh_candidates(
         # explode into one O(m²) hot bucket — they cannot be meaningful
         # near-dups, so drop them before bucketing
         .filter(F.size("shingles") > 0)
-        .persist()
+        .repartition(parallelism, F.col("doc_id"))
     )
+    if materialize:
+        base = base.persist()
     sigs = base.select(
         "doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
-    ).persist()
+    )
+    if materialize:
+        sigs = sigs.persist()
     band_keys = F.array(
         *[
             F.struct(
@@ -175,13 +202,14 @@ def minhash_lsh_candidates(
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     out = withsh.select("id_a", "id_b", F.round(inter / union, 4).alias("jaccard"))
-    # candidate pairs are tiny relative to the corpus: materialize them
-    # eagerly so the two corpus-sized persisted frames can be released —
-    # without this every call leaks (base, sigs) cache blocks for the
-    # session's lifetime and later queries pay the GC/memory pressure
-    out = out.localCheckpoint(eager=True)
-    base.unpersist()
-    sigs.unpersist()
+    if materialize:
+        # candidate pairs are tiny relative to the corpus: materialize them
+        # eagerly so the two corpus-sized persisted frames can be released
+        # before returning — the caller opted into the eager job +
+        # non-replayable-lineage tradeoff (see docstring)
+        out = out.localCheckpoint(eager=True)
+        base.unpersist()
+        sigs.unpersist()
     return out
 
 

@@ -2316,3 +2316,73 @@ def multimodal_frame_sample(spark, sf_dir):
     return frames.select(
         "media_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
     )
+
+
+# ========================================================================
+# Driver-gate registration order
+# ========================================================================
+# The correctness driver samples the FIRST 50 entries of QUERIES in
+# registration (insertion) order.  Rounds 1-2 verified the first 50
+# registrations; the 48 queries registered after `embedding_pq_topk` had
+# never been driver-checked (VERDICT r2 "What's missing" #1).  Rebuild the
+# dict so the unverified set occupies the gate window this round; the
+# already-hash-matched round-1/2 queries follow (the gate re-confirming the
+# first couple of them is harmless).  New round-3 queries are inserted
+# before the tail so they are gated the round they land.
+_GATE_PRIORITY = [
+    # round-2 additions, never driver-verified (r2 order preserved)
+    "embedding_rp_topk",
+    "embedding_ivf_pq_topk",
+    "simhash_neardup",
+    "template_condition",
+    "distinct_users",
+    "rollup_totals",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "decontaminate_docs",
+    "ngram_decontaminate",
+    "chunk_dedup_stats",
+    "quantile_buckets_lang",
+    "redact_pii",
+    "repetition_stats",
+    "weighted_mixture",
+    "tpch_q8",
+    "tpch_q19",
+    "tpch_q22",
+    "vocabulary_topn",
+    "stratified_sample",
+    "deterministic_sample",
+    "cap_per_source",
+    "pack_documents",
+    "pack_documents_bestfit",
+    "quality_filter_pipeline",
+    "dedup_clusters",
+    "multimodal_audio_features",
+    "orders_left_outer",
+    "customers_without_orders",
+    "yaml_pipeline_e2e",
+    "etl_pipeline_chain",
+    "purchase_attribution",
+    "signup_error_window",
+    "semantic_dedup_by_label",
+    "semantic_dedup_kmeans",
+    "dedup_filter_events",
+    "user_rolling_avg",
+    "event_type_pivot",
+    "sliding_window_counts",
+    "intersect_buyers_clickers",
+    "event_value_geomean",
+    "multimodal_frame_sample",
+    # round-3 additions (gated the round they land)
+]
+
+QUERIES = {
+    **{n: QUERIES[n] for n in _GATE_PRIORITY if n in QUERIES},
+    **{n: t for n, t in QUERIES.items() if n not in _GATE_PRIORITY},
+}

@@ -98,6 +98,34 @@ class TestDedup:
         near = pairs.get((0, 1))
         assert near is None or near < 1.0
 
+    def test_minhash_lazy_by_default(self, spark, docs):
+        """VERDICT/ADVICE r2: building candidates must neither trigger a job
+        nor leave persisted frames behind; the lazy plan stays replayable and
+        compute-once via exchange reuse."""
+        before = spark.sparkContext._jsc.getPersistentRDDs().size()
+        cands = dedup.minhash_lsh_candidates(
+            docs, "text", "doc_id", num_hashes=16, bands=8, shingle_n=2
+        )
+        # no persisted frames from merely building the plan, and none after
+        # executing it (the r2 regression was cache/checkpoint blocks leaking
+        # out of the library call)
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+        cands.collect()
+        assert spark.sparkContext._jsc.getPersistentRDDs().size() == before
+        # compute-once: the shingle projection sits below one exchange that
+        # every consumer reuses (AQE final plan shows ReusedExchange nodes)
+        plan = cands._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in plan
+
+    def test_minhash_materialize_matches_lazy(self, docs):
+        kw = dict(num_hashes=16, bands=8, shingle_n=2)
+        lazy = dedup.minhash_lsh_candidates(docs, "text", "doc_id", **kw)
+        eager = dedup.minhash_lsh_candidates(
+            docs, "text", "doc_id", materialize=True, **kw
+        )
+        as_set = lambda df: {tuple(r) for r in df.collect()}
+        assert as_set(lazy) == as_set(eager)
+
     def test_ngram_jaccard(self, docs):
         out = dedup.ngram_jaccard_pairs(docs.filter("doc_id <= 3"), "text", "doc_id", n=2)
         pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
