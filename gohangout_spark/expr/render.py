@@ -32,8 +32,26 @@ def _is_field_ref(s: str) -> bool:
     return bool(_BRACKET_RE.match(s)) or bool(_JSONPATH_RE.match(s))
 
 
+# Opt-in switch for the sprig long-tail pandas-UDF fallback (SURVEY §1.3):
+# the common sprig subset compiles to JVM Columns below; actions outside it
+# raise at compile time UNLESS this is enabled (module default or per-call
+# kwarg), in which case known-long-tail functions run as an Arrow-batched
+# pandas UDF. Off by default: the UDF path is the slow path, and silent
+# fallback would hide a 10-100x regression in a hot pipeline.
+_ALLOW_UDF_TEMPLATES = False
+
+
+def set_allow_udf_templates(enabled: bool = True) -> None:
+    global _ALLOW_UDF_TEMPLATES
+    _ALLOW_UDF_TEMPLATES = enabled
+
+
 def compile_render(
-    value, df: DataFrame | None = None, ts_field: str = "@timestamp", bare_is_field: bool = True
+    value,
+    df: DataFrame | None = None,
+    ts_field: str = "@timestamp",
+    bare_is_field: bool = True,
+    allow_udf_templates: bool | None = None,
 ) -> Column:
     """Compile a render spec to a Column.
 
@@ -41,6 +59,10 @@ def compile_render(
     (value_render.go:68-74): in add_fields the *value* side treats a bare word
     as a literal unless it looks like a reference; field-name sides treat bare
     words as one-level fields.
+
+    ``allow_udf_templates`` (None → module default, see
+    set_allow_udf_templates) gates the sprig long-tail pandas-UDF fallback
+    for template actions outside the Column-compiled subset.
     """
     if not isinstance(value, str):
         return F.lit(value)
@@ -50,7 +72,8 @@ def compile_render(
     if "%{" in s:
         return _compile_index_pattern(s, df, ts_field)
     if "{{" in s:
-        return _compile_template(s, df, ts_field)
+        allow = _ALLOW_UDF_TEMPLATES if allow_udf_templates is None else allow_udf_templates
+        return _compile_template(s, df, ts_field, allow_udf=allow)
     if bare_is_field and re.fullmatch(r"[A-Za-z_@][A-Za-z0-9_@.\-]*", s or "") and (
         df is None or s in df.columns
     ):
@@ -80,19 +103,24 @@ def _compile_index_pattern(s: str, df: DataFrame | None, ts_field: str) -> Colum
 _ANY_ACTION = re.compile(r"\{\{\s*(.*?)\s*\}\}", re.S)
 
 
-def _compile_template(s: str, df: DataFrame | None, ts_field: str = "@timestamp") -> Column:
+def _compile_template(
+    s: str, df: DataFrame | None, ts_field: str = "@timestamp", allow_udf: bool = False
+) -> Column:
     """``{{.a}}-{{.b.c}}``, the reference's custom template functions, and
     the commonly-used sprig string/math subset
     (template_value_render.go:41-158 registers sprig.FuncMap plus custom
     funcs) — all compiled to Columns. Pipelines (``{{.msg | upper |
     trunc 5}}``) append the piped value as the LAST argument, like Go
-    templates. Unknown actions raise at compile time."""
+    templates. Unknown actions raise at compile time unless ``allow_udf``
+    routes known long-tail sprig functions through a pandas UDF."""
     cols: list[Column] = []
     pos = 0
     for m in _ANY_ACTION.finditer(s):
         if m.start() > pos:
             cols.append(F.lit(s[pos : m.start()]))
-        cols.append(_compile_action(m.group(1), df, ts_field).cast("string"))
+        cols.append(
+            _compile_action(m.group(1), df, ts_field, allow_udf=allow_udf).cast("string")
+        )
         pos = m.end()
     if pos < len(s):
         cols.append(F.lit(s[pos:]))
@@ -126,7 +154,9 @@ def _split_pipeline(expr: str) -> list[str]:
     return [s.strip() for s in segs]
 
 
-def _compile_action(expr: str, df: DataFrame | None, ts_field: str = "@timestamp") -> Column:
+def _compile_action(
+    expr: str, df: DataFrame | None, ts_field: str = "@timestamp", allow_udf: bool = False
+) -> Column:
     """One template action (possibly a pipeline) → Column."""
     piped: Column | None = None
     for i, seg in enumerate(_split_pipeline(expr)):
@@ -143,7 +173,12 @@ def _compile_action(expr: str, df: DataFrame | None, ts_field: str = "@timestamp
         if i > 0:
             args.append(piped)
             raw_args.append(None)
-        piped = _apply_template_func(toks[0], args, raw_args, expr, df, ts_field)
+        try:
+            piped = _apply_template_func(toks[0], args, raw_args, expr, df, ts_field)
+        except UnsupportedTemplateFunc:
+            if not (allow_udf and toks[0] in SPRIG_PY):
+                raise
+            piped = _sprig_udf_call(toks[0], args)
     return piped
 
 
@@ -291,7 +326,109 @@ def _apply_template_func(
     if head == "sha256sum":
         need(1)
         return F.sha2(s(0).cast("binary"), 256)
-    raise ValueError(f"unsupported template function {head!r} in {expr!r}")
+    raise UnsupportedTemplateFunc(f"unsupported template function {head!r} in {expr!r}")
+
+
+class UnsupportedTemplateFunc(ValueError):
+    """Template action outside the Column-compiled subset (distinct from
+    arity/argument errors so the UDF fallback never masks a genuine misuse
+    of a supported function)."""
+
+
+# --------------------------------------------------------------------------
+# sprig long tail (pandas-UDF fallback, opt-in)
+# --------------------------------------------------------------------------
+# Pure-Python implementations of deterministic sprig functions that have no
+# reasonable Column translation. Go reference: the full sprig.FuncMap is
+# registered at template_value_render.go:42; each entry here mirrors the
+# documented sprig/goutils behavior. Value-last calling convention like the
+# Column subset (pipelines append the piped value as the last argument).
+# Randomized sprig funcs (randAlpha, shuffle, uuidv4) are deliberately
+# absent: replay/retry of a Spark task must be deterministic.
+
+def _go_expand(repl: str) -> str:
+    """Go regexp replacement syntax (${1}, $1) → Python (\\1)."""
+    return re.sub(r"\$\{(\w+)\}|\$(\w+)", lambda m: "\\" + (m.group(1) or m.group(2)), repl)
+
+
+def _wrap_words(width: int, s: str) -> str:
+    """goutils Wrap: greedy word wrap at `width` columns, long words kept."""
+    out, line = [], ""
+    for w in s.split(" "):
+        if not line:
+            line = w
+        elif len(line) + 1 + len(w) <= width:
+            line += " " + w
+        else:
+            out.append(line)
+            line = w
+    out.append(line)
+    return "\n".join(out)
+
+
+SPRIG_PY = {
+    # case conversions (goutils ToSnakeCase / ToCamelCase / SwapCase)
+    "snakecase": lambda s: re.sub(
+        r"(?<=[a-z0-9])(?=[A-Z])", "_", re.sub(r"[\s\-]+", "_", s)
+    ).lower(),
+    "kebabcase": lambda s: re.sub(
+        r"(?<=[a-z0-9])(?=[A-Z])", "-", re.sub(r"[\s_]+", "-", s)
+    ).lower(),
+    "camelcase": lambda s: "".join(
+        p[:1].upper() + p[1:] for p in re.split(r"[_\s\-]+", s)
+    ),
+    "swapcase": lambda s: s.swapcase(),
+    "untitle": lambda s: re.sub(r"(^|\s)([A-Z])", lambda m: m.group(1) + m.group(2).lower(), s),
+    "initials": lambda s: "".join(w[0] for w in s.split() if w),
+    # abbrev maxWidth s — truncate to maxWidth INCLUDING the "..." suffix
+    "abbrev": lambda n, s: s if len(s) <= int(n) else s[: int(n) - 3] + "...",
+    "wrap": lambda n, s: _wrap_words(int(n), s),
+    "wrapWith": lambda n, sep, s: sep.join(_wrap_words(int(n), s).split("\n")),
+    "indent": lambda n, s: "\n".join(" " * int(n) + l for l in s.split("\n")),
+    "nindent": lambda n, s: "\n" + "\n".join(" " * int(n) + l for l in s.split("\n")),
+    "squote": lambda s: f"'{s}'",
+    "plural": lambda one, many, n: one if int(n) == 1 else many,
+    "seq": lambda *a: " ".join(
+        str(i)
+        for i in (
+            range(1, int(a[0]) + 1)
+            if len(a) == 1
+            else range(int(a[0]), int(a[1]) + 1)
+            if len(a) == 2
+            else range(int(a[0]), int(a[2]) + (1 if int(a[1]) > 0 else -1), int(a[1]))
+        )
+    ),
+    # Go RE2 regex funcs (RE2 is a compatible subset of Python re for the
+    # deterministic features; Go's ${n} expansion is translated)
+    "regexMatch": lambda p, s: str(bool(re.search(p, s))).lower(),
+    "regexFind": lambda p, s: (lambda m: m.group(0) if m else "")(re.search(p, s)),
+    # NOTE sprig's regex trio puts the INPUT in the middle: (regex, s, repl)
+    "regexReplaceAll": lambda p, s, r: re.sub(p, _go_expand(r), s),
+    "regexReplaceAllLiteral": lambda p, s, r: re.sub(p, r.replace("\\", "\\\\"), s),
+    "regexSplit": lambda p, s, n: " ".join(re.split(p, s, maxsplit=0 if int(n) == -1 else int(n))),
+}
+
+
+def _sprig_udf_call(head: str, args: list[Column]) -> Column:
+    """Arrow-batched pandas UDF evaluating one long-tail sprig function.
+    All inputs ship as strings (sprig's template context stringifies
+    arguments the same way); NULL in → NULL out, matching Column semantics."""
+    from pyspark.sql.functions import pandas_udf
+
+    pyfn = SPRIG_PY[head]
+
+    @pandas_udf("string")
+    def run(*series):
+        import pandas as pd
+
+        def one(vals):
+            if any(v is None for v in vals):
+                return None
+            return pyfn(*vals)
+
+        return pd.Series([one(vals) for vals in zip(*series)])
+
+    return run(*[a.cast("string") for a in args])
 
 
 def _action_arg(tok: str, df: DataFrame | None) -> Column:

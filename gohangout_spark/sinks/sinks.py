@@ -323,6 +323,19 @@ class ElasticsearchSink(Sink):
             meta_inner.append(safe(compile_render(conf["routing"], df)).alias("routing"))
         meta = F.to_json(F.struct(F.struct(*meta_inner).alias(action)))
         source = F.to_json(F.struct(*[F.col(f"`{c}`") for c in df.columns]))
+        # source_field / bytes_source_field passthrough
+        # (elasticsearch_output.go:553-566): ship a pre-encoded field
+        # VERBATIM as the source line instead of re-encoding the event;
+        # bytes_source_field (binary column, cast utf8) takes precedence over
+        # source_field, and a NULL rendered value falls back to whole-event
+        # encoding per row (the reference's `if t == nil` branches).
+        raw = None
+        if conf.get("bytes_source_field"):
+            raw = compile_render(conf["bytes_source_field"], df).cast("string")
+        elif conf.get("source_field"):
+            raw = compile_render(conf["source_field"], df).cast("string")
+        if raw is not None:
+            source = F.coalesce(raw, source)
         return df.select(F.concat(meta, F.lit("\n"), source).alias("line"))
 
     def write_batch(self, df: DataFrame) -> None:

@@ -218,6 +218,65 @@ class TestRender:
         # Go pipelines append the piped value LAST: hasprefix("chi", name)
         assert out["hp"] == "false"
 
+    def test_sprig_long_tail_udf_fallback(self, spark):
+        """Opt-in pandas-UDF fallback for sprig funcs outside the Column
+        subset (template_value_render.go:42 registers the FULL sprig.FuncMap).
+        Expected values are the documented sprig/goutils outputs."""
+        from pyspark.sql import Row
+
+        from gohangout_spark.expr.render import compile_render
+
+        d = spark.createDataFrame([Row(s="hello world", c="FirstName", n=2)])
+
+        # off by default: unknown action still raises at compile time
+        with pytest.raises(ValueError):
+            compile_render("{{snakecase .c}}", d)
+        # arity misuse of a SUPPORTED func must still raise, not fall back
+        with pytest.raises(ValueError):
+            compile_render("{{upper .s .c}}", d, allow_udf_templates=True)
+        # genuinely unknown function raises even with the opt-in
+        with pytest.raises(ValueError):
+            compile_render("{{printf .s}}", d, allow_udf_templates=True)
+
+        table = {
+            "{{snakecase .c}}": "first_name",
+            "{{kebabcase .c}}": "first-name",
+            '{{camelcase "http_server"}}': "HttpServer",
+            '{{swapcase "This Is A.Test"}}': "tHIS iS a.tEST",
+            '{{untitle "Hello World"}}': "hello world",
+            '{{initials "First Try"}}': "FT",
+            '{{abbrev 5 "hello world"}}': "he...",
+            '{{wrap 5 "Hello World"}}': "Hello\nWorld",
+            '{{indent 4 "ab"}}': "    ab",
+            '{{nindent 4 "ab"}}': "\n    ab",
+            '{{squote "x"}}': "'x'",
+            '{{plural "anchovy" "anchovies" 1}}': "anchovy",
+            '{{plural "anchovy" "anchovies" 2}}': "anchovies",
+            "{{seq 3}}": "1 2 3",
+            "{{seq 2 5}}": "2 3 4 5",
+            '{{regexMatch "^[a-z]+$" "hello"}}': "true",
+            '{{regexFind "[a-z]{3}" "abcd1234"}}': "abc",
+            '{{regexReplaceAll "a(x*)b" "ab" "${1}W"}}': "W",
+            # pipeline into the long tail, and long tail into the subset
+            "{{.s | snakecase}}": "hello_world",
+            "{{.c | snakecase | upper}}": "FIRST_NAME",
+        }
+        cols = [
+            compile_render(t, d, allow_udf_templates=True).alias(f"c{i}")
+            for i, t in enumerate(table)
+        ]
+        row = d.select(*cols).first()
+        for i, (t, expect) in enumerate(table.items()):
+            assert row[f"c{i}"] == expect, f"{t}: {row[f'c{i}']!r} != {expect!r}"
+
+        # NULL propagates like the Column path
+        dn = spark.createDataFrame([Row(s=None)], "s string")
+        assert (
+            dn.select(compile_render("{{snakecase .s}}", dn, allow_udf_templates=True).alias("x"))
+            .first()["x"]
+            is None
+        )
+
     def test_template_timestamp_is_event_time_ms(self, df):
         # reference `timestamp` reads the EVENT @timestamp (not wall clock),
         # 0 when absent (template_value_render.go:59-68)

@@ -41,6 +41,31 @@ class TestElasticsearch:
         src = json.loads(lines[0].split("\n")[1])
         assert src["n"] in (1, 2) and "appid" in src
 
+    def test_source_field_passthrough(self, spark):
+        """elasticsearch_output.go:553-566: a pre-encoded source field ships
+        VERBATIM (no re-encode), NULL falls back to whole-event encoding, and
+        bytes_source_field wins over source_field."""
+        df = spark.createDataFrame(
+            [
+                Row(appid="a1", raw='{"pre":"encoded","n":1}', msg="x"),
+                Row(appid="a2", raw=None, msg="y"),
+            ]
+        )
+        sink = ElasticsearchSink({"index": "fixed", "source_field": "[raw]"})
+        srcs = [r["line"].split("\n")[1] for r in sink.bulk_lines(df).collect()]
+        assert '{"pre":"encoded","n":1}' in srcs  # verbatim
+        fallback = next(s for s in srcs if s != '{"pre":"encoded","n":1}')
+        ev = json.loads(fallback)
+        assert ev["appid"] == "a2" and ev["msg"] == "y"  # whole-event fallback
+
+        # bytes_source_field: binary column, takes precedence over source_field
+        bdf = spark.createDataFrame([Row(appid="a1", braw=bytearray(b'{"b":2}'), raw='{"s":1}')])
+        bsink = ElasticsearchSink(
+            {"index": "fixed", "bytes_source_field": "[braw]", "source_field": "[raw]"}
+        )
+        bsrc = [r["line"].split("\n")[1] for r in bsink.bulk_lines(bdf).collect()]
+        assert bsrc == ['{"b":2}']
+
     def test_write_batch_via_fake_transport(self, df, tmp_path):
         # transport runs on executor processes — capture via files
         cap = str(tmp_path / "calls")
