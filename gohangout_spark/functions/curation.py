@@ -221,26 +221,62 @@ def quantile_buckets(
     Bucket 1 is the LOWEST scores; pass ``labels`` (low→high, e.g.
     ``["tail", "middle", "head"]``) to emit names instead of numbers.
 
-    Scale: one shuffle on ``group_col`` (none if already partitioned);
-    ntile is a single window pass, no global sort. Skewed groups (one
-    dominant language) sort within one task chain — for extreme skew
-    pre-split the group and merge bucket ids.
+    Scale: the grouped path is one shuffle on ``group_col`` + a window pass.
+    Skewed groups (one dominant language) sort within one task chain — for
+    extreme skew pre-split the group and merge bucket ids.
+
+    The UNGROUPED path deliberately avoids Spark's unpartitioned
+    ``Window.orderBy`` (which funnels the whole dataset through ONE task,
+    ADVICE r2): it range-partitions on (score, id), ranks locally within
+    each range partition, and adds broadcast per-partition offsets — a
+    distributed global rank with identical ntile output. The only
+    non-parallel piece is a running-sum window over the per-partition
+    COUNTS (#shuffle-partitions rows, metadata-sized).
     """
     from pyspark.sql.window import Window
 
     order = [F.col(score_col).asc(), F.col(id_col).asc()]
-    w = (
-        Window.partitionBy(group_col).orderBy(*order)
-        if group_col
-        else Window.orderBy(*order)
+    if labels is not None and len(labels) != n_buckets:
+        raise ValueError(f"need {n_buckets} labels, got {len(labels)}")
+
+    def label(tile):
+        if labels is None:
+            return tile
+        return F.element_at(F.array(*[F.lit(s) for s in labels]), tile.cast("int"))
+
+    if group_col:
+        w = Window.partitionBy(group_col).orderBy(*order)
+        return df.withColumn(bucket_col, label(F.ntile(n_buckets).over(w)))
+
+    part = df.repartitionByRange(*order).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    tile = F.ntile(n_buckets).over(w)
-    if labels is not None:
-        if len(labels) != n_buckets:
-            raise ValueError(f"need {n_buckets} labels, got {len(labels)}")
-        lab = F.array(*[F.lit(s) for s in labels])
-        tile = F.element_at(lab, tile)
-    return df.withColumn(bucket_col, tile)
+    local = F.row_number().over(Window.partitionBy("__pid").orderBy(*order))
+    part = part.withColumn("__local", local)
+    sizes = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    wp = Window.orderBy("__pid")  # #partitions rows — single task by design
+    sizes = sizes.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__n").over(wp.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("__off"),
+        F.sum("__n").over(
+            wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("__N"),
+    )
+    joined = part.join(F.broadcast(sizes), "__pid")
+    rank = (F.col("__local") + F.col("__off")).cast("long")
+    n, b = F.col("__N").cast("long"), F.lit(n_buckets).cast("long")
+    q, r0 = (n / b).cast("long"), n % b
+    # SQL-standard ntile: the first N%b buckets hold ceil(N/b) rows
+    big_span = r0 * (q + 1)
+    tile = F.when(rank <= big_span, F.ceil(rank / (q + 1))).otherwise(
+        r0 + F.ceil((rank - big_span) / F.greatest(q, F.lit(1)))
+    )
+    return joined.withColumn(bucket_col, label(tile)).drop(
+        "__pid", "__local", "__off", "__N"
+    )
 
 
 def _hex_prefix_threshold(p: float, k: int = 4) -> str:

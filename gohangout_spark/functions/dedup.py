@@ -506,7 +506,11 @@ def chunk_dedup_stats(
     fingerprints miss entirely; content-defined boundaries survive
     insertions/deletions that would shift fixed-size windows.
 
-    Returns (id_col, n_chunks, n_shared, dup_chunk_ratio).
+    Returns (id_col, n_chunks, n_shared, dup_chunk_ratio) — one row for
+    EVERY input doc: empty/NULL-text docs (which produce no chunks and
+    would vanish through the explode) come back with n_chunks=0,
+    n_shared=0 and a NULL ratio, matching the repetition_stats convention
+    (ADVICE r2 — an inner join on these stats must not lose docs).
 
     Scale shape: chunk assembly is one shuffle on (doc, chunk) with
     string_agg-style reduction; the cross-corpus share count is one more
@@ -553,9 +557,20 @@ def chunk_dedup_stats(
             F.sum((F.col("n_docs") >= min_shared_docs).cast("int")).alias("n_shared"),
         )
     )
-    return per_doc.select(
+    stats = per_doc.select(
         F.col("__id").alias(id_col),
         "n_chunks",
         "n_shared",
         F.round(F.col("n_shared") / F.col("n_chunks"), 4).alias("dup_chunk_ratio"),
+    )
+    # restore docs the explode dropped (empty/NULL text -> zero chunks)
+    return (
+        docs.select(F.col(id_col))
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            "dup_chunk_ratio",
+        )
     )

@@ -123,9 +123,12 @@ def lsh_topk(
     ``multi_probe`` > 0 additionally probes every bucket reachable by
     flipping up to that many sign bits of the QUERY key (standard
     multi-probe LSH): near-boundary neighbors that landed one plane away
-    are recovered at the cost of (1 + n_planes·probe-combinations) probe
+    are recovered at the cost of Σ_{r≤multi_probe} C(n_planes, r) probe
     buckets per query — the corpus side stays single-bucket, so the join
-    fan-out scales with the (small) query side only."""
+    fan-out scales with the (small) query side only. The probe count is
+    COMBINATORIAL in multi_probe (multi_probe = n_planes would enumerate
+    all 2^n_planes buckets); anything past ~2-3 bits defeats the point of
+    LSH, so the total is validated against a hard cap (ADVICE r2)."""
     to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
     key = lambda c: lsh_bucket_key(c, dim, n_planes)
     q = _unit(
@@ -136,7 +139,15 @@ def lsh_topk(
     )
     if multi_probe > 0:
         from itertools import combinations
+        from math import comb
 
+        n_probes = sum(comb(n_planes, r) for r in range(1, multi_probe + 1))
+        if n_probes > 4096:
+            raise ValueError(
+                f"multi_probe={multi_probe} over {n_planes} planes explodes "
+                f"into {n_probes} probe buckets per query (cap 4096); use "
+                "fewer probe bits or fewer planes"
+            )
         # every XOR mask with 1..multi_probe set bits — C(n_planes, r) probe
         # buckets per r; query side only, the corpus stays single-bucket
         probes = [F.col("bucket")]
@@ -541,9 +552,18 @@ def pq_encode_pandas(codebooks: list[list[list[float]]]):
     """Arrow-batched PQ encoder for HIGH-dim vectors (4k+ dims × 256 codes
     would blow up the plan-literal route): the codebooks broadcast once as
     numpy arrays inside the UDF closure and each batch argmins per subspace
-    with a vectorized ‖s−c‖² = ‖s‖² − 2s·C + ‖C‖² expansion. Same output as
-    :func:`pq_encode` (asserted by test); returns a Column-producing callable
-    to use as ``pq_encode_pandas(books)(F.col("v"))``.
+    over the FULL squared distance ‖s−c‖² computed element-wise (not the
+    expanded −2s·C + ‖C‖² form, whose catastrophic cancellation could flip
+    an argmin between near-equal codes vs the expression path — ADVICE r2).
+    Row-chunked so the (rows × codes × d_sub) broadcast stays in cache.
+
+    Matches :func:`pq_encode` on every tested input; note the residual
+    caveat: float summation ORDER still differs from the expression path
+    (numpy pairwise vs left-fold), so exact-tie/ULP-boundary inputs may in
+    principle choose a different (equally-near) code.
+
+    Returns a Column-producing callable:
+    ``pq_encode_pandas(books)(F.col("v"))``.
     """
     from pyspark.sql.functions import pandas_udf
 
@@ -559,12 +579,15 @@ def pq_encode_pandas(codebooks: list[list[list[float]]]):
             [np.zeros(dim) if v is None else np.asarray(v, np.float64) for v in vs]
         )
         out = np.empty((len(X), len(Cs)), dtype=np.int32)
+        chunk = 1024  # bounds the (chunk × codes × d_sub) temp to ~MBs
         for j, C in enumerate(Cs):
             S = X[:, j * d_sub : (j + 1) * d_sub]
-            # argmin over -2 s·C + ‖C‖² (‖s‖² is constant per row); ties
-            # resolve to the lowest code, matching the expression path
-            d2 = -2.0 * (S @ C.T) + (C * C).sum(axis=1)[None, :]
-            out[:, j] = d2.argmin(axis=1)
+            for lo in range(0, len(S), chunk):
+                Sc = S[lo : lo + chunk]
+                # full ‖s−c‖², element-wise; ties argmin to the lowest
+                # code, matching the expression path
+                d2 = ((Sc[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                out[lo : lo + chunk, j] = d2.argmin(axis=1)
         return pd.Series(
             [None if n else codes for n, codes in zip(null, out.tolist())]
         )

@@ -1432,13 +1432,19 @@ chunks AS (
   SELECT doc_id, md5(string_agg(word, ' ' ORDER BY pos)) AS chash
   FROM ch GROUP BY doc_id, chunk
 ),
-share AS (SELECT chash, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY chash)
-SELECT c.doc_id, count(*) AS n_chunks,
-       CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-       round(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) / count(*), 4)
-         AS dup_chunk_ratio
-FROM chunks c JOIN share s USING (chash)
-GROUP BY c.doc_id""",
+share AS (SELECT chash, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY chash),
+stats AS (
+  SELECT c.doc_id, count(*) AS n_chunks,
+         CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         round(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) / count(*), 4)
+           AS dup_chunk_ratio
+  FROM chunks c JOIN share s USING (chash)
+  GROUP BY c.doc_id)
+SELECT d.doc_id,
+       COALESCE(st.n_chunks, 0) AS n_chunks,
+       COALESCE(st.n_shared, 0) AS n_shared,
+       st.dup_chunk_ratio
+FROM documents d LEFT JOIN stats st USING (doc_id)""",
 )
 def chunk_dedup_stats_q(spark, sf_dir):
     """Sub-document dedup: content-defined chunking (md5-prefix boundaries —

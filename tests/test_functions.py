@@ -89,6 +89,25 @@ class TestDedup:
         out2 = {r["doc_id"]: r for r in dedup.chunk_dedup_stats(df2).collect()}
         assert 0.0 < out2[4]["dup_chunk_ratio"] < 1.0
 
+    def test_chunk_dedup_keeps_empty_docs(self, spark):
+        """ADVICE r2: empty/NULL-text docs must not vanish through the
+        explode — they come back with zero counts and a NULL ratio."""
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=" ".join(f"w{i}" for i in range(40))),
+                Row(doc_id=2, text=""),
+                Row(doc_id=3, text=None),
+                Row(doc_id=4, text="   "),
+            ]
+        )
+        out = {r["doc_id"]: r for r in dedup.chunk_dedup_stats(df).collect()}
+        assert set(out) == {1, 2, 3, 4}
+        for d in (2, 3, 4):
+            r = out[d]
+            assert r["n_chunks"] == 0 and r["n_shared"] == 0
+            assert r["dup_chunk_ratio"] is None
+        assert out[1]["n_chunks"] > 0
+
     def test_minhash_finds_near_dups(self, docs):
         cands = dedup.minhash_lsh_candidates(
             docs, "text", "doc_id", num_hashes=16, bands=8, shingle_n=2
@@ -726,6 +745,37 @@ class TestCuration:
         with _pytest.raises(ValueError):
             curation.quantile_buckets(df, score_col="score", labels=["a", "b"])
 
+    def test_quantile_buckets_ungrouped_distributed(self, spark):
+        """The ungrouped path must (a) avoid the single-task global window
+        (ADVICE r2) and (b) still emit exact SQL ntile semantics on any
+        layout, including N not divisible by n_buckets."""
+        from pyspark.sql.window import Window as W
+
+        from gohangout_spark.functions import curation
+
+        rows = [Row(doc_id=i, score=float((i * 7) % 23)) for i in range(25)]
+        df = spark.createDataFrame(rows).repartition(6)
+        out = curation.quantile_buckets(df, score_col="score", n_buckets=4)
+        got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+        # reference semantics: plain ntile over the global (score, id) order
+        ref_col = F.ntile(4).over(W.orderBy(F.col("score").asc(), F.col("doc_id").asc()))
+        ref = {
+            r["doc_id"]: r["b"]
+            for r in df.withColumn("b", ref_col).collect()
+        }
+        assert got == ref
+        # 25 rows / 4 buckets -> sizes [7, 6, 6, 6]
+        from collections import Counter
+
+        assert sorted(Counter(got.values()).values(), reverse=True) == [7, 6, 6, 6]
+        # plan shape: no unpartitioned global-sort window over the data;
+        # the only Window without partitioning runs over the tiny counts df
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "__pid" in plan  # distributed path actually taken
+        # schema preserved + bucket col added
+        assert set(out.columns) == {"doc_id", "score", "bucket"}
+
     def test_weighted_mixture(self, spark):
         from gohangout_spark.functions import curation
 
@@ -824,6 +874,15 @@ class TestMultiProbeLSH:
         r0, r2 = recall(0), recall(2)
         assert r2 >= r0
         assert r2 >= 0.6, (r0, r2)
+
+    def test_probe_count_cap(self, spark):
+        """ADVICE r2: multi_probe near n_planes would silently enumerate
+        2^n_planes buckets per query — must raise, not explode."""
+        emb = spark.createDataFrame([Row(vec_id=0, embedding=[1.0] * 16)])
+        with pytest.raises(ValueError, match="probe buckets"):
+            similarity.lsh_topk(
+                emb, emb, dim=16, k=1, n_planes=16, multi_probe=16
+            )
 
 
 class TestAsofJoin:
