@@ -274,6 +274,49 @@ def random_projection(
     return df.withColumn(out_col, F.array(*comps))
 
 
+def random_projection_pandas(
+    df: DataFrame,
+    dim: int,
+    out_dim: int,
+    vec_col: str = "embedding",
+    out_col: str = "embedding_rp",
+    seed: int = 42,
+) -> DataFrame:
+    """Arrow-batched twin of :func:`random_projection` for HIGH-dim inputs
+    (4k+ dims × 128 outputs = 5×10⁵ plan literals would bloat the plan and
+    stall codegen — the same threshold that motivated
+    :func:`pq_encode_pandas`). The seeded matrix R is generated once on the
+    driver — IDENTICAL to the plan-literal route (same RandomState stream,
+    same 9-decimal rounding) — and ships to executors inside the UDF
+    closure; each Arrow batch is one (rows × dim) @ Rᵀ BLAS call.
+
+    Output matches :func:`random_projection` to float tolerance (BLAS
+    pairwise summation vs the expression left-fold differ in the last
+    ulps; asserted ≤1e-9 relative by test). Same scale shape: scan-side
+    projection, no shuffle, deterministic on any layout."""
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.RandomState(seed)
+    R = np.round(rng.randn(out_dim, dim) / np.sqrt(out_dim), 9)
+
+    @pandas_udf("array<double>")
+    def project(vs: pd.Series) -> pd.Series:
+        out = []
+        batch, idx = [], []
+        for i, v in enumerate(vs):
+            out.append(None)
+            if v is not None:
+                batch.append(np.asarray(v, np.float64))
+                idx.append(i)
+        if batch:
+            Y = np.asarray(batch) @ R.T
+            for i, y in zip(idx, Y):
+                out[i] = y.tolist()
+        return pd.Series(out)
+
+    return df.withColumn(out_col, project(F.col(vec_col)))
+
+
 def _seed_centroids(
     corpus: DataFrame, vec_col: str, id_col: str, n_centroids: int, seed: int
 ) -> list[list[float]]:
@@ -689,6 +732,7 @@ def ivf_pq_topk(
     k: int = 5,
     rerank: int = 4,
     refine_iters: int = 0,
+    residual: bool = False,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
@@ -698,11 +742,20 @@ def ivf_pq_topk(
     WHAT a scored row costs (m ints instead of dim floats), exact re-rank of
     the top ``rerank × k`` candidates recovers recall.
 
-    Residual-free variant (codes quantize the unit vectors themselves, not
-    vector − centroid): for inner-product/cosine search the dot decomposes
-    per subspace without residual bookkeeping, and the same codebooks serve
-    every cell. Scale shape: one corpus shuffle keyed on cell id; query side
-    broadcasts; candidates for re-rank are O(queries × rerank × k).
+    ``residual=False``: codes quantize the unit vectors themselves — for
+    inner-product/cosine search the dot decomposes per subspace without
+    residual bookkeeping, and the same codebooks serve every cell.
+
+    ``residual=True``: FAISS-style residual encoding — codes quantize
+    v − centroid(cell), which has far less variance than v itself (the
+    coarse quantizer already explains the cluster structure), so the same
+    code budget spends entirely on the within-cell detail: equal recall at
+    roughly HALF the m (asserted by TestRecall). Scoring uses the exact
+    decomposition q·v = q·centroid + q·r with ADC approximating q·r; the
+    q·centroid term is plan-literal, so the scan cost is unchanged.
+
+    Scale shape (both variants): one corpus shuffle keyed on cell id; query
+    side broadcasts; candidates for re-rank are O(queries × rerank × k).
     """
     from pyspark.sql.window import Window
 
@@ -718,9 +771,6 @@ def ivf_pq_topk(
     else:
         cvs = _seed_centroids(corpus, vec_col, id_col, n_centroids, seed)
     centroids = [(i, cv) for i, cv in enumerate(cvs)]
-    codebooks = pq_codebooks(
-        c_unit, dim, m, n_codes, vec_col="cv", id_col="neighbor_id", seed=seed
-    )
 
     def cell_ranks(vec, n: int):
         scored = F.array(
@@ -738,11 +788,30 @@ def ivf_pq_topk(
             n,
         )
 
-    c = c_unit.select(
-        "neighbor_id",
-        F.element_at(cell_ranks(F.col("cv"), 1), 1).alias("cell"),
-        pq_encode(F.col("cv"), codebooks).alias("codes"),
-    )
+    cells = c_unit.withColumn("cell", F.element_at(cell_ranks(F.col("cv"), 1), 1))
+    if residual:
+        cent_lits = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in centroids]
+        )
+        rv = F.zip_with(
+            F.col("cv"),
+            F.element_at(cent_lits, F.col("cell") + 1),
+            lambda a, b: a - b,
+        )
+        cells = cells.withColumn("rv", rv)
+        codebooks = pq_codebooks(
+            cells, dim, m, n_codes, vec_col="rv", id_col="neighbor_id", seed=seed
+        )
+        c = cells.select(
+            "neighbor_id", "cell", pq_encode(F.col("rv"), codebooks).alias("codes")
+        )
+    else:
+        codebooks = pq_codebooks(
+            c_unit, dim, m, n_codes, vec_col="cv", id_col="neighbor_id", seed=seed
+        )
+        c = cells.select(
+            "neighbor_id", "cell", pq_encode(F.col("cv"), codebooks).alias("codes")
+        )
     q = _unit(
         queries.select(F.col(id_col).alias("query_id"), to_d(F.col(vec_col)).alias("qv")),
         "qv",
@@ -751,11 +820,15 @@ def ivf_pq_topk(
     joined = c.join(F.broadcast(q), "cell").where(
         F.col("query_id") != F.col("neighbor_id")
     )
-    sims = joined.select(
-        "query_id",
-        "neighbor_id",
-        _adc_score(F.col("qv"), F.col("codes"), codebooks).alias("sim"),
-    )
+    adc = _adc_score(F.col("qv"), F.col("codes"), codebooks)
+    if residual:
+        # q·v = q·centroid(cell) + q·residual; ADC approximates the residual
+        # term, the centroid term is exact (plan-literal)
+        cent_lits = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cv]) for _, cv in centroids]
+        )
+        adc = adc + _dot(F.col("qv"), F.element_at(cent_lits, F.col("cell") + 1))
+    sims = joined.select("query_id", "neighbor_id", adc.alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     if rerank > 0:
         cand = (

@@ -369,6 +369,25 @@ class TestRecall:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
 
+    def test_ivf_pq_residual_half_budget(self, corpus):
+        """Residual encoding (quantize v - centroid per cell) must hold the
+        0.85 recall floor at HALF the code budget of the residual-free
+        variant above (m=4 vs m=8)."""
+        queries = corpus.filter(F.col("vec_id") < self.N_QUERIES)
+        exact = self._topk_sets(
+            similarity.brute_force_topk(corpus, queries, k=self.K)
+        )
+        out = similarity.ivf_pq_topk(
+            corpus, queries, dim=16, n_centroids=8, n_probe=3,
+            m=4, n_codes=16, k=self.K, rerank=4, residual=True,
+        )
+        recall = self._recall(self._topk_sets(out), exact)
+        print(f"ivf_pq residual recall@{self.K} (m=4): {recall:.3f}")
+        assert recall >= 0.85
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
     def test_pq_encode_pandas_matches_expr(self, spark, corpus):
         # the Arrow-batched encoder (high-dim path) must emit the SAME codes
         # as the plan-literal expression path, and NULL vectors encode NULL
@@ -434,6 +453,41 @@ class TestRecall:
         am = {r["vec_id"]: r["embedding_rp"] for r in a}
         bm = {r["vec_id"]: r["embedding_rp"] for r in b}
         assert am == bm
+
+    def test_random_projection_pandas_matches_expr(self, spark, corpus):
+        """The Arrow path must agree with the plan-literal path (same seeded
+        matrix; ≤1e-9 relative — BLAS vs left-fold summation order)."""
+        import numpy as np
+
+        lit = {
+            r["vec_id"]: r["embedding_rp"]
+            for r in similarity.random_projection(corpus, dim=16, out_dim=8).collect()
+        }
+        pdp = {
+            r["vec_id"]: r["embedding_rp"]
+            for r in similarity.random_projection_pandas(
+                corpus, dim=16, out_dim=8
+            ).collect()
+        }
+        assert set(lit) == set(pdp)
+        for k in lit:
+            np.testing.assert_allclose(lit[k], pdp[k], rtol=1e-9, atol=1e-12)
+
+        # NULL vector -> NULL projection, and a 4096->128 smoke (the size
+        # the plan-literal route is documented NOT to handle)
+        rows = [
+            Row(vec_id=0, embedding=[float(x) for x in np.arange(4096) % 7]),
+            Row(vec_id=1, embedding=None),
+        ]
+        big = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        out = {
+            r["vec_id"]: r["embedding_rp"]
+            for r in similarity.random_projection_pandas(
+                big, dim=4096, out_dim=128
+            ).collect()
+        }
+        assert out[1] is None and len(out[0]) == 128
+        assert all(np.isfinite(out[0]))
 
     def test_null_embeddings_tolerated(self, spark, corpus):
         # a NULL embedding row anywhere in the corpus must not crash the
