@@ -574,3 +574,118 @@ def chunk_dedup_stats(
             "dup_chunk_ratio",
         )
     )
+
+
+# ------------------------------------------------------------- paragraphs
+
+def paragraph_dedup_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared_docs: int = 2,
+) -> DataFrame:
+    """Paragraph-granularity duplication: split each doc on newlines,
+    trim each paragraph and drop blanks, hash (md5), and count how many of
+    a doc's paragraphs also occur in ≥ ``min_shared_docs`` DISTINCT docs.
+    The natural granularity for web/book corpora where boilerplate repeats
+    as whole paragraphs (headers, licenses, navigation) inside otherwise
+    unique documents — coarser than :func:`chunk_dedup_stats`' content-
+    defined chunks, aligned to author-visible structure.
+
+    Returns (id_col, n_paras, n_shared, dup_para_ratio) with one row for
+    EVERY input doc; docs with no non-blank paragraph get zero counts and a
+    NULL ratio (same convention as chunk/repetition stats).
+
+    Scale shape: explode → two hash-keyed shuffles with combiner-side
+    partials (per-para share count, per-doc rollup), all O(paragraphs);
+    md5 keys are engine-portable so any SQL engine reproduces the stats
+    bit-for-bit.
+    """
+    paras = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), r"\n"), lambda p: F.trim(p)),
+                lambda p: p != "",
+            )
+        ).alias("para"),
+    ).select("__id", F.md5(F.col("para")).alias("phash"))
+    share = paras.groupBy("phash").agg(
+        F.count_distinct(F.col("__id")).alias("n_docs")
+    )
+    per_doc = (
+        paras.join(share, "phash")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum((F.col("n_docs") >= min_shared_docs).cast("int")).alias("n_shared"),
+        )
+    )
+    stats = per_doc.select(
+        F.col("__id").alias(id_col),
+        "n_paras",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_paras"), 4).alias("dup_para_ratio"),
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_paras", F.lit(0)).alias("n_paras"),
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            "dup_para_ratio",
+        )
+    )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep: str = "first",
+) -> DataFrame:
+    """Rewrite each doc keeping only the corpus-FIRST occurrence of every
+    paragraph (the C4/RefinedWeb line-dedup move, at paragraph granularity):
+    a paragraph is kept iff (doc_id, position) is the minimum occurrence of
+    its hash corpus-wide (``keep='first'``; the only policy — it is the one
+    that is deterministic under retry). Blank paragraphs are dropped.
+
+    Returns (id_col, text_col) with the filtered text (possibly empty).
+
+    Scale: explode → one shuffle on the 16-byte para hash to pick winners
+    (min struct, combiner-side) → winners join back (paragraph-sized keys)
+    → per-doc ordered re-assembly via array_sort of collected (pos, para)
+    structs. No windows over the full corpus, no pair joins.
+    """
+    if keep != "first":
+        raise ValueError(f"unsupported keep policy: {keep!r}")
+    paras = docs.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), r"\n"), lambda p: F.trim(p)),
+                lambda p: p != "",
+            )
+        ).alias("pos", "para"),
+    ).withColumn("phash", F.md5(F.col("para")))
+    winners = paras.groupBy("phash").agg(
+        F.min(F.struct("__id", "pos")).alias("w")
+    )
+    kept = paras.join(winners, "phash").where(
+        (F.col("__id") == F.col("w.__id")) & (F.col("pos") == F.col("w.pos"))
+    )
+    rebuilt = kept.groupBy("__id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s.getField("para"),
+            ),
+        ).alias(text_col)
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(rebuilt.withColumnRenamed("__id", id_col), id_col, "left")
+        .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
+    )

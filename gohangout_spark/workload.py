@@ -2324,6 +2324,98 @@ def multimodal_frame_sample(spark, sf_dir):
     )
 
 
+@q(
+    "paragraph_dedup_stats",
+    r"""WITH nd AS (
+  SELECT doc_id % 100 AS gid, string_agg(text, chr(10) ORDER BY doc_id) AS text
+  FROM documents GROUP BY doc_id % 100),
+p AS (
+  SELECT gid, md5(para) AS phash
+  FROM (SELECT gid, trim(unnest(string_split(text, chr(10)))) AS para FROM nd)
+  WHERE para <> ''),
+share AS (SELECT phash, count(DISTINCT gid) AS n_docs FROM p GROUP BY phash),
+stats AS (
+  SELECT p.gid, count(*) AS n_paras,
+         CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+         round(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) / count(*), 4)
+           AS dup_para_ratio
+  FROM p JOIN share s USING (phash) GROUP BY p.gid)
+SELECT nd.gid, COALESCE(st.n_paras, 0) AS n_paras,
+       COALESCE(st.n_shared, 0) AS n_shared, st.dup_para_ratio
+FROM nd LEFT JOIN stats st USING (gid)""",
+)
+def paragraph_dedup_stats_q(spark, sf_dir):
+    """Paragraph-granularity dedup stats over a newline-structured corpus.
+    documents.text is single-line (TESTDATA.md), so the query first derives
+    multi-paragraph docs deterministically (group doc_id % 100, paragraphs
+    ordered by doc_id) — the exact-dup docs in the corpus then surface as
+    shared paragraphs across the synthetic docs, which is the production
+    shape (boilerplate repeating inside otherwise-unique pages)."""
+    from gohangout_spark.functions.dedup import paragraph_dedup_stats
+
+    docs = _docs(spark, sf_dir)
+    nd = (
+        docs.select((F.col("doc_id") % 100).alias("gid"), "doc_id", "text")
+        .groupBy("gid")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s.getField("text"),
+                ),
+            ).alias("text")
+        )
+    )
+    return paragraph_dedup_stats(nd, "text", "gid")
+
+
+@q(
+    "dedup_paragraphs",
+    r"""WITH nd AS (
+  SELECT doc_id % 100 AS gid, string_agg(text, chr(10) ORDER BY doc_id) AS text
+  FROM documents GROUP BY doc_id % 100),
+p0 AS (
+  SELECT gid, generate_subscripts(ps, 1) AS i, trim(unnest(ps)) AS para
+  FROM (SELECT gid, string_split(text, chr(10)) AS ps FROM nd)),
+p AS (
+  SELECT gid, para, md5(para) AS phash,
+         row_number() OVER (PARTITION BY gid ORDER BY i) - 1 AS pos
+  FROM p0 WHERE para <> ''),
+kept AS (
+  SELECT gid, pos, para,
+         row_number() OVER (PARTITION BY phash ORDER BY gid, pos) AS rn
+  FROM p),
+rebuilt AS (
+  SELECT gid, string_agg(para, chr(10) ORDER BY pos) AS text
+  FROM kept WHERE rn = 1 GROUP BY gid)
+SELECT nd.gid, COALESCE(r.text, '') AS text
+FROM nd LEFT JOIN rebuilt r USING (gid)""",
+)
+def dedup_paragraphs_q(spark, sf_dir):
+    """C4/RefinedWeb-style paragraph dedup: rewrite each (synthetic
+    multi-paragraph) doc keeping only the corpus-first occurrence of every
+    paragraph. Same newline-structured derivation as paragraph_dedup_stats."""
+    from gohangout_spark.functions.dedup import dedup_paragraphs
+
+    docs = _docs(spark, sf_dir)
+    nd = (
+        docs.select((F.col("doc_id") % 100).alias("gid"), "doc_id", "text")
+        .groupBy("gid")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "text"))),
+                    lambda s: s.getField("text"),
+                ),
+            ).alias("text")
+        )
+    )
+    return dedup_paragraphs(nd, "text", "gid")
+
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -2386,6 +2478,8 @@ _GATE_PRIORITY = [
     "event_value_geomean",
     "multimodal_frame_sample",
     # round-3 additions (gated the round they land)
+    "paragraph_dedup_stats",
+    "dedup_paragraphs",
 ]
 
 QUERIES = {

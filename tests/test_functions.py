@@ -108,6 +108,42 @@ class TestDedup:
             assert r["dup_chunk_ratio"] is None
         assert out[1]["n_chunks"] > 0
 
+    def test_paragraph_dedup_stats(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="shared header\nunique one\n\n  "),
+                Row(doc_id=2, text="  shared header \nunique two"),
+                Row(doc_id=3, text="all alone"),
+                Row(doc_id=4, text=""),
+                Row(doc_id=5, text=None),
+            ]
+        )
+        out = {r["doc_id"]: r for r in dedup.paragraph_dedup_stats(df).collect()}
+        assert set(out) == {1, 2, 3, 4, 5}
+        # trim makes '  shared header ' match 'shared header'
+        assert out[1]["n_paras"] == 2 and out[1]["n_shared"] == 1
+        assert out[1]["dup_para_ratio"] == 0.5
+        assert out[2]["n_shared"] == 1
+        assert out[3]["n_shared"] == 0 and out[3]["dup_para_ratio"] == 0.0
+        for d in (4, 5):
+            assert out[d]["n_paras"] == 0 and out[d]["dup_para_ratio"] is None
+
+    def test_dedup_paragraphs_keeps_first(self, spark):
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text="alpha\nbeta"),
+                Row(doc_id=2, text="beta\ngamma\nalpha"),
+                Row(doc_id=3, text="beta"),
+            ]
+        )
+        out = {r["doc_id"]: r["text"] for r in dedup.dedup_paragraphs(df).collect()}
+        # doc 1 owns both its paragraphs (first occurrence corpus-wide)
+        assert out[1] == "alpha\nbeta"
+        # doc 2 keeps only gamma (beta/alpha first seen in doc 1), order kept
+        assert out[2] == "gamma"
+        # doc 3 fully deduplicated -> empty text, row still present
+        assert out[3] == ""
+
     def test_minhash_finds_near_dups(self, docs):
         cands = dedup.minhash_lsh_candidates(
             docs, "text", "doc_id", num_hashes=16, bands=8, shingle_n=2
