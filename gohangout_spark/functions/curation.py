@@ -308,3 +308,89 @@ def weighted_mixture(
     for src, p in sorted(weights.items()):
         thr = F.when(F.col(source_col) == src, F.lit(_hex_prefix_threshold(p))).otherwise(thr)
     return df.where(h < thr)
+
+
+# ----------------------------------------------------------------- URL ops
+
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]+)(?::([0-9]+))?([^?#]*)\??([^#]*)#?(.*)$"
+
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
+
+# multi-label suffixes where the registrable domain needs THREE labels
+# (heuristic subset of the Public Suffix List — the full PSL is a data file,
+# not an algorithm; this covers the common cc-SLDs and is documented as an
+# approximation)
+_CC_SLDS = [
+    "co", "com", "net", "org", "gov", "ac", "edu", "or", "ne", "go",
+]
+
+
+def url_parts(df: DataFrame, url_col: str = "url", prefix: str = "") -> DataFrame:
+    """Decompose a URL column into (scheme, host, port, path, query,
+    fragment, registrable_domain) — all scan-side regexp/HOF codegen, no
+    UDF: the web-corpus curation primitive behind per-domain caps, domain
+    mixture weighting, and URL dedup.
+
+    registrable_domain strips a leading ``www.`` and keeps the last two
+    host labels — or three when the penultimate label is a common cc-SLD
+    (co.uk, com.au, ...). This is the standard PSL-free approximation;
+    swap in a broadcast-joined Public Suffix List table when exactness
+    matters (the PSL is data, not logic).
+    """
+    u = F.col(url_col)
+    part = lambda i: F.regexp_extract(u, _URL_RE, i)
+    host = F.lower(part(2))
+    bare = F.regexp_replace(host, r"^www\.", "")
+    labels = F.split(bare, r"\.")
+    n = F.size(labels)
+    penult = F.element_at(labels, -2)
+    take3 = (n >= 3) & penult.isin(*_CC_SLDS)
+    domain = F.when(n <= 2, bare).otherwise(
+        F.concat_ws(
+            ".", F.slice(labels, n - F.when(take3, 2).otherwise(1), F.lit(3))
+        )
+    )
+    p = prefix
+    return df.withColumns(
+        {
+            f"{p}scheme": F.lower(part(1)),
+            f"{p}host": host,
+            f"{p}port": F.nullif(part(3), F.lit("")).cast("int"),
+            f"{p}path": part(4),
+            f"{p}query": part(5),
+            f"{p}fragment": part(6),
+            f"{p}registrable_domain": domain,
+        }
+    )
+
+
+def normalize_url(url_col) -> "F.Column":
+    """Canonical URL Column: lowercase scheme+host, default ports stripped
+    (http:80 / https:443), fragment dropped, tracking params removed
+    (utm_*, gclid, fbclid, msclkid, ref), remaining query params SORTED so
+    parameter order never splits a dedup group. Pure codegen (regexp +
+    array HOFs) — usable as the key of exact_dedup for URL-level dedup of
+    a crawl at full scale."""
+    u = F.col(url_col) if isinstance(url_col, str) else url_col
+    part = lambda i: F.regexp_extract(u, _URL_RE, i)
+    scheme = F.lower(part(1))
+    host = F.lower(part(2))
+    port = part(3)
+    path = part(4)
+    query = part(5)
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, r"&"),
+            lambda kv: (kv != "") & ~kv.rlike(_TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.concat_ws("&", kept)
+    q_part = F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs))
+    path_part = F.when(path == "", F.lit("/")).otherwise(path)
+    return F.concat(scheme, F.lit("://"), host, port_part, path_part, q_part)

@@ -2416,6 +2416,79 @@ def dedup_paragraphs_q(spark, sf_dir):
 
 
 
+@q(
+    "url_curation",
+    r"""WITH u AS (
+  SELECT doc_id,
+         CASE doc_id % 4
+           WHEN 0 THEN 'https://www.' || source || '.example.com/docs/' || doc_id || '?utm_source=feed&b=2&a=1#top'
+           WHEN 1 THEN 'http://' || source || '.example.co.uk:80/path/' || doc_id
+           WHEN 2 THEN 'https://cdn.' || source || '.io:8443/a%20b?gclid=g&z=9'
+           ELSE 'https://' || source || '.org'
+         END AS url
+  FROM documents),
+parts AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(url, '{RE}', 1)) AS scheme,
+         lower(regexp_extract(url, '{RE}', 2)) AS host,
+         regexp_extract(url, '{RE}', 3) AS port_s,
+         regexp_extract(url, '{RE}', 4) AS path,
+         regexp_extract(url, '{RE}', 5) AS query
+  FROM u),
+dom AS (
+  SELECT *,
+         string_split(regexp_replace(host, '^www\.', ''), '.') AS labels
+  FROM parts)
+SELECT doc_id, scheme, host,
+       CAST(nullif(port_s, '') AS INT) AS port,
+       CASE WHEN len(labels) <= 2 THEN array_to_string(labels, '.')
+            WHEN labels[-2] IN ('co','com','net','org','gov','ac','edu','or','ne','go')
+              THEN array_to_string(labels[-3:], '.')
+            ELSE array_to_string(labels[-2:], '.')
+       END AS registrable_domain,
+       scheme || '://' || host ||
+       CASE WHEN port_s = '' OR (scheme='http' AND port_s='80')
+                 OR (scheme='https' AND port_s='443')
+            THEN '' ELSE ':' || port_s END ||
+       CASE WHEN path = '' THEN '/' ELSE path END ||
+       CASE WHEN COALESCE(array_to_string(list_sort(list_filter(string_split(query, '&'),
+                 kv -> kv <> '' AND NOT regexp_matches(kv, '^(utm_[^=]*|gclid|fbclid|msclkid|ref)='))), '&'), '') = ''
+            THEN ''
+            ELSE '?' || array_to_string(list_sort(list_filter(string_split(query, '&'),
+                 kv -> kv <> '' AND NOT regexp_matches(kv, '^(utm_[^=]*|gclid|fbclid|msclkid|ref)='))), '&')
+       END AS url_norm
+FROM dom""".replace("{RE}", r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]+)(?::([0-9]+))?([^?#]*)\??([^#]*)#?(.*)$"),
+)
+def url_curation_q(spark, sf_dir):
+    """Web-corpus URL curation: parse scheme/host/port + PSL-free
+    registrable domain, and produce the canonical URL (tracking params
+    stripped, params sorted, default ports dropped, fragment removed) —
+    the dedup/cap/mixture key for crawl corpora. URLs are synthesized
+    deterministically from doc fields (the testdata has no URL column)
+    across four shape variants to exercise every normalization branch."""
+    from gohangout_spark.functions.curation import normalize_url, url_parts
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    url = (
+        F.when(d % 4 == 0, F.concat(F.lit("https://www."), F.col("source"),
+               F.lit(".example.com/docs/"), d.cast("string"),
+               F.lit("?utm_source=feed&b=2&a=1#top")))
+        .when(d % 4 == 1, F.concat(F.lit("http://"), F.col("source"),
+              F.lit(".example.co.uk:80/path/"), d.cast("string")))
+        .when(d % 4 == 2, F.concat(F.lit("https://cdn."), F.col("source"),
+              F.lit(".io:8443/a%20b?gclid=g&z=9")))
+        .otherwise(F.concat(F.lit("https://"), F.col("source"), F.lit(".org")))
+    )
+    withurl = docs.select("doc_id", F.col("source")).withColumn("url", url)
+    parts = url_parts(withurl, "url")
+    return parts.select(
+        "doc_id", "scheme", "host", "port", "registrable_domain",
+        normalize_url("url").alias("url_norm"),
+    )
+
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -2480,6 +2553,7 @@ _GATE_PRIORITY = [
     # round-3 additions (gated the round they land)
     "paragraph_dedup_stats",
     "dedup_paragraphs",
+    "url_curation",
 ]
 
 QUERIES = {

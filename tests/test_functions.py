@@ -686,6 +686,43 @@ class TestSampling:
 
 
 class TestCuration:
+    def test_url_parts_and_normalize(self, spark):
+        from gohangout_spark.functions.curation import normalize_url, url_parts
+
+        df = spark.createDataFrame(
+            [
+                Row(i=1, url="https://WWW.News.Example.COM:443/a/b?utm_source=x&b=2&a=1#frag"),
+                Row(i=2, url="http://blog.example.co.uk:80/post"),
+                Row(i=3, url="https://cdn.site.io:8443/x?gclid=g&z=9&ref=h"),
+                Row(i=4, url="https://example.org"),
+                Row(i=5, url="not a url"),
+            ]
+        )
+        out = {
+            r["i"]: r
+            for r in url_parts(df, "url")
+            .withColumn("norm", normalize_url("url"))
+            .collect()
+        }
+        r1 = out[1]
+        assert r1["scheme"] == "https" and r1["host"] == "www.news.example.com"
+        assert r1["port"] == 443 and r1["registrable_domain"] == "example.com"
+        # normalized: host lowercased, default port dropped, utm_ stripped,
+        # params sorted, fragment gone
+        assert r1["norm"] == "https://www.news.example.com/a/b?a=1&b=2"
+        r2 = out[2]
+        assert r2["registrable_domain"] == "example.co.uk"  # cc-SLD -> 3 labels
+        assert r2["norm"] == "http://blog.example.co.uk/post"
+        r3 = out[3]
+        assert r3["registrable_domain"] == "site.io" and r3["port"] == 8443
+        assert r3["norm"] == "https://cdn.site.io:8443/x?z=9"  # gclid+ref gone
+        r4 = out[4]
+        assert r4["registrable_domain"] == "example.org"
+        assert r4["norm"] == "https://example.org/"  # empty path -> '/'
+        # non-URL: empty parts, NULL port — never a crash
+        r5 = out[5]
+        assert r5["scheme"] == "" and r5["port"] is None
+
     def test_redact_pii(self, spark):
         from gohangout_spark.functions import curation
 

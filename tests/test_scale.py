@@ -53,12 +53,14 @@ class TestBucketedJoin:
         the co-located join strategy for repeated fact-fact joins."""
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
+            from gohangout_spark.io import write_bucketed
+
             orders = load_table(spark, "/root/testdata/sf0.001", "orders")
             li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
             spark.sql("DROP TABLE IF EXISTS b_orders")
             spark.sql("DROP TABLE IF EXISTS b_lineitem")
-            orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
-            li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+            write_bucketed(orders, "b_orders", "o_orderkey", 8, sort_cols="o_orderkey")
+            write_bucketed(li, "b_lineitem", "l_orderkey", 8, sort_cols="l_orderkey")
             joined = spark.table("b_lineitem").join(
                 spark.table("b_orders"),
                 F.col("l_orderkey") == F.col("o_orderkey"),
