@@ -394,3 +394,95 @@ def normalize_url(url_col) -> "F.Column":
     q_part = F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs))
     path_part = F.when(path == "", F.lit("/")).otherwise(path)
     return F.concat(scheme, F.lit("://"), host, port_part, path_part, q_part)
+
+
+# ------------------------------------------------------- Gopher-style rules
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+) -> DataFrame:
+    """Gopher-style quality heuristics (Rae et al. 2021, arXiv:2112.11446
+    §A.1.1, the rule set most open-data pipelines reuse): per-document
+    boolean verdicts for each rule plus the conjunction ``gopher_keep``.
+    Thresholds default to the published values; every rule is a separate
+    column so pipelines can tune/inspect rules independently (the usual
+    operating mode — e.g. RefinedWeb relaxes the bullet rule).
+
+    Rules (all pure codegen — split/filter/aggregate HOFs, zero UDF,
+    zero shuffle; the verdict is a scan-side projection even at 100 TB):
+
+    - word count within [min_words, max_words]
+    - mean word length within [min_mean_word_len, max_mean_word_len]
+    - symbol-to-word ratio (# or ...) ≤ max_symbol_word_ratio
+    - lines starting with a bullet ≤ max_bullet_line_ratio of lines
+    - lines ending with an ellipsis ≤ max_ellipsis_line_ratio of lines
+    - words containing ≥1 alphabetic char ≥ min_alpha_word_ratio of words
+
+    NULL/empty text fails the word-count rule (and so gopher_keep) with
+    FALSE, never NULL — a three-valued verdict would silently drop rows
+    from both keep- and reject-side filters.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_words_d = n_words.cast("double")
+    total_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = total_chars / n_words_d
+    n_hash = F.size(F.split(text, r"#")) - 1
+    n_ellipsis = F.size(F.split(text, r"\.\.\.", -1)) - 1
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines).cast("double")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^([\*•‣◦-]\s|-\s)"))
+    )
+    ellipsis_lines = F.size(F.filter(lines, lambda l: l.endswith("...")))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+
+    word_count_ok = (n_words >= min_words) & (n_words <= max_words)
+    mean_wl_ok = F.when(
+        n_words > 0,
+        (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len),
+    ).otherwise(F.lit(False))
+    symbol_ok = F.when(
+        n_words > 0, (n_hash + n_ellipsis) / n_words_d <= max_symbol_word_ratio
+    ).otherwise(F.lit(False))
+    bullet_ok = F.when(
+        n_lines > 0, bullet_lines / n_lines <= max_bullet_line_ratio
+    ).otherwise(F.lit(True))
+    ellipsis_ok = F.when(
+        n_lines > 0, ellipsis_lines / n_lines <= max_ellipsis_line_ratio
+    ).otherwise(F.lit(True))
+    alpha_ok = F.when(
+        n_words > 0, alpha_words / n_words_d >= min_alpha_word_ratio
+    ).otherwise(F.lit(False))
+
+    return docs.withColumns(
+        {
+            "rule_word_count": word_count_ok,
+            "rule_mean_word_len": mean_wl_ok,
+            "rule_symbol_ratio": symbol_ok,
+            "rule_bullet_lines": bullet_ok,
+            "rule_ellipsis_lines": ellipsis_ok,
+            "rule_alpha_words": alpha_ok,
+            "gopher_keep": word_count_ok
+            & mean_wl_ok
+            & symbol_ok
+            & bullet_ok
+            & ellipsis_ok
+            & alpha_ok,
+        }
+    )

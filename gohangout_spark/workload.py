@@ -2489,6 +2489,71 @@ def url_curation_q(spark, sf_dir):
 
 
 
+@q(
+    "gopher_rules",
+    r"""WITH w AS (
+  SELECT doc_id,
+         COALESCE(text, '') AS t,
+         list_filter(string_split_regex(COALESCE(text, ''), '\s+'), x -> x <> '') AS ws
+  FROM documents),
+l AS (
+  SELECT doc_id, t, ws,
+         list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> x <> '') AS lines,
+         len(string_split(t, '#')) - 1 AS n_hash,
+         len(string_split(t, '...')) - 1 AS n_ellipsis
+  FROM w)
+SELECT doc_id,
+  len(ws) >= 50 AND len(ws) <= 100000 AS rule_word_count,
+  CASE WHEN len(ws) > 0 THEN
+    CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) >= 3.0
+    AND CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) <= 10.0
+  ELSE FALSE END AS rule_mean_word_len,
+  CASE WHEN len(ws) > 0 THEN
+    CAST(n_hash + n_ellipsis AS DOUBLE) / len(ws) <= 0.1
+  ELSE FALSE END AS rule_symbol_ratio,
+  CASE WHEN len(lines) > 0 THEN
+    CAST(len(list_filter(lines, x -> regexp_matches(x, '^([\*•‣◦-]\s|-\s)'))) AS DOUBLE)
+      / len(lines) <= 0.9
+  ELSE TRUE END AS rule_bullet_lines,
+  CASE WHEN len(lines) > 0 THEN
+    CAST(len(list_filter(lines, x -> x LIKE '%...')) AS DOUBLE) / len(lines) <= 0.3
+  ELSE TRUE END AS rule_ellipsis_lines,
+  CASE WHEN len(ws) > 0 THEN
+    CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+      / len(ws) >= 0.8
+  ELSE FALSE END AS rule_alpha_words,
+  (len(ws) >= 50 AND len(ws) <= 100000)
+  AND (CASE WHEN len(ws) > 0 THEN
+        CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) >= 3.0
+        AND CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) <= 10.0
+       ELSE FALSE END)
+  AND (CASE WHEN len(ws) > 0 THEN CAST(n_hash + n_ellipsis AS DOUBLE) / len(ws) <= 0.1 ELSE FALSE END)
+  AND (CASE WHEN len(lines) > 0 THEN
+        CAST(len(list_filter(lines, x -> regexp_matches(x, '^([\*•‣◦-]\s|-\s)'))) AS DOUBLE)
+          / len(lines) <= 0.9 ELSE TRUE END)
+  AND (CASE WHEN len(lines) > 0 THEN
+        CAST(len(list_filter(lines, x -> x LIKE '%...')) AS DOUBLE) / len(lines) <= 0.3 ELSE TRUE END)
+  AND (CASE WHEN len(ws) > 0 THEN
+        CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws) >= 0.8
+       ELSE FALSE END) AS gopher_keep
+FROM l""",
+)
+def gopher_rules_q(spark, sf_dir):
+    """Gopher quality heuristics (arXiv:2112.11446 A.1.1) as per-rule
+    boolean verdicts + the keep conjunction — the standard pre-training
+    quality gate, scan-side codegen only."""
+    from gohangout_spark.functions.curation import gopher_rules
+
+    docs = _docs(spark, sf_dir)
+    out = gopher_rules(docs)
+    return out.select(
+        "doc_id", "rule_word_count", "rule_mean_word_len", "rule_symbol_ratio",
+        "rule_bullet_lines", "rule_ellipsis_lines", "rule_alpha_words",
+        "gopher_keep",
+    )
+
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -2554,6 +2619,7 @@ _GATE_PRIORITY = [
     "paragraph_dedup_stats",
     "dedup_paragraphs",
     "url_curation",
+    "gopher_rules",
 ]
 
 QUERIES = {

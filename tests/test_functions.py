@@ -723,6 +723,35 @@ class TestCuration:
         r5 = out[5]
         assert r5["scheme"] == "" and r5["port"] is None
 
+    def test_gopher_rules(self, spark):
+        from gohangout_spark.functions.curation import gopher_rules
+
+        good = " ".join(f"word{i}" for i in range(60))
+        bullets = "\n".join(f"* item {i} extra words here" for i in range(20))
+        symbols = " ".join(["ok#tag"] * 60)
+        numeric = " ".join(["123 456"] * 40)
+        df = spark.createDataFrame(
+            [
+                Row(doc_id=1, text=good),
+                Row(doc_id=2, text="too short"),
+                Row(doc_id=3, text=bullets),
+                Row(doc_id=4, text=symbols),
+                Row(doc_id=5, text=numeric),
+                Row(doc_id=6, text=None),
+            ]
+        )
+        out = {r["doc_id"]: r for r in gopher_rules(df, min_words=30).collect()}
+        assert out[1]["gopher_keep"] is True
+        assert out[2]["rule_word_count"] is False and out[2]["gopher_keep"] is False
+        # every line is a bullet -> ratio 1.0 > 0.9
+        assert out[3]["rule_bullet_lines"] is False
+        # one '#' per word -> symbol ratio 1.0
+        assert out[4]["rule_symbol_ratio"] is False
+        # pure digits fail the alpha-word rule
+        assert out[5]["rule_alpha_words"] is False and out[5]["gopher_keep"] is False
+        # NULL text: FALSE verdicts, never NULL (three-valued logic hazard)
+        assert out[6]["gopher_keep"] is False and out[6]["rule_word_count"] is False
+
     def test_redact_pii(self, spark):
         from gohangout_spark.functions import curation
 
