@@ -52,6 +52,10 @@ HEADLINE = [
     "purchase_attribution",
     "signup_error_window",
     "semantic_dedup_by_label",
+    # round 3
+    "paragraph_dedup_stats",
+    "url_curation",
+    "gopher_rules",
 ]
 
 
