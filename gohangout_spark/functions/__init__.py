@@ -2,6 +2,7 @@ from gohangout_spark.functions import (
     curation,
     dedup,
     joins,
+    layout,
     multimodal,
     packing,
     sampling,
@@ -14,6 +15,7 @@ __all__ = [
     "curation",
     "dedup",
     "joins",
+    "layout",
     "multimodal",
     "packing",
     "sampling",

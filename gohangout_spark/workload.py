@@ -2554,6 +2554,20 @@ def gopher_rules_q(spark, sf_dir):
 
 
 
+@q("embedding_q8_topk", None)
+def embedding_q8_topk(spark, sf_dir):
+    """SQ8 compressed brute-force ANN: corpus scanned as int8 codes + one
+    scale (1/8 the bytes of the double vectors), queries stay float
+    (asymmetric quantization). Rows-only like the other approximate ANN
+    paths; recall floor 0.9 asserted in TestRecall.test_q8_quantization."""
+    from gohangout_spark.functions.similarity import q8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return q8_topk(emb, queries, k=5)
+
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -2620,6 +2634,7 @@ _GATE_PRIORITY = [
     "dedup_paragraphs",
     "url_curation",
     "gopher_rules",
+    "embedding_q8_topk",
 ]
 
 QUERIES = {

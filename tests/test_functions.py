@@ -490,6 +490,34 @@ class TestRecall:
         bm = {r["vec_id"]: r["embedding_rp"] for r in b}
         assert am == bm
 
+    def test_q8_quantization(self, spark, corpus):
+        """Int8 symmetric quantization: tight reconstruction on unit vectors,
+        zero-vector safe, and the compressed brute-force scan keeps recall."""
+        import numpy as np
+
+        q = similarity.quantize_embeddings(corpus)
+        row = q.first()
+        v = np.asarray(row["embedding"], dtype=np.float64)
+        deq = np.asarray(row["embedding_q8"], dtype=np.float64) * row["q8_scale"]
+        err = np.abs(v - deq).max()
+        assert err <= (np.abs(v).max() / 127.0) * 0.5 + 1e-12  # half-ULP of the grid
+        # tinyint storage, never over +-127
+        assert max(abs(x) for x in row["embedding_q8"]) <= 127
+
+        zdf = spark.createDataFrame(
+            [Row(vec_id=0, embedding=[0.0, 0.0])],
+            "vec_id int, embedding array<double>",
+        )
+        zr = similarity.quantize_embeddings(zdf).first()
+        assert zr["q8_scale"] == 0.0 and zr["embedding_q8"] == [0, 0]
+
+        queries = corpus.filter(F.col("vec_id") < self.N_QUERIES)
+        exact = self._topk_sets(similarity.brute_force_topk(corpus, queries, k=self.K))
+        approx = self._topk_sets(similarity.q8_topk(corpus, queries, k=self.K))
+        recall = self._recall(approx, exact)
+        print(f"q8_topk recall@{self.K}: {recall:.3f}")
+        assert recall >= 0.9
+
     def test_random_projection_pandas_matches_expr(self, spark, corpus):
         """The Arrow path must agree with the plan-literal path (same seeded
         matrix; ≤1e-9 relative — BLAS vs left-fold summation order)."""

@@ -18,6 +18,8 @@ BNLJ_OK = {
     "embedding_neardup_exact",
     # brute-force ANN baseline: query block broadcast, corpus streams
     "embedding_topk",
+    # same broadcast-query shape over the int8-compressed corpus projection
+    "embedding_q8_topk",
     # same brute-force shape over the JL-projected (16-dim) vectors
     "embedding_rp_topk",
     # PQ ADC scan: same broadcast-query shape, but the corpus side is the

@@ -128,3 +128,62 @@ class TestCheckpointRestart:
 
         assert first == 30
         assert second == 42  # resumed state + new rows, no double count
+
+
+class TestZorderLayout:
+    def test_zorder_tightens_all_column_ranges(self, spark, tmp_path):
+        """Quantified file-skipping proxy: per-file min-max spans must be
+        tight on BOTH columns under Z-order, vs a linear sort that only
+        serves its leading column."""
+        import pyarrow.parquet as pq
+
+        from gohangout_spark.functions.layout import zorder_layout
+
+        n = 4096
+        df = spark.range(n).select(
+            (F.col("id") % 64).alias("x"),
+            F.floor(F.col("id") / 64).alias("y"),
+            F.col("id").alias("payload"),
+        )
+
+        zpath = str(tmp_path / "zorder")
+        lpath = str(tmp_path / "linear")
+        zorder_layout(df, ["x", "y"], n_partitions=16).write.parquet(zpath)
+        df.repartitionByRange(16, F.col("x")).sortWithinPartitions("x").write.parquet(
+            lpath
+        )
+
+        import glob
+        import os
+
+        def spans(path, col):
+            out = []
+            for f in glob.glob(os.path.join(path, "*.parquet")):
+                md = pq.ParquetFile(f).metadata
+                idx = md.schema.names.index(col)
+                mn = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+                mx = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+                out.append(mx - mn)
+            return sum(out) / len(out)
+
+        # linear layout: x tight, y spans nearly the full 0..63 range per file
+        assert spans(lpath, "y") > 32
+        # z-order: BOTH columns' per-file spans stay small hypercube-sized
+        zx, zy = spans(zpath, "x"), spans(zpath, "y")
+        assert zx < 32 and zy < 32, (zx, zy)
+
+        # layout is a re-ordering, never a data change
+        back = spark.read.parquet(zpath)
+        assert back.count() == n
+        assert back.agg(F.sum("payload")).first()[0] == n * (n - 1) // 2
+
+    def test_zorder_validation(self, spark):
+        from gohangout_spark.functions.layout import zorder_layout
+
+        df = spark.range(4).select(F.col("id").alias("a"))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            zorder_layout(df, [])
+        with _pytest.raises(ValueError):
+            zorder_layout(df, ["a"] * 5, bits=16)
