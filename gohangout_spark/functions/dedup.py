@@ -107,6 +107,28 @@ def minhash_signature(shingles_col, num_hashes: int = 32):
     )
 
 
+def band_keys_expr(sig_col, num_hashes: int, bands: int):
+    """array<struct<band:int, bkey:long>> — each band's key is the xxhash64
+    of its signature slice. The shared banding for one-shot candidates
+    (minhash_lsh_candidates) and the persistent index (minhash_index): both
+    must derive identical keys or incremental dedup silently misses pairs."""
+    rows_per_band = num_hashes // bands
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at(sig_col, b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ]
+                ).alias("bkey"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str,
@@ -168,20 +190,7 @@ def minhash_lsh_candidates(
     )
     if materialize:
         sigs = sigs.persist()
-    band_keys = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.element_at("sig", b * rows_per_band + r + 1)
-                        for r in range(rows_per_band)
-                    ]
-                ).alias("bkey"),
-            )
-            for b in range(bands)
-        ]
-    )
+    band_keys = band_keys_expr("sig", num_hashes, bands)
     buckets = sigs.select("doc_id", F.explode(band_keys).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
@@ -689,3 +698,111 @@ def dedup_paragraphs(
         .join(rebuilt.withColumnRenamed("__id", id_col), id_col, "left")
         .select(id_col, F.coalesce(text_col, F.lit("")).alias(text_col))
     )
+
+
+# --------------------------------------------------- incremental minhash
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The persistent dedup index for an append-only corpus: one row per
+    non-empty doc — (doc_id, sig array<bigint>, bands array<struct<band,
+    bkey>>). Write this to parquet once per ingested batch; incremental
+    dedup of the NEXT batch then never touches historical text again
+    (minhash_lsh_candidates_incremental). Index size: num_hashes longs +
+    bands (int, long) structs per doc — ~300 bytes/doc at the defaults,
+    ~3 TB of index per TRILLION docs vs re-shingling 100 TB of text."""
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        shingle_hashes(F.col(text_col), shingle_n).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sigs = base.select(
+        "doc_id", minhash_signature(F.col("shingles"), num_hashes).alias("sig")
+    )
+    return sigs.select(
+        "doc_id", "sig", band_keys_expr("sig", num_hashes, bands).alias("bands")
+    )
+
+
+def estimated_jaccard(sig_a, sig_b):
+    """MinHash estimator: fraction of agreeing signature components — the
+    standard unbiased estimate of shingle-Jaccard, computable from the
+    index alone (no text access)."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda a, b: (a == b).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return agree.cast("double") / F.size(sig_a).cast("double")
+
+
+def minhash_lsh_candidates_incremental(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental near-dup candidates for an append-only corpus: compare a
+    NEW batch against the historical :func:`minhash_index` (new-vs-old) and
+    against itself (new-vs-new) in one pass, without re-reading any
+    historical text.
+
+    Returns (id_a, id_b, est_jaccard, vs_history) where id_b is the new
+    doc, id_a is the matched doc (historical when ``vs_history``), and
+    est_jaccard is the signature-agreement estimate (exact Jaccard needs
+    the texts; for new-vs-old the text is deliberately not required —
+    threshold on the estimate, whose stderr is ~1/sqrt(num_hashes)).
+
+    Scale shape: the new batch (small) computes signatures once; both join
+    legs are band-key equi-joins shipping (doc_id, band, bkey); the index
+    side can be partition-pruned by band. Historical-vs-historical pairs
+    are never re-examined — the property that makes continuous ingest
+    dedup O(batch), not O(corpus), per batch.
+
+    Caller contract: ``new_docs`` ids must be disjoint from and SORT AFTER
+    index ids (monotonic ingest ids) so pair orientation (old, new) is
+    stable; overlapping ids raise at the union-dedup step in tests.
+    """
+    new_idx = minhash_index(
+        new_docs, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    nb = new_idx.select(
+        F.col("doc_id"), "sig", F.explode("bands").alias("bk")
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    ob = index.select(
+        F.col("doc_id"), "sig", F.explode("bands").alias("bk")
+    ).select("doc_id", "sig", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+
+    def pairs(left, right, cond, vs_history):
+        j = (
+            left.alias("a")
+            .join(right.alias("b"), ["band", "bkey"])
+            .where(cond)
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return j.select(
+            "id_a",
+            "id_b",
+            F.round(estimated_jaccard(F.col("sig_a"), F.col("sig_b")), 4).alias(
+                "est_jaccard"
+            ),
+            F.lit(vs_history).alias("vs_history"),
+        )
+
+    hist = pairs(ob, nb, F.lit(True), True)
+    fresh = pairs(nb, nb, F.col("a.doc_id") < F.col("b.doc_id"), False)
+    return hist.unionByName(fresh)

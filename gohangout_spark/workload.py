@@ -2568,6 +2568,29 @@ def embedding_q8_topk(spark, sf_dir):
 
 
 
+@q("dedup_incremental", None)
+def dedup_incremental(spark, sf_dir):
+    """Append-only incremental dedup: docs < 400 are 'history' (persisted
+    minhash_index — signatures + band keys, no text retained), docs >= 400
+    are the new batch; candidates are new-vs-history + new-vs-new with
+    signature-estimated jaccard. Rows-only (minhash is not SQL-expressible);
+    the pair-set-equivalence-vs-full-corpus property is asserted in
+    TestDedup.test_minhash_incremental_matches_full."""
+    from gohangout_spark.functions.dedup import (
+        minhash_index,
+        minhash_lsh_candidates_incremental,
+    )
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    idx = minhash_index(old, "text", "doc_id", num_hashes=32, bands=16)
+    return minhash_lsh_candidates_incremental(
+        new, idx, num_hashes=32, bands=16
+    ).filter(F.col("est_jaccard") >= 0.2)
+
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -2635,6 +2658,7 @@ _GATE_PRIORITY = [
     "url_curation",
     "gopher_rules",
     "embedding_q8_topk",
+    "dedup_incremental",
 ]
 
 QUERIES = {

@@ -172,6 +172,43 @@ class TestDedup:
         plan = cands._jdf.queryExecution().executedPlan().toString()
         assert "ReusedExchange" in plan
 
+    def test_minhash_incremental_matches_full(self, spark):
+        """Incremental dedup (new batch vs persisted index) must surface
+        exactly the full-corpus candidate pairs minus the old-vs-old ones,
+        with the signature-estimated jaccard at 1.0 for exact dups."""
+        mk = lambda i, t: Row(doc_id=i, text=t)
+        a = "the quick brown fox jumps over the lazy dog again and again"
+        b = "completely different words live in this second document body"
+        old = spark.createDataFrame(
+            [mk(0, a), mk(1, b), mk(2, "third text with its own unique words")]
+        )
+        new = spark.createDataFrame(
+            [mk(10, a), mk(11, "the quick brown fox jumps over the lazy dog again"),
+             mk(12, a)]
+        )
+        kw = dict(num_hashes=16, bands=8, shingle_n=2)
+
+        idx = dedup.minhash_index(old, "text", "doc_id", **kw)
+        inc = dedup.minhash_lsh_candidates_incremental(new, idx, **kw)
+        got = {(r["id_a"], r["id_b"]): r for r in inc.collect()}
+
+        full = dedup.minhash_lsh_candidates(
+            old.unionByName(new), "text", "doc_id", **kw
+        )
+        full_pairs = {(r["id_a"], r["id_b"]) for r in full.collect()}
+        old_old = {(x, y) for (x, y) in full_pairs if x < 10 and y < 10}
+        assert set(got) == full_pairs - old_old
+        # exact dup across batches: estimator must say 1.0, flagged historical
+        r = got[(0, 10)]
+        assert r["est_jaccard"] == 1.0 and r["vs_history"] is True
+        # exact dup within the new batch: flagged fresh
+        r2 = got[(10, 12)]
+        assert r2["est_jaccard"] == 1.0 and r2["vs_history"] is False
+        # near (not exact) dup: estimate strictly between 0 and 1
+        near = got.get((0, 11)) or got.get((10, 11))
+        if near is not None:
+            assert 0.0 < near["est_jaccard"] <= 1.0
+
     def test_minhash_materialize_matches_lazy(self, docs):
         kw = dict(num_hashes=16, bands=8, shingle_n=2)
         lazy = dedup.minhash_lsh_candidates(docs, "text", "doc_id", **kw)
