@@ -2591,6 +2591,58 @@ def dedup_incremental(spark, sf_dir):
 
 
 
+@q(
+    "near_dedup_keep",
+    f"""WITH RECURSIVE t AS (
+         SELECT doc_id, list_distinct({_TOK_SQL}) AS toks FROM documents),
+       pairs AS (
+         SELECT id_a, id_b FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.toks, b.toks))::DOUBLE /
+               (len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks)))::DOUBLE AS j
+           FROM t a JOIN t b ON b.doc_id = a.doc_id + 1)
+         WHERE j >= 0.5),
+       edges AS (
+         SELECT id_a AS src, id_b AS dst FROM pairs
+         UNION SELECT id_b, id_a FROM pairs),
+       reach(node, r) AS (
+         SELECT src, src FROM edges
+         UNION
+         SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst),
+       losers AS (
+         SELECT node FROM (SELECT node, min(r) AS rep FROM reach GROUP BY node)
+         WHERE node <> rep)
+       SELECT d.doc_id, d.lang, d.n_chars
+       FROM documents d ANTI JOIN losers l ON d.doc_id = l.node""",
+)
+def near_dedup_keep(spark, sf_dir):
+    """The complete near-dedup user journey in one call: candidate pairs
+    (blocked adjacent-id exact jaccard here, so the oracle can reproduce
+    them; swap in minhash_lsh_candidates at scale) -> connected components
+    -> drop everything but each cluster's min-id representative."""
+    from gohangout_spark.functions.dedup import dedup_keep_cluster_representative
+    from gohangout_spark.functions.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    t = docs.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks"))
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
+    union = (F.size(F.col("a.toks")) + F.size(F.col("b.toks"))).cast("double") - inter
+    pairs = (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (inter / union).alias("j"),
+        )
+        .where(F.col("j") >= 0.5)
+    )
+    kept = dedup_keep_cluster_representative(docs, pairs, "doc_id")
+    return kept.select("doc_id", "lang", "n_chars")
+
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -2659,6 +2711,7 @@ _GATE_PRIORITY = [
     "gopher_rules",
     "embedding_q8_topk",
     "dedup_incremental",
+    "near_dedup_keep",
 ]
 
 QUERIES = {
