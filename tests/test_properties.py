@@ -289,3 +289,90 @@ class TestRangeJoinProperties:
             if pk == ik and a <= ps < b
         )
         assert got == expect
+
+
+class TestUrlProperties:
+    URL_CHARS = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzABC0123456789-._~", min_size=1, max_size=8
+    )
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        host=st.lists(URL_CHARS, min_size=1, max_size=4),
+        path=st.lists(URL_CHARS, min_size=0, max_size=3),
+        params=st.lists(
+            st.tuples(URL_CHARS, URL_CHARS), min_size=0, max_size=4
+        ),
+        scheme=st.sampled_from(["http", "https", "HTTPS"]),
+        port=st.sampled_from(["", ":80", ":443", ":8080"]),
+        frag=st.sampled_from(["", "#x", "#a/b"]),
+    )
+    def test_normalize_idempotent(self, spark, host, path, params, scheme, port, frag):
+        """normalize_url is a canonicalization: applying it twice equals
+        applying it once (the property that makes it a safe dedup key)."""
+        from gohangout_spark.functions.curation import normalize_url
+
+        url = (
+            scheme + "://" + ".".join(host) + port + "/" + "/".join(path)
+            + ("?" + "&".join(f"{k}={v}" for k, v in params) if params else "")
+            + frag
+        )
+        df = spark.createDataFrame([Row(url=url)])
+        once = df.select(normalize_url("url").alias("u"))
+        twice = once.select(normalize_url("u").alias("u"))
+        a, b = once.first()["u"], twice.first()["u"]
+        assert a == b, (url, a, b)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.text(alphabet="abcdef ", min_size=1, max_size=20),
+                min_size=0,
+                max_size=5,
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_dedup_paragraphs_invariants(self, spark, texts):
+        """After the corpus-first rewrite: no paragraph appears twice
+        ANYWHERE in the corpus, every doc keeps a row, and re-running the
+        rewrite is a no-op (idempotence)."""
+        from gohangout_spark.functions.dedup import dedup_paragraphs
+
+        rows = [Row(doc_id=i, text="\n".join(t)) for i, t in enumerate(texts)]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = dedup_paragraphs(df)
+        got = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert set(got) == set(range(len(texts)))
+        all_paras = [
+            p for t in got.values() for p in t.split("\n") if p.strip() != ""
+        ]
+        assert len(all_paras) == len(set(all_paras))
+        again = {
+            r["doc_id"]: r["text"] for r in dedup_paragraphs(out).collect()
+        }
+        assert again == got
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=40),
+        b=st.integers(min_value=1, max_value=6),
+    )
+    def test_ungrouped_quantile_bucket_balance(self, spark, n, b):
+        """Distributed global ntile: bucket sizes differ by at most one and
+        every row lands in a bucket 1..b."""
+        from gohangout_spark.functions.curation import quantile_buckets
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, score=float((i * 13) % 17)) for i in range(n)]
+        ).repartition(4)
+        out = quantile_buckets(df, score_col="score", n_buckets=b)
+        buckets = [r["bucket"] for r in out.collect()]
+        assert len(buckets) == n
+        assert all(1 <= x <= b for x in buckets)
+        from collections import Counter
+
+        sizes = Counter(buckets).values()
+        assert max(sizes) - min(sizes) <= 1
