@@ -2643,6 +2643,75 @@ def near_dedup_keep(spark, sf_dir):
 
 
 
+@q(
+    "cube_totals",
+    "SELECT coalesce(event_type, '<all>') AS event_type, "
+    "coalesce(lang, '<all>') AS lang, "
+    "count(*) AS n, round(sum(value), 4) AS total FROM ("
+    "  SELECT e.event_type, d.lang, e.value"
+    "  FROM events e JOIN documents d ON e.event_id % 500 = d.doc_id) "
+    "GROUP BY CUBE (event_type, lang)",
+)
+def cube_totals(spark, sf_dir):
+    """Full CUBE grouping sets over a dimension join (Spark-first: all four
+    grouping-set combinations in ONE pass with partial aggregation — the
+    reference would need four separate LinkMetric pipelines)."""
+    ev = _events(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    joined = ev.join(
+        F.broadcast(docs.select("doc_id", "lang")),
+        ev["event_id"] % 500 == docs["doc_id"],
+    ).select("event_type", "lang", "value")
+    return (
+        joined.cube("event_type", "lang")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total"))
+        .select(
+            F.coalesce("event_type", F.lit("<all>")).alias("event_type"),
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            "n",
+            "total",
+        )
+    )
+
+
+@q(
+    "udtf_paragraphs",
+    """SELECT doc_id, CAST(i - 1 AS INT) AS para_idx, para, length(para) AS n_chars
+       FROM (
+         SELECT doc_id, generate_subscripts(ps, 1) AS i, unnest(ps) AS para
+         FROM (SELECT doc_id % 100 AS gid, doc_id, text FROM documents) d,
+              LATERAL (SELECT string_split(text, ' . ') AS ps) s)
+       WHERE trim(para) <> ''""",
+)
+def udtf_paragraphs(spark, sf_dir):
+    """Python UDTF surface demo (PySpark 4 @udtf): one input row -> N output
+    rows with per-row derived columns, lateral-joined. The UDTF itself is a
+    deterministic splitter so DuckDB's unnest WITH ORDINALITY reproduces it
+    exactly. Kept deliberately small: UDTFs are row-at-a-time Python (the
+    SLOW path — the production equivalent is posexplode/split, used by
+    paragraph_dedup_stats); this query exists to prove the API surface the
+    way event_value_geomean proves GROUPED_AGG."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="para_idx int, para string, n_chars int")
+    class SplitParagraphs:
+        def eval(self, text: str):
+            if text is None:
+                return
+            for i, p in enumerate(text.split(" . ")):
+                if p.strip() != "":
+                    yield i, p, len(p)
+
+    docs = _docs(spark, sf_dir)
+    docs.createOrReplaceTempView("__udtf_docs")
+    spark.udtf.register("split_paragraphs", SplitParagraphs)
+    return spark.sql(
+        """SELECT doc_id, p.para_idx, p.para, p.n_chars
+           FROM __udtf_docs, LATERAL split_paragraphs(text) p"""
+    )
+
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -2712,6 +2781,8 @@ _GATE_PRIORITY = [
     "embedding_q8_topk",
     "dedup_incremental",
     "near_dedup_keep",
+    "cube_totals",
+    "udtf_paragraphs",
 ]
 
 QUERIES = {
