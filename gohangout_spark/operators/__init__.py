@@ -25,6 +25,7 @@ from gohangout_spark.operators.metrics import LinkMetric, LinkStatsMetric
 from gohangout_spark.operators.textops import (
     Decontaminate,
     Fingerprint,
+    GopherRules,
     LanguageId,
     QuantileBucket,
     RedactPii,
@@ -63,6 +64,7 @@ FILTER_REGISTRY = {
     "SimHash": SimHash,
     "RedactPii": RedactPii,
     "Decontaminate": Decontaminate,
+    "GopherRules": GopherRules,
     "QuantileBucket": QuantileBucket,
 }
 

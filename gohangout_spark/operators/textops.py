@@ -273,3 +273,51 @@ class RedactPii(_TextOp):
         from gohangout_spark.functions.curation import redact_pii
 
         return redact_pii(col)
+
+
+class GopherRules(_GuardedPlanOp):
+    """Gopher quality heuristics as a YAML filter (functions.curation.
+    gopher_rules): adds the six per-rule boolean columns + ``gopher_keep``;
+    ``action: drop`` keeps only passing docs (guarded rows only, when the
+    box has ``if`` conditions — unguarded rows pass through like the other
+    curation filters).
+
+        - GopherRules:
+            src: text
+            min_words: 50          # any gopher_rules threshold kwarg
+            action: mark           # or: drop
+    """
+
+    _OUT_COLS = [
+        "rule_word_count",
+        "rule_mean_word_len",
+        "rule_symbol_ratio",
+        "rule_bullet_lines",
+        "rule_ellipsis_lines",
+        "rule_alpha_words",
+        "gopher_keep",
+    ]
+
+    def __init__(self, src: str = "text", action: str = "mark", **thresholds):
+        if action not in ("mark", "drop"):
+            raise ValueError(f"GopherRules action must be mark|drop: {action!r}")
+        self.src = src
+        self.action = action
+        self.thresholds = thresholds
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from gohangout_spark.functions.curation import gopher_rules
+
+        out = gopher_rules(
+            df.withColumn("__gtext", field_col(self.src, df).cast("string")),
+            text_col="__gtext",
+            **self.thresholds,
+        ).drop("__gtext")
+        if self.action == "drop":
+            out = out.where(F.col("gopher_keep")).drop(*self._OUT_COLS)
+        return out
+
+    def _null_outputs(self):
+        if self.action == "drop":
+            return {}
+        return {c: F.lit(None).cast("boolean") for c in self._OUT_COLS}

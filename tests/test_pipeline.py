@@ -406,6 +406,42 @@ outputs:
     assert all(snip not in r["text"] for r in kept)
 
 
+def test_gopher_rules_filter(spark, tmp_path):
+    """GopherRules as a YAML filter: mark mode adds the verdict columns;
+    drop mode keeps only passing docs."""
+    from pyspark.sql import functions as F
+
+    from gohangout_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "gdocs_pq")
+    docs.write.parquet(src)
+    n_docs = docs.count()
+    yml = f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+filters:
+- GopherRules:
+    src: text
+    min_words: 30
+outputs:
+- Stdout: {{}}
+"""
+    rows = run_yaml(spark, yml)[0].rows
+    assert len(rows) == n_docs
+    assert all(isinstance(r["gopher_keep"], bool) for r in rows)
+    n_keep = sum(1 for r in rows if r["gopher_keep"])
+    assert 0 < n_keep
+
+    yml2 = yml.replace("min_words: 30", "min_words: 30\n    action: drop")
+    kept = run_yaml(spark, yml2)[0].rows
+    assert len(kept) == n_keep
+    # drop mode leaves no verdict columns behind
+    assert "gopher_keep" not in kept[0].asDict()
+
+
 def test_decontaminate_ngram_streaming_rejected(spark, tmp_path):
     """ngram mode re-joins an aggregation to the input — batch-only, and it
     must say so instead of surfacing Spark's stream-stream join error."""
