@@ -77,3 +77,49 @@ def cap_per_group(
         .where(F.col("__cap_rank") <= max_per_group)
         .drop("__cap_rank")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict[str, int],
+    token_col: str,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Mixture sampling by TOKEN budget, not doc count: per source, keep
+    docs in deterministic md5-hash order until the source's cumulative
+    token count first reaches its budget (the doc that crosses the line is
+    kept — budgets are met, never silently undershot). The way training
+    mixtures are actually specified ("30B tokens of web, 5B of code"):
+    doc-probability draws (weighted_mixture) hit a DOC ratio; this hits the
+    TOKEN ratio regardless of per-source length skew.
+
+    Deterministic and layout-independent: hash order is a pure function of
+    (id, seed), so the same budget keeps the same docs on any cluster or
+    retry, and the whole draw is a window cumsum any engine reproduces.
+
+    Scale: one shuffle on source_col + an in-partition ordered cumsum. A
+    single source's docs order within one task chain (same caveat as any
+    per-group window); for a corpus dominated by ONE source, pre-split the
+    source and divide its budget.
+    """
+    from pyspark.sql.window import Window
+
+    h = _hash_key(id_col, seed)
+    b = F.lit(int(default_budget))
+    for src, budget in sorted(budgets.items()):
+        b = F.when(F.col(source_col) == src, F.lit(int(budget))).otherwise(b)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(h)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0))
+    # keep while the PRIOR cumsum is below budget: the crossing doc stays
+    return (
+        df.withColumn("__prior", prior)
+        .where(F.col("__prior") < b)
+        .drop("__prior")
+    )

@@ -2712,6 +2712,37 @@ def udtf_paragraphs(spark, sf_dir):
 
 
 
+@q(
+    "token_budget_mixture",
+    """WITH t AS (
+  SELECT doc_id, source, n_chars,
+         md5(CAST(doc_id AS VARCHAR) || '-42') AS h,
+         CASE source WHEN 'src0' THEN 4000 WHEN 'src1' THEN 2500
+                     WHEN 'src2' THEN 800 ELSE 0 END AS budget
+  FROM documents),
+c AS (
+  SELECT *, COALESCE(SUM(n_chars) OVER (
+           PARTITION BY source ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+  FROM t)
+SELECT doc_id, source, n_chars FROM c WHERE prior < budget""",
+)
+def token_budget_mixture(spark, sf_dir):
+    """Token-budget mixture: per-source deterministic hash-order cumsum,
+    keep until the budget line is crossed (n_chars stands in for the token
+    count; functions.text.token_count slots in identically)."""
+    from gohangout_spark.functions.sampling import token_budget_sample
+
+    docs = _docs(spark, sf_dir)
+    out = token_budget_sample(
+        docs,
+        {"src0": 4000, "src1": 2500, "src2": 800},
+        token_col="n_chars",
+    )
+    return out.select("doc_id", "source", "n_chars")
+
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -2783,6 +2814,7 @@ _GATE_PRIORITY = [
     "near_dedup_keep",
     "cube_totals",
     "udtf_paragraphs",
+    "token_budget_mixture",
 ]
 
 QUERIES = {

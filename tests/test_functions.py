@@ -699,6 +699,28 @@ class TestPacking:
 
 
 class TestSampling:
+    def test_token_budget_sample(self, spark):
+        from gohangout_spark.functions.sampling import token_budget_sample
+
+        rows = [
+            Row(doc_id=i, source="a" if i < 6 else "b", n_tok=100) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows)
+        out = token_budget_sample(
+            df, {"a": 250, "b": 0}, token_col="n_tok"
+        ).collect()
+        # budget 250 at 100 tok/doc: two full docs + the crossing third
+        assert sum(1 for r in out if r["source"] == "a") == 3
+        # zero/default budget excludes the source entirely
+        assert not any(r["source"] == "b" for r in out)
+        # kept tokens meet the budget (never undershoot)
+        assert sum(r["n_tok"] for r in out if r["source"] == "a") >= 250
+        # deterministic on any layout
+        again = token_budget_sample(
+            df.repartition(7), {"a": 250, "b": 0}, token_col="n_tok"
+        ).collect()
+        assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in out)
+
     def test_stratified_stable_and_uniformish(self, spark):
         from gohangout_spark.functions.sampling import stratified_sample
 
