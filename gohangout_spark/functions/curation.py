@@ -486,3 +486,85 @@ def gopher_rules(
             & alpha_ok,
         }
     )
+
+
+def _word_ngrams_all(col: Column, n: int) -> Column:
+    """ALL word n-grams (duplicates preserved — repetition signals need
+    occurrence counts; :func:`_word_ngrams` distincts for join keys)."""
+    ws = _words(col)
+    gram = lambda i: F.concat_ws(" ", F.slice(ws, i, n))  # noqa: E731
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(ws) - (n - 1)), gram),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 10),
+) -> DataFrame:
+    """Gopher's n-gram repetition signals (arXiv:2112.11446 A.1.1), the
+    word-level repetition filters beyond :func:`repetition_stats`' top-word:
+
+    - ``top_{n}gram_char_frac``: characters of the most frequent word
+      n-gram (count × gram length) over the doc's normalized char count —
+      high ⇒ one phrase dominates the doc.
+    - ``dup_{n}gram_char_frac``: characters covered by ALL n-grams
+      occurring ≥2 times, counted once per occurrence and clamped at 1.0.
+      NOTE this is the standard occurrence-sum APPROXIMATION of Gopher's
+      interval-union coverage (overlapping duplicate grams double-count
+      before the clamp); exact union coverage needs per-position interval
+      merging, which no engine's relational layer expresses cheaply — the
+      approximation orders documents near-identically in practice.
+
+    Normalized chars = single-space-joined lowercase words (so the
+    denominator is tokenizer-consistent across engines). Docs shorter than
+    n words score 0.0 for that n; one output row per input doc.
+
+    Scale: one explode + combiner-reduced count shuffle PER n — O(words)
+    rows each, never pairs. Pick the n set deliberately; each extra n is a
+    corpus pass.
+    """
+    norm_chars = F.length(F.concat_ws(" ", _words(F.col(text_col)))).cast("double")
+    base = docs.select(
+        F.col(id_col).alias("__id"), F.col(text_col), norm_chars.alias("__chars")
+    )
+    out = base.select("__id", "__chars")
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        grams = base.select(
+            "__id",
+            "__chars",
+            F.explode(_word_ngrams_all(F.col(text_col), n)).alias("g"),
+        )
+        counts = grams.groupBy("__id", "__chars", "g").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        aggs = []
+        if n in top_ns:
+            top = F.max(F.struct(F.col("c"), F.length("g").alias("l")))
+            aggs.append(
+                F.round(
+                    top.getField("c") * top.getField("l") / F.col("__chars"), 4
+                ).alias(f"top_{n}gram_char_frac")
+            )
+        if n in dup_ns:
+            dup_chars = F.sum(
+                F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(0)
+            )
+            aggs.append(
+                F.round(
+                    F.least(dup_chars / F.col("__chars"), F.lit(1.0)), 4
+                ).alias(f"dup_{n}gram_char_frac")
+            )
+        per_n = counts.groupBy("__id", "__chars").agg(*aggs).drop("__chars")
+        out = out.join(per_n, "__id", "left")
+    zero_cols = [f"top_{n}gram_char_frac" for n in top_ns] + [
+        f"dup_{n}gram_char_frac" for n in dup_ns
+    ]
+    return out.select(
+        F.col("__id").alias(id_col),
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in sorted(zero_cols)],
+    )

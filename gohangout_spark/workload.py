@@ -2743,6 +2743,51 @@ def token_budget_mixture(spark, sf_dir):
 
 
 
+@q(
+    "ngram_repetition",
+    f"""WITH base AS (
+  SELECT doc_id, list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws
+  FROM documents),
+norm AS (
+  SELECT doc_id, ws, CAST(length(array_to_string(ws, ' ')) AS DOUBLE) AS chars
+  FROM base),
+g AS (
+  SELECT n, doc_id, chars,
+         unnest(list_transform(generate_series(1, greatest(len(ws) - n + 1, 0)),
+                               i -> array_to_string(ws[i:i+n-1], ' '))) AS gram
+  FROM norm, (SELECT unnest([2, 3, 5]) AS n)),
+counts AS (
+  SELECT n, doc_id, chars, gram, count(*) AS c
+  FROM g GROUP BY ALL),
+per_n AS (
+  SELECT n, doc_id,
+         (max(struct_pack(c := c, l := length(gram)))).c
+           * (max(struct_pack(c := c, l := length(gram)))).l / chars AS top_frac,
+         least(COALESCE(sum(CASE WHEN c >= 2 THEN c * length(gram) END), 0) / chars,
+               1.0) AS dup_frac
+  FROM counts GROUP BY n, doc_id, chars)
+SELECT d.doc_id,
+       round(COALESCE(max(CASE WHEN n = 2 THEN top_frac END), 0), 4)
+         AS top_2gram_char_frac,
+       round(COALESCE(max(CASE WHEN n = 3 THEN top_frac END), 0), 4)
+         AS top_3gram_char_frac,
+       round(COALESCE(max(CASE WHEN n = 5 THEN dup_frac END), 0), 4)
+         AS dup_5gram_char_frac
+FROM documents d LEFT JOIN per_n p ON d.doc_id = p.doc_id
+GROUP BY d.doc_id""",
+)
+def ngram_repetition(spark, sf_dir):
+    """Gopher n-gram repetition fractions (top-2/3-gram + duplicate-5-gram
+    character coverage) — the phrase-level degeneracy signals beyond
+    repetition_stats' top word. The word-soup documents score high by
+    construction, which exercises the full value range."""
+    from gohangout_spark.functions.curation import ngram_repetition_stats
+
+    docs = _docs(spark, sf_dir)
+    return ngram_repetition_stats(docs, top_ns=(2, 3), dup_ns=(5,))
+
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -2815,6 +2860,7 @@ _GATE_PRIORITY = [
     "cube_totals",
     "udtf_paragraphs",
     "token_budget_mixture",
+    "ngram_repetition",
 ]
 
 QUERIES = {

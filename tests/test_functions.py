@@ -810,6 +810,34 @@ class TestCuration:
         r5 = out[5]
         assert r5["scheme"] == "" and r5["port"] is None
 
+    def test_ngram_repetition_stats(self, spark):
+        from gohangout_spark.functions.curation import ngram_repetition_stats
+
+        df = spark.createDataFrame(
+            [
+                # 'a b' 2-gram repeats 4x: top-2gram covers everything
+                Row(doc_id=1, text="a b a b a b a b"),
+                Row(doc_id=2, text="all distinct words here now"),
+                Row(doc_id=3, text="x"),          # shorter than every n
+                Row(doc_id=4, text=None),
+            ]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in ngram_repetition_stats(df, top_ns=(2,), dup_ns=(2,)).collect()
+        }
+        # doc 1: norm chars 15; top 2-gram 'a b' (len 3) occurs 4x -> 12/15
+        assert out[1]["top_2gram_char_frac"] == 0.8
+        assert out[1]["dup_2gram_char_frac"] > 0.8  # overlap-sum, clamped <= 1
+        assert out[1]["dup_2gram_char_frac"] <= 1.0
+        # no repeated 2-gram -> dup 0; top gram occurs once
+        assert out[2]["dup_2gram_char_frac"] == 0.0
+        assert 0 < out[2]["top_2gram_char_frac"] < 1
+        # too short / NULL -> all zeros, rows preserved
+        for d in (3, 4):
+            assert out[d]["top_2gram_char_frac"] == 0.0
+            assert out[d]["dup_2gram_char_frac"] == 0.0
+
     def test_gopher_rules(self, spark):
         from gohangout_spark.functions.curation import gopher_rules
 
