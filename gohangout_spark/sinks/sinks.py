@@ -103,7 +103,9 @@ class FileSink(Sink):
             from gohangout_spark.functions.layout import zorder_layout
 
             df = zorder_layout(
-                df, [zcols] if isinstance(zcols, str) else list(zcols)
+                df,
+                [zcols] if isinstance(zcols, str) else list(zcols),
+                n_partitions=self.conf.get("zorder_partitions"),
             )
         w = df.write.format(self.conf.get("format", "parquet")).mode(
             self.conf.get("mode", "append")

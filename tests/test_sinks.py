@@ -667,7 +667,14 @@ class TestFileSink:
             (F.col("id") % 32).alias("x"), F.floor(F.col("id") / 32).alias("y")
         ).repartition(8)
         path = str(tmp_path / "zo")
-        FileSink({"path": path, "zorder_by": ["x", "y"], "mode": "overwrite"}).write_batch(df)
+        FileSink(
+            {
+                "path": path,
+                "zorder_by": ["x", "y"],
+                "zorder_partitions": 16,
+                "mode": "overwrite",
+            }
+        ).write_batch(df)
         back = spark.read.parquet(path)
         assert back.count() == 2048
         spans = []
@@ -676,7 +683,10 @@ class TestFileSink:
             i = md.schema.names.index("y")
             st = md.row_group(0).column(i).statistics
             spans.append(st.max - st.min)
-        assert sum(spans) / len(spans) < 32  # y range per file stays tight
+        # 16 z-partitions over a 32x64 grid: each file covers a compact
+        # hypercube, far below the full 0..63 y range a linear-by-x layout
+        # would leave per file
+        assert sum(spans) / len(spans) < 32, spans
 
     def test_batch_partitioned_sized(self, spark, tmp_path):
         """partition_by produces hive-style dirs (downstream partition
