@@ -84,6 +84,17 @@ class FileSink(Sink):
     def _apply_common(self, w):
         if self.conf.get("compression"):
             w = w.option("compression", self.conf["compression"])
+        # per-column parquet bloom filters: point-lookup file skipping for
+        # high-cardinality columns where min-max stats can't prune (ids,
+        # hashes, URLs). `bloom_filter_columns` is a list, or a {col: ndv}
+        # map to size each filter (expected distinct values per row group).
+        bloom = self.conf.get("bloom_filter_columns")
+        if bloom:
+            items = bloom.items() if isinstance(bloom, dict) else ((c, None) for c in bloom)
+            for col, ndv in items:
+                w = w.option(f"parquet.bloom.filter.enabled#{col}", "true")
+                if ndv:
+                    w = w.option(f"parquet.bloom.filter.expected.ndv#{col}", str(int(ndv)))
         if self.conf.get("max_records_per_file"):
             w = w.option("maxRecordsPerFile", int(self.conf["max_records_per_file"]))
         for k, v in (self.conf.get("options") or {}).items():
