@@ -2,12 +2,14 @@
 metadata structs.
 
 The decode/resize/feature steps are the standard mapInPandas shape (Arrow
-batches of binary → numpy → binary): the Spark-side plumbing (schemas,
-batching, partitioning) is real and tested; the actual codec calls are
-STUBBED because image/audio libraries are not available in this container —
+batches of binary → numpy → binary). UNCOMPRESSED formats decode for REAL
+with no external libraries: ``PpmCodec`` (binary PPM/P6), ``BmpCodec``
+(24-bit BMP), ``WavPcmCodec`` (16-bit PCM WAV via stdlib ``wave``), with
+``AutoCodec`` dispatching on magic bytes. COMPRESSED formats (JPEG/PNG,
+mp3, video containers) are the remaining environment gap:
 ``DeterministicFakeCodec`` produces stable pseudo-decodes so the pipeline
-shape is verifiable, and ``RealCodec`` raises NotImplementedError at the
-exact seam where Pillow/librosa/ffmpeg would plug in.
+shape stays verifiable, and ``RealCodec`` raises NotImplementedError at
+the exact seam where Pillow/librosa/ffmpeg would plug in.
 
 Scale notes: binary payloads ride in the same parquet row group as their
 metadata; mapInPandas keeps the decode on executors with Arrow transfer;
@@ -58,11 +60,163 @@ class DeterministicFakeCodec:
 
 
 class RealCodec:  # pragma: no cover - container has no image libs
+    """Seam for COMPRESSED formats (JPEG/PNG/WebP) — Pillow/torchvision are
+    not in this container. Uncompressed formats need no external libs and
+    decode for real: see PpmCodec / BmpCodec / WavPcmCodec / AutoCodec."""
+
     def decode(self, payload: bytes) -> np.ndarray:
         raise NotImplementedError("plug Pillow/torchvision here (not in container)")
 
     def encode(self, pixels: np.ndarray) -> bytes:
         raise NotImplementedError
+
+
+class PpmCodec:
+    """REAL binary-PPM (P6, maxval 255) decode/encode — pure numpy, no
+    external libs: the uncompressed-image path is fully working, not a
+    stub. Header: ``P6 <width> <height> 255`` with whitespace/#-comment
+    separators, then height x width x 3 raw RGB bytes."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if not payload or not payload.startswith(b"P6"):
+            raise ValueError("not a binary PPM (P6) payload")
+        fields, pos = [], 2
+        while len(fields) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment to end of line
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = fields
+        if maxval != 255:
+            raise ValueError(f"only maxval 255 supported, got {maxval}")
+        px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return px.reshape(h, w, 3).copy()
+
+    def encode(self, pixels: np.ndarray) -> bytes:
+        h, w = pixels.shape[:2]
+        return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+class BmpCodec:
+    """REAL 24-bit uncompressed BMP decode/encode — pure numpy. Bottom-up
+    BGR rows padded to 4 bytes, BITMAPINFOHEADER only (the layout every
+    'save as BMP' dialog produces)."""
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if not payload or not payload.startswith(b"BM"):
+            raise ValueError("not a BMP payload")
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"only uncompressed 24bpp supported (bpp={bpp})")
+        stride = (w * 3 + 3) & ~3
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * abs(h), offset=off
+        ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+        if h > 0:  # bottom-up
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+    def encode(self, pixels: np.ndarray) -> bytes:
+        h, w = pixels.shape[:2]
+        stride = (w * 3 + 3) & ~3
+        body = np.zeros((h, stride), dtype=np.uint8)
+        body[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR, flip
+        data = body.tobytes()
+        header = (
+            b"BM"
+            + (54 + len(data)).to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + (54).to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + w.to_bytes(4, "little")
+            + h.to_bytes(4, "little")
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")
+            + len(data).to_bytes(4, "little")
+            + (2835).to_bytes(4, "little") * 2
+            + (0).to_bytes(4, "little") * 2
+        )
+        return header + data
+
+
+class AutoCodec:
+    """Magic-byte dispatch: P6 -> PPM, BM -> BMP (both REAL decodes);
+    anything else raises by default, or falls back to the deterministic
+    fake when ``fallback=True`` (pipeline-shape testing with mixed
+    payloads)."""
+
+    def __init__(self, fallback: bool = False):
+        self._ppm, self._bmp = PpmCodec(), BmpCodec()
+        self._fallback = DeterministicFakeCodec() if fallback else None
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if payload[:2] == b"P6":
+            return self._ppm.decode(payload)
+        if payload[:2] == b"BM":
+            return self._bmp.decode(payload)
+        if self._fallback is not None:
+            return self._fallback.decode(payload)
+        raise ValueError(f"unrecognized image magic {payload[:2]!r}")
+
+    def encode(self, pixels: np.ndarray) -> bytes:
+        return self._ppm.encode(pixels)
+
+
+def make_ppm_media_table(spark, n: int = 64) -> DataFrame:
+    """Deterministic REAL-PPM media table: image i is a solid
+    (i*3 % 256, i*7 % 256, i*11 % 256) RGB of size (8 + i%5) x (6 + i%4) —
+    per-channel means are analytic, so decode output is ORACLE-checkable
+    (the multimodal_ppm_features workload query)."""
+    codec = PpmCodec()
+    rows = []
+    for i in range(n):
+        w, h = 8 + i % 5, 6 + i % 4
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        px[:, :] = ((i * 3) % 256, (i * 7) % 256, (i * 11) % 256)
+        rows.append((i, bytearray(codec.encode(px)), (w, h, 3, "ppm")))
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
+class WavPcmCodec:
+    """REAL 16-bit PCM WAV decode/encode via the stdlib ``wave`` module —
+    the uncompressed-audio path needs no external libs either."""
+
+    def decode(self, payload: bytes, sample_rate: int = 16000) -> np.ndarray:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as wf:
+            if wf.getsampwidth() != 2:
+                raise ValueError("only 16-bit PCM supported")
+            raw = wf.readframes(wf.getnframes())
+        pcm = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        return pcm
+
+    def encode(self, pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+        import io
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(sample_rate)
+            wf.writeframes(
+                np.round(np.clip(pcm, -1.0, 1.0) * 32767).astype("<i2").tobytes()
+            )
+        return buf.getvalue()
 
 
 def make_fake_media_table(spark, n: int = 64) -> DataFrame:

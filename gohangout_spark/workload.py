@@ -2788,6 +2788,34 @@ def ngram_repetition(spark, sf_dir):
 
 
 
+@q(
+    "multimodal_ppm_features",
+    """SELECT CAST(i AS BIGINT) AS media_id,
+              CAST((i * 3) % 256 AS DOUBLE) AS mean_r,
+              CAST((i * 7) % 256 AS DOUBLE) AS mean_g,
+              CAST((i * 11) % 256 AS DOUBLE) AS mean_b,
+              CAST(8 + i % 5 AS INT) AS width,
+              CAST(6 + i % 4 AS INT) AS height
+       FROM range(64) t(i)""",
+)
+def multimodal_ppm_features(spark, sf_dir):
+    """REAL image decode, oracle-checked: solid-color binary-PPM payloads
+    are parsed byte-for-byte by PpmCodec inside mapInPandas, and the
+    extracted per-channel means/dimensions are analytic functions of the
+    media id — so the decode output hash-matches a pure-SQL oracle. The
+    first multimodal row with a full value-level check (the fake-codec
+    rows remain rows-only)."""
+    from gohangout_spark.functions.multimodal import (
+        PpmCodec,
+        extract_image_features,
+        make_ppm_media_table,
+    )
+
+    media = make_ppm_media_table(spark, n=64)
+    return extract_image_features(media, codec=PpmCodec())
+
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -2861,6 +2889,7 @@ _GATE_PRIORITY = [
     "udtf_paragraphs",
     "token_budget_mixture",
     "ngram_repetition",
+    "multimodal_ppm_features",
 ]
 
 QUERIES = {

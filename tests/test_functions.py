@@ -1062,6 +1062,88 @@ class TestCuration:
         assert {r["doc_id"] for r in again.collect()} == {r["doc_id"] for r in kept}
 
 
+class TestRealCodecs:
+    def test_ppm_roundtrip_and_comments(self):
+        import numpy as np
+
+        from gohangout_spark.functions.multimodal import PpmCodec
+
+        c = PpmCodec()
+        px = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 5, 3)
+        assert (c.decode(c.encode(px)) == px).all()
+        # header comments and flexible whitespace are legal PPM
+        body = px.tobytes()
+        weird = b"P6 # a comment\n5\n# another\n 4 255\n" + body
+        assert (c.decode(weird) == px).all()
+        with pytest.raises(ValueError):
+            c.decode(b"P3\n1 1\n255\n000")
+
+    def test_bmp_roundtrip_with_padding(self):
+        import numpy as np
+
+        from gohangout_spark.functions.multimodal import BmpCodec
+
+        c = BmpCodec()
+        # width 3 -> 9-byte rows padded to 12: exercises the stride path
+        px = np.arange(3 * 3 * 3, dtype=np.uint8).reshape(3, 3, 3)
+        out = c.encode(px)
+        assert out[:2] == b"BM"
+        assert (c.decode(out) == px).all()
+        with pytest.raises(ValueError):
+            c.decode(b"NOPE")
+
+    def test_wav_roundtrip(self):
+        import numpy as np
+
+        from gohangout_spark.functions.multimodal import WavPcmCodec
+
+        c = WavPcmCodec()
+        pcm = np.sin(np.linspace(0, 20, 800)).astype(np.float32) * 0.5
+        back = c.decode(c.encode(pcm))
+        assert back.shape == pcm.shape
+        # 16-bit quantization (0.5 LSB) + the 32767-encode/32768-decode
+        # scale convention bound the roundtrip error at ~5e-5
+        np.testing.assert_allclose(back, pcm, atol=5e-5)
+
+    def test_auto_codec_dispatch(self):
+        import numpy as np
+
+        from gohangout_spark.functions.multimodal import (
+            AutoCodec,
+            BmpCodec,
+            PpmCodec,
+        )
+
+        px = np.full((2, 2, 3), 9, dtype=np.uint8)
+        auto = AutoCodec()
+        assert (auto.decode(PpmCodec().encode(px)) == px).all()
+        assert (auto.decode(BmpCodec().encode(px)) == px).all()
+        with pytest.raises(ValueError, match="magic"):
+            auto.decode(b"\xff\xd8jpeg-ish")
+        # fallback mode: unknown payloads go through the deterministic fake
+        fb = AutoCodec(fallback=True)
+        assert fb.decode(b"\xff\xd8jpeg-ish").ndim == 3
+
+    def test_ppm_features_analytic(self, spark):
+        from gohangout_spark.functions.multimodal import (
+            PpmCodec,
+            extract_image_features,
+            make_ppm_media_table,
+        )
+
+        media = make_ppm_media_table(spark, n=12)
+        out = {
+            r["media_id"]: r
+            for r in extract_image_features(media, codec=PpmCodec()).collect()
+        }
+        for i in range(12):
+            r = out[i]
+            assert r["mean_r"] == float((i * 3) % 256)
+            assert r["mean_g"] == float((i * 7) % 256)
+            assert r["mean_b"] == float((i * 11) % 256)
+            assert (r["width"], r["height"]) == (8 + i % 5, 6 + i % 4)
+
+
 class TestMultimodal:
     def test_feature_extract_deterministic(self, spark):
         media = multimodal.make_fake_media_table(spark, n=8)
