@@ -219,6 +219,20 @@ class WavPcmCodec:
         return buf.getvalue()
 
 
+def make_wav_media_table(spark, n: int = 32, sample_rate: int = 16000) -> DataFrame:
+    """Deterministic REAL-WAV media table: clip i is a constant-amplitude
+    ((i%20)-10)/16 mono signal of 800 + 10*i samples — RMS, duration and
+    zero-crossings are analytic, so the decoded features are
+    oracle-checkable (multimodal_wav_features)."""
+    codec = WavPcmCodec()
+    rows = []
+    for i in range(n):
+        amp = ((i % 20) - 10) / 16.0
+        pcm = np.full(800 + 10 * i, amp, dtype=np.float32)
+        rows.append((i, bytearray(codec.encode(pcm, sample_rate)), (0, 0, 1, "wav")))
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
 def make_fake_media_table(spark, n: int = 64) -> DataFrame:
     """Deterministic binary media table for pipeline testing."""
     rows = []

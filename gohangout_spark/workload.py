@@ -2816,6 +2816,37 @@ def multimodal_ppm_features(spark, sf_dir):
 
 
 
+@q(
+    "multimodal_wav_features",
+    """SELECT CAST(i AS BIGINT) AS media_id,
+              round((800 + 10 * i) / 16000.0, 4) AS duration_s,
+              round(abs(round(((i % 20) - 10) / 16.0 * 32767) / 32768.0), 4)
+                AS rms,
+              0 AS zero_crossings
+       FROM range(32) t(i)""",
+)
+def multimodal_wav_features(spark, sf_dir):
+    """REAL audio decode, oracle-checked: constant-amplitude 16-bit PCM WAV
+    clips are parsed by the stdlib wave module inside mapInPandas; RMS (the
+    quantized amplitude), duration and zero-crossing count are analytic in
+    the media id, so the decode hash-matches a pure-SQL oracle."""
+    from gohangout_spark.functions.multimodal import (
+        WavPcmCodec,
+        extract_audio_features,
+        make_wav_media_table,
+    )
+
+    media = make_wav_media_table(spark, n=32)
+    out = extract_audio_features(media, codec=WavPcmCodec())
+    return out.select(
+        "media_id",
+        F.round("duration_s", 4).alias("duration_s"),
+        F.round("rms", 4).alias("rms"),
+        "zero_crossings",
+    )
+
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -2890,6 +2921,7 @@ _GATE_PRIORITY = [
     "token_budget_mixture",
     "ngram_repetition",
     "multimodal_ppm_features",
+    "multimodal_wav_features",
 ]
 
 QUERIES = {
