@@ -492,3 +492,56 @@ outputs:
         stop.set()
         t.join(15)
     assert not t.is_alive()
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """Gap-based session windows in streaming: events within gap_s of each
+    other coalesce into one growing session per key; a pause longer than
+    the gap starts a new session. Exercises F.session_window + watermark
+    through the same event-time helpers the metric operators use."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "sess_src")
+
+    def drop(offsets, name):
+        rows = [
+            Row(name=name, size=1.0, ts=BASE + datetime.timedelta(seconds=o))
+            for o in offsets
+        ]
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src)
+
+    # one user: burst at t=0..20 (one session, gap 30), burst at t=120..130
+    drop([0, 10, 20, 120, 130], "u1")
+
+    stream = spark.readStream.schema("name string, size double, ts timestamp").parquet(src)
+    from gohangout_spark.io import ensure_event_time
+
+    stream = ensure_event_time(stream, "ts")
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 seconds"), "name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("session_window.start").alias("start"),
+            F.col("session_window.end").alias("end"),
+            "name",
+            "n",
+        )
+    )
+    # Spark supports session-window streaming aggs only in append/complete
+    # output modes; complete keeps the memory table authoritative
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM sess_out").collect()
+    finally:
+        q.stop()
+    by_n = sorted((r["n"], (r["end"] - r["start"]).total_seconds()) for r in rows)
+    # session 1: 3 events spanning 20s + 30s gap tail = 50s; session 2: 2
+    # events spanning 10s + 30s = 40s
+    assert by_n == [(2, 40.0), (3, 50.0)], rows
