@@ -2847,6 +2847,46 @@ def multimodal_wav_features(spark, sf_dir):
 
 
 
+@q(
+    "multimodal_video_frames",
+    """SELECT CAST(i AS BIGINT) AS media_id,
+              CAST(j AS INT) AS frame_idx,
+              CAST((i * 5 + j * 17) % 256 AS DOUBLE) AS mean_r
+       FROM range(24) t(i), LATERAL (
+         SELECT unnest(generate_series(0, 1 + i % 4, 2)) AS j) f""",
+)
+def multimodal_video_frames(spark, sf_dir):
+    """REAL video-frame sampling, oracle-checked: clips are uncompressed
+    frame-sequence containers (back-to-back PPM frames), every 2nd frame
+    is parsed out by RawVideoCodec in mapInPandas and re-decoded for its
+    mean red channel — analytic in (media_id, frame_idx), so the whole
+    sample-decode-feature chain hash-matches a pure-SQL oracle."""
+    from gohangout_spark.functions.multimodal import (
+        PpmCodec,
+        RawVideoCodec,
+        make_rawvideo_media_table,
+        sample_video_frames,
+    )
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    media = make_rawvideo_media_table(spark, n=24)
+    frames = sample_video_frames(media, every_n=2, codec=RawVideoCodec())
+
+    # explicit SCALAR type: the module's postponed annotations would
+    # stringify the type hints the decorator needs (same note as
+    # event_value_geomean)
+    @pandas_udf("double", PandasUDFType.SCALAR)
+    def mean_r(frame):
+        ppm = PpmCodec()
+        return pd.Series(
+            [float(ppm.decode(bytes(b))[:, :, 0].mean()) for b in frame]
+        )
+
+    return frames.select("media_id", "frame_idx", mean_r("frame").alias("mean_r"))
+
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -2922,6 +2962,7 @@ _GATE_PRIORITY = [
     "ngram_repetition",
     "multimodal_ppm_features",
     "multimodal_wav_features",
+    "multimodal_video_frames",
 ]
 
 QUERIES = {

@@ -1124,6 +1124,37 @@ class TestRealCodecs:
         fb = AutoCodec(fallback=True)
         assert fb.decode(b"\xff\xd8jpeg-ish").ndim == 3
 
+    def test_rawvideo_roundtrip_and_sampling(self, spark):
+        import numpy as np
+
+        from gohangout_spark.functions.multimodal import (
+            PpmCodec,
+            RawVideoCodec,
+            make_rawvideo_media_table,
+            sample_video_frames,
+        )
+
+        frames_in = [
+            np.full((2, 3, 3), v, dtype=np.uint8) for v in (10, 20, 30, 40, 50)
+        ]
+        payload = RawVideoCodec.encode(frames_in)
+        out = list(RawVideoCodec().iter_frames(payload))
+        assert len(out) == 5
+        for a, b in zip(frames_in, out):
+            assert (a == b).all()
+        with pytest.raises(ValueError, match="magic"):
+            list(RawVideoCodec().iter_frames(b"garbage"))
+
+        media = make_rawvideo_media_table(spark, n=8)
+        sampled = sample_video_frames(media, every_n=2, codec=RawVideoCodec())
+        rows = sampled.collect()
+        # every sampled frame is a standalone decodable PPM at an even index
+        ppm = PpmCodec()
+        for r in rows:
+            assert r["frame_idx"] % 2 == 0
+            px = ppm.decode(bytes(r["frame"]))
+            assert px.shape == (3, 4, 3)
+
     def test_ppm_features_analytic(self, spark):
         from gohangout_spark.functions.multimodal import (
             PpmCodec,
