@@ -545,3 +545,53 @@ def test_streaming_session_window(spark, tmp_path):
     # session 1: 3 events spanning 20s + 30s gap tail = 50s; session 2: 2
     # events spanning 10s + 30s = 40s
     assert by_n == [(2, 40.0), (3, 50.0)], rows
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream interval join — the streaming twin of the
+    batch as-of/attribution path: each purchase joins clicks by the same
+    user within the preceding 60 s; both sides are unbounded streams whose
+    state Spark bounds via the watermark + the join's time range."""
+    from pyspark.sql import functions as F
+
+    from gohangout_spark.io import ensure_event_time
+
+    cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+
+    def drop(path, rows):
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(path)
+
+    t = lambda s: BASE + datetime.timedelta(seconds=s)  # noqa: E731
+    drop(cdir, [Row(user=1, cts=t(0)), Row(user=1, cts=t(30)),
+                Row(user=2, cts=t(10)), Row(user=3, cts=t(500))])
+    drop(pdir, [Row(user=1, pts=t(50)), Row(user=2, pts=t(200))])
+
+    clicks = ensure_event_time(
+        spark.readStream.schema("user long, cts timestamp").parquet(cdir), "cts"
+    ).withWatermark("cts", "10 minutes")
+    purch = ensure_event_time(
+        spark.readStream.schema("user long, pts timestamp").parquet(pdir), "pts"
+    ).withWatermark("pts", "10 minutes")
+
+    joined = purch.join(
+        clicks,
+        (purch["user"] == clicks["user"])
+        & (clicks["cts"] >= purch["pts"] - F.expr("INTERVAL 60 SECONDS"))
+        & (clicks["cts"] <= purch["pts"]),
+    ).select(purch["user"], "cts", "pts")
+
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM ss_join").collect()
+    finally:
+        q.stop()
+    got = sorted((r["user"], (r["pts"] - r["cts"]).total_seconds()) for r in rows)
+    # user 1: both clicks within 60s of the t=50 purchase; user 2's click is
+    # 190s stale; user 3 never purchases
+    assert got == [(1, 20.0), (1, 50.0)], rows
