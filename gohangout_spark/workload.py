@@ -2887,6 +2887,78 @@ def multimodal_video_frames(spark, sf_dir):
 
 
 
+@q(
+    "bm25_search",
+    """WITH s AS (
+  SELECT doc_id, len(toks) AS dl,
+         len(list_filter(toks, x -> x = 'spark')) AS tf0,
+         len(list_filter(toks, x -> x = 'window')) AS tf1,
+         len(list_filter(toks, x -> x = 'vector')) AS tf2
+  FROM (SELECT doc_id,
+               list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM documents)
+),
+g AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+             sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+      FROM s),
+sc AS (
+  SELECT doc_id, round(
+      ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0)
+        / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0)
+        / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0)
+        / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
+  FROM s, g)
+SELECT doc_id, score FROM sc WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 15""",
+)
+def bm25_search(spark, sf_dir):
+    """Top-15 docs by BM25 (Lucene practical form, k1=1.2 b=0.75) for the
+    query "spark window vector". Per-term tf is a scan-side HOF projection
+    (no explode/shuffle of the corpus); corpus stats are one partial-agg
+    scan collected as a single O(|terms|) row; top-k plans as
+    TakeOrderedAndProject. See functions/search.py for the 100 TB notes."""
+    from gohangout_spark.functions.search import bm25_topk
+
+    docs = _docs(spark, sf_dir)
+    return bm25_topk(docs, "spark window vector", k=15)
+
+
+@q(
+    "tfidf_search",
+    """WITH s AS (
+  SELECT doc_id, len(toks) AS dl,
+         len(list_filter(toks, x -> x = 'customer')) AS tf0,
+         len(list_filter(toks, x -> x = 'stream')) AS tf1
+  FROM (SELECT doc_id,
+               list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+        FROM documents)
+),
+g AS (SELECT count(*)::DOUBLE AS n,
+             sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+             sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1
+      FROM s),
+sc AS (
+  SELECT doc_id, round(
+      (CASE WHEN dl > 0 THEN tf0 / dl::DOUBLE ELSE 0.0 END) * ln(n / (1.0 + df0))
+    + (CASE WHEN dl > 0 THEN tf1 / dl::DOUBLE ELSE 0.0 END) * ln(n / (1.0 + df1)),
+    4) AS score
+  FROM s, g)
+SELECT doc_id, score FROM sc WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT 10""",
+)
+def tfidf_search(spark, sf_dir):
+    """Top-10 by length-normalized tf-idf for "customer stream" — the
+    simpler sibling of bm25_search, same zero-shuffle scan shape."""
+    from gohangout_spark.functions.search import tfidf_topk
+
+    docs = _docs(spark, sf_dir)
+    return tfidf_topk(docs, "customer stream", k=10)
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -2963,6 +3035,8 @@ _GATE_PRIORITY = [
     "multimodal_ppm_features",
     "multimodal_wav_features",
     "multimodal_video_frames",
+    "bm25_search",
+    "tfidf_search",
 ]
 
 QUERIES = {

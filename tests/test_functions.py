@@ -1561,3 +1561,73 @@ class TestAsofJoinNulls:
             assert rows[0]["rid"] is None, (direction, rows)
             inner = asof_join(left, right, "k", direction=direction, how="inner")
             assert inner.count() == 0
+
+
+class TestSearch:
+    """BM25 / tf-idf keyword search (functions/search.py)."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        rows = [
+            (1, "spark spark spark window"),
+            (2, "spark window window join batch"),
+            (3, "vector vector spark"),
+            (4, "table join batch line row"),
+            (5, "the quick brown fox"),
+            (6, ""),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_query_terms_dedup_order(self):
+        from gohangout_spark.functions.search import query_terms
+
+        assert query_terms("Spark, window; SPARK window!") == ["spark", "window"]
+        assert query_terms("  ") == []
+
+    def test_bm25_ranks_tf_and_rarity(self, corpus):
+        from gohangout_spark.functions.search import bm25_topk
+
+        got = bm25_topk(corpus, "spark vector", id_col="doc_id", k=10).collect()
+        ids = [r.doc_id for r in got]
+        # doc 3 has the rare term twice; doc 1 has the common term thrice
+        assert ids[0] == 3
+        assert set(ids) == {1, 2, 3}  # zero-score docs excluded
+        scores = [r.score for r in got]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_bm25_stats_reuse_identical(self, corpus):
+        from gohangout_spark.functions.search import bm25_topk, corpus_stats, query_terms
+
+        terms = query_terms("spark join")
+        st = corpus_stats(corpus, terms, id_col="doc_id")
+        a = bm25_topk(corpus, "spark join", id_col="doc_id", k=10).collect()
+        b = bm25_topk(corpus, "spark join", id_col="doc_id", k=10, stats=st).collect()
+        assert a == b
+        assert st["n"] == 6 and st["df"] == [3, 2]
+
+    def test_bm25_empty_query_raises(self, corpus):
+        from gohangout_spark.functions.search import bm25_topk
+
+        with pytest.raises(ValueError):
+            bm25_topk(corpus, "...", id_col="doc_id")
+
+    def test_tfidf_length_normalizes(self, corpus):
+        from gohangout_spark.functions.search import tfidf_topk
+
+        got = tfidf_topk(corpus, "join", id_col="doc_id", k=10).collect()
+        # docs 2 and 4 each contain "join" once and have 5 tokens -> equal
+        # score, id-ascending tie-break
+        assert [r.doc_id for r in got] == [2, 4]
+        assert got[0].score == got[1].score
+
+    def test_scan_plan_no_shuffle_no_python(self, corpus):
+        from gohangout_spark.functions.search import bm25_topk, corpus_stats, query_terms
+
+        terms = query_terms("spark window")
+        st = corpus_stats(corpus, terms, id_col="doc_id")
+        plan = bm25_topk(
+            corpus, "spark window", id_col="doc_id", k=5, stats=st
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan  # scoring pass is shuffle-free
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
