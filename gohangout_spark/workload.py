@@ -2959,6 +2959,31 @@ def tfidf_search(spark, sf_dir):
     return tfidf_topk(docs, "customer stream", k=10)
 
 
+@q("bloom_decontaminate", None)
+def bloom_decontaminate_q(spark, sf_dir):
+    """Zero-join decontamination: eval grams (docs ≡ 0 mod 37, word
+    4-grams — same split as ngram_decontaminate) are folded into a bloom
+    filter built WITHOUT collecting the eval corpus (per-partition bitmaps
+    OR-reduced), then the corpus is flagged in one narrow Arrow-batched
+    pass. No SQL oracle (bloom membership isn't SQL-expressible); the hard
+    signal is tests/test_functions.py::TestBloomDecontaminate — flags are
+    asserted a SUPERSET of the exact equi-join path's (zero false
+    negatives; false positives land near fp_rate per gram — measured 0-2
+    extra docs out of 486 at sf0.001; production re-checks the tiny
+    flagged subset with the exact join)."""
+    from gohangout_spark.functions.curation import (
+        bloom_decontaminate,
+        build_ngram_bloom,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    corpus = docs.where(F.col("doc_id") % 37 != 0)
+    bloom = build_ngram_bloom(ev, n=4, fp_rate=1e-4)
+    out = bloom_decontaminate(corpus, bloom, n=4)
+    return out.select("doc_id", "contaminated")
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -3037,6 +3062,7 @@ _GATE_PRIORITY = [
     "multimodal_video_frames",
     "bm25_search",
     "tfidf_search",
+    "bloom_decontaminate",
 ]
 
 QUERIES = {

@@ -1631,3 +1631,82 @@ class TestSearch:
         assert "TakeOrderedAndProject" in plan
         assert "Exchange" not in plan  # scoring pass is shuffle-free
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestBloomDecontaminate:
+    """Bloom n-gram decontamination (curation.py): superset-of-exact,
+    bounded false-positive rate, distributed build correctness."""
+
+    @pytest.fixture(scope="class")
+    def frames(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(200)]
+        mk = lambda k: " ".join(rng.choice(vocab) for _ in range(k))  # noqa: E731
+        ev_rows = [(i, mk(12)) for i in range(20)]
+        # corpus: 30 clean docs + 10 that embed an eval 4-gram verbatim
+        corpus_rows = [(100 + i, mk(15)) for i in range(30)]
+        for i in range(10):
+            ev_text = ev_rows[i][1].split()
+            corpus_rows.append((200 + i, mk(5) + " " + " ".join(ev_text[3:7]) + " " + mk(5)))
+        ev = spark.createDataFrame(ev_rows, "doc_id long, text string")
+        corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+        return ev, corpus
+
+    def test_superset_of_exact_and_planted_found(self, frames):
+        from gohangout_spark.functions.curation import (
+            bloom_decontaminate,
+            build_ngram_bloom,
+            decontaminate_ngrams,
+        )
+
+        ev, corpus = frames
+        bloom = build_ngram_bloom(ev, n=4, fp_rate=1e-4)
+        got = bloom_decontaminate(corpus, bloom, n=4)
+        exact = decontaminate_ngrams(corpus, ev, n=4)
+        g = {r.doc_id: r.contaminated for r in got.collect()}
+        e = {r.doc_id: r.contaminated for r in exact.collect()}
+        assert set(g) == set(e)
+        # no false negatives ever
+        assert all(g[d] for d in e if e[d])
+        # planted overlaps flagged
+        assert all(g[200 + i] for i in range(10))
+        # fp bound: at fp_rate 1e-4 over ~12 grams/doc, expect zero extras
+        extras = [d for d in g if g[d] and not e[d]]
+        assert len(extras) == 0
+
+    def test_bloom_membership_exact_on_inserted(self, spark):
+        import numpy as np
+
+        from gohangout_spark.functions.curation import build_ngram_bloom
+
+        ev = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "p q r s t u v w")],
+            "doc_id long, text string",
+        )
+        bloom = build_ngram_bloom(ev, n=4, fp_rate=1e-3)
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from gohangout_spark.functions.curation import _word_ngrams
+
+        hashes = (
+            ev.select(F.explode(_word_ngrams(F.col("text"), 4, hashed=True)).alias("h"))
+            .toPandas()["h"]
+            .to_numpy(dtype=np.int64)
+        )
+        assert bloom.might_contain(hashes).all()
+
+    def test_empty_and_short_docs_clean(self, spark, frames):
+        from gohangout_spark.functions.curation import (
+            bloom_decontaminate,
+            build_ngram_bloom,
+        )
+
+        ev, _ = frames
+        bloom = build_ngram_bloom(ev, n=4)
+        docs = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "one two three")], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in bloom_decontaminate(docs, bloom, n=4).collect()}
+        assert all(not rows[d].contaminated and rows[d].contam_hits == 0 for d in (1, 2, 3))
