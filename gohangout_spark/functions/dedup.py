@@ -806,3 +806,112 @@ def minhash_lsh_candidates_incremental(
     hist = pairs(ob, nb, F.lit(True), True)
     fresh = pairs(nb, nb, F.col("a.doc_id") < F.col("b.doc_id"), False)
     return hist.unionByName(fresh)
+
+
+# ----------------------------------------------- exact-substring (dup spans)
+
+def _windows_with_index(toks, w: int):
+    """array<struct<widx:int, whash:bigint>> of the doc's w-token sliding
+    windows, 1-based start positions. Docs shorter than w tokens get an
+    EMPTY array (zipped_shingles' partial-shingle floor would hash a
+    NULL-padded window — wrong for exact-substring semantics)."""
+    zipped = zipped_shingles(toks, w)
+    hashed = F.transform(
+        zipped,
+        lambda s, i: F.struct(
+            (i + 1).cast("int").alias("widx"),
+            F.xxhash64(*[s.getField(f"t{k}") for k in range(w)]).alias("whash"),
+        ),
+    )
+    empty = F.array().cast("array<struct<widx:int,whash:bigint>>")
+    return F.when(F.size(toks) >= w, hashed).otherwise(empty)
+
+
+def dup_span_stats(
+    docs: DataFrame,
+    *,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring duplication stats (Lee et al. 2021,
+    arXiv:2107.06499, at w-token granularity): for each doc, the number of
+    sliding w-token windows whose exact token sequence occurs ≥2 times in
+    the whole corpus (across docs OR repeated within one).
+
+    Shape: windows explode to (id, whash) — O(tokens) rows; the global
+    occurrence count is a combiner-reduced groupBy on the 8-byte hash;
+    per-doc counts join back by id. Same two-shuffle scale shape as
+    chunk_dedup_stats, but sliding windows catch duplication at ANY
+    alignment rather than chunk boundaries. Returns doc_id + n_windows +
+    n_dup_windows + dup_window_ratio (NULL when the doc has no windows —
+    matching the chunk/repetition stats convention).
+    """
+    toks = tokens(F.col(text_col))
+    winds = docs.select(
+        F.col(id_col), F.explode(_windows_with_index(toks, w)).alias("win")
+    ).select(id_col, F.col("win.whash").alias("whash"))
+    dup = (
+        winds.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") >= 2)
+        .select("whash")
+    )
+    per_doc = (
+        winds.join(dup, "whash").groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    )
+    n_windows = F.greatest(F.size(toks) - (w - 1), F.lit(0))
+    base = docs.select(F.col(id_col), n_windows.alias("n_windows"))
+    out = base.join(per_doc, id_col, "left").withColumn(
+        "n_dup_windows", F.coalesce(F.col("n_dup_windows"), F.lit(0))
+    )
+    return out.withColumn(
+        "dup_window_ratio",
+        F.when(
+            F.col("n_windows") > 0,
+            F.round(F.col("n_dup_windows").cast("double") / F.col("n_windows"), 4),
+        ),
+    )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    *,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Corpus-level exact-substring removal: drop every token covered by a
+    w-token window that occurs ≥2 times corpus-wide (both copies are
+    rewritten — the Lee et al. 2021 semantics, which deliberately removes
+    ALL occurrences so no duplicated span survives training).
+
+    Only WINDOWS ever explode (O(tokens) rows of 12 bytes); the rewrite
+    itself is scan-side: duplicated start positions collect to one
+    per-doc array (bounded by the doc's window count), join back on id,
+    and a two-arg HOF filter keeps tokens no marked window covers. Docs
+    with nothing duplicated pass through with text_clean = the
+    token-normalized text (lowercased, single-spaced) — normalize before
+    diffing. NULL/empty text yields ''.
+    """
+    toks = tokens(F.col(text_col))
+    winds = docs.select(
+        F.col(id_col), F.explode(_windows_with_index(toks, w)).alias("win")
+    ).select(id_col, F.col("win.widx").alias("widx"), F.col("win.whash").alias("whash"))
+    dup = (
+        winds.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .where(F.col("__cnt") >= 2)
+        .select("whash")
+    )
+    marked = (
+        winds.join(dup, "whash").groupBy(id_col).agg(F.collect_list("widx").alias("__starts"))
+    )
+    joined = docs.join(marked, id_col, "left")
+    starts = F.coalesce(F.col("__starts"), F.array().cast("array<int>"))
+    kept = F.filter(
+        toks,
+        lambda x, i: ~F.exists(starts, lambda s: ((i + 1) >= s) & ((i + 1) <= s + (w - 1))),
+    )
+    return joined.withColumn(out_col, F.concat_ws(" ", kept)).drop("__starts")

@@ -2984,6 +2984,57 @@ def bloom_decontaminate_q(spark, sf_dir):
     return out.select("doc_id", "contaminated")
 
 
+@q(
+    "dup_span_stats",
+    r"""WITH t AS (SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       FROM documents),
+w AS (SELECT doc_id, i AS widx, array_to_string(toks[i:i+4], ' ') AS win
+      FROM t, unnest(generate_series(1, greatest(len(toks)-4, 0))) AS u(i)),
+g AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+pd AS (SELECT doc_id, count(*) AS n_dup FROM w JOIN g USING (win) GROUP BY doc_id)
+SELECT t.doc_id, greatest(len(toks)-4, 0) AS n_windows,
+       coalesce(pd.n_dup, 0) AS n_dup_windows,
+       CASE WHEN len(toks)-4 > 0
+         THEN round(coalesce(pd.n_dup, 0) / (len(toks)-4), 4) END AS dup_window_ratio
+FROM t LEFT JOIN pd USING (doc_id)""",
+)
+def dup_span_stats_q(spark, sf_dir):
+    """Exact-substring duplication at 5-token sliding-window granularity
+    (Lee et al. 2021 shape): per-doc count of windows occurring ≥2 times
+    corpus-wide. The oracle joins window STRINGS where Spark joins
+    xxhash64 keys — a hash collision would surface as a count mismatch."""
+    from gohangout_spark.functions.dedup import dup_span_stats
+
+    return dup_span_stats(_docs(spark, sf_dir), w=5)
+
+
+@q(
+    "remove_dup_spans",
+    r"""WITH t AS (SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+       FROM documents),
+w AS (SELECT doc_id, i AS widx, array_to_string(toks[i:i+4], ' ') AS win
+      FROM t, unnest(generate_series(1, greatest(len(toks)-4, 0))) AS u(i)),
+g AS (SELECT win FROM w GROUP BY win HAVING count(*) >= 2),
+mk AS (SELECT doc_id, list(widx) AS starts FROM w JOIN g USING (win) GROUP BY doc_id)
+SELECT t.doc_id,
+  coalesce(array_to_string(list_filter(t.toks, (x, i) ->
+     len(list_filter(coalesce(mk.starts, []), s -> i >= s AND i <= s + 4)) = 0),
+     ' '), '') AS text_clean
+FROM t LEFT JOIN mk USING (doc_id)""",
+)
+def remove_dup_spans_q(spark, sf_dir):
+    """Corpus-level duplicated-span REMOVAL (both copies rewritten): every
+    token covered by a corpus-duplicated 5-token window is dropped,
+    scan-side via a two-arg HOF filter over per-doc marked start
+    positions. Fully-duplicated docs collapse to ''."""
+    from gohangout_spark.functions.dedup import remove_dup_spans
+
+    out = remove_dup_spans(_docs(spark, sf_dir), w=5)
+    return out.select("doc_id", "text_clean")
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -3063,6 +3114,8 @@ _GATE_PRIORITY = [
     "bm25_search",
     "tfidf_search",
     "bloom_decontaminate",
+    "dup_span_stats",
+    "remove_dup_spans",
 ]
 
 QUERIES = {

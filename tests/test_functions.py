@@ -1710,3 +1710,63 @@ class TestBloomDecontaminate:
         )
         rows = {r.doc_id: r for r in bloom_decontaminate(docs, bloom, n=4).collect()}
         assert all(not rows[d].contaminated and rows[d].contam_hits == 0 for d in (1, 2, 3))
+
+
+class TestDupSpans:
+    """Exact-substring (duplicated w-token window) stats and removal."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        shared = "alpha beta gamma delta epsilon"  # 5-token span planted twice
+        rows = [
+            (1, f"one two three {shared} four five six"),
+            (2, f"seven eight {shared} nine ten eleven twelve"),
+            (3, "unique words only here nothing repeats at all"),
+            (4, "short doc"),
+            (5, ""),
+            (6, "rep rep rep rep rep rep rep rep rep rep"),  # self-repeating
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_stats_plant_detected(self, corpus):
+        from gohangout_spark.functions.dedup import dup_span_stats
+
+        rows = {r.doc_id: r for r in dup_span_stats(corpus, w=5).collect()}
+        assert rows[1].n_dup_windows >= 1 and rows[2].n_dup_windows >= 1
+        assert rows[3].n_dup_windows == 0
+        assert rows[4].n_windows == 0 and rows[4].dup_window_ratio is None
+        assert rows[5].n_windows == 0
+        # within-doc repetition counts too: all 6 windows of doc 6 identical
+        assert rows[6].n_dup_windows == rows[6].n_windows == 6
+        assert rows[6].dup_window_ratio == 1.0
+
+    def test_removal_strips_both_copies(self, corpus):
+        from gohangout_spark.functions.dedup import remove_dup_spans
+
+        rows = {r.doc_id: r.text_clean for r in remove_dup_spans(corpus, w=5).collect()}
+        for d in (1, 2):
+            for tok in ("alpha", "beta", "gamma", "delta", "epsilon"):
+                assert tok not in rows[d].split(), (d, rows[d])
+        # unduplicated context survives
+        assert "one" in rows[1].split() and "twelve" in rows[2].split()
+        # untouched docs pass through token-normalized
+        assert rows[3] == "unique words only here nothing repeats at all"
+        assert rows[4] == "short doc"
+        assert rows[5] == ""
+        assert rows[6] == ""  # fully self-duplicated collapses
+
+    def test_rerun_stats_on_clean_finds_planted_gone(self, spark, corpus):
+        from gohangout_spark.functions.dedup import dup_span_stats, remove_dup_spans
+
+        clean = remove_dup_spans(corpus, w=5).select(
+            "doc_id", F.col("text_clean").alias("text")
+        )
+        rows = {r.doc_id: r for r in dup_span_stats(clean, w=5).collect()}
+        assert all(r.n_dup_windows == 0 for r in rows.values())
+
+    def test_no_cartesian_in_plan(self, corpus):
+        from gohangout_spark.functions.dedup import remove_dup_spans
+
+        plan = remove_dup_spans(corpus, w=5)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
