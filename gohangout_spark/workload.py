@@ -3035,6 +3035,47 @@ def remove_dup_spans_q(spark, sf_dir):
     return out.select("doc_id", "text_clean")
 
 
+@q(
+    "char_lm_perplexity",
+    r"""WITH nrm AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents),
+ref_pairs AS (
+  SELECT substring(norm, i, 1) AS c1, substring(norm, i + 1, 1) AS c2
+  FROM nrm, unnest(generate_series(1, greatest(length(norm) - 1, 0))) AS u(i)
+  WHERE lang = 'en'),
+cnts AS (SELECT c1, c2, count(*) AS c FROM ref_pairs GROUP BY c1, c2),
+tots AS (SELECT c1, sum(c) AS t FROM cnts GROUP BY c1),
+doc_pairs AS (
+  SELECT doc_id, substring(norm, i, 1) AS c1, substring(norm, i + 1, 1) AS c2
+  FROM nrm, unnest(generate_series(1, greatest(length(norm) - 1, 0))) AS u(i)),
+scored AS (
+  SELECT doc_id,
+         avg(-ln((coalesce(cn.c, 0) + 1) / (coalesce(tt.t, 0) + 37.0))) AS nll
+  FROM doc_pairs dp
+  LEFT JOIN cnts cn USING (c1, c2)
+  LEFT JOIN tots tt USING (c1)
+  GROUP BY doc_id)
+SELECT n.doc_id, round(exp(s.nll), 4) AS ppl
+FROM nrm n LEFT JOIN scored s USING (doc_id)""",
+)
+def char_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality signal with the whole loop in-engine: a
+    char-bigram model is TRAINED on the lang='en' reference slice (counts
+    bounded by the 37-char alphabet — 1369 cells collected), then every
+    doc is scored scan-side from the model shipped as a plan literal (no
+    join, no Python). The oracle retrains the identical add-one-smoothed
+    model in DuckDB SQL and hash-matches the perplexities — a full
+    train+score equivalence check, not just a score check."""
+    from gohangout_spark.functions.lm import fit_char_bigram_lm, perplexity
+
+    docs = _docs(spark, sf_dir)
+    model = fit_char_bigram_lm(docs.where(F.col("lang") == "en"))
+    return perplexity(docs, model).select("doc_id", "ppl")
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -3116,6 +3157,7 @@ _GATE_PRIORITY = [
     "bloom_decontaminate",
     "dup_span_stats",
     "remove_dup_spans",
+    "char_lm_perplexity",
 ]
 
 QUERIES = {

@@ -1770,3 +1770,75 @@ class TestDupSpans:
         plan = remove_dup_spans(corpus, w=5)._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestCharLM:
+    """Char-bigram LM perplexity (functions/lm.py)."""
+
+    @pytest.fixture(scope="class")
+    def model(self, spark):
+        from gohangout_spark.functions.lm import fit_char_bigram_lm
+
+        ref = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over the lazy dog " * 3) for i in range(5)],
+            "doc_id long, text string",
+        )
+        return fit_char_bigram_lm(ref)
+
+    def test_model_shape_and_normalization(self, model):
+        import math
+
+        from gohangout_spark.functions.lm import V
+
+        assert len(model) == V * V
+        assert all(lp < 0 for lp in model)
+        # each context row is a proper distribution: sum of exp(logp) == 1
+        for i1 in range(V):
+            row = model[i1 * V : (i1 + 1) * V]
+            assert abs(sum(math.exp(lp) for lp in row) - 1.0) < 1e-9
+
+    def test_fluent_text_scores_lower(self, spark, model):
+        from gohangout_spark.functions.lm import perplexity
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "zxq jvw qqq xkz wvz jjj qzx"),  # junk under this model
+                (3, "x"),  # single char -> NULL
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r.ppl for r in perplexity(docs, model).collect()}
+        assert rows[1] < rows[2]
+        assert rows[3] is None and rows[4] is None
+
+    def test_buckets_cover_and_fixed_cutoffs(self, spark, model):
+        from gohangout_spark.functions.lm import perplexity_buckets
+
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(
+                ["the quick brown fox", "lazy dog over the", "qqq zzz xxx",
+                 "jumps jumps jumps", "zxv wvq", ""]
+            )],
+            "doc_id long, text string",
+        )
+        out = perplexity_buckets(docs, model, cutoffs=(8.0, 20.0))
+        rows = {r.doc_id: r.ppl_bucket for r in out.collect()}
+        assert set(rows.values()) <= {"head", "middle", "tail"}
+        assert rows[5] == "tail"  # NULL ppl
+
+    def test_score_plan_is_scanside(self, spark, model):
+        from gohangout_spark.functions.lm import perplexity
+
+        docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        plan = perplexity(docs, model)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_model_length_validated(self, spark):
+        from gohangout_spark.functions.lm import perplexity
+
+        docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            perplexity(docs, [0.0] * 10)
