@@ -724,3 +724,67 @@ def ngram_repetition_stats(
         F.col("__id").alias(id_col),
         *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in sorted(zero_cols)],
     )
+
+
+# ------------------------------------------------------------- boilerplate
+
+BOILERPLATE_MARKERS = [
+    "javascript",
+    "all rights reserved",
+    "cookie",
+    "terms of use",
+    "privacy policy",
+]
+
+
+def remove_boilerplate_lines(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "text_clean",
+    min_words: int = 3,
+    require_terminal_punct: bool = False,
+    markers: list[str] | None = None,
+    max_caps_ratio: float = 0.8,
+) -> DataFrame:
+    """C4/RefinedWeb-style line-wise boilerplate removal, entirely
+    scan-side (split → per-line HOF predicates → rejoin; no shuffle, no
+    Python — the per-line regexes run on the lambda variable, so nothing
+    re-evaluates per element).
+
+    A trimmed line is KEPT iff it has ≥ ``min_words`` whitespace words,
+    (optionally) ends in terminal punctuation [.!?"], is not
+    shouting-case (uppercase/letters > ``max_caps_ratio`` — nav menus,
+    headers), and contains no ``markers`` substring (case-insensitive —
+    C4's "javascript" rule generalized). Returns docs + ``n_lines``
+    (non-empty lines) + ``n_kept`` + ``out_col`` (kept lines joined by
+    newline; '' when nothing survives).
+    """
+    mks = markers if markers is not None else BOILERPLATE_MARKERS
+
+    def keep(line):
+        words = F.size(F.filter(F.split(line, r"\s+"), lambda w: w != ""))
+        cond = words >= min_words
+        if require_terminal_punct:
+            cond = cond & line.rlike(r'[.!?"]$')
+        letters = F.length(F.regexp_replace(line, "[^A-Za-z]", ""))
+        uppers = F.length(F.regexp_replace(line, "[^A-Z]", ""))
+        not_shouting = (letters == 0) | (
+            uppers.cast("double") / letters.cast("double") <= max_caps_ratio
+        )
+        cond = cond & not_shouting
+        low = F.lower(line)
+        for m in mks:
+            cond = cond & ~low.contains(m.lower())
+        return cond
+
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    kept = F.filter(lines, keep)
+    return (
+        docs.withColumn("n_lines", F.size(lines))
+        .withColumn("n_kept", F.size(kept))
+        .withColumn(out_col, F.concat_ws("\n", kept))
+    )

@@ -3076,6 +3076,62 @@ def char_lm_perplexity(spark, sf_dir):
     return perplexity(docs, model).select("doc_id", "ppl")
 
 
+@q(
+    "boilerplate_lines",
+    r"""WITH aug AS (
+  SELECT doc_id,
+    concat_ws(chr(10),
+      CASE WHEN doc_id % 3 = 0 THEN 'HOME LOGIN SIGNUP MENU' END,
+      text,
+      CASE WHEN doc_id % 4 = 0 THEN 'copyright 2024 all rights reserved.' END,
+      CASE WHEN doc_id % 5 = 0 THEN 'please enable javascript to continue.' END
+    ) AS text
+  FROM documents),
+l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines
+  FROM aug),
+k AS (
+  SELECT doc_id, lines,
+         list_filter(lines, ln ->
+             len(list_filter(string_split_regex(ln, '\s+'), w -> w <> '')) >= 3
+         AND (length(regexp_replace(ln, '[^A-Za-z]', '', 'g')) = 0
+              OR length(regexp_replace(ln, '[^A-Z]', '', 'g'))::DOUBLE
+                 / length(regexp_replace(ln, '[^A-Za-z]', '', 'g'))::DOUBLE <= 0.8)
+         AND NOT contains(lower(ln), 'javascript')
+         AND NOT contains(lower(ln), 'all rights reserved')
+         AND NOT contains(lower(ln), 'cookie')
+         AND NOT contains(lower(ln), 'terms of use')
+         AND NOT contains(lower(ln), 'privacy policy')) AS kept
+  FROM l)
+SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+       coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+FROM k""",
+)
+def boilerplate_lines(spark, sf_dir):
+    """C4-style line-wise boilerplate removal. The corpus is single-line,
+    so nav/footer/marker lines are injected deterministically by doc_id
+    (identically in the oracle); the shouting-case rule strips the nav
+    line, the marker rules strip the footer lines, the real text
+    survives. All scan-side HOFs — no shuffle, no Python."""
+    from gohangout_spark.functions.curation import remove_boilerplate_lines
+
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(F.col("doc_id") % 3 == 0, F.lit("HOME LOGIN SIGNUP MENU")),
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("copyright 2024 all rights reserved.")),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("please enable javascript to continue.")),
+        ).alias("text"),
+    )
+    out = remove_boilerplate_lines(aug)
+    return out.select("doc_id", "n_lines", "n_kept", "text_clean")
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -3158,6 +3214,7 @@ _GATE_PRIORITY = [
     "dup_span_stats",
     "remove_dup_spans",
     "char_lm_perplexity",
+    "boilerplate_lines",
 ]
 
 QUERIES = {

@@ -1842,3 +1842,48 @@ class TestCharLM:
         docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
         with pytest.raises(ValueError):
             perplexity(docs, [0.0] * 10)
+
+
+class TestBoilerplate:
+    """Line-wise boilerplate removal (curation.remove_boilerplate_lines)."""
+
+    def test_rules(self, spark):
+        from gohangout_spark.functions.curation import remove_boilerplate_lines
+
+        docs = spark.createDataFrame(
+            [
+                (1, "HOME LOGIN SIGNUP\nthis is a fine sentence.\nplease enable javascript now."),
+                (2, "too short\nanother good line of real content here."),
+                (3, ""),
+                (4, None),
+                (5, "ALL CAPS NAV MENU BAR f\nx"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in remove_boilerplate_lines(docs).collect()}
+        assert rows[1].n_lines == 3 and rows[1].n_kept == 1
+        assert rows[1].text_clean == "this is a fine sentence."
+        assert rows[2].n_lines == 2 and rows[2].n_kept == 1
+        assert rows[3].n_lines == 0 and rows[3].text_clean == ""
+        assert rows[4].text_clean == ""
+        # caps ratio 17/18 > 0.8 -> shouting line dropped; "x" too short
+        assert rows[5].n_kept == 0
+
+    def test_terminal_punct_opt_in(self, spark):
+        from gohangout_spark.functions.curation import remove_boilerplate_lines
+
+        docs = spark.createDataFrame(
+            [(1, "a sentence that ends properly.\na sentence that does not end")],
+            "doc_id long, text string",
+        )
+        strict = remove_boilerplate_lines(docs, require_terminal_punct=True).first()
+        loose = remove_boilerplate_lines(docs).first()
+        assert strict.n_kept == 1 and loose.n_kept == 2
+
+    def test_plan_scanside(self, spark):
+        from gohangout_spark.functions.curation import remove_boilerplate_lines
+
+        docs = spark.createDataFrame([(1, "abc def ghi")], "doc_id long, text string")
+        plan = remove_boilerplate_lines(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
