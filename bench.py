@@ -56,6 +56,11 @@ HEADLINE = [
     "paragraph_dedup_stats",
     "url_curation",
     "gopher_rules",
+    "bm25_search",
+    "dup_span_stats",
+    "char_lm_perplexity",
+    "boilerplate_lines",
+    "bloom_decontaminate",
 ]
 
 

@@ -286,11 +286,22 @@ def bloom_decontaminate(
     # the hints pandas_udf would otherwise infer from
     @pandas_udf("int", PandasUDFType.SCALAR)
     def _hits(grams):
-        out = np.zeros(len(grams), dtype=np.int32)
-        for i, arr in enumerate(grams):
-            if arr is not None and len(arr):
-                out[i] = int(frozen.might_contain(np.asarray(arr, dtype=np.int64)).sum())
-        return pd.Series(out)
+        # flatten the whole Arrow batch into ONE membership call + a
+        # reduceat-style segment sum — the per-row loop (one k-probe numpy
+        # call per doc) measured ~4x slower at sf0.1
+        arrs = [
+            np.asarray(a, dtype=np.int64)
+            if a is not None and len(a)
+            else np.empty(0, dtype=np.int64)
+            for a in grams
+        ]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=len(arrs))
+        if lens.sum() == 0:
+            return pd.Series(np.zeros(len(arrs), dtype=np.int32))
+        hits = frozen.might_contain(np.concatenate(arrs)).astype(np.int32)
+        csum = np.concatenate(([0], np.cumsum(hits)))
+        ends = np.cumsum(lens)
+        return pd.Series((csum[ends] - csum[ends - lens]).astype(np.int32))
 
     out = docs.withColumn(
         "contam_hits",

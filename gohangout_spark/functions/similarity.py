@@ -1003,3 +1003,43 @@ def q8_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    *,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    round_to: int = 5,
+) -> DataFrame:
+    """Per-group mean embedding (class centroids — the primitive behind
+    centroid classifiers, per-domain embedding profiles, and k-NN label
+    propagation over curated subsets).
+
+    Shape: ``dim`` independent AVG aggregates over ``element_at(vec, i)``
+    — ONE shuffle keyed on the group with map-side partial sums (each
+    mapper emits dim doubles per group), then the means reassemble into an
+    array. The explode alternative shuffles dim× the rows AND dim× the
+    keys; this form keeps shuffle volume at O(groups × dim) per mapper
+    regardless of corpus size. ``dim`` is inferred from one row when not
+    given (bounded single-row collect).
+
+    Returns (group_col, n, centroid array<double> rounded to
+    ``round_to``).
+    """
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("empty frame and no dim given")
+        dim = first["d"]
+    aggs = [
+        F.round(F.avg(F.element_at(F.col(vec_col), i + 1)), round_to).alias(f"__c{i}")
+        for i in range(dim)
+    ]
+    out = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"), *aggs)
+    return out.select(
+        group_col,
+        "n",
+        F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias("centroid"),
+    )

@@ -2922,8 +2922,9 @@ def bm25_search(spark, sf_dir):
     scan collected as a single O(|terms|) row; top-k plans as
     TakeOrderedAndProject. See functions/search.py for the 100 TB notes."""
     from gohangout_spark.functions.search import bm25_topk
+    from gohangout_spark.io import rebalance_for_compute
 
-    docs = _docs(spark, sf_dir)
+    docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
     return bm25_topk(docs, "spark window vector", k=15)
 
 
@@ -2954,8 +2955,9 @@ def tfidf_search(spark, sf_dir):
     """Top-10 by length-normalized tf-idf for "customer stream" — the
     simpler sibling of bm25_search, same zero-shuffle scan shape."""
     from gohangout_spark.functions.search import tfidf_topk
+    from gohangout_spark.io import rebalance_for_compute
 
-    docs = _docs(spark, sf_dir)
+    docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
     return tfidf_topk(docs, "customer stream", k=10)
 
 
@@ -2976,7 +2978,9 @@ def bloom_decontaminate_q(spark, sf_dir):
         build_ngram_bloom,
     )
 
-    docs = _docs(spark, sf_dir)
+    from gohangout_spark.io import rebalance_for_compute
+
+    docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
     ev = docs.where(F.col("doc_id") % 37 == 0)
     corpus = docs.where(F.col("doc_id") % 37 != 0)
     bloom = build_ngram_bloom(ev, n=4, fp_rate=1e-4)
@@ -3005,8 +3009,9 @@ def dup_span_stats_q(spark, sf_dir):
     corpus-wide. The oracle joins window STRINGS where Spark joins
     xxhash64 keys — a hash collision would surface as a count mismatch."""
     from gohangout_spark.functions.dedup import dup_span_stats
+    from gohangout_spark.io import rebalance_for_compute
 
-    return dup_span_stats(_docs(spark, sf_dir), w=5)
+    return dup_span_stats(rebalance_for_compute(_docs(spark, sf_dir), spark), w=5)
 
 
 @q(
@@ -3030,8 +3035,9 @@ def remove_dup_spans_q(spark, sf_dir):
     scan-side via a two-arg HOF filter over per-doc marked start
     positions. Fully-duplicated docs collapse to ''."""
     from gohangout_spark.functions.dedup import remove_dup_spans
+    from gohangout_spark.io import rebalance_for_compute
 
-    out = remove_dup_spans(_docs(spark, sf_dir), w=5)
+    out = remove_dup_spans(rebalance_for_compute(_docs(spark, sf_dir), spark), w=5)
     return out.select("doc_id", "text_clean")
 
 
@@ -3069,11 +3075,12 @@ def char_lm_perplexity(spark, sf_dir):
     join, no Python). The oracle retrains the identical add-one-smoothed
     model in DuckDB SQL and hash-matches the perplexities — a full
     train+score equivalence check, not just a score check."""
-    from gohangout_spark.functions.lm import fit_char_bigram_lm, perplexity
+    from gohangout_spark.functions.lm import fit_char_bigram_lm, perplexity_pandas
+    from gohangout_spark.io import rebalance_for_compute
 
-    docs = _docs(spark, sf_dir)
+    docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
     model = fit_char_bigram_lm(docs.where(F.col("lang") == "en"))
-    return perplexity(docs, model).select("doc_id", "ppl")
+    return perplexity_pandas(docs, model).select("doc_id", "ppl")
 
 
 @q(
@@ -3130,6 +3137,30 @@ def boilerplate_lines(spark, sf_dir):
     )
     out = remove_boilerplate_lines(aug)
     return out.select("doc_id", "n_lines", "n_kept", "text_clean")
+
+
+@q(
+    "label_centroids",
+    """WITH e AS (
+  SELECT label, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS v
+  FROM embeddings),
+c AS (SELECT label, d, round(avg(v), 5) AS m FROM e GROUP BY label, d),
+n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+SELECT c.label, n.n, c.d, c.m FROM c JOIN n USING (label)""",
+)
+def label_centroids(spark, sf_dir):
+    """Per-label mean embedding: 64 independent AVG aggregates over
+    element_at — one combiner-reduced shuffle emitting O(labels × dim)
+    per mapper, vs the explode form's dim× row AND key inflation. The
+    centroid array is emitted in long (label, d, m) form because the
+    driver's value-hash compares scalar columns."""
+    from gohangout_spark.functions.similarity import group_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = group_centroids(emb, group_col="label", vec_col="embedding", dim=64)
+    return cents.select(
+        "label", "n", F.posexplode("centroid").alias("d0", "m")
+    ).select("label", "n", (F.col("d0") + 1).alias("d"), "m")
 
 
 # ========================================================================
@@ -3215,6 +3246,7 @@ _GATE_PRIORITY = [
     "remove_dup_spans",
     "char_lm_perplexity",
     "boilerplate_lines",
+    "label_centroids",
 ]
 
 QUERIES = {

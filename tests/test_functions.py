@@ -1887,3 +1887,63 @@ class TestBoilerplate:
         plan = remove_boilerplate_lines(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPerplexityPandasEquivalence:
+    def test_identical_to_expr_path(self, spark):
+        from gohangout_spark.functions.lm import (
+            fit_char_bigram_lm,
+            perplexity,
+            perplexity_pandas,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "pack my box with five dozen liquor jugs"),
+                (3, "zxq jvw qqq"),
+                (4, "x"),
+                (5, None),
+                (6, ""),
+            ],
+            "doc_id long, text string",
+        )
+        model = fit_char_bigram_lm(docs.limit(2))
+        a = {r.doc_id: r.ppl for r in perplexity(docs, model).collect()}
+        b = {r.doc_id: r.ppl for r in perplexity_pandas(docs, model).collect()}
+        assert a == b
+        assert a[4] is None and a[5] is None and a[6] is None
+
+
+class TestGroupCentroids:
+    def test_means_and_counts(self, spark):
+        from gohangout_spark.functions.similarity import group_centroids
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (0, [3.0, 4.0]), (1, [10.0, 20.0])],
+            "label int, embedding array<double>",
+        )
+        rows = {r.label: r for r in group_centroids(df, dim=2).collect()}
+        assert rows[0].n == 2 and rows[0].centroid == [2.0, 3.0]
+        assert rows[1].n == 1 and rows[1].centroid == [10.0, 20.0]
+
+    def test_dim_inferred_and_empty_raises(self, spark):
+        from gohangout_spark.functions.similarity import group_centroids
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0, 3.0])], "label int, embedding array<double>"
+        )
+        assert len(group_centroids(df).first().centroid) == 3
+        empty = df.where("label = 99")
+        with pytest.raises(ValueError):
+            group_centroids(empty)
+
+    def test_single_shuffle_plan(self, spark):
+        from gohangout_spark.functions.similarity import group_centroids
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0])], "label int, embedding array<double>"
+        )
+        plan = group_centroids(df, dim=2)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") <= 1
+        assert "Generate" not in plan  # no explode
