@@ -397,3 +397,53 @@ def extract_audio_features(df: DataFrame, codec=None, sample_rate: int = 16000) 
             )
 
     return df.mapInPandas(feats, AUDIO_FEATURE_SCHEMA)
+
+
+def make_sine_wav_media_table(spark, n: int = 24, sample_rate: int = 16000) -> DataFrame:
+    """REAL-WAV sine clips at exact FFT-bin frequencies: clip i is 1024
+    samples of a 0.5-amplitude sine at bin k = 16 + 8*(i % 10), i.e.
+    f = k * sample_rate/1024 Hz — so the dominant spectral bin is analytic
+    in the media id and the FFT feature extractor is oracle-checkable."""
+    codec = WavPcmCodec()
+    rows = []
+    t = np.arange(1024)
+    for i in range(n):
+        k = 16 + 8 * (i % 10)
+        pcm = (0.5 * np.sin(2 * np.pi * k * t / 1024)).astype(np.float32)
+        rows.append((i, bytearray(codec.encode(pcm, sample_rate)), (0, 0, 1, "wav")))
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
+SPECTRUM_SCHEMA = "media_id long, n_samples int, dominant_bin int, dominant_freq_hz double"
+
+
+def extract_audio_spectrum(
+    df: DataFrame, codec=None, sample_rate: int = 16000
+) -> DataFrame:
+    """Real DSP under mapInPandas: decode 16-bit PCM, one rfft per clip,
+    dominant non-DC bin + its frequency. Arrow-batched; each task holds
+    one batch of clips — the 100 TB shape for per-item media feature
+    extraction (no shuffle, media bytes never leave the scan task)."""
+    codec = codec or WavPcmCodec()
+
+    def _extract(batches):
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["content"]):
+                pcm = codec.decode(bytes(payload), sample_rate)
+                mag = np.abs(np.fft.rfft(pcm))
+                mag[0] = 0.0  # exclude DC
+                k = int(np.argmax(mag))
+                out.append(
+                    (
+                        int(mid),
+                        len(pcm),
+                        k,
+                        round(k * sample_rate / len(pcm), 4),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["media_id", "n_samples", "dominant_bin", "dominant_freq_hz"]
+            )
+
+    return df.mapInPandas(_extract, SPECTRUM_SCHEMA)

@@ -94,3 +94,20 @@ def rolling_hash_fingerprint(col: Column, window: int = 8, keep_every: int = 4) 
         zipped, lambda s: F.xxhash64(*[s.getField(f"t{k}") for k in range(window)])
     )
     return F.array_sort(F.array_distinct(F.filter(hashes, lambda h: h % keep_every == 0)))
+
+
+# GPT-2-style pretokenizer pattern, lowercase-simplified so it runs
+# unchanged in Java regex (Spark) and RE2 (DuckDB oracle): contraction
+# suffixes, space-prefixed letter runs, space-prefixed digit runs,
+# punctuation runs. (The real GPT-2 pattern adds \p{L}/\p{N} classes and a
+# trailing-space lookahead; neither changes the COUNT shape this feeds.)
+BPE_PRETOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9']+"
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword-ish token count: the number of GPT-2-style pretokens of the
+    lowercased text. Tracks BPE token counts far better than whitespace
+    counts (contractions and punctuation split out, digits separate) —
+    the budget signal sequence packing and token-budget sampling actually
+    need. One regexp_extract_all per row, pure codegen."""
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(BPE_PRETOKEN_RE), F.lit(0)))

@@ -3163,6 +3163,46 @@ def label_centroids(spark, sf_dir):
     ).select("label", "n", (F.col("d0") + 1).alias("d"), "m")
 
 
+@q(
+    "bpe_token_count",
+    r"""SELECT doc_id,
+       len(regexp_extract_all(lower(text),
+           '''(?:[sdmt]|ll|ve|re)| ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9'']+'))::BIGINT
+         AS n_bpe_tokens
+FROM documents""",
+)
+def bpe_token_count_q(spark, sf_dir):
+    """BPE-ish pretoken counting (SURVEY's 'whitespace + a BPE-ish regex'
+    pair with token_count): GPT-2-style pretokenizer pattern, identical in
+    Java regex and RE2 so the oracle runs the same expression."""
+    from gohangout_spark.functions.text import bpe_token_count
+
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+@q(
+    "multimodal_audio_spectrum",
+    """SELECT CAST(i AS BIGINT) AS media_id,
+              1024 AS n_samples,
+              CAST(16 + 8 * (i % 10) AS INT) AS dominant_bin,
+              round((16 + 8 * (i % 10)) * 16000.0 / 1024, 4) AS dominant_freq_hz
+       FROM range(24) t(i)""",
+)
+def multimodal_audio_spectrum(spark, sf_dir):
+    """REAL spectral analysis, oracle-checked: sine WAV clips at exact
+    FFT-bin frequencies are decoded (stdlib wave) and rfft'd inside
+    mapInPandas; the dominant bin is analytic in the media id, so the
+    whole decode→FFT→argmax chain hash-matches a pure-SQL oracle."""
+    from gohangout_spark.functions.multimodal import (
+        extract_audio_spectrum,
+        make_sine_wav_media_table,
+    )
+
+    media = make_sine_wav_media_table(spark, n=24)
+    return extract_audio_spectrum(media)
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -3247,6 +3287,8 @@ _GATE_PRIORITY = [
     "char_lm_perplexity",
     "boilerplate_lines",
     "label_centroids",
+    "bpe_token_count",
+    "multimodal_audio_spectrum",
 ]
 
 QUERIES = {

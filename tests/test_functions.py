@@ -1947,3 +1947,19 @@ class TestGroupCentroids:
         plan = group_centroids(df, dim=2)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= 1
         assert "Generate" not in plan  # no explode
+
+
+class TestAudioSpectrum:
+    def test_dominant_bins_and_roundtrip(self, spark):
+        from gohangout_spark.functions.multimodal import (
+            extract_audio_spectrum,
+            make_sine_wav_media_table,
+        )
+
+        media = make_sine_wav_media_table(spark, n=6)
+        rows = {r.media_id: r for r in extract_audio_spectrum(media).collect()}
+        for i in range(6):
+            k = 16 + 8 * (i % 10)
+            assert rows[i].dominant_bin == k
+            assert rows[i].n_samples == 1024
+            assert abs(rows[i].dominant_freq_hz - k * 16000 / 1024) < 1e-9
