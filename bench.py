@@ -61,6 +61,7 @@ HEADLINE = [
     "char_lm_perplexity",
     "boilerplate_lines",
     "bloom_decontaminate",
+    "curation_funnel",
 ]
 
 

@@ -192,7 +192,15 @@ def perplexity_pandas(
     table with one numpy indexing op, and segment-sums with add.reduceat
     — same sequential per-doc summation order as the expr path, so the
     two produce IDENTICAL doubles (equivalence-tested), and the oracle
-    hash-match carries over. ~50× faster; the scale default.
+    hash-match carries over. ~6× faster measured; the scale default.
+
+    Pushdown hazard: filtering directly on ``out_col`` above a
+    join-bearing lineage can make Catalyst push the Python-UDF predicate
+    below the join into an interpreted evaluator, which cannot run Python
+    ([INTERNAL_ERROR] Cannot evaluate expression: _ppl). Materialize
+    first (``.cache()``/``localCheckpoint()``) or filter after an
+    aggregation boundary; examples/curation_pipeline.py stage 7 shows the
+    pattern.
     """
     if len(model) != V * V:
         raise ValueError(f"model must have {V * V} entries, got {len(model)}")

@@ -3203,6 +3203,121 @@ def multimodal_audio_spectrum(spark, sf_dir):
     return extract_audio_spectrum(media)
 
 
+@q(
+    "curation_funnel",
+    r"""WITH w0 AS (
+  SELECT doc_id, COALESCE(text, '') AS t,
+         list_filter(string_split_regex(COALESCE(text, ''), '\s+'), x -> x <> '') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    (len(ws) >= 50 AND len(ws) <= 100000)
+    AND (CASE WHEN len(ws) > 0 THEN
+          CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) >= 3.0
+          AND CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws) <= 10.0
+         ELSE FALSE END)
+    AND (CASE WHEN len(ws) > 0 THEN
+          CAST(len(string_split(t, '#')) - 1 + len(string_split(t, '...')) - 1 AS DOUBLE)
+            / len(ws) <= 0.1 ELSE FALSE END)
+    AND (CASE WHEN len(ws) > 0 THEN
+          CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+            / len(ws) >= 0.8 ELSE FALSE END) AS keep
+  FROM w0),
+corpus AS (
+  SELECT d.doc_id, d.text FROM documents d JOIN g USING (doc_id)
+  WHERE g.keep AND d.doc_id % 37 <> 0),
+winners AS (
+  SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+dd AS (SELECT c.doc_id, c.text FROM corpus c JOIN winners USING (doc_id)),
+cw AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+       FROM dd),
+cg AS (SELECT doc_id,
+         CASE WHEN len(w) >= 4 THEN list_distinct(list_transform(
+           generate_series(1, len(w)-3), i -> array_to_string(w[i:i+3], ' ')))
+         ELSE CAST([] AS VARCHAR[]) END AS grams FROM cw),
+ev AS (SELECT DISTINCT unnest(CASE WHEN len(w) >= 4 THEN list_transform(
+         generate_series(1, len(w)-3), i -> array_to_string(w[i:i+3], ' '))
+       ELSE CAST([] AS VARCHAR[]) END) AS gram
+       FROM (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+             FROM documents WHERE doc_id % 37 = 0)),
+contam AS (
+  SELECT DISTINCT c.doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM cg) c JOIN ev USING (gram)),
+clean AS (SELECT dd.* FROM dd LEFT JOIN contam USING (doc_id) WHERE contam.doc_id IS NULL),
+nrm AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS norm
+  FROM documents),
+ref_pairs AS (
+  SELECT substring(norm, i, 1) AS c1, substring(norm, i + 1, 1) AS c2
+  FROM nrm, unnest(generate_series(1, greatest(length(norm) - 1, 0))) AS u(i)
+  WHERE lang = 'en'),
+cnts AS (SELECT c1, c2, count(*) AS c FROM ref_pairs GROUP BY c1, c2),
+tots AS (SELECT c1, sum(c) AS t FROM cnts GROUP BY c1),
+doc_pairs AS (
+  SELECT n.doc_id, substring(n.norm, i, 1) AS c1, substring(n.norm, i + 1, 1) AS c2
+  FROM nrm n JOIN clean USING (doc_id),
+       unnest(generate_series(1, greatest(length(n.norm) - 1, 0))) AS u(i)),
+scored AS (
+  SELECT doc_id,
+         round(exp(avg(-ln((coalesce(cn.c, 0) + 1) / (coalesce(tt.t, 0) + 37.0)))), 4)
+           AS ppl
+  FROM doc_pairs dp
+  LEFT JOIN cnts cn USING (c1, c2)
+  LEFT JOIN tots tt USING (c1)
+  GROUP BY doc_id)
+SELECT c.doc_id, s.ppl,
+       CASE WHEN s.ppl IS NULL THEN 'tail'
+            WHEN s.ppl <= 5.5 THEN 'head'
+            WHEN s.ppl <= 5.6 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+FROM clean c LEFT JOIN scored s USING (doc_id)""",
+)
+def curation_funnel(spark, sf_dir):
+    """The COMPOSED training-data journey as one oracle-checked query:
+    Gopher quality gate → exact dedup (min-id winner) → 4-gram
+    decontamination vs the doc_id%37 eval slice → char-LM perplexity
+    under the en-trained model → fixed head/middle/tail cutoffs. Every
+    stage is individually oracle-checked elsewhere; this query checks the
+    COMPOSITION (stage ordering, survivor joins, NULL propagation)
+    end-to-end against a single 70-line DuckDB CTE chain. The runnable
+    wide version (incl. MinHash near-dedup, packing, shard write) is
+    examples/curation_pipeline.py."""
+    from gohangout_spark.functions.curation import (
+        decontaminate_ngrams,
+        gopher_rules,
+    )
+    from gohangout_spark.functions.dedup import exact_dedup
+    from gohangout_spark.functions.lm import fit_char_bigram_lm, perplexity_pandas
+    from gohangout_spark.io import rebalance_for_compute
+
+    docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
+    ev = docs.where(F.col("doc_id") % 37 == 0)
+    gated = (
+        gopher_rules(docs)
+        .where(
+            F.col("rule_word_count")
+            & F.col("rule_mean_word_len")
+            & F.col("rule_symbol_ratio")
+            & F.col("rule_alpha_words")
+        )
+        .where(F.col("doc_id") % 37 != 0)
+        .select("doc_id", "text")
+    )
+    deduped = exact_dedup(gated, "text", "doc_id")
+    clean = decontaminate_ngrams(deduped, ev, n=4).where(~F.col("contaminated"))
+    model = fit_char_bigram_lm(docs.where(F.col("lang") == "en"))
+    scored = perplexity_pandas(clean.select("doc_id", "text"), model)
+    bucket = (
+        F.when(F.col("ppl").isNull(), "tail")
+        .when(F.col("ppl") <= 5.5, "head")
+        .when(F.col("ppl") <= 5.6, "middle")
+        .otherwise("tail")
+    )
+    return scored.select("doc_id", "ppl", bucket.alias("ppl_bucket"))
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -3289,6 +3404,7 @@ _GATE_PRIORITY = [
     "label_centroids",
     "bpe_token_count",
     "multimodal_audio_spectrum",
+    "curation_funnel",
 ]
 
 QUERIES = {
