@@ -376,3 +376,97 @@ class TestUrlProperties:
 
         sizes = Counter(buckets).values()
         assert max(sizes) - min(sizes) <= 1
+
+
+class TestRound3Properties:
+    """Properties of the round-3 text operators: bloom superset, BM25
+    monotonicity, dup-span removal soundness."""
+
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"]),
+                min_size=4,
+                max_size=12,
+            ).map(" ".join),
+            min_size=2,
+            max_size=8,
+        ),
+        split=st.integers(min_value=1, max_value=3),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_bloom_never_misses(self, spark, texts, split):
+        """Bloom flags are a superset of exact flags on ANY corpus split."""
+        from gohangout_spark.functions.curation import (
+            bloom_decontaminate,
+            build_ngram_bloom,
+            decontaminate_ngrams,
+        )
+
+        docs = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        ev = docs.where(F.col("doc_id") % (split + 1) == 0)
+        corpus = docs.where(F.col("doc_id") % (split + 1) != 0)
+        if ev.count() == 0 or corpus.count() == 0:
+            return
+        bloom = build_ngram_bloom(ev, n=3, fp_rate=1e-3)
+        got = {r.doc_id: r.contaminated for r in bloom_decontaminate(corpus, bloom, n=3).collect()}
+        exact = {
+            r.doc_id: r.contaminated for r in decontaminate_ngrams(corpus, ev, n=3).collect()
+        }
+        for d, flag in exact.items():
+            if flag:
+                assert got[d], (d, texts)
+
+    @given(reps=st.integers(min_value=1, max_value=4))
+    @settings(max_examples=6, deadline=None)
+    def test_bm25_monotone_in_tf(self, spark, reps):
+        """More occurrences of the query term -> strictly higher score
+        (same doc length padded with neutral words)."""
+        from gohangout_spark.functions.search import bm25_topk
+
+        pad = ["pad"] * (6 - reps)
+        rows = [
+            (1, " ".join(["hit"] * reps + pad)),
+            (2, " ".join(["hit"] * (reps + 1) + pad[:-1] if pad else ["hit"] * (reps + 1))),
+            (3, "nothing to see here at all now"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r.doc_id: r.score for r in bm25_topk(docs, "hit", id_col="doc_id", k=3).collect()}
+        assert got[2] > got[1] > 0
+        assert 3 not in got
+
+    @given(
+        words=st.lists(
+            st.sampled_from(["u1", "u2", "u3", "u4", "u5", "u6", "u7", "u8"]),
+            min_size=6,
+            max_size=10,
+            unique=True,
+        )
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_dup_span_removal_sound(self, spark, words):
+        """Planting the same w-window in two docs removes it from both;
+        docs of unique words are untouched."""
+        from gohangout_spark.functions.dedup import dup_span_stats, remove_dup_spans
+
+        span = "s1 s2 s3"
+        uniq = " ".join(words)
+        # doc 3's vocabulary is disjoint from docs 1/2 so no window of it
+        # can be corpus-duplicated
+        alone = " ".join(f"z{w}" for w in words)
+        docs = spark.createDataFrame(
+            [
+                (1, f"{uniq} {span}"),
+                (2, f"{span} {' '.join(reversed(words))}"),
+                (3, alone),
+            ],
+            "doc_id long, text string",
+        )
+        cleaned = {r.doc_id: r.text_clean for r in remove_dup_spans(docs, w=3).collect()}
+        for d in (1, 2):
+            assert not set(cleaned[d].split()) & {"s1", "s2", "s3"}, (cleaned, words)
+        assert cleaned[3] == alone
+        stats = {r.doc_id: r for r in dup_span_stats(docs, w=3).collect()}
+        assert stats[3].n_dup_windows == 0
