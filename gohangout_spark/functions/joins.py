@@ -171,3 +171,64 @@ def range_join(
         *[l2[c] for c in left.columns],
         *[r2[c] for c in right.columns if c not in keys],
     )
+
+
+def fuzzy_match_values(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    *,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Edit-distance matching with GUARANTEED recall and no cross join —
+    the entity-resolution primitive (near-matching names, titles, SKUs).
+
+    Works on DISTINCT key values (the scale-right order: distinct-ify
+    BEFORE the expensive verify — a 100 TB table has far fewer distinct
+    names than rows). Returns (left_val, right_val, dist) with
+    dist ≤ max_dist; join the result back to the full rows on the value.
+
+    Blocking uses the q-gram count lemma: lev(a,b) ≤ k implies a and b
+    share ≥ max(|a|,|b|) − q + 1 − k·q q-grams, so whenever the LONGER
+    string has ≥ q·(k+1) chars the pair shares at least one q-gram and an
+    equi-join on exploded q-grams finds it. Pairs where BOTH strings are
+    shorter than q·(k+1) chars fall into one dedicated short block (that
+    universe is tiny by construction). Union → dedupe → exact
+    ``levenshtein`` verify on candidates only. The output is IDENTICAL to
+    the O(n²) cross join (oracle-checked at sf0.01), but the plan is
+    equi-joins only. NULL keys never match.
+    """
+    k = max_dist
+    short_len = q * (k + 1)
+
+    def grams(col):
+        n = F.length(col)
+        idx = F.sequence(F.lit(1), F.greatest(n - (q - 1), F.lit(1)))
+        return F.when(
+            n >= q, F.array_distinct(F.transform(idx, lambda i: F.substr(col, i, F.lit(q))))
+        ).otherwise(F.array(col))
+
+    lv = left.select(F.col(left_col).alias("left_val")).where(
+        F.col("left_val").isNotNull()
+    ).distinct()
+    rv = right.select(F.col(right_col).alias("right_val")).where(
+        F.col("right_val").isNotNull()
+    ).distinct()
+
+    lg = lv.select("left_val", F.explode(grams(F.col("left_val"))).alias("__g"))
+    rg = rv.select("right_val", F.explode(grams(F.col("right_val"))).alias("__g"))
+    by_gram = lg.join(rg, "__g").select("left_val", "right_val")
+
+    # the short side is bounded BY CONSTRUCTION (strings under q*(k+1)
+    # chars); broadcast it so the all-pairs block plans as a broadcast
+    # nested loop over a tiny side, never a CartesianProduct
+    ls = lv.where(F.length("left_val") < short_len)
+    rs = rv.where(F.length("right_val") < short_len)
+    by_short = ls.join(F.broadcast(rs)).select("left_val", "right_val")
+
+    cand = by_gram.unionByName(by_short).dropDuplicates(["left_val", "right_val"])
+    return cand.withColumn("dist", F.levenshtein("left_val", "right_val")).where(
+        F.col("dist") <= k
+    )

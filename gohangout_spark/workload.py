@@ -3318,6 +3318,34 @@ def curation_funnel(spark, sf_dir):
     return scored.select("doc_id", "ppl", bucket.alias("ppl_bucket"))
 
 
+@q(
+    "fuzzy_name_pairs",
+    """WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2""",
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """Entity-resolution fuzzy self-join over distinct part names: all
+    pairs within edit distance 2, found via guaranteed-recall q-gram
+    blocking (equi-joins only, no cross join) and verified with exact
+    levenshtein. The oracle IS the O(n²) cross join — a recall miss
+    would hash-mismatch."""
+    from gohangout_spark.functions.joins import fuzzy_match_values
+
+    part = load_table(spark, sf_dir, "part")
+    m = fuzzy_match_values(part, part, "p_name", "p_name", max_dist=2)
+    return (
+        m.where((F.col("dist") >= 1) & (F.col("left_val") < F.col("right_val")))
+        .select(
+            F.col("left_val").alias("name_a"),
+            F.col("right_val").alias("name_b"),
+            "dist",
+        )
+    )
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -3405,6 +3433,7 @@ _GATE_PRIORITY = [
     "bpe_token_count",
     "multimodal_audio_spectrum",
     "curation_funnel",
+    "fuzzy_name_pairs",
 ]
 
 QUERIES = {

@@ -1963,3 +1963,46 @@ class TestAudioSpectrum:
             assert rows[i].dominant_bin == k
             assert rows[i].n_samples == 1024
             assert abs(rows[i].dominant_freq_hz - k * 16000 / 1024) < 1e-9
+
+
+class TestFuzzyMatch:
+    """Guaranteed-recall edit-distance matching (joins.fuzzy_match_values)."""
+
+    def test_matches_brute_force_including_short(self, spark):
+        from gohangout_spark.functions.joins import fuzzy_match_values
+
+        vals = ["cat", "cot", "c", "ct", "elephant", "elephants", "elphant",
+                "zebra", "zebr", None, "ca"]
+        df = spark.createDataFrame([(v,) for v in vals], "s string")
+        got = {
+            (r.left_val, r.right_val, r.dist)
+            for r in fuzzy_match_values(df, df, "s", "s", max_dist=2).collect()
+        }
+
+        import itertools
+
+        def lev(a, b):
+            dp = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                prev, dp[0] = dp[0], i
+                for j, cb in enumerate(b, 1):
+                    prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+            return dp[-1]
+
+        clean = [v for v in set(vals) if v is not None]
+        want = {
+            (a, b, lev(a, b))
+            for a, b in itertools.product(clean, clean)
+            if lev(a, b) <= 2
+        }
+        assert got == want  # recall AND precision exact, incl. short block
+
+    def test_plan_has_no_cross_join(self, spark):
+        from gohangout_spark.functions.joins import fuzzy_match_values
+
+        df = spark.createDataFrame([("abcdef",), ("abcdeg",)], "s string")
+        plan = (
+            fuzzy_match_values(df, df, "s", "s", max_dist=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan

@@ -30,6 +30,9 @@ BNLJ_OK = {
     # benchmark snippet list (KBs) broadcast for substring containment —
     # no equi-key exists for substring matching
     "decontaminate_docs",
+    # fuzzy join's short-string block: all-pairs over values shorter than
+    # q*(k+1) chars — a universe bounded by construction, broadcast side
+    "fuzzy_name_pairs",
 }
 
 
