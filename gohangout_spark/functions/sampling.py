@@ -123,3 +123,55 @@ def token_budget_sample(
         .where(F.col("__prior") < b)
         .drop("__prior")
     )
+
+
+def global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> DataFrame:
+    """Contiguous 1-based GLOBAL rank over ``order_cols``, fully
+    distributed: range-partition on the order, rank locally inside each
+    partition, add broadcast per-partition offsets. The naive
+    ``row_number() over (ORDER BY ...)`` funnels the whole dataset
+    through ONE task; here the only non-parallel piece is a running sum
+    over #shuffle-partitions count rows (metadata-sized). Same machinery
+    the ungrouped quantile_buckets path uses.
+
+    ``order_cols`` must be a TOTAL order (add an id tiebreak) or ranks
+    within ties are partition-dependent.
+    """
+    from pyspark.sql.window import Window
+
+    part = df.repartitionByRange(*order_cols).withColumn("__pid", F.spark_partition_id())
+    local = F.row_number().over(Window.partitionBy("__pid").orderBy(*order_cols))
+    part = part.withColumn("__local", local)
+    sizes = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    wp = Window.orderBy("__pid")
+    sizes = sizes.select(
+        "__pid",
+        F.coalesce(
+            F.sum("__n").over(wp.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).alias("__off"),
+    )
+    joined = part.join(F.broadcast(sizes), "__pid")
+    return joined.withColumn(
+        rank_col, (F.col("__local") + F.col("__off")).cast("long")
+    ).drop("__pid", "__local", "__off")
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    idx_col: str = "train_idx",
+) -> DataFrame:
+    """Deterministic pseudo-random GLOBAL training order: every row gets a
+    contiguous 0-based index in md5(id, seed) order — the global-shuffle
+    step before writing training shards. A pure function of (id, seed):
+    the same order on any cluster layout, partition count, or retry, and
+    reproducible in any engine (oracle-checked), unlike
+    ``orderBy(rand())`` which is neither deterministic nor resumable.
+
+    Distributed via :func:`global_rank` (range shuffle + local ranks +
+    broadcast offsets); change ``seed`` per epoch for fresh orders.
+    """
+    keyed = df.withColumn("__shufkey", _hash_key(id_col, seed))
+    ranked = global_rank(keyed, [F.col("__shufkey").asc(), F.col(id_col).asc()], idx_col)
+    return ranked.withColumn(idx_col, F.col(idx_col) - 1).drop("__shufkey")

@@ -3346,6 +3346,25 @@ def fuzzy_name_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "deterministic_shuffle",
+    """SELECT doc_id,
+       row_number() OVER (
+         ORDER BY md5(doc_id::VARCHAR || '-42'), doc_id) - 1 AS train_idx
+FROM documents""",
+)
+def deterministic_shuffle_q(spark, sf_dir):
+    """Global training-order shuffle: contiguous 0-based index in
+    md5(id, seed) order, computed DISTRIBUTED (range shuffle + local
+    ranks + broadcast offsets — never a single-task global window). The
+    oracle's one-window formulation proves the distributed rank emits
+    the identical total order."""
+    from gohangout_spark.functions.sampling import deterministic_shuffle
+
+    docs = _docs(spark, sf_dir)
+    return deterministic_shuffle(docs, "doc_id", seed=42).select("doc_id", "train_idx")
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -3434,6 +3453,7 @@ _GATE_PRIORITY = [
     "multimodal_audio_spectrum",
     "curation_funnel",
     "fuzzy_name_pairs",
+    "deterministic_shuffle",
 ]
 
 QUERIES = {

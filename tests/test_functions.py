@@ -2006,3 +2006,36 @@ class TestFuzzyMatch:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "CartesianProduct" not in plan
+
+
+class TestDeterministicShuffle:
+    def test_contiguous_layout_independent(self, spark):
+        from gohangout_spark.functions.sampling import deterministic_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(97)], "doc_id long")
+        a = {r.doc_id: r.train_idx for r in deterministic_shuffle(df).collect()}
+        b = {
+            r.doc_id: r.train_idx
+            for r in deterministic_shuffle(df.repartition(7)).collect()
+        }
+        assert a == b  # layout-independent
+        assert sorted(a.values()) == list(range(97))  # contiguous 0-based
+        # actually shuffled: not identity order
+        assert [a[i] for i in range(97)] != list(range(97))
+
+    def test_seed_changes_order(self, spark):
+        from gohangout_spark.functions.sampling import deterministic_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+        a = {r.doc_id: r.train_idx for r in deterministic_shuffle(df, seed=1).collect()}
+        b = {r.doc_id: r.train_idx for r in deterministic_shuffle(df, seed=2).collect()}
+        assert a != b
+
+    def test_no_single_task_window(self, spark):
+        from gohangout_spark.functions.sampling import deterministic_shuffle
+
+        df = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+        plan = deterministic_shuffle(df)._jdf.queryExecution().executedPlan().toString()
+        # the only SinglePartition exchange allowed is the partition-COUNT
+        # running sum (metadata-sized); the data path is range-partitioned
+        assert "rangepartitioning" in plan.lower()
