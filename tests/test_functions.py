@@ -2039,3 +2039,25 @@ class TestDeterministicShuffle:
         # the only SinglePartition exchange allowed is the partition-COUNT
         # running sum (metadata-sized); the data path is range-partitioned
         assert "rangepartitioning" in plan.lower()
+
+
+class TestBpeTokenCount:
+    def test_splits_contractions_digits_punct(self, spark):
+        from gohangout_spark.functions.text import bpe_token_count
+
+        df = spark.createDataFrame(
+            [
+                (1, "it's 2024, isn't it? well--ok"),  # 11 pretokens
+                (2, ""),
+                (3, None),
+                (4, "plain words here"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r.n for r in df.select(
+            "doc_id", bpe_token_count(F.col("text")).alias("n")
+        ).collect()}
+        assert rows[1] == 11
+        assert rows[2] == 0
+        assert rows[3] in (None, -1)  # size(NULL) semantics
+        assert rows[4] == 3
