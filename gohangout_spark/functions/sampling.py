@@ -175,3 +175,50 @@ def deterministic_shuffle(
     keyed = df.withColumn("__shufkey", _hash_key(id_col, seed))
     ranked = global_rank(keyed, [F.col("__shufkey").asc(), F.col(id_col).asc()], idx_col)
     return ranked.withColumn(idx_col, F.col(idx_col) - 1).drop("__shufkey")
+
+
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _uniform01(id_col, seed: int):
+    """Deterministic uniform (0,1) from the first 15 md5 nibbles of
+    (id, seed) — u = Σ nibble_i · 16^-i, the hex fraction. Built from
+    md5 + instr + pow only, so ANY engine reproduces the identical
+    double (the DuckDB oracle evaluates the same nibble sum in the same
+    left-to-right order)."""
+    h = _hash_key(id_col, seed)
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(15)),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + (F.instr(F.lit(_HEXDIGITS), F.substr(h, i, F.lit(1))) - 1).cast("double")
+        * F.pow(F.lit(16.0), -i.cast("double")),
+    )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    Spirakis A-ES, 2006): each row draws key u^(1/w) — equivalently
+    ln(u)/w, used here for numeric stability — with u a deterministic
+    uniform from md5(id, seed); the global top-k keys ARE a weighted
+    sample without replacement. One pass, no shuffle of the corpus:
+    Spark plans orderBy(...).limit(k) as TakeOrderedAndProject (per-
+    partition k-row heaps). Deterministic and layout-independent like
+    every draw in this module; rows with NULL or non-positive weight
+    never qualify. Returns the sampled rows (original columns).
+    """
+    w = F.col(weight_col).cast("double")
+    key = F.log(_uniform01(id_col, seed)) / w
+    out = (
+        df.withColumn("__aes", F.when(w > 0, key))
+        .where(F.col("__aes").isNotNull())
+        .orderBy(F.col("__aes").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+    return out.drop("__aes")

@@ -3365,6 +3365,30 @@ def deterministic_shuffle_q(spark, sf_dir):
     return deterministic_shuffle(docs, "doc_id", seed=42).select("doc_id", "train_idx")
 
 
+@q(
+    "weighted_sample_topk",
+    """WITH t AS (
+  SELECT doc_id,
+         list_sum(list_transform(generate_series(1, 15),
+           i -> (strpos('0123456789abcdef',
+                        substring(md5(doc_id::VARCHAR || '-42'), i, 1)) - 1)
+                * power(16.0, -i))) AS u,
+         length(text)::DOUBLE AS w
+  FROM documents)
+SELECT doc_id FROM t WHERE w > 0
+ORDER BY ln(u) / w DESC, doc_id LIMIT 50""",
+)
+def weighted_sample_topk(spark, sf_dir):
+    """Efraimidis–Spirakis A-ES weighted sampling without replacement
+    (weight = text length), deterministic via the md5 nibble-fraction
+    uniform — the oracle evaluates the IDENTICAL nibble sum, so the
+    sampled id set hash-matches across engines."""
+    from gohangout_spark.functions.sampling import weighted_sample_k
+
+    docs = _docs(spark, sf_dir).withColumn("w", F.length("text").cast("double"))
+    return weighted_sample_k(docs, 50, "w", id_col="doc_id").select("doc_id")
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -3454,6 +3478,7 @@ _GATE_PRIORITY = [
     "curation_funnel",
     "fuzzy_name_pairs",
     "deterministic_shuffle",
+    "weighted_sample_topk",
 ]
 
 QUERIES = {

@@ -2061,3 +2061,39 @@ class TestBpeTokenCount:
         assert rows[2] == 0
         assert rows[3] in (None, -1)  # size(NULL) semantics
         assert rows[4] == 3
+
+
+class TestWeightedSampleK:
+    def test_deterministic_and_weight_sensitive(self, spark):
+        from gohangout_spark.functions.sampling import weighted_sample_k
+
+        rows = [(i, 100.0 if i < 5 else 1.0) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        a = {r.doc_id for r in weighted_sample_k(df, 10, "w").collect()}
+        b = {r.doc_id for r in weighted_sample_k(df.repartition(5), 10, "w").collect()}
+        assert a == b  # layout-independent
+        # heavy items (w=100) should dominate a 10-of-100 draw
+        assert len(a & {0, 1, 2, 3, 4}) >= 4
+
+    def test_without_replacement_and_filters(self, spark):
+        from gohangout_spark.functions.sampling import weighted_sample_k
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0), (4, None), (5, 2.0)],
+            "doc_id long, w double",
+        )
+        got = [r.doc_id for r in weighted_sample_k(df, 10, "w").collect()]
+        assert sorted(got) == [1, 5]  # nonpositive/NULL weights excluded
+        assert len(got) == len(set(got))
+
+    def test_frequency_tracks_weights(self, spark):
+        """Across seeds, an item with 9x the weight is sampled (k=1) ~9x
+        as often — the A-ES correctness property, coarsely."""
+        from gohangout_spark.functions.sampling import weighted_sample_k
+
+        df = spark.createDataFrame([(1, 9.0), (2, 1.0)], "doc_id long, w double")
+        wins = sum(
+            weighted_sample_k(df, 1, "w", seed=s).first().doc_id == 1
+            for s in range(30)
+        )
+        assert wins >= 20  # E[wins]=27, loose floor
