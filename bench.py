@@ -88,6 +88,11 @@ def main():
     timings: dict[str, float] = {}
     for name in names:
         fn = QUERIES[name][0]
+        # JVM GC between measured queries: late-session numbers otherwise
+        # inflate 2-3x from accumulated heap pressure (r2 drift root cause
+        # was this same effect through a different leak) — the GC makes
+        # per-query numbers reproducible regardless of position in the run
+        spark._jvm.System.gc()
         t0 = time.time()
         force(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
