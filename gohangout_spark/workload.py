@@ -3389,6 +3389,30 @@ def weighted_sample_topk(spark, sf_dir):
     return weighted_sample_k(docs, 50, "w", id_col="doc_id").select("doc_id")
 
 
+@q(
+    "profile_documents",
+    """SELECT 'doc_id' AS column, count(*) AS n_rows,
+       sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+       count(DISTINCT doc_id) AS n_distinct,
+       min(doc_id)::VARCHAR AS min_s, max(doc_id)::VARCHAR AS max_s
+FROM documents
+UNION ALL
+SELECT 'lang', count(*), sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT lang), min(lang), max(lang) FROM documents
+UNION ALL
+SELECT 'text', count(*), sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+       count(DISTINCT text), min(text), max(text) FROM documents""",
+)
+def profile_documents(spark, sf_dir):
+    """One-pass ANALYZE over the documents table: per-column totals,
+    nulls, EXACT distinct counts (Expand-based multi-countDistinct —
+    one scan), min/max as strings."""
+    from gohangout_spark.functions.profile import profile
+
+    docs = _docs(spark, sf_dir)
+    return profile(docs, ["doc_id", "lang", "text"])
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -3479,6 +3503,7 @@ _GATE_PRIORITY = [
     "fuzzy_name_pairs",
     "deterministic_shuffle",
     "weighted_sample_topk",
+    "profile_documents",
 ]
 
 QUERIES = {

@@ -2097,3 +2097,25 @@ class TestWeightedSampleK:
             for s in range(30)
         )
         assert wins >= 20  # E[wins]=27, loose floor
+
+
+class TestProfile:
+    def test_counts_and_minmax(self, spark):
+        from gohangout_spark.functions.profile import profile
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (2, "b"), (None, "a")], "k long, v string"
+        )
+        rows = {r.column: r for r in profile(df).collect()}
+        assert rows["k"].n_rows == 4 and rows["k"].n_null == 1
+        assert rows["k"].n_distinct == 2
+        assert rows["k"].min_s == "1" and rows["k"].max_s == "2"
+        assert rows["v"].n_distinct == 2 and rows["v"].n_null == 1
+
+    def test_approx_mode_and_subset(self, spark):
+        from gohangout_spark.functions.profile import profile
+
+        df = spark.createDataFrame([(i, str(i)) for i in range(50)], "k long, v string")
+        rows = profile(df, ["k"], exact_distinct=False).collect()
+        assert len(rows) == 1
+        assert abs(rows[0].n_distinct - 50) <= 5  # HLL tolerance
