@@ -305,7 +305,7 @@ outputs:
     assert firsts == [20], emitted
 
 
-def test_streaming_session_window(spark, tmp_path):
+def test_streaming_session_window_matches_batch(spark, tmp_path):
     """Gap-based sessions in STREAMING: F.session_window merges events into
     sessions across micro-batches; a session finalizes (append mode) when
     the watermark passes its close. Streaming result == the batch
