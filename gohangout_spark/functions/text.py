@@ -111,3 +111,57 @@ def bpe_token_count(col: Column) -> Column:
     the budget signal sequence packing and token-budget sampling actually
     need. One regexp_extract_all per row, pure codegen."""
     return F.size(F.regexp_extract_all(F.lower(col), F.lit(BPE_PRETOKEN_RE), F.lit(0)))
+
+
+def chunk_documents(
+    docs,
+    *,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Split documents into overlapping fixed-token chunks (the RAG /
+    long-context preprocessing primitive): chunk k starts at token
+    1 + k·(chunk_tokens − overlap); generation stops once the remaining
+    tail is covered (starts run to len − overlap), so the last chunk may
+    be short but no chunk is redundant. Returns one row per chunk:
+    (id, chunk_idx 0-based, chunk_text, n_chunk_tokens).
+
+    Scan-side starts + slices via HOFs; only CHUNKS explode (the
+    ~len/step row multiplier any chunker pays), never per-token rows.
+    Empty/NULL docs produce zero chunks (filter-join back if you need
+    them retained, as chunk_dedup_stats does).
+    """
+    from pyspark.sql import functions as F
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    # tokenize into a REAL projection column first: referencing the
+    # tokenizer expression inside the transform lambda would re-run it
+    # per chunk (the zipped_shingles pitfall); a bound column is read,
+    # not re-evaluated
+    base = docs.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    toks = F.col("__toks")
+    n = F.size(toks)
+    starts = F.when(
+        n > 0,
+        F.sequence(F.lit(1), F.greatest(n - overlap, F.lit(1)), F.lit(step)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.concat_ws(" ", F.slice(toks, s, chunk_tokens)).alias("chunk_text"),
+            F.least(n - s + 1, F.lit(chunk_tokens)).cast("int").alias("n_chunk_tokens"),
+        ),
+    )
+    out = base.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "c")
+    )
+    return out.select(
+        id_col,
+        "chunk_idx",
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+    )

@@ -3413,6 +3413,53 @@ def profile_documents(spark, sf_dir):
     return profile(docs, ["doc_id", "lang", "text"])
 
 
+@q(
+    "chunk_documents",
+    """WITH t AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id, toks, len(toks) AS n,
+         CASE WHEN len(toks) > 0
+           THEN generate_series(1, greatest(len(toks) - 4, 1), 20)
+           ELSE CAST([] AS BIGINT[]) END AS starts
+  FROM t)
+SELECT doc_id,
+       ci - 1 AS chunk_idx,
+       array_to_string(toks[st:st+23], ' ') AS chunk_text,
+       least(n - st + 1, 24)::INT AS n_chunk_tokens
+FROM (SELECT doc_id, toks, n, unnest(starts) AS st,
+             generate_subscripts(starts, 1) AS ci FROM s)""",
+)
+def chunk_documents_q(spark, sf_dir):
+    """Overlapping fixed-token chunking (24-token chunks, 4-token
+    overlap): chunk starts stride by 20 until the tail is covered; the
+    last chunk may be short, none is redundant. The RAG/long-context
+    preprocessing step before embedding or packing."""
+    from gohangout_spark.functions.text import chunk_documents
+
+    docs = _docs(spark, sf_dir)
+    return chunk_documents(docs, chunk_tokens=24, overlap=4)
+
+
+@q("webdataset_export", None)
+def webdataset_export(spark, sf_dir):
+    """WebDataset tar-shard export (rows-only — tar writing has no SQL
+    form): documents in deterministic training order, 200 docs/shard,
+    lang metadata members; returns the manifest. Byte-for-byte shard
+    reproducibility is pytest-asserted
+    (tests/test_functions.py::TestWebdatasetExport)."""
+    import tempfile
+
+    from gohangout_spark.functions.export import write_webdataset_shards
+
+    docs = _docs(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="wds_")
+    m = write_webdataset_shards(docs, out_dir, docs_per_shard=200, meta_cols=["lang"])
+    return m.select("shard", "n_docs", "n_bytes")
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -3504,6 +3551,8 @@ _GATE_PRIORITY = [
     "deterministic_shuffle",
     "weighted_sample_topk",
     "profile_documents",
+    "chunk_documents",
+    "webdataset_export",
 ]
 
 QUERIES = {

@@ -2119,3 +2119,84 @@ class TestProfile:
         rows = profile(df, ["k"], exact_distinct=False).collect()
         assert len(rows) == 1
         assert abs(rows[0].n_distinct - 50) <= 5  # HLL tolerance
+
+
+class TestChunkDocuments:
+    def test_coverage_overlap_and_edges(self, spark):
+        from gohangout_spark.functions.text import chunk_documents
+
+        toks = " ".join(f"w{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [(1, toks), (2, "a b"), (3, ""), (4, None)],
+            "doc_id long, text string",
+        )
+        rows = [
+            r
+            for r in chunk_documents(docs, chunk_tokens=8, overlap=2).collect()
+        ]
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        # doc 1: starts 1 and 7 -> chunks of 8 and 4 tokens
+        c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+        assert [r.n_chunk_tokens for r in c1] == [8, 4]
+        assert c1[0].chunk_text.split()[-2:] == c1[1].chunk_text.split()[:2]  # overlap
+        # every token covered
+        covered = set()
+        for r in c1:
+            covered |= set(r.chunk_text.split())
+        assert covered == set(toks.split())
+        # short doc: single chunk
+        assert [r.n_chunk_tokens for r in by_doc[2]] == [2]
+        # empty/NULL docs: no chunks
+        assert 3 not in by_doc and 4 not in by_doc
+
+    def test_overlap_validation(self, spark):
+        from gohangout_spark.functions.text import chunk_documents
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+class TestWebdatasetExport:
+    def test_shards_members_and_reproducibility(self, spark, tmp_path):
+        import hashlib
+        import tarfile
+
+        from gohangout_spark.functions.export import write_webdataset_shards
+
+        docs = spark.createDataFrame(
+            [(i, f"text of {i}", "en") for i in range(25)] + [(99, None, "de")],
+            "doc_id long, text string, lang string",
+        )
+        out1 = str(tmp_path / "wds1")
+        m = {r.shard: r for r in write_webdataset_shards(
+            docs, out1, docs_per_shard=10, meta_cols=["lang"]
+        ).collect()}
+        assert sorted(m) == [0, 1, 2]
+        assert sum(r.n_docs for r in m.values()) == 26
+        # members: paired .txt/.json, ordered by training index
+        with tarfile.open(m[0].path) as tar:
+            names = tar.getnames()
+            assert len(names) == 20
+            keys = [n.split(".")[0] for n in names[::2]]
+            assert keys == sorted(keys)
+            first_txt = tar.extractfile(names[0]).read().decode()
+            assert first_txt.startswith("text of") or first_txt == ""
+        # byte-for-byte reproducible
+        out2 = str(tmp_path / "wds2")
+        write_webdataset_shards(docs, out2, docs_per_shard=10, meta_cols=["lang"]).count()
+        h = lambda p: hashlib.md5(open(p, "rb").read()).hexdigest()  # noqa: E731
+        for shard, r in m.items():
+            assert h(r.path) == h(r.path.replace("wds1", "wds2")), shard
+
+    def test_null_text_empty_member(self, spark, tmp_path):
+        import tarfile
+
+        from gohangout_spark.functions.export import write_webdataset_shards
+
+        docs = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        m = write_webdataset_shards(docs, str(tmp_path / "w")).first()
+        with tarfile.open(m.path) as tar:
+            assert tar.extractfile(tar.getnames()[0]).read() == b""
