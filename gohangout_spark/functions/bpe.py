@@ -1,0 +1,143 @@
+"""Byte-pair-encoding tokenizer: trained in-engine, applied scan-side.
+
+The Sennrich et al. 2016 (arXiv:1508.07909) algorithm factors cleanly for
+a 100 TB corpus:
+
+- the DISTRIBUTED part is the corpus reduction: one scan → word-frequency
+  table (explode + combiner-reduced groupBy). The table is bounded by the
+  VOCABULARY, not the corpus — this is the only pass that touches all the
+  data.
+- the merge loop runs driver-side over that counted vocabulary (exactly
+  how production BPE trainers work — they too operate on word counts, not
+  raw text). Each iteration is O(distinct words); ties break
+  deterministically (count desc, pair lexicographic) so the same corpus
+  always yields the same merge table.
+- encoding ships the merge-rank dict to an Arrow-batched pandas UDF
+  (greedy lowest-rank-first merging, the standard implementation). A
+  pure-expression encode would need ~n_merges chained interpreted HOF
+  aggregates per row — the interpreted-lambda cliff documented in
+  docs/SCALE.md — so the Arrow path is the only sensible one.
+
+``</w>`` marks word ends (merges never cross word boundaries).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from gohangout_spark.functions.text import tokens
+
+END = "</w>"
+
+__all__ = ["word_counts", "train_bpe", "bpe_merges_from_counts", "bpe_encode_udf"]
+
+
+def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The one full-corpus pass: (word, n) counts, combiner-reduced."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def bpe_merges_from_counts(counts: list[tuple[str, int]], n_merges: int) -> list[tuple[str, str]]:
+    """Driver-side merge loop over a counted vocabulary (pure function —
+    unit-testable without Spark). Greedy: repeatedly merge the most
+    frequent adjacent symbol pair; ties by (count desc, pair asc)."""
+    vocab: dict[tuple[str, ...], int] = {}
+    for word, n in counts:
+        syms = tuple(list(word[:-1]) + [word[-1] + END]) if word else ()
+        if syms:
+            vocab[syms] = vocab.get(syms, 0) + n
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] = pair_counts.get((a, b), 0) + n
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        merged = a + b
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, n in vocab.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            t = tuple(out)
+            new_vocab[t] = new_vocab.get(t, 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def train_bpe(
+    docs: DataFrame, *, n_merges: int = 50, text_col: str = "text"
+) -> list[tuple[str, str]]:
+    """One distributed word-count scan + the driver merge loop. The
+    collect is O(vocabulary); for corpora whose vocabulary itself is
+    huge, cap it first (e.g. top-k by count via TakeOrdered) — rare-word
+    tails don't influence early merges."""
+    counts = [(r["word"], r["n"]) for r in word_counts(docs, text_col).collect()]
+    return bpe_merges_from_counts(counts, n_merges)
+
+
+def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    syms = list(word[:-1]) + [word[-1] + END] if word else []
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i, pair in enumerate(zip(syms, syms[1:])):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode_udf(merges: list[tuple[str, str]]):
+    """Column function: text → array<string> of BPE tokens under the
+    learned merge table (lowest-rank-first greedy, the standard order —
+    training applies merges in discovery order, which this reproduces:
+    an earlier merge always outranks a later one). Arrow-batched; the
+    merge-rank dict broadcasts with the serialized UDF."""
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    # explicit SCALAR type: postponed annotations stringify inferred hints
+    @pandas_udf("array<string>", PandasUDFType.SCALAR)
+    def _enc(text):
+        import re
+
+        out = []
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            toks = [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+            enc: list[str] = []
+            for w in toks:
+                enc.extend(_encode_word(w, ranks))
+            out.append(enc)
+        return pd.Series(out)
+
+    return _enc
+
+
+def bpe_token_count(col: Column, merges: list[tuple[str, str]]) -> Column:
+    """Learned-vocabulary token count — the budget signal packing and
+    token-budget sampling want once a real tokenizer exists."""
+    return F.size(bpe_encode_udf(merges)(col))

@@ -3460,6 +3460,27 @@ def webdataset_export(spark, sf_dir):
     return m.select("shard", "n_docs", "n_bytes")
 
 
+@q("bpe_tokenize", None)
+def bpe_tokenize(spark, sf_dir):
+    """BPE trained in-engine (40 merges over the en slice's word counts —
+    one distributed scan, driver merge loop) then applied scan-side via
+    the Arrow encoder. Rows-only (BPE training is iterative, no SQL
+    form); correctness is pytest: classic-corpus merge sequence, encode
+    == training segmentation, determinism
+    (tests/test_functions.py::TestBPE)."""
+    from gohangout_spark.functions.bpe import bpe_encode_udf, train_bpe
+    from gohangout_spark.io import rebalance_for_compute
+
+    docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
+    merges = train_bpe(docs.where(F.col("lang") == "en"), n_merges=40)
+    enc = bpe_encode_udf(merges)(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(enc).alias("n_bpe_tokens"),
+        F.element_at(enc, 1).alias("first_token"),
+    )
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -3553,6 +3574,7 @@ _GATE_PRIORITY = [
     "profile_documents",
     "chunk_documents",
     "webdataset_export",
+    "bpe_tokenize",
 ]
 
 QUERIES = {

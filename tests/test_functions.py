@@ -2200,3 +2200,75 @@ class TestWebdatasetExport:
         m = write_webdataset_shards(docs, str(tmp_path / "w")).first()
         with tarfile.open(m.path) as tar:
             assert tar.extractfile(tar.getnames()[0]).read() == b""
+
+
+class TestBPE:
+    """In-engine BPE training + scan-side encoding (functions/bpe.py)."""
+
+    def test_classic_corpus_merges(self):
+        from gohangout_spark.functions.bpe import END, bpe_merges_from_counts
+
+        # Sennrich-style toy vocabulary
+        counts = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+        merges = bpe_merges_from_counts(counts, 4)
+        # 'es' appears in newest+widest = 9 times -> first merge is (e, s)
+        assert merges[0] == ("e", "s")
+        assert merges[1] == ("es", "t" + END)
+
+    def test_train_and_encode_roundtrip(self, spark):
+        from gohangout_spark.functions.bpe import (
+            END,
+            bpe_encode_udf,
+            train_bpe,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "low low lower newest newest widest") for i in range(4)],
+            "doc_id long, text string",
+        )
+        merges = train_bpe(docs, n_merges=10)
+        assert merges == train_bpe(docs, n_merges=10)  # deterministic
+        enc = docs.limit(1).select(
+            bpe_encode_udf(merges)(F.col("text")).alias("toks")
+        ).first()["toks"]
+        # concatenating tokens reconstructs the words with end markers
+        joined = "".join(enc)
+        assert joined == "low</w>low</w>lower</w>newest</w>newest</w>widest</w>"
+        # frequent words collapse to few symbols
+        assert "low" + END in enc or "low" in enc
+
+    def test_encode_matches_training_segmentation(self, spark):
+        """Encoding the training corpus with the learned table yields
+        exactly the segmentation training ended with (rank order ==
+        discovery order)."""
+        from gohangout_spark.functions.bpe import (
+            _encode_word,
+            bpe_merges_from_counts,
+        )
+
+        counts = [("aaab", 3), ("aab", 2), ("ab", 7)]
+        merges = bpe_merges_from_counts(counts, 5)
+        ranks = {tuple(m): i for i, m in enumerate(merges)}
+        for w, _ in counts:
+            # this word's training-final symbols: apply merges in order
+            syms = tuple(list(w[:-1]) + [w[-1] + "</w>"])
+            for a, b in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = tuple(out)
+            assert _encode_word(w, ranks) == list(syms), w
+
+    def test_null_and_empty(self, spark):
+        from gohangout_spark.functions.bpe import bpe_encode_udf
+
+        docs = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+        rows = {r.doc_id: r.toks for r in docs.select(
+            "doc_id", bpe_encode_udf([("a", "b")])(F.col("text")).alias("toks")
+        ).collect()}
+        assert rows[1] is None and rows[2] == []
