@@ -232,3 +232,37 @@ def fuzzy_match_values(
     return cand.withColumn("dist", F.levenshtein("left_val", "right_val")).where(
         F.col("dist") <= k
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    *,
+    max_dist: int = 2,
+    q: int = 2,
+    right_suffix: str = "_r",
+) -> DataFrame:
+    """Row-level convenience over :func:`fuzzy_match_values`: every left
+    row joined to every right row whose key is within ``max_dist`` edits,
+    plus a ``dist`` column. Right-side columns that collide with left
+    names get ``right_suffix``. Both row joins are plain equi-joins on
+    the matched values, so the whole thing stays shuffle-hash/SMJ-shaped.
+    """
+    matches = fuzzy_match_values(
+        left, right, left_col, right_col, max_dist=max_dist, q=q
+    )
+    renames = {
+        c: c + right_suffix for c in right.columns if c in set(left.columns)
+    }
+    r = right
+    for old, new in renames.items():
+        r = r.withColumnRenamed(old, new)
+    right_key = renames.get(right_col, right_col)
+    out = (
+        left.join(matches, left[left_col] == matches["left_val"])
+        .join(r, matches["right_val"] == r[right_key])
+        .drop("left_val", "right_val")
+    )
+    return out

@@ -1043,3 +1043,73 @@ def group_centroids(
         "n",
         F.array(*[F.col(f"__c{i}") for i in range(dim)]).alias("centroid"),
     )
+
+
+_HEX = "0123456789abcdef"
+
+
+def hashed_embeddings(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    seed: int = 42,
+    normalize: bool = True,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Feature-hashing document vectors (the hashing trick, Weinberger et
+    al. 2009, arXiv:0902.2206) entirely in-engine: each token hashes to a
+    bucket and a ±1 sign from its md5 nibbles; the doc vector is the
+    signed bucket-count array, optionally L2-normalized. No model, no
+    vocabulary — a real ``array<double>`` column any of this repo's
+    ANN / near-dup / centroid operators consume directly, deterministic
+    across engines (the oracle rebuilds the identical vectors in SQL).
+
+    Built as three chained projections (token hashes → (bucket, sign)
+    pairs → per-dim signed counts), each bound to a real column before
+    the next HOF references it — referencing the previous expression
+    INSIDE the next lambda would re-evaluate it per element (the
+    zipped_shingles pitfall). Cost is O(dim · tokens) per row
+    interpreted; for production-width dims use the same Arrow pattern as
+    pq_encode_pandas.
+    """
+    hexl = F.lit(_HEX)
+
+    def nib(h, i):
+        return F.instr(hexl, F.substring(h, i, 1)) - 1
+
+    from gohangout_spark.functions.text import tokens
+
+    base = df.withColumn(
+        "__th",
+        F.transform(
+            tokens(F.col(text_col)), lambda t: F.md5(F.concat(t, F.lit(f"-{seed}")))
+        ),
+    )
+    pairs = F.transform(
+        F.col("__th"),
+        lambda h: F.struct(
+            ((nib(h, 1) * 16 + nib(h, 2)) % dim).alias("b"),
+            F.when(nib(h, 3) >= 8, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s"),
+        ),
+    )
+    base = base.withColumn("__pairs", pairs).drop("__th")
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.aggregate(
+            F.col("__pairs"),
+            F.lit(0.0),
+            lambda acc, p: acc + F.when(p.getField("b") == i, p.getField("s")).otherwise(0.0),
+        ),
+    )
+    base = base.withColumn(out_col, vec).drop("__pairs")
+    if normalize:
+        nrm = F.sqrt(F.aggregate(F.col(out_col), F.lit(0.0), lambda a, v: a + v * v))
+        base = base.withColumn(
+            out_col,
+            F.when(
+                nrm > 0, F.transform(F.col(out_col), lambda v: v / nrm)
+            ).otherwise(F.col(out_col)),
+        )
+    return base

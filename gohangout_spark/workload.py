@@ -3481,6 +3481,43 @@ def bpe_tokenize(spark, sf_dir):
     )
 
 
+@q(
+    "hashed_embedding_vectors",
+    """WITH t AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+h AS (SELECT doc_id, list_transform(toks, x -> md5(x || '-42')) AS hs FROM t),
+p AS (SELECT doc_id,
+        list_transform(hs, h ->
+          ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)) % 16) AS bs,
+        list_transform(hs, h ->
+          CASE WHEN strpos('0123456789abcdef', substring(h, 3, 1)) - 1 >= 8
+               THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS ss
+      FROM h)
+SELECT doc_id, i AS d,
+       coalesce(list_sum(list_transform(generate_series(1, len(bs)),
+         j -> CASE WHEN bs[j] = i THEN ss[j] ELSE 0.0::DOUBLE END)), 0.0)::DOUBLE AS v
+FROM p, unnest(generate_series(0, 15)) AS u(i)""",
+)
+def hashed_embedding_vectors(spark, sf_dir):
+    """Feature-hashing document vectors (hashing trick) with NO model:
+    md5-derived bucket+sign per token, signed bucket counts as the
+    vector (dim 16 here, long format for the scalar-column hash gate).
+    The oracle rebuilds the identical vectors from the same nibble
+    arithmetic — full cross-engine determinism for a text→vector path
+    that feeds this repo's ANN/near-dup/centroid operators."""
+    from gohangout_spark.functions.similarity import hashed_embeddings
+    from gohangout_spark.io import rebalance_for_compute
+
+    docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
+    emb = hashed_embeddings(docs, dim=16, normalize=False)
+    return emb.select(
+        "doc_id", F.posexplode("embedding").alias("d", "v")
+    ).select("doc_id", "d", "v")
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -3575,6 +3612,7 @@ _GATE_PRIORITY = [
     "chunk_documents",
     "webdataset_export",
     "bpe_tokenize",
+    "hashed_embedding_vectors",
 ]
 
 QUERIES = {

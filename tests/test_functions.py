@@ -2272,3 +2272,49 @@ class TestBPE:
             "doc_id", bpe_encode_udf([("a", "b")])(F.col("text")).alias("toks")
         ).collect()}
         assert rows[1] is None and rows[2] == []
+
+
+class TestFuzzyJoinRows:
+    def test_row_join_with_collision_rename(self, spark):
+        from gohangout_spark.functions.joins import fuzzy_join
+
+        left = spark.createDataFrame(
+            [(1, "widget"), (2, "gizmo")], "id long, name string"
+        )
+        right = spark.createDataFrame(
+            [(10, "widgets"), (11, "gadget"), (12, "gizmo")], "id long, name string"
+        )
+        got = fuzzy_join(left, right, "name", "name", max_dist=1).collect()
+        pairs = {(r.name, r.name_r, r.dist) for r in got}
+        assert pairs == {("widget", "widgets", 1), ("gizmo", "gizmo", 0)}
+        # both id columns survive
+        assert {(r.id, r.id_r) for r in got} == {(1, 10), (2, 12)}
+
+
+class TestHashedEmbeddings:
+    def test_shape_determinism_and_similarity_signal(self, spark):
+        from gohangout_spark.functions.similarity import hashed_embeddings
+
+        docs = spark.createDataFrame(
+            [
+                (1, "spark window join batch table"),
+                (2, "spark window join batch line"),   # near-dup of 1
+                (3, "zebra quagga okapi gnu impala"),  # disjoint vocab
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        out = hashed_embeddings(docs, dim=32)
+        rows = {r.doc_id: r.embedding for r in out.collect()}
+        assert all(len(v) == 32 for v in rows.values())
+        # normalized rows have unit norm (except the empty doc: zero vec)
+        for d in (1, 2, 3):
+            assert abs(sum(x * x for x in rows[d]) - 1.0) < 1e-9
+        assert all(x == 0.0 for x in rows[4])
+        dot = lambda a, b: sum(x * y for x, y in zip(a, b))  # noqa: E731
+        assert dot(rows[1], rows[2]) > dot(rows[1], rows[3]) + 0.3
+        # deterministic across layouts
+        again = {r.doc_id: r.embedding for r in hashed_embeddings(
+            docs.repartition(3), dim=32
+        ).collect()}
+        assert again == rows
