@@ -3518,6 +3518,67 @@ def hashed_embedding_vectors(spark, sf_dir):
     ).select("doc_id", "d", "v")
 
 
+@q(
+    "zscore_anomalies",
+    """WITH st AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
+  FROM events GROUP BY event_type)
+SELECT event_id, event_type, value,
+       round((value - mu) / sigma, 3) AS zscore
+FROM events JOIN st USING (event_type)
+WHERE abs(round((value - mu) / sigma, 3)) >= 2.5""",
+)
+def zscore_anomalies_q(spark, sf_dir):
+    """Per-type z-score anomaly flagging: O(groups) stats broadcast back,
+    scan-side flagging, cut on the ROUNDED score for cross-engine
+    reproducibility."""
+    from gohangout_spark.functions.analytics import zscore_anomalies
+
+    return zscore_anomalies(_events(spark, sf_dir), threshold=2.5)
+
+
+@q(
+    "funnel_conversion",
+    """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                   WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+       WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+       WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+SELECT 'signup' AS step, 1 AS stage, (SELECT count(*) FROM s1) AS n_users
+UNION ALL SELECT 'click', 2, (SELECT count(*) FROM s2)
+UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM s3)""",
+)
+def funnel_conversion_q(spark, sf_dir):
+    """First-touch ordered funnel signup → click → purchase: one filtered
+    min-aggregate + one user-keyed equi-join per step — no per-user
+    event arrays, so power-user skew costs nothing."""
+    from gohangout_spark.functions.analytics import funnel_conversion
+
+    return funnel_conversion(
+        _events(spark, sf_dir), ["signup", "click", "purchase"]
+    )
+
+
+@q(
+    "cohort_retention",
+    """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+                  FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+       (date_diff('day', cw, aw) / 7)::INT AS week_offset,
+       count(DISTINCT user_id) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY cohort_week, week_offset""",
+)
+def cohort_retention_q(spark, sf_dir):
+    """Weekly cohort retention triangle: first-event week cohorts ×
+    active-week offsets, three combiner aggregates + one user equi-join."""
+    from gohangout_spark.functions.analytics import cohort_retention
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -3613,6 +3674,9 @@ _GATE_PRIORITY = [
     "webdataset_export",
     "bpe_tokenize",
     "hashed_embedding_vectors",
+    "zscore_anomalies",
+    "funnel_conversion",
+    "cohort_retention",
 ]
 
 QUERIES = {

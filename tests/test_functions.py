@@ -2318,3 +2318,72 @@ class TestHashedEmbeddings:
             docs.repartition(3), dim=32
         ).collect()}
         assert again == rows
+
+
+class TestAnalytics:
+    """Event analytics: z-score anomalies, funnels, cohort retention."""
+
+    def test_funnel_requires_order(self, spark):
+        import datetime as dt
+
+        from gohangout_spark.functions.analytics import funnel_conversion
+
+        t = lambda m: dt.datetime(2024, 1, 1, 0, m)  # noqa: E731
+        rows = [
+            # user 1: full ordered funnel
+            (1, t(0), "signup"), (1, t(1), "click"), (1, t(2), "purchase"),
+            # user 2: purchase BEFORE click -> stops at click
+            (2, t(0), "signup"), (2, t(2), "click"), (2, t(1), "purchase"),
+            # user 3: no signup -> never enters
+            (3, t(0), "click"), (3, t(1), "purchase"),
+            # user 4: signup only
+            (4, t(0), "signup"),
+        ]
+        ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+        got = {r.step: r.n_users for r in funnel_conversion(
+            ev, ["signup", "click", "purchase"]
+        ).collect()}
+        assert got == {"signup": 3, "click": 2, "purchase": 1}
+
+    def test_funnel_same_timestamp_not_counted(self, spark):
+        import datetime as dt
+
+        from gohangout_spark.functions.analytics import funnel_conversion
+
+        ev = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1), "a"), (1, dt.datetime(2024, 1, 1), "b")],
+            "user_id long, ts timestamp, event_type string",
+        )
+        got = {r.step: r.n_users for r in funnel_conversion(ev, ["a", "b"]).collect()}
+        assert got == {"a": 1, "b": 0}  # strictly-after semantics
+
+    def test_zscore_flags_outlier_only(self, spark):
+        from gohangout_spark.functions.analytics import zscore_anomalies
+
+        rows = [(i, "t", 10.0) for i in range(20)] + [(99, "t", 1000.0)]
+        ev = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+        got = zscore_anomalies(ev, threshold=2.5).collect()
+        assert [r.event_id for r in got] == [99]
+        assert got[0].zscore > 2.5
+
+    def test_cohort_offsets(self, spark):
+        import datetime as dt
+
+        from gohangout_spark.functions.analytics import cohort_retention
+
+        # user 1 first seen week of Jan 1 (Mon), active again 2 weeks later;
+        # user 2 first seen week of Jan 8
+        ev = spark.createDataFrame(
+            [
+                (1, dt.datetime(2024, 1, 2)), (1, dt.datetime(2024, 1, 16)),
+                (2, dt.datetime(2024, 1, 9)),
+            ],
+            "user_id long, ts timestamp",
+        )
+        got = {(r.cohort_week, r.week_offset): r.n_users
+               for r in cohort_retention(ev).collect()}
+        assert got == {
+            ("2024-01-01", 0): 1,
+            ("2024-01-01", 2): 1,
+            ("2024-01-08", 0): 1,
+        }
