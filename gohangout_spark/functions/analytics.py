@@ -112,3 +112,31 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct(user_col).alias("n_users"))
     )
+
+
+def sessionize(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Assign a per-user session index to every event (gap-based: a pause
+    longer than ``gap_minutes`` starts a new session) — the per-event
+    complement to F.session_window's per-session aggregates. One
+    user-partitioned window pass (lag + running sum of break flags);
+    windows are PARTITIONED by user, so parallelism is per-user and no
+    global sort exists. Returns events + session_idx (1-based)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev = F.lag(ts_col).over(w)
+    # NTZ timestamps (tz-naive parquet under Spark 4) cannot cast to long
+    # directly — route through timestamp (session tz is pinned UTC)
+    sec = F.col(ts_col).cast("timestamp").cast("long")
+    prev_sec = prev.cast("timestamp").cast("long")
+    brk = (prev.isNull() | (sec - prev_sec > gap_minutes * 60)).cast("int")
+    return events.withColumn(
+        "session_idx",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )

@@ -3579,6 +3579,26 @@ def cohort_retention_q(spark, sf_dir):
     return cohort_retention(_events(spark, sf_dir))
 
 
+@q(
+    "sessionize_events",
+    """SELECT event_id, user_id,
+       sum(CASE WHEN prev_ts IS NULL
+                  OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+         OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_idx
+FROM (SELECT event_id, user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events)""",
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based session IDs per event (30-min gap): lag + running sum of
+    break flags inside USER-partitioned windows — no global sort."""
+    from gohangout_spark.functions.analytics import sessionize
+
+    ev = _events(spark, sf_dir)
+    return sessionize(ev).select("event_id", "user_id", "session_idx")
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -3677,6 +3697,7 @@ _GATE_PRIORITY = [
     "zscore_anomalies",
     "funnel_conversion",
     "cohort_retention",
+    "sessionize_events",
 ]
 
 QUERIES = {

@@ -2387,3 +2387,21 @@ class TestAnalytics:
             ("2024-01-01", 2): 1,
             ("2024-01-08", 0): 1,
         }
+
+
+class TestSessionize:
+    def test_gap_breaks_sessions(self, spark):
+        import datetime as dt
+
+        from gohangout_spark.functions.analytics import sessionize
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, 1, t0),
+            (2, 1, t0 + dt.timedelta(minutes=10)),   # same session
+            (3, 1, t0 + dt.timedelta(minutes=50)),   # 40-min gap -> new
+            (4, 2, t0),                               # other user: own numbering
+        ]
+        ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+        got = {r.event_id: r.session_idx for r in sessionize(ev, gap_minutes=30).collect()}
+        assert got == {1: 1, 2: 1, 3: 2, 4: 1}
