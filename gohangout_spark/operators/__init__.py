@@ -25,6 +25,7 @@ from gohangout_spark.operators.metrics import LinkMetric, LinkStatsMetric
 from gohangout_spark.operators.textops import (
     Decontaminate,
     Fingerprint,
+    BoilerplateLines,
     GopherRules,
     LanguageId,
     QuantileBucket,
@@ -64,6 +65,7 @@ FILTER_REGISTRY = {
     "SimHash": SimHash,
     "RedactPii": RedactPii,
     "Decontaminate": Decontaminate,
+    "BoilerplateLines": BoilerplateLines,
     "GopherRules": GopherRules,
     "QuantileBucket": QuantileBucket,
 }

@@ -321,3 +321,43 @@ class GopherRules(_GuardedPlanOp):
         if self.action == "drop":
             return {}
         return {c: F.lit(None).cast("boolean") for c in self._OUT_COLS}
+
+
+class BoilerplateLines(_GuardedPlanOp):
+    """C4-style line-wise boilerplate removal as a YAML filter
+    (functions.curation.remove_boilerplate_lines): rewrites ``src`` to the
+    kept lines and adds n_lines / n_kept; ``drop_empty: true`` drops docs
+    where nothing survived (guarded rows only, as with the other
+    plan-level curation filters).
+
+        - BoilerplateLines:
+            src: text
+            min_words: 3
+            require_terminal_punct: false
+            markers: ["javascript", "cookie"]
+            drop_empty: true
+    """
+
+    _OUT_COLS = ["n_lines", "n_kept"]
+
+    def __init__(self, src: str = "text", drop_empty: bool = False, **rules):
+        self.src = src
+        self.drop_empty = drop_empty
+        self.rules = rules
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from gohangout_spark.functions.curation import remove_boilerplate_lines
+
+        out = remove_boilerplate_lines(
+            df.withColumn("__btext", field_col(self.src, df).cast("string")),
+            text_col="__btext",
+            out_col="__bclean",
+            **self.rules,
+        )
+        out = out.withColumn(self.src, F.col("__bclean")).drop("__btext", "__bclean")
+        if self.drop_empty:
+            out = out.where(F.col("n_kept") > 0)
+        return out
+
+    def _null_outputs(self):
+        return {c: F.lit(None).cast("int") for c in self._OUT_COLS}

@@ -660,3 +660,35 @@ outputs:
     assert sorted(run()) == list(range(20))
     spark.range(20, 30).selectExpr("id").write.mode("append").parquet(src)
     assert sorted(run()) == list(range(20, 30))  # only the new files
+
+
+def test_boilerplate_lines_filter(spark, tmp_path):
+    """BoilerplateLines as a YAML filter: rewrites text to kept lines,
+    adds line counters; drop_empty removes fully-boilerplate docs."""
+    src = str(tmp_path / "bdocs_pq")
+    spark.createDataFrame(
+        [
+            (1, "NAV MENU BAR HOME X\nreal sentence with enough words here."),
+            (2, "please enable javascript to continue."),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    yml = f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+filters:
+- BoilerplateLines:
+    src: text
+outputs:
+- Stdout: {{}}
+"""
+    rows = {r["doc_id"]: r for r in run_yaml(spark, yml)[0].rows}
+    assert rows[1]["text"] == "real sentence with enough words here."
+    assert rows[1]["n_lines"] == 2 and rows[1]["n_kept"] == 1
+    assert rows[2]["text"] == "" and rows[2]["n_kept"] == 0
+
+    yml2 = yml.replace("src: text", "src: text\n    drop_empty: true")
+    kept = run_yaml(spark, yml2)[0].rows
+    assert [r["doc_id"] for r in kept] == [1]
