@@ -57,6 +57,10 @@ def funnel_conversion(
     aggregation everywhere. No per-user event arrays are materialized,
     so a power user with millions of events costs no more than anyone
     else (the collect_list formulation would skew on exactly that user).
+    Each stage's tiny (user, first-ts) frame is persisted before its
+    count so stage k's action re-reads stage k-1's result instead of
+    replaying the whole chain (un-persisted lineage would scan events
+    k(k+1)/2 times).
     """
     if not steps:
         raise ValueError("steps must be non-empty")
@@ -73,10 +77,13 @@ def funnel_conversion(
                 .groupBy(user_col)
                 .agg(F.min(ts_col).alias("__t"))
             )
+        cur = cur.persist()
         reached.append(cur)
         prev = cur
     spark = events.sparkSession
     counts = [r.count() for r in reached]
+    for r in reached:
+        r.unpersist()
     return spark.createDataFrame(
         [(s, i + 1, c) for i, (s, c) in enumerate(zip(steps, counts))],
         "step string, stage int, n_users long",

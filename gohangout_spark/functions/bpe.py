@@ -30,7 +30,13 @@ from gohangout_spark.functions.text import tokens
 
 END = "</w>"
 
-__all__ = ["word_counts", "train_bpe", "bpe_merges_from_counts", "bpe_encode_udf"]
+__all__ = [
+    "word_counts",
+    "train_bpe",
+    "bpe_merges_from_counts",
+    "bpe_encode_udf",
+    "learned_token_count",
+]
 
 
 def word_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -137,7 +143,9 @@ def bpe_encode_udf(merges: list[tuple[str, str]]):
     return _enc
 
 
-def bpe_token_count(col: Column, merges: list[tuple[str, str]]) -> Column:
+def learned_token_count(col: Column, merges: list[tuple[str, str]]) -> Column:
     """Learned-vocabulary token count — the budget signal packing and
-    token-budget sampling want once a real tokenizer exists."""
+    token-budget sampling want once a real tokenizer exists. (Named to
+    avoid shadowing text.bpe_token_count, the one-arg regex
+    approximation.)"""
     return F.size(bpe_encode_udf(merges)(col))

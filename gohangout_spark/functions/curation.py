@@ -146,10 +146,12 @@ def decontaminate_ngrams(
 class NgramBloom:
     """A packed bloom filter over xxhash64 word-n-gram keys.
 
-    ``bits`` is a numpy uint8 array of m/8 bytes; ``k`` probe positions per
-    key come from double hashing (h + i*h2) mod m with h2 forced odd — the
-    standard Kirsch–Mitzenmacher construction, so membership is reproducible
-    anywhere from (bits, m, k) alone.
+    ``bits`` is a numpy uint8 array of m/8 bytes; the ``k`` probe positions
+    for a key are ``splitmix64(h XOR i*C) mod m`` for i in 0..k-1 (per-probe
+    remixes of the xxhash64 key — see _positions; classic double hashing
+    probes an arithmetic progression, which at small m inflated the realized
+    fp ~3x over theory). Membership is reproducible anywhere from
+    (bits, m, k) and THIS probe scheme alone.
     """
 
     __slots__ = ("bits", "m", "k", "n")

@@ -11,9 +11,13 @@ Scale shape: rows get a deterministic global training order
 shard id is ``train_idx // docs_per_shard``, and a groupBy(shard) gives
 each task exactly one tar to write — shards scale out with the cluster,
 and the write is reproducible byte-for-byte (fixed mtime/uid, members in
-train_idx order, zero-padded keys) so a re-run produces identical shards
-for resumable pipelines. Returns a manifest (shard, path, n_docs,
-n_bytes) the caller can validate or commit atomically.
+train_idx order, zero-padded keys) so a re-run — or a task replayed
+after executor loss — produces identical shards, which is what makes
+the side-effecting write safe under Spark's re-execution semantics.
+``out_dir`` must be a filesystem every task AND the driver can reach
+(local disk only on local[*]; a shared mount on a cluster). Returns a
+manifest (shard, path, n_docs, n_bytes) the caller can validate or
+commit atomically.
 """
 
 from __future__ import annotations
@@ -51,7 +55,7 @@ def write_webdataset_shards(
     from gohangout_spark.functions.sampling import deterministic_shuffle
 
     meta_cols = list(meta_cols or [])
-    os.makedirs(out_dir, exist_ok=True)
+    os.makedirs(out_dir, exist_ok=True)  # driver-side, for local runs
 
     ordered = deterministic_shuffle(df, id_col, seed=seed, idx_col="__idx")
     keep = ["__idx", text_col, *meta_cols]
@@ -61,6 +65,10 @@ def write_webdataset_shards(
 
     def _write(pdf: pd.DataFrame) -> pd.DataFrame:
         shard = int(pdf["__shard"].iloc[0])
+        # executor-side too: on a real cluster the driver's makedirs ran on
+        # a different machine; out_dir must be a SHARED filesystem
+        # (NFS/fuse-mounted object store) for the manifest paths to resolve
+        os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"shard-{shard:05d}.tar")
         pdf = pdf.sort_values("__idx")
         with open(path, "wb") as fh, tarfile.open(fileobj=fh, mode="w") as tar:
@@ -85,9 +93,9 @@ def write_webdataset_shards(
         )
 
     manifest = with_shard.groupBy("__shard").applyInPandas(_write, MANIFEST_SCHEMA)
-    # applyInPandas is lazy and re-running it would rewrite every shard:
-    # cache + count materializes the write exactly once; later actions on
-    # the returned manifest read the cache
+    # applyInPandas is lazy and re-running it would rewrite every shard
+    # (harmlessly — identical bytes — but at full cost): cache + count
+    # materializes the write once; later actions read the cache
     out = manifest.orderBy("shard").cache()
     out.count()
     return out

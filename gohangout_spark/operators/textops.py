@@ -354,7 +354,12 @@ class BoilerplateLines(_GuardedPlanOp):
             out_col="__bclean",
             **self.rules,
         )
-        out = out.withColumn(self.src, F.col("__bclean")).drop("__btext", "__bclean")
+        from gohangout_spark.expr.paths import set_field
+
+        # set_field, not withColumn: a nested src like [log][text] must be
+        # rewritten IN PLACE, not shadowed by a top-level column literally
+        # named "[log][text]"
+        out = set_field(out, self.src, F.col("__bclean")).drop("__btext", "__bclean")
         if self.drop_empty:
             out = out.where(F.col("n_kept") > 0)
         return out

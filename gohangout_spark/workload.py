@@ -3490,10 +3490,12 @@ def bpe_tokenize(spark, sf_dir):
 h AS (SELECT doc_id, list_transform(toks, x -> md5(x || '-42')) AS hs FROM t),
 p AS (SELECT doc_id,
         list_transform(hs, h ->
-          ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 16
-           + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1)) % 16) AS bs,
+          ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) % 16) AS bs,
         list_transform(hs, h ->
-          CASE WHEN strpos('0123456789abcdef', substring(h, 3, 1)) - 1 >= 8
+          CASE WHEN strpos('0123456789abcdef', substring(h, 5, 1)) - 1 >= 8
                THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS ss
       FROM h)
 SELECT doc_id, i AS d,

@@ -692,3 +692,29 @@ outputs:
     yml2 = yml.replace("src: text", "src: text\n    drop_empty: true")
     kept = run_yaml(spark, yml2)[0].rows
     assert [r["doc_id"] for r in kept] == [1]
+
+
+def test_boilerplate_lines_nested_src(spark, tmp_path):
+    """Nested src paths are rewritten IN PLACE via set_field, not
+    shadowed by a top-level column named like the path."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "bnest_pq")
+    spark.createDataFrame(
+        [(1, ("NAV MENU BAR X Y\na real sentence with plenty of words.",))],
+        "doc_id long, log struct<text:string>",
+    ).write.parquet(src)
+    yml = f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+filters:
+- BoilerplateLines:
+    src: "[log][text]"
+outputs:
+- Stdout: {{}}
+"""
+    rows = run_yaml(spark, yml)[0].rows
+    assert rows[0]["log"]["text"] == "a real sentence with plenty of words."
+    assert "[log][text]" not in rows[0].asDict()
