@@ -219,6 +219,12 @@ def build_ngram_bloom(
     ``expected_items`` skips the distinct-gram count job when the caller
     already knows the cardinality (approx is fine — fp_rate degrades
     gracefully if underestimated).
+
+    Small eval sets (≤ ``small_collect_threshold`` estimated distinct
+    grams) skip the mapInPandas stage entirely: collecting the distinct
+    8-byte hashes is cheaper than spinning a Python-worker stage, and the
+    bitmap builds driver-side from the same probe code. Big sets keep the
+    distributed build (driver traffic stays O(partitions × m/8)).
     """
     import math
 
@@ -227,11 +233,34 @@ def build_ngram_bloom(
     grams = eval_docs.select(
         F.explode(_word_ngrams(F.col(text_col), n, hashed=True)).alias("h")
     )
+
+    def _size(items: int):
+        mm = max(64, int(-items * math.log(fp_rate) / (math.log(2) ** 2)))
+        mm = (mm + 63) // 64 * 64
+        return mm, max(1, round(mm / items * math.log(2)))
+
+    small_collect_threshold = 200_000  # 8-byte hashes -> <2 MB driver pull
+    if expected_items is None or expected_items <= small_collect_threshold:
+        # one-job small path: the limited distinct-collect IS the
+        # cardinality probe (limit prunes early on big sets)
+        probe = grams.dropDuplicates(["h"]).limit(small_collect_threshold + 1).collect()
+        if len(probe) <= small_collect_threshold:
+            items = max(1, len(probe))
+            m, k = _size(items)
+            proto = NgramBloom(None, m, k, items)
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            if probe:
+                hashes = np.fromiter((r["h"] for r in probe), dtype=np.int64)
+                for pos in proto._positions(hashes):
+                    np.bitwise_or.at(
+                        bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8)
+                    )
+            return NgramBloom(bits, m, k, items)
+        expected_items = None  # too big for the fast path after all
+
     if expected_items is None:
         expected_items = grams.select(F.approx_count_distinct("h")).first()[0] or 1
-    m = max(64, int(-expected_items * math.log(fp_rate) / (math.log(2) ** 2)))
-    m = (m + 63) // 64 * 64
-    k = max(1, round(m / expected_items * math.log(2)))
+    m, k = _size(expected_items)
 
     nbytes = m // 8
     proto = NgramBloom(None, m, k, expected_items)

@@ -2405,3 +2405,43 @@ class TestSessionize:
         ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
         got = {r.event_id: r.session_idx for r in sessionize(ev, gap_minutes=30).collect()}
         assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+class TestRebalance:
+    def test_small_file_rebalanced_memory_df_untouched(self, spark, tmp_path):
+        from gohangout_spark.io import rebalance_for_compute
+
+        p = str(tmp_path / "one")
+        spark.range(100).coalesce(1).write.parquet(p)
+        df = spark.read.parquet(p)
+        out = rebalance_for_compute(df, spark)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "roundrobin" in plan.lower()  # repartitioned
+        mem = spark.range(10)
+        assert rebalance_for_compute(mem, spark) is mem  # no files -> no-op
+
+
+class TestBloomSmallFastPath:
+    def test_small_build_equals_distributed(self, spark):
+        import numpy as np
+
+        from gohangout_spark.functions.curation import build_ngram_bloom
+
+        ev = spark.createDataFrame(
+            [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        small = build_ngram_bloom(ev, n=3, fp_rate=1e-3)  # est << threshold
+        big = build_ngram_bloom(ev, n=3, fp_rate=1e-3, expected_items=300_001)
+        # different m (sized from different estimates) but both must accept
+        # every inserted gram
+        from pyspark.sql import functions as F  # noqa: N812
+
+        from gohangout_spark.functions.curation import _word_ngrams
+
+        hashes = (
+            ev.select(F.explode(_word_ngrams(F.col("text"), 3, hashed=True)).alias("h"))
+            .toPandas()["h"].to_numpy(dtype=np.int64)
+        )
+        assert small.might_contain(hashes).all()
+        assert big.might_contain(hashes).all()
