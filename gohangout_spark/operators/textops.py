@@ -120,12 +120,22 @@ class Decontaminate(_GuardedPlanOp):
             id_field: doc_id
             action: mark
             target: contaminated
+        - Decontaminate:
+            eval_path: /benchmarks/eval_docs.parquet      # bloom mode
+            ngram: 13
+            bloom: true                                   # STREAMING-safe
+            fp_rate: 1.0e-4
 
     Substring mode broadcasts the literal snippet list scan-side
     (functions.curation.decontaminate); n-gram mode reads the eval corpus
     and joins on hashed word n-grams (functions.curation.decontaminate_
-    ngrams — needs ``id_field`` to count per-doc hits). ``drop`` removes
-    contaminated rows; ``mark`` keeps them with a boolean ``target``.
+    ngrams — needs ``id_field`` to count per-doc hits); bloom mode folds
+    the eval grams into a bloom filter ONCE at build time and flags
+    scan-side with zero joins — the only n-gram path that works on
+    STREAMS (no false negatives; ~fp_rate false positives per gram, so
+    pair ``action: mark`` with a downstream exact re-check when dropping
+    is too sharp). ``drop`` removes contaminated rows; ``mark`` keeps
+    them with a boolean ``target``.
     """
 
     def __init__(
@@ -140,6 +150,8 @@ class Decontaminate(_GuardedPlanOp):
         id_field: str = "doc_id",
         action: str = "drop",
         target: str = "contaminated",
+        bloom: bool = False,
+        fp_rate: float = 1e-4,
     ):
         if (snippets is None) == (eval_path is None):
             raise ValueError(
@@ -162,6 +174,11 @@ class Decontaminate(_GuardedPlanOp):
         self.id_field = id_field
         self.action = action
         self.target = target
+        self.bloom = bool(bloom)
+        self.fp_rate = float(fp_rate)
+        self._bloom_filter = None
+        if self.bloom and eval_path is None:
+            raise ValueError("Decontaminate: bloom mode needs eval_path + ngram")
 
     def _marked(self, df: DataFrame) -> DataFrame:
         from gohangout_spark.functions import curation
@@ -170,6 +187,27 @@ class Decontaminate(_GuardedPlanOp):
             return curation.decontaminate(
                 df, self.snippets, text_col=self.src, mark_col=self.target
             )
+        if self.bloom:
+            # bloom mode: the eval side is read ONCE (a static batch read,
+            # legal under a streaming input) and folded into a bloom the
+            # stateless scan-side UDF tests — streaming-safe by shape
+            if self._bloom_filter is None:
+                ev = df.sparkSession.read.format(self.eval_format).load(self.eval_path)
+                self._bloom_filter = curation.build_ngram_bloom(
+                    ev, n=self.ngram, text_col=self.eval_field, fp_rate=self.fp_rate
+                )
+            out = curation.bloom_decontaminate(
+                df,
+                self._bloom_filter,
+                n=self.ngram,
+                text_col=self.src,
+                id_col=self.id_field,
+                min_hits=self.min_hits,
+            )
+            out = out.drop("contam_hits")
+            if self.target != "contaminated":
+                out = out.withColumnRenamed("contaminated", self.target)
+            return out
         if df.isStreaming:
             # per-doc hit counts re-join the aggregated grams to the input —
             # a stream-stream join Spark rejects with an opaque analysis
@@ -177,8 +215,7 @@ class Decontaminate(_GuardedPlanOp):
             raise ValueError(
                 "Decontaminate ngram mode is batch-only (the per-doc hit "
                 "count joins an aggregation back to the input); use "
-                "snippets mode on streams, or decontaminate in a batch "
-                "curation pass"
+                "snippets mode or bloom mode (bloom: true) on streams"
             )
         ev = df.sparkSession.read.format(self.eval_format).load(self.eval_path)
         out = curation.decontaminate_ngrams(

@@ -718,3 +718,49 @@ outputs:
     rows = run_yaml(spark, yml)[0].rows
     assert rows[0]["log"]["text"] == "a real sentence with plenty of words."
     assert "[log][text]" not in rows[0].asDict()
+
+
+def test_decontaminate_bloom_mode(spark, tmp_path):
+    """bloom: true — batch result is a superset-equal of the exact ngram
+    mode on this corpus, and the same filter APPLIES to a streaming frame
+    (the shape the ngram mode must reject)."""
+    from pyspark.sql import functions as F
+
+    from gohangout_spark.operators import FilterBox
+    from gohangout_spark.operators.textops import Decontaminate
+
+    evp = str(tmp_path / "ev")
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd ee"), (2, "xx yy zz ww vv"), (3, "qq rr ss tt uu")],
+        "doc_id long, text string",
+    )
+    docs.where("doc_id = 1").write.parquet(evp)
+
+    box = FilterBox(Decontaminate(eval_path=evp, ngram=4, bloom=True, action="mark"))
+    rows = {r["doc_id"]: r["contaminated"] for r in box.apply(docs).collect()}
+    assert rows == {1: True, 2: False, 3: False}
+
+    # drop mode removes the contaminated doc
+    box2 = FilterBox(Decontaminate(eval_path=evp, ngram=4, bloom=True, action="drop"))
+    assert {r["doc_id"] for r in box2.apply(docs).collect()} == {2, 3}
+
+    # streaming: applies without the batch-only rejection and executes
+    srcp = str(tmp_path / "stream_src")
+    docs.write.parquet(srcp)
+    stream = spark.readStream.schema(docs.schema).parquet(srcp)
+    out = FilterBox(
+        Decontaminate(eval_path=evp, ngram=4, bloom=True, action="mark")
+    ).apply(stream)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bloom_stream_t")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = {r["doc_id"]: r["contaminated"] for r in spark.sql(
+        "SELECT * FROM bloom_stream_t"
+    ).collect()}
+    assert got == {1: True, 2: False, 3: False}
