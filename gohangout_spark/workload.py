@@ -3601,6 +3601,41 @@ def sessionize_events(spark, sf_dir):
     return sessionize(ev).select("event_id", "user_id", "session_idx")
 
 
+@q(
+    "top_phrases",
+    r"""WITH w AS (
+  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+  FROM documents),
+g AS (
+  SELECT array_to_string(ws[i:i+1], ' ') AS phrase
+  FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS u(i)),
+c AS (SELECT phrase, count(*) AS n FROM g GROUP BY phrase
+      ORDER BY n DESC, phrase LIMIT 25)
+SELECT phrase, n, row_number() OVER (ORDER BY n DESC, phrase) AS rank FROM c""",
+)
+def top_phrases(spark, sf_dir):
+    """Corpus phrase vocabulary: top-25 word bigrams by occurrence (ALL
+    occurrences, not distinct-per-doc — the collocation signal next to
+    vocabulary's unigrams). Explode → combiner groupBy → TakeOrdered;
+    rank assigned over the 25 survivors only."""
+    from pyspark.sql.window import Window
+
+    from gohangout_spark.functions.curation import _word_ngrams_all
+
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        F.explode(_word_ngrams_all(F.col("text"), 2)).alias("phrase")
+    )
+    top = (
+        grams.groupBy("phrase")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("phrase"))
+        .limit(25)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("phrase"))
+    return top.withColumn("rank", F.row_number().over(w))
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -3700,6 +3735,7 @@ _GATE_PRIORITY = [
     "funnel_conversion",
     "cohort_retention",
     "sessionize_events",
+    "top_phrases",
 ]
 
 QUERIES = {
