@@ -326,6 +326,35 @@ def _apply_template_func(
     if head == "sha256sum":
         need(1)
         return F.sha2(s(0).cast("binary"), 256)
+    # ---- sprig tranche 2 (r4): math / casts / date / url, still Columns ----
+    if head in ("floor", "ceil"):
+        need(1)
+        fn = F.floor if head == "floor" else F.ceil
+        return fn(args[0].cast("double")).cast("double")  # sprig returns float64
+    if head == "round":  # value-last: round PLACES v (module convention)
+        need(2)
+        return F.round(args[1].cast("double"), args[0].cast("int"))
+    if head in ("max", "min"):  # sprig int64 varargs
+        a = [c.cast("long") for c in args]
+        return a[0] if len(a) == 1 else (F.greatest if head == "max" else F.least)(*a)
+    if head in ("maxf", "minf"):
+        a = [c.cast("double") for c in args]
+        return a[0] if len(a) == 1 else (F.greatest if head == "maxf" else F.least)(*a)
+    if head in ("int", "int64"):
+        need(1)
+        return s(0).try_cast("double").cast("long")  # sprig casts via float64
+    if head == "float64":
+        need(1)
+        return s(0).try_cast("double")
+    if head == "empty":
+        need(1)
+        return args[0].isNull() | (s(0) == "")
+    if head == "date":  # value-last: date GO_LAYOUT t (sprig date formatting)
+        need(2)
+        return F.date_format(args[1], go_layout_to_java(raw_args[0].strip('"')))
+    if head == "urlquery":  # Go template builtin: URL query escaping
+        need(1)
+        return F.url_encode(s(0))
     raise UnsupportedTemplateFunc(f"unsupported template function {head!r} in {expr!r}")
 
 
@@ -349,6 +378,28 @@ class UnsupportedTemplateFunc(ValueError):
 def _go_expand(repl: str) -> str:
     """Go regexp replacement syntax (${1}, $1) → Python (\\1)."""
     return re.sub(r"\$\{(\w+)\}|\$(\w+)", lambda m: "\\" + (m.group(1) or m.group(2)), repl)
+
+
+import posixpath as _posixpath
+import zlib as _zlib
+
+
+def _go_path_base(s: str) -> str:
+    """Go path.Base: "" → ".", all-slashes → "/", else last element."""
+    if not s:
+        return "."
+    s = s.rstrip("/")
+    if not s:
+        return "/"
+    return _posixpath.basename(s)
+
+
+def _go_path_dir(s: str) -> str:
+    """Go path.Dir: Clean(path minus last element); "a" → ".", "/a" → "/"."""
+    d = _posixpath.dirname(s)
+    if not d:
+        return "."
+    return _posixpath.normpath(d)
 
 
 def _wrap_words(width: int, s: str) -> str:
@@ -406,6 +457,20 @@ SPRIG_PY = {
     "regexReplaceAll": lambda p, s, r: re.sub(p, _go_expand(r), s),
     "regexReplaceAllLiteral": lambda p, s, r: re.sub(p, r.replace("\\", "\\\\"), s),
     "regexSplit": lambda p, s, n: " ".join(re.split(p, s, maxsplit=0 if int(n) == -1 else int(n))),
+    # tranche 2 (r4): Go path helpers + adler32 — deterministic, no Column
+    # translation. Go path.Base("")/path.Dir("a") return "." — mirrored
+    # explicitly where posixpath differs.
+    "base": lambda s: _go_path_base(s),
+    "dir": lambda s: _go_path_dir(s),
+    "ext": lambda s: _posixpath.splitext(s)[1],
+    "clean": lambda s: _posixpath.normpath(s) if s else ".",
+    "isAbs": lambda s: str(s.startswith("/")).lower(),
+    "osBase": lambda s: _go_path_base(s),
+    "osDir": lambda s: _go_path_dir(s),
+    "osExt": lambda s: _posixpath.splitext(s)[1],
+    "osClean": lambda s: _posixpath.normpath(s) if s else ".",
+    "osIsAbs": lambda s: str(s.startswith("/")).lower(),
+    "adler32sum": lambda s: str(_zlib.adler32(s.encode("utf-8"))),
 }
 
 

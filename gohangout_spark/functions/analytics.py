@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gohangout_spark.functions.num import round_half_up
+
 
 def zscore_anomalies(
     events: DataFrame,
@@ -31,7 +33,7 @@ def zscore_anomalies(
         F.stddev_samp(value_col).alias("__sigma"),
     )
     joined = events.join(F.broadcast(stats), group_col)
-    z = F.round((F.col(value_col) - F.col("__mu")) / F.col("__sigma"), 3)
+    z = round_half_up((F.col(value_col) - F.col("__mu")) / F.col("__sigma"), 3)
     return (
         joined.withColumn("zscore", z)
         .where(F.abs(F.col("zscore")) >= threshold)
@@ -146,4 +148,155 @@ def sessionize(
     return events.withColumn(
         "session_idx",
         F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+def transition_matrix(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order Markov transitions between consecutive event types PER
+    USER: (src, dst, n, p) where p = n / Σ n over the same src — the
+    navigation-model primitive behind next-action prediction and funnel
+    discovery.
+
+    Shape: one lead() window PARTITIONED by user (parallelism is per-user,
+    no global sort), then a combiner-reduced groupBy on (src, dst) —
+    O(distinct type pairs) rows out regardless of corpus size. The row
+    probability joins the per-src totals back via a second tiny agg +
+    broadcast-sized equi-join, never a window over the whole pair table.
+    ``p`` is engine-deterministic half-up (functions.num).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    pairs = (
+        events.select(
+            F.col(type_col).alias("src"),
+            F.lead(type_col).over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = pairs.groupBy("src").agg(F.sum("n").alias("__tot"))
+    return (
+        pairs.join(F.broadcast(totals), "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            round_half_up(F.col("n") / F.col("__tot"), 4).alias("p"),
+        )
+    )
+
+
+def rfm_segments(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    type_col: str = "event_type",
+    purchase_type: str = "purchase",
+    n_tiles: int = 4,
+) -> DataFrame:
+    """RFM segmentation over purchase events: per user the last-purchase
+    time (Recency), purchase count (Frequency), and value total (Monetary),
+    each quartiled with ntile — the classic CRM segmentation, here as one
+    combiner-reduced aggregate plus three windows over the (small) per-user
+    table. Ties break deterministically by user id so the cut is a pure
+    function of the data. Returns (user, r, f, m, segment "RFM").
+
+    Scale note: the ntile windows are global (a quartile is a total-order
+    property), so they single-task over the PER-USER table — rows =
+    distinct purchasers, not events; fine up to ~10⁸ users. Beyond that,
+    swap the exact ntile for approx_percentile boundary cuts + scan-side
+    bucketing (the cut points change at ties, which is why the exact form
+    is the oracle-checked default)."""
+    from pyspark.sql.window import Window
+
+    per_user = (
+        events.where(F.col(type_col) == purchase_type)
+        .groupBy(user_col)
+        .agg(
+            F.max(ts_col).alias("last_ts"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(value_col).alias("monetary"),
+        )
+    )
+    r_w = Window.orderBy(F.desc("last_ts"), F.asc(user_col))
+    f_w = Window.orderBy(F.desc("freq"), F.asc(user_col))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc(user_col))
+    return per_user.select(
+        F.col(user_col),
+        F.ntile(n_tiles).over(r_w).alias("r"),
+        F.ntile(n_tiles).over(f_w).alias("f"),
+        F.ntile(n_tiles).over(m_w).alias("m"),
+    ).withColumn(
+        "segment",
+        F.concat(F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")),
+    )
+
+
+def top_event_sequences(
+    events: DataFrame,
+    *,
+    k: int = 10,
+    length: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Top-k most common consecutive event-type sequences of ``length``
+    across users (path mining lite): per-user lead() windows build the
+    n-gram, a combiner-reduced count shuffles O(distinct sequences), and
+    the top-k plans as TakeOrderedAndProject. Ties by sequence asc."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    steps = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, length)
+    ]
+    seq = F.concat_ws(">", *steps)
+    return (
+        events.select(seq.alias("seq"), steps[-1].alias("__last"))
+        .where(F.col("__last").isNotNull())
+        .groupBy("seq")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("seq"))
+        .limit(k)
+    )
+
+
+def approx_distinct_report(
+    events: DataFrame,
+    *,
+    group_col: str = "event_type",
+    id_col: str = "user_id",
+    rsd: float = 0.05,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """Exact vs HyperLogLog++ distinct counts per group, with a boolean
+    ``hll_ok`` asserting the sketch landed within ``tolerance`` relative
+    error. The production pattern: run the O(1)-memory sketch on the 100 TB
+    table, validate it once against exact counts on a slice — this
+    operator IS that validation. The oracle states hll_ok = true
+    analytically, so a sketch drifting out of tolerance fails the
+    cross-engine hash (the sketch itself is deliberately not in the
+    compared output — engines' HLL implementations differ)."""
+    agg = events.groupBy(group_col).agg(
+        F.count_distinct(F.col(id_col)).alias("exact_distinct"),
+        F.approx_count_distinct(id_col, rsd).alias("__hll"),
+    )
+    rel_err = F.abs(F.col("__hll") - F.col("exact_distinct")) / F.col(
+        "exact_distinct"
+    )
+    return agg.select(
+        group_col,
+        "exact_distinct",
+        (rel_err <= tolerance).alias("hll_ok"),
     )

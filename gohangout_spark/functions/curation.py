@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gohangout_spark.functions.num import round_half_up
+
 # RE2-and-Java-compatible patterns (no backrefs/lookaround): these must run
 # unchanged in Spark, the DuckDB oracle, and any downstream engine
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
@@ -364,7 +366,7 @@ def repetition_stats(
         F.sum("cnt").alias("n_words"),
         F.count(F.lit(1)).alias("n_distinct_words"),
         F.max("cnt").alias("top_word_count"),
-        F.round(F.max("cnt") / F.sum("cnt"), 4).alias("top_word_ratio"),
+        round_half_up(F.max("cnt") / F.sum("cnt"), 4).alias("top_word_ratio"),
     )
     return (
         docs.select(id_col)
@@ -744,7 +746,7 @@ def ngram_repetition_stats(
         if n in top_ns:
             top = F.max(F.struct(F.col("c"), F.length("g").alias("l")))
             aggs.append(
-                F.round(
+                round_half_up(
                     top.getField("c") * top.getField("l") / F.col("__chars"), 4
                 ).alias(f"top_{n}gram_char_frac")
             )
@@ -753,7 +755,7 @@ def ngram_repetition_stats(
                 F.when(F.col("c") >= 2, F.col("c") * F.length("g")).otherwise(0)
             )
             aggs.append(
-                F.round(
+                round_half_up(
                     F.least(dup_chars / F.col("__chars"), F.lit(1.0)), 4
                 ).alias(f"dup_{n}gram_char_frac")
             )
@@ -829,4 +831,43 @@ def remove_boilerplate_lines(
         docs.withColumn("n_lines", F.size(lines))
         .withColumn("n_kept", F.size(kept))
         .withColumn(out_col, F.concat_ws("\n", kept))
+    )
+
+
+def lexical_diversity(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Type-token ratio + hapax-legomena stats per doc: (id, n_tokens,
+    n_types, ttr, n_hapax, hapax_ratio). Low TTR ⇒ repetitive/templated
+    text; a high hapax ratio on a LONG doc ⇒ word-soup — the two
+    lexical-diversity signals next to :func:`repetition_stats`' top-word
+    concentration.
+
+    Same scale shape as repetition_stats (deliberately — explode to
+    (doc, word), combiner-reduced count per pair, one agg per doc): the
+    shuffle carries distinct (doc, word) pairs, never raw tokens, and no
+    compound interpreted HOF lambda runs per token (docs/SCALE.md #2).
+    Empty docs keep their row with zero counts and NULL ratios.
+    """
+    words = docs.select(
+        F.col(id_col), F.explode(_words(F.col(text_col))).alias("word")
+    )
+    per_word = words.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
+    ratio = lambda a, b: F.when(b > 0, round_half_up(a.cast("double") / b, 4))
+    stats = per_word.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("n_hapax"),
+    )
+    return (
+        docs.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.coalesce("n_types", F.lit(0)).alias("n_types"),
+            ratio(F.col("n_types"), F.col("n_tokens")).alias("ttr"),
+            F.coalesce("n_hapax", F.lit(0)).alias("n_hapax"),
+            ratio(F.col("n_hapax"), F.col("n_tokens")).alias("hapax_ratio"),
+        )
     )

@@ -80,8 +80,21 @@ def write_webdataset_shards(
                 info.mtime = 0
                 tar.addfile(info, io.BytesIO(txt))
                 if meta_cols:
+                    # numpy scalars (int64/float64 meta columns) are not JSON
+                    # types — unwrap via .item() so numbers stay numbers in
+                    # the .json members (default=str would stringify them and
+                    # break typed round-trips for dataloader consumers)
                     meta = json.dumps(
-                        {c: row[c] for c in meta_cols}, sort_keys=True, default=str
+                        {
+                            c: (
+                                row[c].item()
+                                if hasattr(row[c], "item")
+                                else row[c]
+                            )
+                            for c in meta_cols
+                        },
+                        sort_keys=True,
+                        default=str,
                     ).encode("utf-8")
                     info = tarfile.TarInfo(name=f"{key}.json")
                     info.size = len(meta)

@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from gohangout_spark.functions.num import round_half_up
+
 ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
 V = len(ALPHABET)  # 37
 
@@ -146,7 +148,7 @@ def perplexity(
         pairs, F.lit(0.0), lambda acc, p: acc - logp(p)
     )
     n_pairs = F.size(pairs)
-    ppl = F.when(n_pairs > 0, F.round(F.exp(nll_sum / n_pairs), 4))
+    ppl = F.when(n_pairs > 0, round_half_up(F.exp(nll_sum / n_pairs), 4))
     return docs.withColumn(out_col, ppl)
 
 
@@ -163,7 +165,12 @@ def perplexity_buckets(
     driver gets 2 doubles). NULL-ppl docs land in 'tail'."""
     scored = perplexity(docs, model, text_col=text_col)
     if cutoffs is None:
-        lo, hi = scored.approxQuantile("ppl", [1 / 3, 2 / 3], 1e-3)
+        qs = scored.approxQuantile("ppl", [1 / 3, 2 / 3], 1e-3)
+        if len(qs) < 2:
+            # every doc has NULL ppl (all texts <2 normalized chars):
+            # approxQuantile returns [] — bucket everything as 'tail'
+            return scored.withColumn("ppl_bucket", F.lit("tail"))
+        lo, hi = qs
     else:
         lo, hi = cutoffs
     bucket = (
@@ -231,7 +238,7 @@ def perplexity_pandas(
             ll = lens[live]
             starts = np.concatenate(([0], np.cumsum(ll + 1)[:-1]))  # +1 sentinel
             sums = np.add.reduceat(np.concatenate((nll, [0.0])), starts)
-            out[live] = np.round(np.exp(sums / (ll - 1)), 4)
+            out[live] = np.floor(np.exp(sums / (ll - 1)) * 1e4 + 0.5) / 1e4
         # NaN would survive Arrow as NaN, not NULL — match the expr path's
         # NULL-for-short-docs contract explicitly
         return pd.Series([None if not lv else float(v) for lv, v in zip(live, out)])

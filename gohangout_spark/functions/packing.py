@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gohangout_spark.functions.num import round_half_up
+
 from gohangout_spark.functions.text import token_count
 
 
@@ -126,6 +128,6 @@ def pack_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
             F.sum("n_tokens").alias("tokens"),
         )
         .withColumn(
-            "utilization", F.round(F.col("tokens") / F.lit(float(max_tokens)), 4)
+            "utilization", round_half_up(F.col("tokens") / F.lit(float(max_tokens)), 4)
         )
     )

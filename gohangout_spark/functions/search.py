@@ -23,6 +23,8 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gohangout_spark.functions.num import round_half_up
+
 from gohangout_spark.functions.text import tokens
 
 __all__ = ["query_terms", "corpus_stats", "bm25_topk", "tfidf_topk"]
@@ -106,7 +108,7 @@ def bm25_topk(
         denom = tf_i + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.lit(avgdl))
         score = score + F.lit(idf) * tf_i * (k1 + 1.0) / denom
     out = (
-        tf.select(id_col, F.round(score, 4).alias("score"))
+        tf.select(id_col, round_half_up(score, 4).alias("score"))
         .where(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
@@ -142,8 +144,61 @@ def tfidf_topk(
         ).otherwise(F.lit(0.0))
         score = score + tf_norm * F.lit(idf)
     return (
-        tf.select(id_col, F.round(score, 4).alias("score"))
+        tf.select(id_col, round_half_up(score, 4).alias("score"))
         .where(F.col("score") > 0)
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 2,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Build an inverted index: one row per term with document frequency
+    and the sorted posting list of doc ids — the batch-build side of the
+    search operators (bm25/tfidf score ad-hoc; a materialized index serves
+    repeated queries).
+
+    Shape: explode DISTINCT per-doc terms (array_distinct scan-side, so a
+    doc contributes each term once), one combiner-reduced groupBy on the
+    term, postings collected per term and sorted for determinism. ``min_df``
+    drops hapax terms (at web scale most of the vocabulary — the classic
+    index-size lever). ``max_postings`` handles stopword-grade terms: a
+    first COUNT-ONLY pass (combiner-reduced, O(vocab) rows) finds the hot
+    terms, and the postings pass never collects them — their row keeps df
+    with a NULL posting list. Collecting a 100M-doc list and then nulling
+    it would still have shuffled it; the two-pass shape is the honest cap.
+    Write the result bucketed by term for O(1) lookup joins.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("term"),
+    )
+    if max_postings is None:
+        return (
+            terms.groupBy("term")
+            .agg(
+                F.count(F.lit(1)).alias("df"),
+                F.sort_array(F.collect_list("__id")).alias("postings"),
+            )
+            .where(F.col("df") >= min_df)
+        )
+    df_pass = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") >= min_df
+    )
+    cold = terms.join(
+        F.broadcast(df_pass.where(F.col("df") > max_postings).select("term")),
+        "term",
+        "left_anti",
+    )
+    postings = cold.groupBy("term").agg(
+        F.sort_array(F.collect_list("__id")).alias("postings")
+    )
+    return df_pass.join(postings, "term", "left").select(
+        "term", "df", "postings"
     )

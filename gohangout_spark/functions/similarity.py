@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from gohangout_spark.functions.num import round_half_up
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -85,7 +87,7 @@ def brute_force_topk(
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+        .select("query_id", "neighbor_id", round_half_up(F.col("sim"), 4).alias("sim"), "rank")
     )
 
 
@@ -176,7 +178,7 @@ def lsh_topk(
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+        .select("query_id", "neighbor_id", round_half_up(F.col("sim"), 4).alias("sim"), "rank")
     )
 
 
@@ -241,7 +243,7 @@ def cosine_neardup_pairs(
         "id_a", "id_b", _dot(F.col("va"), F.col("vb")).alias("sim")
     )
     return sims.where(F.col("sim") >= threshold).select(
-        "id_a", "id_b", F.round("sim", 4).alias("sim")
+        "id_a", "id_b", round_half_up(F.col("sim"), 4).alias("sim")
     )
 
 
@@ -356,8 +358,14 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    init_centroids: list[list[float]] | None = None,
 ) -> list[list[float]]:
     """Lloyd's k-means over an embedding column, fully deterministic.
+
+    ``init_centroids`` warm-starts Lloyd from caller-provided centroids
+    (k-means++ done elsewhere, a previous fit on yesterday's corpus, or
+    known anchors) instead of the hash-sampled rows; its length overrides
+    ``n_centroids``.
 
     Each iteration: assign every vector to its max-cosine centroid (scan-side
     argmax over literal centroids — no shuffle), then recompute the cell means
@@ -370,7 +378,10 @@ def kmeans_centroids(
     to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
     vecs = corpus.select(to_d(F.col(vec_col)).alias("v")).persist()
     try:
-        cents = _seed_centroids(corpus, vec_col, id_col, n_centroids, seed)
+        if init_centroids is not None:
+            cents = [[float(x) for x in cv] for cv in init_centroids]
+        else:
+            cents = _seed_centroids(corpus, vec_col, id_col, n_centroids, seed)
         for _ in range(n_iter):
             mean_rows = (
                 vecs.withColumn("cell", _nearest_cell(F.col("v"), cents))
@@ -456,7 +467,7 @@ def ivf_topk(
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+        .select("query_id", "neighbor_id", round_half_up(F.col("sim"), 4).alias("sim"), "rank")
     )
 
 
@@ -717,7 +728,7 @@ def pq_topk(
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+        .select("query_id", "neighbor_id", round_half_up(F.col("sim"), 4).alias("sim"), "rank")
     )
 
 
@@ -846,7 +857,7 @@ def ivf_pq_topk(
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+        .select("query_id", "neighbor_id", round_half_up(F.col("sim"), 4).alias("sim"), "rank")
     )
 
 
@@ -859,6 +870,8 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
+    materialize: bool = False,
+    init_centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): partition the embedding space into clusters, then
@@ -885,41 +898,54 @@ def semantic_dedup(
         assigned = corpus.withColumn("cluster", F.col(cluster_col).cast("long"))
     else:
         cents = kmeans_centroids(
-            corpus, n_centroids, n_iter, vec_col=vec_col, id_col=id_col, seed=seed
+            corpus,
+            n_centroids,
+            n_iter,
+            vec_col=vec_col,
+            id_col=id_col,
+            seed=seed,
+            init_centroids=init_centroids,
         )
         assigned = corpus.withColumn(
             "cluster", _nearest_cell(to_d(F.col(vec_col)), cents).cast("long")
         )
-    # self-join shares the (possibly kmeans-assigned) subplan: persist so it
-    # is computed once, not twice (no automatic ReusedExchange on self-joins).
+    # Compute-once without caching (same shape as minhash_lsh_candidates,
+    # VERDICT r3 #2): the normalized-vector projection sits BELOW an explicit
+    # repartition-by-cluster exchange, so the self-join's two consumers
+    # canonicalize to the same subtree and Catalyst's ReuseExchange rule
+    # reads ONE shuffle — no persist, no eager job at build time, fully
+    # replayable lineage. The exchange doubles as the join's partitioning.
     # _unit: vectors L2-normalized ONCE so the per-pair predicate is a bare
     # dot product; zero-norm vectors get NULL (undefined similarity) → the
     # null predicate filters them → never dropped as dups.
+    parallelism = corpus.sparkSession.sparkContext.defaultParallelism
     pairs_src = _unit(
         assigned.select(
             F.col(id_col).alias("__id"), "cluster", to_d(F.col(vec_col)).alias("__v")
         ),
         "__v",
-    ).persist()
-    try:
-        a = pairs_src.select(
-            F.col("__id").alias("__id_a"), "cluster", F.col("__v").alias("__va")
-        )
-        b = pairs_src.select(
-            F.col("__id").alias("__id_b"), "cluster", F.col("__v").alias("__vb")
-        )
-        dups = (
-            a.join(b, ["cluster"])
-            .where(F.col("__id_b") < F.col("__id_a"))
-            .where(_dot(F.col("__va"), F.col("__vb")) >= threshold)
-            .select(F.col("__id_a").alias(id_col))
-            .distinct()
-            # dup ids are the SMALL side — materialize them eagerly so the
-            # persisted pair input can be released (survivors recompute the
-            # cheap scan-side assignment lazily; no corpus-sized cache)
-            .localCheckpoint(eager=True)
-        )
-    finally:
+    ).repartition(parallelism, F.col("cluster"))
+    if materialize:
+        # opt-in eager path for callers that consume the result in MANY
+        # separate actions: persist the pair input, checkpoint the (tiny)
+        # dup-id set, release the cache before returning. Costs a Spark job
+        # inside the call and pins non-replayable localCheckpoint blocks.
+        pairs_src = pairs_src.persist()
+    a = pairs_src.select(
+        F.col("__id").alias("__id_a"), "cluster", F.col("__v").alias("__va")
+    )
+    b = pairs_src.select(
+        F.col("__id").alias("__id_b"), "cluster", F.col("__v").alias("__vb")
+    )
+    dups = (
+        a.join(b, ["cluster"])
+        .where(F.col("__id_b") < F.col("__id_a"))
+        .where(_dot(F.col("__va"), F.col("__vb")) >= threshold)
+        .select(F.col("__id_a").alias(id_col))
+        .distinct()
+    )
+    if materialize:
+        dups = dups.localCheckpoint(eager=True)
         pairs_src.unpersist()
     return assigned.join(dups, [id_col], "left_anti")
 
@@ -1001,7 +1027,7 @@ def q8_topk(
     return (
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", F.round("sim", 4).alias("sim"), "rank")
+        .select("query_id", "neighbor_id", round_half_up(F.col("sim"), 4).alias("sim"), "rank")
     )
 
 
@@ -1034,10 +1060,14 @@ def group_centroids(
             raise ValueError("empty frame and no dim given")
         dim = first["d"]
     aggs = [
-        F.round(F.avg(F.element_at(F.col(vec_col), i + 1)), round_to).alias(f"__c{i}")
+        round_half_up(F.avg(F.element_at(F.col(vec_col), i + 1)), round_to).alias(f"__c{i}")
         for i in range(dim)
     ]
-    out = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"), *aggs)
+    # n = vectors actually supporting the centroid: NULL vectors contribute
+    # nothing to the AVGs, so count the vector column, not the group rows
+    # (ADVICE r3). Short vectors still count — element_at past the end is
+    # NULL per-dimension and AVG skips it dimension-wise.
+    out = df.groupBy(group_col).agg(F.count(F.col(vec_col)).alias("n"), *aggs)
     return out.select(
         group_col,
         "n",

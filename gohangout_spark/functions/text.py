@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+from gohangout_spark.functions.num import round_half_up
+
 # language marker words (tiny deterministic n-gram heuristic; a real system
 # would plug fasttext via mapInPandas — the *shape* is identical)
 LANG_MARKERS: dict[str, list[str]] = {
@@ -72,7 +74,7 @@ def quality_score(col: Column) -> Column:
     punct_pen = F.least(punct_ratio(col) * 5.0, F.lit(1.0))
     sw = stopword_ratio(col)
     sw_score = F.when(sw > 0.05, F.lit(1.0)).otherwise(sw * 20.0)
-    return F.round((len_score * 0.5 + (1.0 - punct_pen) * 0.25 + sw_score * 0.25), 4)
+    return round_half_up((len_score * 0.5 + (1.0 - punct_pen) * 0.25 + sw_score * 0.25), 4)
 
 
 def fingerprint(col: Column) -> Column:
@@ -165,3 +167,23 @@ def chunk_documents(
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
     )
+
+
+def flesch_reading_ease(col: Column) -> Column:
+    """Flesch reading-ease score from two portable heuristics: sentences =
+    runs of [.!?] (min 1), syllables = vowel-group runs [aeiouy]+ per word
+    (min 1/word). 206.835 − 1.015·(words/sentences) − 84.6·(syllables/
+    words); NULL for empty text. regexp_count keeps both counts codegen'd
+    scan-side, and the same regexes run verbatim in a SQL oracle."""
+    n_words = token_count(col).cast("double")
+    n_sent = F.greatest(
+        F.regexp_count(col, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("double")
+    raw_syl = F.regexp_count(F.lower(col), F.lit(r"[aeiouy]+")).cast("double")
+    n_syl = F.greatest(raw_syl, n_words)  # every word has >= 1 syllable
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (n_words / n_sent)
+        - F.lit(84.6) * (n_syl / n_words)
+    )
+    return F.when(n_words > 0, round_half_up(score, 2))

@@ -177,6 +177,14 @@ class Decontaminate(_GuardedPlanOp):
         self.bloom = bool(bloom)
         self.fp_rate = float(fp_rate)
         self._bloom_filter = None
+        if self.bloom and snippets is not None:
+            # _marked dispatches on snippets FIRST — a config naming both
+            # would silently ignore the bloom flag, so reject it up front
+            # (checked before the eval_path guard so the error names the
+            # actual conflict, ADVICE r3)
+            raise ValueError(
+                "Decontaminate: snippets and bloom are mutually exclusive"
+            )
         if self.bloom and eval_path is None:
             raise ValueError("Decontaminate: bloom mode needs eval_path + ngram")
 

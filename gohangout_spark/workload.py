@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from gohangout_spark.functions.num import round_half_up
+
 from gohangout_spark.expr.conditions import compile_condition
 from gohangout_spark.io import load_table
 from gohangout_spark.operators import (
@@ -590,9 +592,9 @@ _TOK_SQL = "list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''
     "ngram_jaccard_adjacent",
     f"""WITH t AS (SELECT doc_id, list_distinct({_TOK_SQL}) AS toks FROM documents)
        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         round(len(list_intersect(a.toks, b.toks))::DOUBLE /
-           (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))::DOUBLE,
-           4) AS jaccard
+         floor(len(list_intersect(a.toks, b.toks))::DOUBLE /
+           (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))::DOUBLE
+           * 1e4 + 0.5) / 1e4 AS jaccard
        FROM t a JOIN t b ON b.doc_id = a.doc_id + 1""",
 )
 def ngram_jaccard_adjacent(spark, sf_dir):
@@ -613,7 +615,7 @@ def ngram_jaccard_adjacent(spark, sf_dir):
     return pairs.select(
         F.col("a.doc_id").alias("id_a"),
         F.col("b.doc_id").alias("id_b"),
-        F.round(inter / union, 4).alias("jaccard"),
+        round_half_up(inter / union, 4).alias("jaccard"),
     )
 
 
@@ -635,7 +637,7 @@ def simhash_signatures(spark, sf_dir):
                   FROM embeddings WHERE vec_id < 10),
          c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
        SELECT query_id, neighbor_id,
-         round(list_cosine_similarity(qv, cv), 4) AS sim,
+         floor(list_cosine_similarity(qv, cv) * 1e4 + 0.5) / 1e4 AS sim,
          CAST(row_number() OVER (PARTITION BY query_id
                ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS INTEGER) AS rank
        FROM q JOIN c ON query_id <> neighbor_id
@@ -705,11 +707,11 @@ _SW = ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"]
           CASE WHEN len(toks) > 0 THEN
             len(list_filter(toks, x -> list_contains({_SW!r}, x)))::DOUBLE / len(toks)::DOUBLE
           ELSE 0.0 END AS sw_r FROM t)
-       SELECT doc_id, round(
+       SELECT doc_id, floor((
          least(n_tok / 20.0, 1.0) * 0.5
          + (1.0 - least(punct_r * 5.0, 1.0)) * 0.25
-         + (CASE WHEN sw_r > 0.05 THEN 1.0 ELSE sw_r * 20.0 END) * 0.25, 4)
-         AS quality FROM u""",
+         + (CASE WHEN sw_r > 0.05 THEN 1.0 ELSE sw_r * 20.0 END) * 0.25
+         ) * 1e4 + 0.5) / 1e4 AS quality FROM u""",
 )
 def quality_score(spark, sf_dir):
     from gohangout_spark.functions.text import quality_score as qs
@@ -903,7 +905,7 @@ def event_type_median(spark, sf_dir):
     "embedding_neardup_exact",
     """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         round(list_cosine_similarity(a.ev, b.ev), 4) AS sim
+         floor(list_cosine_similarity(a.ev, b.ev) * 1e4 + 0.5) / 1e4 AS sim
        FROM v a JOIN v b ON a.vec_id < b.vec_id
        WHERE list_cosine_similarity(a.ev, b.ev) >= 0.5""",
 )
@@ -1201,7 +1203,7 @@ def tpch_q13(spark, sf_dir):
 
 @q(
     "tpch_q14",
-    """SELECT round(100.0 * promo / total, 3) AS promo_revenue
+    """SELECT floor(100.0 * promo / total * 1e3 + 0.5) / 1e3 AS promo_revenue
        FROM (SELECT
                sum(CASE WHEN p_type = 'PROMO'
                         THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
@@ -1235,7 +1237,7 @@ def tpch_q14(spark, sf_dir):
         F.sum(cents).alias("total"),
     )
     return agg.select(
-        F.round(100.0 * F.col("promo") / F.col("total"), 3).alias("promo_revenue")
+        round_half_up(100.0 * F.col("promo") / F.col("total"), 3).alias("promo_revenue")
     )
 
 
@@ -1436,8 +1438,8 @@ share AS (SELECT chash, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY ch
 stats AS (
   SELECT c.doc_id, count(*) AS n_chunks,
          CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-         round(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) / count(*), 4)
-           AS dup_chunk_ratio
+         floor(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) / count(*)
+               * 1e4 + 0.5) / 1e4 AS dup_chunk_ratio
   FROM chunks c JOIN share s USING (chash)
   GROUP BY c.doc_id)
 SELECT d.doc_id,
@@ -1520,7 +1522,7 @@ def redact_pii_q(spark, sf_dir):
                    WHERE word <> '' GROUP BY doc_id, word)
        SELECT doc_id, sum(cnt) AS n_words, count(*) AS n_distinct_words,
               max(cnt) AS top_word_count,
-              round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 4) AS top_word_ratio
+              floor(CAST(max(cnt) AS DOUBLE) / sum(cnt) * 1e4 + 0.5) / 1e4 AS top_word_ratio
        FROM pw GROUP BY doc_id""",
 )
 def repetition_stats_q(spark, sf_dir):
@@ -1554,8 +1556,8 @@ def weighted_mixture_q(spark, sf_dir):
 @q(
     "tpch_q8",
     """SELECT o_year,
-              round(CAST(sum(CASE WHEN nation = 'NATION_9' THEN cents ELSE 0 END)
-                         AS DOUBLE) / sum(cents), 4) AS mkt_share
+              floor(CAST(sum(CASE WHEN nation = 'NATION_9' THEN cents ELSE 0 END)
+                         AS DOUBLE) / sum(cents) * 1e4 + 0.5) / 1e4 AS mkt_share
        FROM (SELECT year(o_orderdate) AS o_year,
                     CAST(round(l_extendedprice * (1 - l_discount) * 100)
                          AS BIGINT) AS cents,
@@ -1622,7 +1624,7 @@ def tpch_q8(spark, sf_dir):
         )
     )
     return joined.groupBy("o_year").agg(
-        F.round(
+        round_half_up(
             F.sum(
                 F.when(F.col("nation") == "NATION_9", F.col("cents")).otherwise(
                     F.lit(0)
@@ -1820,17 +1822,54 @@ def pack_documents_q(spark, sf_dir):
     )
 
 
-@q("pack_documents_bestfit", None)
+@q(
+    "pack_documents_bestfit",
+    f"""WITH t AS (
+         SELECT doc_id::BIGINT AS doc_id,
+                (doc_id % {_PACK_SHARDS})::BIGINT AS shard,
+                (CASE WHEN (doc_id // {_PACK_SHARDS}) % 2 = 0
+                      THEN 130 ELSE 126 END)::BIGINT AS n_tokens
+         FROM documents),
+       r AS (SELECT *, row_number() OVER (PARTITION BY shard, n_tokens
+                                          ORDER BY doc_id) AS rk FROM t),
+       c AS (SELECT shard,
+                    sum(CASE WHEN n_tokens = 130 THEN 1 ELSE 0 END) AS na
+             FROM t GROUP BY shard)
+       SELECT r.doc_id, r.shard,
+              (CASE WHEN r.n_tokens = 130 THEN r.rk - 1
+                    WHEN r.rk <= c.na THEN r.rk - 1
+                    ELSE c.na + (r.rk - c.na - 1) // 2 END)::BIGINT AS pack,
+              r.n_tokens
+       FROM r JOIN c USING (shard)""",
+)
 def pack_documents_bestfit_q(spark, sf_dir):
-    """First-fit-decreasing packing. Rows-only by design: FFD placement
-    depends on the fill of every open pack, which no recursive CTE over a
-    single running total can replay; pytest pins the invariants (budget,
-    ≤ next-fit pack count, layout determinism)."""
+    """First-fit-decreasing packing on an ANALYTIC size multiset (VERDICT
+    r3 #7): each doc's text is rewritten to 130 or 126 filler tokens by
+    doc-id parity, so the FFD outcome under a 256 budget is closed-form —
+    the 130s each open a pack (130+130 > 256), the 126s first-fit into
+    them exactly (130+126 = 256), and leftovers pair up (2×126 ≤ 256).
+    The oracle replays that closed form with window ranks; general FFD
+    placement is NOT SQL-expressible (depends on every open pack's fill),
+    which is why the gate runs it on a constructed multiset while pytest
+    pins the real-corpus invariants (budget, ≤ next-fit packs,
+    determinism)."""
     from gohangout_spark.functions.packing import pack_documents_bestfit
 
     docs = _docs(spark, sf_dir)
+    sized = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.array_repeat(
+                F.lit("w"),
+                F.when(
+                    F.expr(f"(doc_id div {_PACK_SHARDS}) % 2 = 0"), 130
+                ).otherwise(126),
+            ),
+        ).alias("text"),
+    )
     return pack_documents_bestfit(
-        docs, "text", "doc_id", max_tokens=_PACK_MAX, n_shards=_PACK_SHARDS
+        sized, "text", "doc_id", max_tokens=_PACK_MAX, n_shards=_PACK_SHARDS
     )
 
 
@@ -2135,18 +2174,50 @@ def semantic_dedup_by_label(spark, sf_dir):
     )
 
 
-@q("semantic_dedup_kmeans", None)
+@q(
+    "semantic_dedup_kmeans",
+    """SELECT vec_id, (vec_id % 8)::BIGINT AS cluster FROM (
+         SELECT vec_id,
+                row_number() OVER (PARTITION BY vec_id % 8, (vec_id // 8) % 2
+                                   ORDER BY vec_id) AS rn
+         FROM embeddings) WHERE rn = 1""",
+)
 def semantic_dedup_kmeans(spark, sf_dir):
-    """The 100 TB path: k-means cells instead of given labels (deterministic
-    Lloyd fit, scan-side assignment). Not SQL-expressible (the oracle cannot
-    run k-means) — invariants (drop rule soundness/completeness per cell)
-    are pytest-checked in TestSemanticDedup."""
+    """The 100 TB path — k-means cells instead of given labels — made
+    hash-checkable with a seeded well-separated fixture (VERDICT r3 #7):
+    vectors are rewritten onto 8 orthogonal corners (blob = vec_id % 8,
+    magnitude 10) with a ±3 sub-direction by (vec_id // 8) parity, and
+    Lloyd warm-starts from the exact corners via ``init_centroids``.
+    Convergence is then analytic: every vector's max-cosine centroid is
+    its own corner at init (cos ≈ 0.96 vs ~0.09 cross-corner) and each
+    recomputed centroid stays inside its blob, so cluster == blob — the
+    k-means query reduces to the label path. Within a blob, same-parity
+    cosine is 1.0 (≥ 0.9 → dropped below the min id) and cross-parity is
+    91/109 ≈ 0.835 (< 0.9 → kept): survivors are exactly the min vec_id
+    per (blob, parity), which the oracle states with one window rank.
+    ARBITRARY-seed k-means stays rows-only by nature (the oracle cannot
+    run Lloyd); its invariants remain pytest-checked in
+    TestSemanticDedup."""
     from gohangout_spark.functions.similarity import semantic_dedup
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, threshold=0.3, n_centroids=8, n_iter=2).select(
-        "vec_id", "cluster"
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    blob = F.col("vec_id") % 8
+    sign = F.when(F.expr("(vec_id div 8) % 2 = 0"), F.lit(3.0)).otherwise(
+        F.lit(-3.0)
     )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(15)),
+        lambda i: F.when(i == blob, F.lit(10.0))
+        .when(i == blob + 8, sign)
+        .otherwise(F.lit(0.0)),
+    )
+    fixture = emb.withColumn("embedding", vec)
+    corners = [
+        [10.0 if d == b else 0.0 for d in range(16)] for b in range(8)
+    ]
+    return semantic_dedup(
+        fixture, threshold=0.9, n_centroids=8, n_iter=2, init_centroids=corners
+    ).select("vec_id", "cluster")
 
 
 @q(
@@ -2277,7 +2348,7 @@ def intersect_buyers_clickers(spark, sf_dir):
 @q(
     "event_value_geomean",
     """SELECT event_type,
-              round(exp(avg(ln(value + 1.0))), 4) AS geomean
+              floor(exp(avg(ln(value + 1.0))) * 1e4 + 0.5) / 1e4 AS geomean
        FROM events GROUP BY event_type""",
 )
 def event_value_geomean(spark, sf_dir):
@@ -2301,7 +2372,7 @@ def event_value_geomean(spark, sf_dir):
 
     ev = _events(spark, sf_dir)
     return ev.groupBy("event_type").agg(
-        F.round(geomean("value"), 4).alias("geomean")
+        round_half_up(geomean("value"), 4).alias("geomean")
     )
 
 
@@ -2337,8 +2408,8 @@ share AS (SELECT phash, count(DISTINCT gid) AS n_docs FROM p GROUP BY phash),
 stats AS (
   SELECT p.gid, count(*) AS n_paras,
          CAST(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
-         round(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) / count(*), 4)
-           AS dup_para_ratio
+         floor(sum(CASE WHEN s.n_docs >= 2 THEN 1 ELSE 0 END) / count(*)
+               * 1e4 + 0.5) / 1e4 AS dup_para_ratio
   FROM p JOIN share s USING (phash) GROUP BY p.gid)
 SELECT nd.gid, COALESCE(st.n_paras, 0) AS n_paras,
        COALESCE(st.n_shared, 0) AS n_shared, st.dup_para_ratio
@@ -2767,12 +2838,12 @@ per_n AS (
                1.0) AS dup_frac
   FROM counts GROUP BY n, doc_id, chars)
 SELECT d.doc_id,
-       round(COALESCE(max(CASE WHEN n = 2 THEN top_frac END), 0), 4)
-         AS top_2gram_char_frac,
-       round(COALESCE(max(CASE WHEN n = 3 THEN top_frac END), 0), 4)
-         AS top_3gram_char_frac,
-       round(COALESCE(max(CASE WHEN n = 5 THEN dup_frac END), 0), 4)
-         AS dup_5gram_char_frac
+       floor(COALESCE(max(CASE WHEN n = 2 THEN top_frac END), 0) * 1e4 + 0.5)
+         / 1e4 AS top_2gram_char_frac,
+       floor(COALESCE(max(CASE WHEN n = 3 THEN top_frac END), 0) * 1e4 + 0.5)
+         / 1e4 AS top_3gram_char_frac,
+       floor(COALESCE(max(CASE WHEN n = 5 THEN dup_frac END), 0) * 1e4 + 0.5)
+         / 1e4 AS dup_5gram_char_frac
 FROM documents d LEFT JOIN per_n p ON d.doc_id = p.doc_id
 GROUP BY d.doc_id""",
 )
@@ -2904,13 +2975,14 @@ g AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl,
              sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
       FROM s),
 sc AS (
-  SELECT doc_id, round(
+  SELECT doc_id, floor((
       ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1.0)
         / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
     + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1.0)
         / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
     + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1.0)
-        / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 4) AS score
+        / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+      ) * 1e4 + 0.5) / 1e4 AS score
   FROM s, g)
 SELECT doc_id, score FROM sc WHERE score > 0
 ORDER BY score DESC, doc_id LIMIT 15""",
@@ -2943,10 +3015,10 @@ g AS (SELECT count(*)::DOUBLE AS n,
              sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1
       FROM s),
 sc AS (
-  SELECT doc_id, round(
+  SELECT doc_id, floor((
       (CASE WHEN dl > 0 THEN tf0 / dl::DOUBLE ELSE 0.0 END) * ln(n / (1.0 + df0))
-    + (CASE WHEN dl > 0 THEN tf1 / dl::DOUBLE ELSE 0.0 END) * ln(n / (1.0 + df1)),
-    4) AS score
+    + (CASE WHEN dl > 0 THEN tf1 / dl::DOUBLE ELSE 0.0 END) * ln(n / (1.0 + df1))
+      ) * 1e4 + 0.5) / 1e4 AS score
   FROM s, g)
 SELECT doc_id, score FROM sc WHERE score > 0
 ORDER BY score DESC, doc_id LIMIT 10""",
@@ -3000,7 +3072,7 @@ pd AS (SELECT doc_id, count(*) AS n_dup FROM w JOIN g USING (win) GROUP BY doc_i
 SELECT t.doc_id, greatest(len(toks)-4, 0) AS n_windows,
        coalesce(pd.n_dup, 0) AS n_dup_windows,
        CASE WHEN len(toks)-4 > 0
-         THEN round(coalesce(pd.n_dup, 0) / (len(toks)-4), 4) END AS dup_window_ratio
+         THEN floor(coalesce(pd.n_dup, 0) / (len(toks)-4) * 1e4 + 0.5) / 1e4 END AS dup_window_ratio
 FROM t LEFT JOIN pd USING (doc_id)""",
 )
 def dup_span_stats_q(spark, sf_dir):
@@ -3031,13 +3103,17 @@ FROM t LEFT JOIN mk USING (doc_id)""",
 )
 def remove_dup_spans_q(spark, sf_dir):
     """Corpus-level duplicated-span REMOVAL (both copies rewritten): every
-    token covered by a corpus-duplicated 5-token window is dropped,
-    scan-side via a two-arg HOF filter over per-doc marked start
-    positions. Fully-duplicated docs collapse to ''."""
-    from gohangout_spark.functions.dedup import remove_dup_spans
+    token covered by a corpus-duplicated 5-token window is dropped. Uses
+    the Arrow rewrite kernel (numpy difference-array coverage, O(tokens +
+    starts) per doc) — the interpreted-HOF variant is quadratic on docs
+    whose windows are mostly duplicated. Fully-duplicated docs collapse
+    to ''."""
+    from gohangout_spark.functions.dedup import remove_dup_spans_pandas
     from gohangout_spark.io import rebalance_for_compute
 
-    out = remove_dup_spans(rebalance_for_compute(_docs(spark, sf_dir), spark), w=5)
+    out = remove_dup_spans_pandas(
+        rebalance_for_compute(_docs(spark, sf_dir), spark), w=5
+    )
     return out.select("doc_id", "text_clean")
 
 
@@ -3064,7 +3140,7 @@ scored AS (
   LEFT JOIN cnts cn USING (c1, c2)
   LEFT JOIN tots tt USING (c1)
   GROUP BY doc_id)
-SELECT n.doc_id, round(exp(s.nll), 4) AS ppl
+SELECT n.doc_id, floor(exp(s.nll) * 1e4 + 0.5) / 1e4 AS ppl
 FROM nrm n LEFT JOIN scored s USING (doc_id)""",
 )
 def char_lm_perplexity(spark, sf_dir):
@@ -3144,8 +3220,8 @@ def boilerplate_lines(spark, sf_dir):
     """WITH e AS (
   SELECT label, generate_subscripts(embedding, 1) AS d, unnest(embedding) AS v
   FROM embeddings),
-c AS (SELECT label, d, round(avg(v), 5) AS m FROM e GROUP BY label, d),
-n AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label)
+c AS (SELECT label, d, floor(avg(v) * 1e5 + 0.5) / 1e5 AS m FROM e GROUP BY label, d),
+n AS (SELECT label, count(embedding) AS n FROM embeddings GROUP BY label)
 SELECT c.label, n.n, c.d, c.m FROM c JOIN n USING (label)""",
 )
 def label_centroids(spark, sf_dir):
@@ -3261,7 +3337,7 @@ doc_pairs AS (
        unnest(generate_series(1, greatest(length(n.norm) - 1, 0))) AS u(i)),
 scored AS (
   SELECT doc_id,
-         round(exp(avg(-ln((coalesce(cn.c, 0) + 1) / (coalesce(tt.t, 0) + 37.0)))), 4)
+         floor(exp(avg(-ln((coalesce(cn.c, 0) + 1) / (coalesce(tt.t, 0) + 37.0)))) * 1e4 + 0.5) / 1e4
            AS ppl
   FROM doc_pairs dp
   LEFT JOIN cnts cn USING (c1, c2)
@@ -3526,9 +3602,9 @@ def hashed_embedding_vectors(spark, sf_dir):
   SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sigma
   FROM events GROUP BY event_type)
 SELECT event_id, event_type, value,
-       round((value - mu) / sigma, 3) AS zscore
+       floor((value - mu) / sigma * 1e3 + 0.5) / 1e3 AS zscore
 FROM events JOIN st USING (event_type)
-WHERE abs(round((value - mu) / sigma, 3)) >= 2.5""",
+WHERE abs(floor((value - mu) / sigma * 1e3 + 0.5) / 1e3) >= 2.5""",
 )
 def zscore_anomalies_q(spark, sf_dir):
     """Per-type z-score anomaly flagging: O(groups) stats broadcast back,
@@ -3637,6 +3713,244 @@ def top_phrases(spark, sf_dir):
 
 
 # ========================================================================
+# round-4 additions: event analytics (markov / RFM / sequences / sketches),
+# lexical text signals, index build, skew-proof aggregation, winnowing
+# ========================================================================
+
+@q(
+    "markov_transitions",
+    r"""WITH p AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS dst
+  FROM events),
+c AS (SELECT src, dst, count(*) AS n FROM p WHERE dst IS NOT NULL
+      GROUP BY src, dst),
+t AS (SELECT src, sum(n) AS tot FROM c GROUP BY src)
+SELECT c.src, c.dst, c.n, floor(c.n / t.tot * 1e4 + 0.5) / 1e4 AS p
+FROM c JOIN t USING (src)""",
+)
+def markov_transitions_q(spark, sf_dir):
+    """First-order Markov transitions between consecutive per-user event
+    types, with row-normalized probabilities — per-user lead() window +
+    combiner-reduced pair counts; totals re-join as a broadcast.
+    (user_id, ts) is unique in the corpus, so the ordering has no ties."""
+    from gohangout_spark.functions.analytics import transition_matrix
+
+    return transition_matrix(_events(spark, sf_dir))
+
+
+@q(
+    "rfm_segments",
+    r"""WITH pu AS (
+  SELECT user_id, max(ts) AS last_ts, count(*) AS freq,
+         sum(CAST(round(value * 100) AS BIGINT)) AS monetary_cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+q AS (SELECT user_id,
+        ntile(4) OVER (ORDER BY last_ts DESC, user_id) AS r,
+        ntile(4) OVER (ORDER BY freq DESC, user_id) AS f,
+        ntile(4) OVER (ORDER BY monetary_cents DESC, user_id) AS m
+      FROM pu)
+SELECT user_id, r, f, m,
+       r::VARCHAR || f::VARCHAR || m::VARCHAR AS segment FROM q""",
+)
+def rfm_segments_q(spark, sf_dir):
+    """RFM segmentation over purchase events. Monetary ranks on exact
+    CENTS (sum of doubles is summation-order-dependent across engines and
+    could reorder near-ties at the quartile boundary; integer cents make
+    the ntile cut engine-exact). Ties break by user_id on every rank."""
+    from gohangout_spark.functions.analytics import rfm_segments
+
+    ev = _events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return rfm_segments(ev, value_col="cents")
+
+
+@q(
+    "event_sequences_topk",
+    r"""WITH s AS (
+  SELECT event_type
+           || '>' || lead(event_type, 1) OVER w
+           || '>' || lead(event_type, 2) OVER w AS seq,
+         lead(event_type, 2) OVER w AS lst
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+SELECT seq, count(*) AS n FROM s WHERE lst IS NOT NULL GROUP BY seq
+ORDER BY n DESC, seq LIMIT 10""",
+)
+def event_sequences_topk_q(spark, sf_dir):
+    """Top-10 most common consecutive 3-step event-type paths (path-mining
+    lite): per-user lead() windows, combiner-reduced counts, top-k planned
+    as TakeOrderedAndProject. Ties by sequence asc keep the LIMIT
+    deterministic."""
+    from gohangout_spark.functions.analytics import top_event_sequences
+
+    return top_event_sequences(_events(spark, sf_dir), k=10, length=3)
+
+
+@q(
+    "lexical_diversity",
+    r"""WITH w AS (SELECT doc_id,
+                          unnest(string_split_regex(lower(text), '\s+')) AS word
+                   FROM documents),
+pw AS (SELECT doc_id, word, count(*) AS cnt FROM w
+       WHERE word <> '' GROUP BY doc_id, word),
+st AS (SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_types,
+              sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax
+       FROM pw GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(st.n_tokens, 0) AS n_tokens,
+       coalesce(st.n_types, 0) AS n_types,
+       floor(st.n_types / st.n_tokens * 1e4 + 0.5) / 1e4 AS ttr,
+       coalesce(st.n_hapax, 0) AS n_hapax,
+       floor(st.n_hapax / st.n_tokens * 1e4 + 0.5) / 1e4 AS hapax_ratio
+FROM documents d LEFT JOIN st USING (doc_id)""",
+)
+def lexical_diversity_q(spark, sf_dir):
+    """Type-token ratio + hapax stats per doc — the lexical-diversity
+    signals next to repetition_stats' concentration. Identical explode →
+    combiner-reduced shape; ratios via the engine-deterministic floor
+    form."""
+    from gohangout_spark.functions.curation import lexical_diversity
+
+    return lexical_diversity(_docs(spark, sf_dir))
+
+
+@q(
+    "flesch_reading_ease",
+    r"""WITH t AS (
+  SELECT doc_id,
+    len(list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+        x -> x <> ''))::DOUBLE AS w,
+    greatest(len(regexp_extract_all(text, '[.!?]+')), 1)::DOUBLE AS s,
+    len(regexp_extract_all(lower(text), '[aeiouy]+'))::DOUBLE AS syl
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN w > 0 THEN
+    floor((206.835 - 1.015 * (w / s) - 84.6 * (greatest(syl, w) / w))
+          * 1e2 + 0.5) / 1e2 END AS flesch
+FROM t""",
+)
+def flesch_reading_ease_q(spark, sf_dir):
+    """Flesch reading ease from portable regex heuristics (sentence = run
+    of [.!?], syllable = vowel-group run, >= 1 per word) — both counts are
+    codegen'd regexp_counts and the identical regexes run in the oracle."""
+    from gohangout_spark.functions.text import flesch_reading_ease
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", flesch_reading_ease(F.col("text")).alias("flesch")
+    )
+
+
+@q(
+    "inverted_index",
+    r"""WITH t AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_filter(
+           str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> ''))) AS term
+  FROM documents)
+SELECT term, count(*) AS df,
+       CASE WHEN count(*) <= 100
+            THEN array_to_string(list_sort(list(doc_id)), ',') END AS postings
+FROM t GROUP BY term HAVING count(*) >= 2""",
+)
+def inverted_index_q(spark, sf_dir):
+    """Inverted-index build: term -> (df, sorted posting list), hapax terms
+    dropped, stopword-grade terms (df > 100) keep df but never collect
+    their postings — the two-pass cap that avoids shuffling a hot term's
+    whole posting list (functions/search.py:inverted_index)."""
+    from gohangout_spark.functions.search import inverted_index
+
+    idx = inverted_index(_docs(spark, sf_dir), min_df=2, max_postings=100)
+    # posting lists serialize to a comma-joined string for the compare
+    # layer (the driver hashes scalar columns only)
+    return idx.select(
+        "term",
+        "df",
+        F.when(
+            F.col("postings").isNotNull(),
+            F.concat_ws(",", F.col("postings")),
+        ).alias("postings"),
+    )
+
+
+@q(
+    "approx_distinct_report",
+    """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+              true AS hll_ok
+       FROM events GROUP BY event_type""",
+)
+def approx_distinct_report_q(spark, sf_dir):
+    """HyperLogLog++ validation report: exact distinct users per event type
+    plus a boolean asserting the rsd=0.05 sketch landed within 5% relative
+    error. The oracle states hll_ok analytically — a drifting sketch fails
+    the cross-engine hash (the raw sketch value itself is deliberately not
+    compared; HLL implementations differ across engines)."""
+    from gohangout_spark.functions.analytics import approx_distinct_report
+
+    return approx_distinct_report(_events(spark, sf_dir))
+
+
+@q(
+    "salted_heavy_hitters",
+    """SELECT event_type, count(*) AS n,
+              sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+              min(value) AS mn, max(value) AS mx
+       FROM events GROUP BY event_type""",
+)
+def salted_heavy_hitters_q(spark, sf_dir):
+    """Hot-key aggregation through the two-phase salted path
+    (functions/skew.py): groupBy(key, salt) partials then groupBy(key)
+    merge — the shape that spreads one dominant key over 32 reducers.
+    Results are salt-invariant because every aggregate here is algebraic
+    over exact values (counts + integer cents + min/max); the oracle is
+    the plain one-phase GROUP BY."""
+    from gohangout_spark.functions.skew import salted_agg
+
+    ev = _events(spark, sf_dir).withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    return salted_agg(
+        ev,
+        ["event_type"],
+        {
+            "n": ("count", "event_id"),
+            "total_cents": ("sum", "cents"),
+            "mn": ("min", "value"),
+            "mx": ("max", "value"),
+        },
+    )
+
+
+@q(
+    "winnow_fingerprints",
+    r"""WITH t AS (
+  SELECT doc_id, list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, i AS pos,
+         substring(md5(array_to_string(toks[i:i+3], ' ')), 1, 16) AS h
+  FROM t, unnest(generate_series(1, greatest(len(toks) - 3, 0))) AS u(i)),
+w AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM g)
+SELECT DISTINCT doc_id, fp FROM w WHERE pos <= ng - 3""",
+)
+def winnow_fingerprints_q(spark, sf_dir):
+    """Winnowing fingerprints (MOSS, k=4 w=4): every doc's selected
+    min-hash-per-window set over md5-prefix gram hashes — any shared
+    7-token run between docs shares a fingerprint while only ~2/(w+1) of
+    grams are kept. The oracle replays the identical window MIN."""
+    from gohangout_spark.functions.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=4, w=4)
+
+
+# ========================================================================
 # Driver-gate registration order
 # ========================================================================
 # The correctness driver samples the FIRST 50 entries of QUERIES in
@@ -3648,58 +3962,9 @@ def top_phrases(spark, sf_dir):
 # first couple of them is harmless).  New round-3 queries are inserted
 # before the tail so they are gated the round they land.
 _GATE_PRIORITY = [
-    # round-2 additions, never driver-verified (r2 order preserved)
-    "embedding_rp_topk",
-    "embedding_ivf_pq_topk",
-    "simhash_neardup",
-    "template_condition",
-    "distinct_users",
-    "rollup_totals",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q17",
-    "tpch_q18",
-    "decontaminate_docs",
-    "ngram_decontaminate",
-    "chunk_dedup_stats",
-    "quantile_buckets_lang",
-    "redact_pii",
+    # round-3 additions never driver-verified (VERDICT r4 top item: these
+    # 36 + repetition_stats fill the 50-slot window this round)
     "repetition_stats",
-    "weighted_mixture",
-    "tpch_q8",
-    "tpch_q19",
-    "tpch_q22",
-    "vocabulary_topn",
-    "stratified_sample",
-    "deterministic_sample",
-    "cap_per_source",
-    "pack_documents",
-    "pack_documents_bestfit",
-    "quality_filter_pipeline",
-    "dedup_clusters",
-    "multimodal_audio_features",
-    "orders_left_outer",
-    "customers_without_orders",
-    "yaml_pipeline_e2e",
-    "etl_pipeline_chain",
-    "purchase_attribution",
-    "signup_error_window",
-    "semantic_dedup_by_label",
-    "semantic_dedup_kmeans",
-    "dedup_filter_events",
-    "user_rolling_avg",
-    "event_type_pivot",
-    "sliding_window_counts",
-    "intersect_buyers_clickers",
-    "event_value_geomean",
-    "multimodal_frame_sample",
-    # round-3 additions (gated the round they land)
-    "paragraph_dedup_stats",
-    "dedup_paragraphs",
     "url_curation",
     "gopher_rules",
     "embedding_q8_topk",
@@ -3736,6 +4001,22 @@ _GATE_PRIORITY = [
     "cohort_retention",
     "sessionize_events",
     "top_phrases",
+    # round-4 additions (gated the round they land)
+    "markov_transitions",
+    "rfm_segments",
+    "event_sequences_topk",
+    "lexical_diversity",
+    "flesch_reading_ease",
+    "inverted_index",
+    "approx_distinct_report",
+    "salted_heavy_hitters",
+    "winnow_fingerprints",
+    # rows-only -> analytic oracle conversions (r4): first hash-check
+    "pack_documents_bestfit",
+    "semantic_dedup_kmeans",
+    # oracles converted to the rounding-mode-proof floor form: re-confirm
+    "ngram_jaccard_adjacent",
+    "chunk_dedup_stats",
 ]
 
 QUERIES = {

@@ -207,6 +207,27 @@ class TestRender:
 
         assert base64.b64decode(out["b64"]).decode() == "childe"
 
+    def test_template_sprig_tranche2_columns(self, df):
+        """r4 Column-subset additions: math / casts / date / urlquery stay
+        JVM-side (no UDF). Expected values are documented sprig outputs."""
+        out = df.select(
+            compile_render("{{floor 3.7}}", df).alias("fl"),
+            compile_render("{{ceil 3.1}}", df).alias("ce"),
+            compile_render("{{round 2 3.14159}}", df).alias("ro"),
+            compile_render("{{max 1 7 3}}", df).alias("mx"),
+            compile_render("{{min 1 7 3}}", df).alias("mn"),
+            compile_render('{{int "42.9"}}', df).alias("iv"),
+            compile_render('{{float64 "1.5"}}', df).alias("fv"),
+            compile_render("{{empty .missing}}", df).alias("em"),
+            compile_render('{{urlquery "a b&c"}}', df).alias("uq"),
+        ).first()
+        assert out["fl"] == "3.0" and out["ce"] == "4.0"
+        assert out["ro"] == "3.14"
+        assert out["mx"] == "7" and out["mn"] == "1"
+        assert out["iv"] == "42" and out["fv"] == "1.5"
+        assert out["em"] == "true"
+        assert out["uq"] == "a+b%26c"
+
     def test_template_pipeline(self, df):
         out = df.select(
             compile_render("{{.name | upper}}", df).alias("up"),
@@ -260,6 +281,18 @@ class TestRender:
             # pipeline into the long tail, and long tail into the subset
             "{{.s | snakecase}}": "hello_world",
             "{{.c | snakecase | upper}}": "FIRST_NAME",
+            # tranche 2 (r4): Go path helpers + adler32 (documented Go
+            # path.Base/Dir/Ext/Clean/IsAbs outputs)
+            '{{base "/a/b/c.txt"}}': "c.txt",
+            '{{base ""}}': ".",
+            '{{base "///"}}': "/",
+            '{{dir "/a/b/c.txt"}}': "/a/b",
+            '{{dir "plain"}}': ".",
+            '{{ext "/a/b/c.txt"}}': ".txt",
+            '{{clean "a/b/../c//d"}}': "a/c/d",
+            '{{isAbs "/abs/path"}}': "true",
+            '{{osIsAbs "rel/path"}}': "false",
+            '{{adler32sum "hello"}}': "103547413",
         }
         cols = [
             compile_render(t, d, allow_udf_templates=True).alias(f"c{i}")

@@ -406,6 +406,17 @@ outputs:
     assert all(snip not in r["text"] for r in kept)
 
 
+def test_decontaminate_snippets_bloom_conflict():
+    """ADVICE r3: snippets dispatches before the bloom flag — a config
+    naming both must error loudly, not silently ignore bloom."""
+    import pytest as _pytest
+
+    from gohangout_spark.operators.textops import Decontaminate
+
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        Decontaminate(snippets=["leak"], bloom=True)
+
+
 def test_gopher_rules_filter(spark, tmp_path):
     """GopherRules as a YAML filter: mark mode adds the verdict columns;
     drop mode keeps only passing docs."""
