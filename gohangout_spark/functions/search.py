@@ -188,6 +188,14 @@ def inverted_index(
             )
             .where(F.col("df") >= min_df)
         )
+    # Deliberately TWO scans, not a shared exchange: forcing both passes
+    # under one repartition-by-term would shuffle the raw exploded term
+    # rows (O(tokens)) and kill the map-side partial aggregation. As-is,
+    # the df pass shuffles combiner-reduced (term, count) partials with a
+    # text-only column-pruned scan, and the postings pass shuffles only
+    # post-anti-join rows — at 100 TB the extra scan is far cheaper than
+    # an uncombined token shuffle. The hot-term exclusion broadcasts (hot
+    # terms are few by definition).
     df_pass = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") >= min_df
     )

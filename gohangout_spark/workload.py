@@ -3946,8 +3946,10 @@ def winnow_fingerprints_q(spark, sf_dir):
     7-token run between docs shares a fingerprint while only ~2/(w+1) of
     grams are kept. The oracle replays the identical window MIN."""
     from gohangout_spark.functions.dedup import winnow_fingerprints
+    from gohangout_spark.io import rebalance_for_compute
 
-    return winnow_fingerprints(_docs(spark, sf_dir), k=4, w=4)
+    docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
+    return winnow_fingerprints(docs, k=4, w=4)
 
 
 # ========================================================================
