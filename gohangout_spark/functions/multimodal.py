@@ -19,6 +19,8 @@ tables whose rows are megapixel images so a partition stays in memory.
 
 from __future__ import annotations
 
+import math
+
 import hashlib
 from collections.abc import Iterator
 
@@ -439,7 +441,7 @@ def extract_audio_spectrum(
                         int(mid),
                         len(pcm),
                         k,
-                        round(k * sample_rate / len(pcm), 4),
+                        math.floor(k * sample_rate / len(pcm) * 1e4 + 0.5) / 1e4,
                     )
                 )
             yield pd.DataFrame(

@@ -2890,8 +2890,8 @@ def multimodal_ppm_features(spark, sf_dir):
 @q(
     "multimodal_wav_features",
     """SELECT CAST(i AS BIGINT) AS media_id,
-              round((800 + 10 * i) / 16000.0, 4) AS duration_s,
-              round(abs(round(((i % 20) - 10) / 16.0 * 32767) / 32768.0), 4)
+              floor((800 + 10 * i) / 16000.0 * 1e4 + 0.5) / 1e4 AS duration_s,
+              floor(abs(round(((i % 20) - 10) / 16.0 * 32767) / 32768.0) * 1e4 + 0.5) / 1e4
                 AS rms,
               0 AS zero_crossings
        FROM range(32) t(i)""",
@@ -2911,8 +2911,8 @@ def multimodal_wav_features(spark, sf_dir):
     out = extract_audio_features(media, codec=WavPcmCodec())
     return out.select(
         "media_id",
-        F.round("duration_s", 4).alias("duration_s"),
-        F.round("rms", 4).alias("rms"),
+        round_half_up(F.col("duration_s"), 4).alias("duration_s"),
+        round_half_up(F.col("rms"), 4).alias("rms"),
         "zero_crossings",
     )
 
@@ -3262,7 +3262,7 @@ def bpe_token_count_q(spark, sf_dir):
     """SELECT CAST(i AS BIGINT) AS media_id,
               1024 AS n_samples,
               CAST(16 + 8 * (i % 10) AS INT) AS dominant_bin,
-              round((16 + 8 * (i % 10)) * 16000.0 / 1024, 4) AS dominant_freq_hz
+              floor((16 + 8 * (i % 10)) * 16000.0 / 1024 * 1e4 + 0.5) / 1e4 AS dominant_freq_hz
        FROM range(24) t(i)""",
 )
 def multimodal_audio_spectrum(spark, sf_dir):
