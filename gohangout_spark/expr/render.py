@@ -355,6 +355,56 @@ def _apply_template_func(
     if head == "urlquery":  # Go template builtin: URL query escaping
         need(1)
         return F.url_encode(s(0))
+    # ---- sprig tranche 3 (r4): list functions, value-last like the rest.
+    # The list operand is an ARRAY column (events carry []any fields);
+    # intermediate pipeline stages pass Columns unchanged, so
+    # `{{.tags | sortAlpha | join ","}}` composes; only the action's final
+    # result is stringified.
+    if head == "join":  # join SEP list
+        need(2)
+        return F.concat_ws(
+            raw_args[0].strip('"') if raw_args[0] is not None else "",
+            F.transform(args[1], lambda x: x.cast("string")),
+        )
+    if head == "splitList":  # splitList SEP s — literal separator
+        need(2)
+        if raw_args[0] is None or not raw_args[0].startswith('"'):
+            raise ValueError(f"splitList needs a literal separator: {expr!r}")
+        return F.split(s(1), re.escape(raw_args[0].strip('"')))
+    if head in ("first", "last"):
+        need(1)
+        return F.element_at(args[0], 1 if head == "first" else -1)
+    if head == "initial":  # all but last
+        need(1)
+        return F.slice(args[0], 1, F.greatest(F.size(args[0]) - 1, F.lit(0)))
+    if head == "rest":  # all but first
+        need(1)
+        return F.when(
+            F.size(args[0]) > 1,
+            F.slice(args[0], 2, F.size(args[0]) - 1),
+        ).otherwise(F.array().cast("array<string>"))
+    if head == "sortAlpha":
+        need(1)
+        return F.array_sort(F.transform(args[0], lambda x: x.cast("string")))
+    if head == "uniq":
+        need(1)
+        return F.array_distinct(args[0])
+    if head == "compact":  # drop empty/null entries
+        need(1)
+        return F.filter(
+            args[0], lambda x: x.isNotNull() & (x.cast("string") != "")
+        )
+    if head == "reverse":
+        need(1)
+        return F.reverse(args[0])
+    if head == "has":  # has NEEDLE list
+        need(2)
+        return F.array_contains(args[1], args[0])
+    if head == "without":  # without ITEM... list (value last)
+        out = args[-1]
+        for item in args[:-1]:
+            out = F.array_remove(out, item)
+        return out
     raise UnsupportedTemplateFunc(f"unsupported template function {head!r} in {expr!r}")
 
 

@@ -228,6 +228,36 @@ class TestRender:
         assert out["em"] == "true"
         assert out["uq"] == "a+b%26c"
 
+    def test_template_sprig_list_functions(self, spark):
+        """r4 tranche 3: sprig list functions over array-valued event
+        fields, Column-compiled, value-last. Intermediate pipeline stages
+        pass arrays through; only the final result stringifies."""
+        from pyspark.sql import Row
+
+        d = spark.createDataFrame(
+            [Row(tags=["b", "a", "b", "", "c"], name="x")]
+        )
+        table = {
+            '{{join "," .tags}}': "b,a,b,,c",
+            "{{.tags | uniq | sortAlpha}}": "[, a, b, c]",  # array->string cast
+            '{{.tags | compact | join "-"}}': "b-a-b-c",
+            "{{first .tags}}": "b",
+            "{{last .tags}}": "c",
+            "{{.tags | rest | first}}": "a",
+            "{{.tags | initial | last}}": "",
+            '{{has "c" .tags}}': "true",
+            '{{has "z" .tags}}': "false",
+            '{{.tags | without "b" | compact | join ","}}': "a,c",
+            '{{splitList "-" "a-b-c" | last}}': "c",
+            "{{.tags | reverse | first}}": "c",
+        }
+        cols = [
+            compile_render(t, d).alias(f"c{i}") for i, t in enumerate(table)
+        ]
+        row = d.select(*cols).first()
+        for i, (t, expect) in enumerate(table.items()):
+            assert row[f"c{i}"] == expect, f"{t}: {row[f'c{i}']!r} != {expect!r}"
+
     def test_template_pipeline(self, df):
         out = df.select(
             compile_render("{{.name | upper}}", df).alias("up"),

@@ -1,0 +1,94 @@
+"""Continuous near-dup suppression across micro-batches
+(streaming.start_dedup_stream): a doc near-duplicating one from an EARLIER
+micro-batch must be dropped without re-reading historical text, and the
+persistent index must grow by survivors only."""
+
+import datetime
+
+from pyspark.sql import Row
+
+from gohangout_spark.streaming import start_dedup_stream
+
+A = "the quick brown fox jumps over the lazy dog again and again today"
+B = "completely different words about spark streaming state and dedup"
+C = "third unique document mentioning warehouses pipelines and parquet"
+
+
+def _chunk(spark, path, rows):
+    spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_cross_batch_near_dup_dropped(spark, tmp_path):
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    # batch 1: two unique docs; batch 2: exact dup of A (cross-batch),
+    # a new unique doc, and an in-batch dup pair (ids 4 < 5)
+    _chunk(spark, src, [Row(doc_id=1, text=A), Row(doc_id=2, text=B)])
+    _chunk(spark, src, [Row(doc_id=3, text=A), Row(doc_id=4, text=C),
+                        Row(doc_id=5, text=C)])
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    seen: dict[int, list[int]] = {}
+
+    def sink(df, batch_id):
+        seen[batch_id] = sorted(r["doc_id"] for r in df.collect())
+
+    q = start_dedup_stream(
+        stream, idx, sink, threshold=0.9,
+        checkpoint=str(tmp_path / "ckpt"), query_name="dedup_t1",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    survivors = sorted(x for v in seen.values() for x in v)
+    # 3 dropped (dup of historical 1), 5 dropped (in-batch dup of 4)
+    assert survivors == [1, 2, 4]
+    # index holds exactly the survivors' signatures
+    idx_ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(idx).collect()
+    )
+    assert idx_ids == [1, 2, 4]
+
+
+def test_batches_arriving_later_still_checked(spark, tmp_path):
+    """A third batch started as a NEW query run (fresh stream, same index)
+    still sees the history — the index, not query state, is the memory."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    _chunk(spark, src, [Row(doc_id=1, text=A)])
+    stream = (
+        spark.readStream.schema("doc_id long, text string").parquet(src)
+    )
+    got = {}
+    q = start_dedup_stream(
+        stream, idx, lambda df, b: got.setdefault(b, df.count()),
+        threshold=0.9, query_name="dedup_t2a",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    src2 = str(tmp_path / "src2")
+    _chunk(spark, src2, [Row(doc_id=9, text=A), Row(doc_id=10, text=B)])
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string").parquet(src2)
+    )
+    out = {}
+    q2 = start_dedup_stream(
+        stream2, idx, lambda df, b: out.setdefault(
+            b, sorted(r["doc_id"] for r in df.collect())
+        ),
+        threshold=0.9, query_name="dedup_t2b",
+    )
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert list(out.values()) == [[10]]  # 9 deduped against the index
