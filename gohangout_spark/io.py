@@ -149,3 +149,60 @@ def write_bucketed(
         sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    target_file_mb: int = 256,
+    fmt: str = "parquet",
+    compression: str | None = None,
+) -> dict:
+    """Small-file compaction (the OPTIMIZE primitive): rewrite a directory
+    of many small files into files of ~``target_file_mb`` each.
+
+    Why first-class: at 100 TB the dominant operational failure of a
+    streaming ingest is millions of KB-sized files — every downstream scan
+    pays per-file open cost and the driver pays per-file listing. The
+    rewrite is one round-robin repartition to ceil(bytes/target) — no keyed
+    shuffle — sized from the actual on-disk byte count (filesystem listing,
+    not a data scan). Writes to ``dst_path`` (never in place: an in-place
+    rewrite that fails mid-job destroys the table; callers swap directories
+    after success — the same protocol table formats' OPTIMIZE commits via
+    metadata). Returns {files_before, files_after, bytes}.
+    """
+    import math
+
+    df = spark.read.format(fmt).load(src_path)
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    it = fs.listFiles(p, True)
+    total = 0
+    files_before = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        total += st.getLen()
+        files_before += 1
+    n_out = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    w = df.repartition(n_out).write.format(fmt).mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.save(dst_path)
+    out_p = jvm.org.apache.hadoop.fs.Path(dst_path)
+    it2 = fs.listFiles(out_p, True)
+    files_after = 0
+    while it2.hasNext():
+        name = it2.next().getPath().getName()
+        if not (name.startswith("_") or name.startswith(".")):
+            files_after += 1
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total,
+    }

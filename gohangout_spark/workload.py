@@ -3952,6 +3952,24 @@ def winnow_fingerprints_q(spark, sf_dir):
     return winnow_fingerprints(docs, k=4, w=4)
 
 
+@q(
+    "heavy_hitter_users",
+    """SELECT user_id, count(*) AS n FROM events
+       GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10""",
+)
+def heavy_hitter_users_q(spark, sf_dir):
+    """Top-10 most active users via the Misra-Gries candidate sketch +
+    exact recount (functions/sketch.py) — bounded memory per partition and
+    no full-domain count shuffle; exact here because the user domain
+    clears the MG bound, which is why the plain GROUP BY oracle matches
+    value-for-value."""
+    from gohangout_spark.functions.sketch import heavy_hitters
+    from gohangout_spark.io import rebalance_for_compute
+
+    ev = rebalance_for_compute(_events(spark, sf_dir), spark)
+    return heavy_hitters(ev, "user_id", k=10)
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -4013,12 +4031,12 @@ _GATE_PRIORITY = [
     "approx_distinct_report",
     "salted_heavy_hitters",
     "winnow_fingerprints",
+    "heavy_hitter_users",
     # rows-only -> analytic oracle conversions (r4): first hash-check
     "pack_documents_bestfit",
     "semantic_dedup_kmeans",
     # oracles converted to the rounding-mode-proof floor form: re-confirm
     "ngram_jaccard_adjacent",
-    "chunk_dedup_stats",
 ]
 
 QUERIES = {

@@ -2825,3 +2825,66 @@ class TestSaltedAgg:
         for k in want:
             for c in ("n", "mn", "mx", "s"):
                 assert got[k][c] == want[k][c], (k, c)
+
+
+class TestHeavyHitters:
+    def test_exact_on_skewed(self, spark):
+        from gohangout_spark.functions.sketch import heavy_hitters
+
+        rows = (
+            [("hot",)] * 100 + [("warm",)] * 40 + [("mild",)] * 40
+            + [(f"cold{i}",) for i in range(50)] + [(None,)] * 5
+        )
+        df = spark.createDataFrame(rows, "v string").repartition(8)
+        got = [(r.v, r.n) for r in heavy_hitters(df, "v", k=3).collect()]
+        assert got == [("hot", 100), ("mild", 40), ("warm", 40)]  # tie: value asc
+
+    def test_tiny_m_still_finds_dominant(self, spark):
+        """MG bound: a value with frequency > N/(m+1) must survive even
+        when m is far below the distinct count."""
+        from gohangout_spark.functions.sketch import heavy_hitters
+
+        rows = [("dominant",)] * 400 + [(f"u{i}",) for i in range(300)]
+        df = spark.createDataFrame(rows, "v string").repartition(4)
+        top = heavy_hitters(df, "v", k=1, m=8).collect()
+        assert top[0].v == "dominant" and top[0].n == 400
+
+    def test_plan_has_no_full_domain_shuffle(self, spark):
+        from gohangout_spark.functions.sketch import heavy_hitters
+
+        df = spark.createDataFrame([("a",), ("b",)], "v string")
+        plan = heavy_hitters(df, "v")._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestCompactFiles:
+    def test_many_small_to_few(self, spark, tmp_path):
+        from gohangout_spark.io import compact_files
+
+        src = str(tmp_path / "small")
+        spark.range(10000).selectExpr("id", "id * 2 AS v").repartition(
+            40
+        ).write.parquet(src)
+        dst = str(tmp_path / "compact")
+        stats = compact_files(spark, src, dst, target_file_mb=256)
+        assert stats["files_before"] == 40
+        assert stats["files_after"] == 1  # well under one target file
+        # content identical
+        a = sorted(r.id for r in spark.read.parquet(src).collect())
+        b = sorted(r.id for r in spark.read.parquet(dst).collect())
+        assert a == b
+
+
+def test_file_source_orc_roundtrip(spark, tmp_path):
+    """FileSource/FileSink pass the format through — ORC (built-in) works
+    end to end, not just parquet/json/csv/text."""
+    from gohangout_spark.sinks.sinks import FileSink
+    from gohangout_spark.sources.sources import FileSource
+
+    df = spark.range(100).selectExpr("id", "CAST(id AS STRING) AS s")
+    out = str(tmp_path / "orc_out")
+    FileSink({"path": out, "format": "orc"}).write_batch(df)
+    back = FileSource({"path": out, "format": "orc"}).batch(spark)
+    assert back.count() == 100
+    assert {f.name for f in back.schema.fields} == {"id", "s"}
