@@ -69,6 +69,8 @@ HEADLINE = [
     "inverted_index",
     "winnow_fingerprints",
     "salted_heavy_hitters",
+    "heavy_hitter_users",
+    "quality_classifier_score",
 ]
 
 

@@ -379,10 +379,9 @@ def _apply_template_func(
         return F.slice(args[0], 1, F.greatest(F.size(args[0]) - 1, F.lit(0)))
     if head == "rest":  # all but first
         need(1)
-        return F.when(
-            F.size(args[0]) > 1,
-            F.slice(args[0], 2, F.size(args[0]) - 1),
-        ).otherwise(F.array().cast("array<string>"))
+        # clamped slice keeps the input's element type (an explicit empty
+        # array literal would pin array<string> and break int lists)
+        return F.slice(args[0], 2, F.greatest(F.size(args[0]) - 1, F.lit(0)))
     if head == "sortAlpha":
         need(1)
         return F.array_sort(F.transform(args[0], lambda x: x.cast("string")))

@@ -26,6 +26,7 @@ from gohangout_spark.operators.textops import (
     Decontaminate,
     Fingerprint,
     BoilerplateLines,
+    Classify,
     GopherRules,
     LanguageId,
     QuantileBucket,
@@ -66,6 +67,7 @@ FILTER_REGISTRY = {
     "RedactPii": RedactPii,
     "Decontaminate": Decontaminate,
     "BoilerplateLines": BoilerplateLines,
+    "Classify": Classify,
     "GopherRules": GopherRules,
     "QuantileBucket": QuantileBucket,
 }

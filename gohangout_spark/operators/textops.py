@@ -411,3 +411,82 @@ class BoilerplateLines(_GuardedPlanOp):
 
     def _null_outputs(self):
         return {c: F.lit(None).cast("int") for c in self._OUT_COLS}
+
+
+class Classify(_GuardedPlanOp):
+    """Linear text-classifier gate as a YAML filter (functions.classify):
+    score = sigmoid(dot(hashed_features(text), weights) + bias), weights
+    inlined as plan literals — stateless, scan-side, STREAMING-safe.
+
+        - Classify:
+            src: text
+            weights: [0.4, -0.2, ...]     # inline, or:
+            weights_path: /models/quality.json   # {"weights": [...], "bias": f}
+            bias: -0.1
+            threshold: 0.5
+            action: mark                  # adds `score` (+ keep bool); or: drop
+
+    Train with functions.classify.train_text_classifier and persist the
+    (weights, bias) pair; the filter never loads MLlib at score time.
+    """
+
+    def __init__(
+        self,
+        src: str = "text",
+        weights: list[float] | None = None,
+        weights_path: str | None = None,
+        bias: float = 0.0,
+        threshold: float = 0.5,
+        action: str = "mark",
+        target: str = "score",
+        seed: int = 42,
+    ):
+        if action not in ("mark", "drop"):
+            raise ValueError(f"Classify action must be mark|drop: {action!r}")
+        if (weights is None) == (weights_path is None):
+            raise ValueError("Classify: exactly one of weights / weights_path")
+        if weights_path is not None:
+            import json
+
+            with open(weights_path) as fh:
+                blob = json.load(fh)
+            weights = blob["weights"]
+            bias = float(blob.get("bias", bias))
+        self.src = src
+        self.weights = [float(w) for w in weights]
+        self.bias = float(bias)
+        self.threshold = float(threshold)
+        self.action = action
+        self.target = target
+        self.seed = seed
+
+    def _transform(self, df: DataFrame) -> DataFrame:
+        from gohangout_spark.functions.classify import linear_score_col
+        from gohangout_spark.functions.similarity import hashed_embeddings
+
+        emb = hashed_embeddings(
+            df.withColumn("__ctext", field_col(self.src, df).cast("string")),
+            text_col="__ctext",
+            dim=len(self.weights),
+            seed=self.seed,
+            normalize=False,
+            out_col="__cvec",
+        )
+        scored = emb.withColumn(
+            self.target, linear_score_col(F.col("__cvec"), self.weights, self.bias)
+        ).drop("__ctext", "__cvec")
+        if self.action == "drop":
+            return scored.where(F.col(self.target) >= self.threshold).drop(
+                self.target
+            )
+        return scored.withColumn(
+            f"{self.target}_keep", F.col(self.target) >= self.threshold
+        )
+
+    def _null_outputs(self):
+        if self.action == "drop":
+            return {}
+        return {
+            self.target: F.lit(None).cast("double"),
+            f"{self.target}_keep": F.lit(None).cast("boolean"),
+        }

@@ -3970,6 +3970,51 @@ def heavy_hitter_users_q(spark, sf_dir):
     return heavy_hitters(ev, "user_id", k=10)
 
 
+@q(
+    "quality_classifier_score",
+    """WITH t AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+h AS (SELECT doc_id, list_transform(toks, x -> md5(x || '-42')) AS hs FROM t),
+p AS (SELECT doc_id,
+        list_transform(hs, h ->
+          ((strpos('0123456789abcdef', substring(h, 1, 1)) - 1) * 4096
+           + (strpos('0123456789abcdef', substring(h, 2, 1)) - 1) * 256
+           + (strpos('0123456789abcdef', substring(h, 3, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substring(h, 4, 1)) - 1)) % 16) AS bs,
+        list_transform(hs, h ->
+          CASE WHEN strpos('0123456789abcdef', substring(h, 5, 1)) - 1 >= 8
+               THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS ss
+      FROM h),
+z AS (
+  SELECT doc_id,
+         coalesce(list_sum(list_transform(generate_series(0, 15), i ->
+           coalesce(list_sum(list_transform(generate_series(1, len(bs)),
+             j -> CASE WHEN bs[j] = i THEN ss[j] ELSE 0.0::DOUBLE END)),
+             0.0)::DOUBLE
+           * ((CAST((i * 37) % 16 AS DOUBLE) - 7.5) / 8.0))), 0.0) AS dot
+  FROM p)
+SELECT doc_id,
+       floor(1.0 / (1.0 + exp(-(dot + (-0.25)))) * 1e4 + 0.5) / 1e4 AS score
+FROM z""",
+)
+def quality_classifier_score_q(spark, sf_dir):
+    """Fasttext-style linear quality gate, scored scan-side with the model
+    as plan literals: hashed 16-dim features (the oracle-replayable md5
+    nibble arithmetic of hashed_embedding_vectors) dotted with analytic
+    weights w_d = ((d*37 mod 16) - 7.5)/8 and squashed by a sigmoid. The
+    fixed-weight fixture makes the whole train-elsewhere/score-here path
+    hash-checkable; actual TRAINING (MLlib logistic regression -> these
+    same literals) is pytest-covered in TestClassifier."""
+    from gohangout_spark.functions.classify import score_documents
+    from gohangout_spark.io import rebalance_for_compute
+
+    weights = [((d * 37) % 16 - 7.5) / 8.0 for d in range(16)]
+    docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
+    return score_documents(docs, weights, bias=-0.25)
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
@@ -4032,11 +4077,10 @@ _GATE_PRIORITY = [
     "salted_heavy_hitters",
     "winnow_fingerprints",
     "heavy_hitter_users",
+    "quality_classifier_score",
     # rows-only -> analytic oracle conversions (r4): first hash-check
     "pack_documents_bestfit",
     "semantic_dedup_kmeans",
-    # oracles converted to the rounding-mode-proof floor form: re-confirm
-    "ngram_jaccard_adjacent",
 ]
 
 QUERIES = {

@@ -2888,3 +2888,58 @@ def test_file_source_orc_roundtrip(spark, tmp_path):
     back = FileSource({"path": out, "format": "orc"}).batch(spark)
     assert back.count() == 100
     assert {f.name for f in back.schema.fields} == {"id", "s"}
+
+
+class TestClassifier:
+    def test_train_then_scanside_score_separates(self, spark):
+        """Distributed MLlib training -> weights as plan literals -> the
+        scan-side scorer must rank positive-vocabulary docs above
+        negative-vocabulary docs."""
+        from gohangout_spark.functions.classify import (
+            score_documents,
+            train_text_classifier,
+        )
+
+        pos_words = ["excellent", "clear", "insightful", "thorough"]
+        neg_words = ["spam", "click", "buy", "winner"]
+        rows = []
+        for i in range(60):
+            w = pos_words if i % 2 == 0 else neg_words
+            text = " ".join(w[(i + j) % 4] for j in range(12))
+            rows.append((i, text, i % 2 == 0))
+        docs = spark.createDataFrame(rows, "doc_id long, text string, good boolean")
+        weights, bias = train_text_classifier(docs, "good", dim=32, max_iter=30)
+        assert len(weights) == 32
+        # scoring path is pure Columns (no Python) over UNNORMALIZED
+        # hashed features; the sign of the separation survives scaling
+        scored = score_documents(docs, weights, bias).join(
+            docs.select("doc_id", "good"), "doc_id"
+        )
+        rows2 = scored.collect()
+        pos = [r.score for r in rows2 if r.good]
+        neg = [r.score for r in rows2 if not r.good]
+        assert min(pos) > max(neg)
+
+    def test_score_plan_is_scanside(self, spark):
+        from gohangout_spark.functions.classify import score_documents
+
+        docs = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        plan = (
+            score_documents(docs, [0.1] * 16)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_sigmoid_and_raw(self, spark):
+        from gohangout_spark.functions.classify import linear_score_col
+
+        df = spark.createDataFrame([([1.0, 2.0],)], "v array<double>")
+        row = df.select(
+            linear_score_col(F.col("v"), [0.5, 0.25], 0.0, sigmoid=False).alias("z"),
+            linear_score_col(F.col("v"), [0.5, 0.25], 0.0).alias("p"),
+        ).first()
+        assert row.z == 1.0
+        import math
+
+        assert abs(row.p - 1 / (1 + math.exp(-1.0))) < 1e-12

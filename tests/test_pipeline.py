@@ -775,3 +775,60 @@ def test_decontaminate_bloom_mode(spark, tmp_path):
         "SELECT * FROM bloom_stream_t"
     ).collect()}
     assert got == {1: True, 2: False, 3: False}
+
+
+def test_classify_filter_yaml(spark, tmp_path):
+    """Classify as a YAML filter: mark mode adds score + keep bool; drop
+    mode gates rows; weights load from a JSON model file."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from gohangout_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    src = str(tmp_path / "docs_pq")
+    docs.write.parquet(src)
+    n_docs = docs.count()
+    model = {"weights": [((d * 37) % 16 - 7.5) / 8.0 for d in range(16)],
+             "bias": -0.25}
+    mp = str(tmp_path / "quality.json")
+    with open(mp, "w") as fh:
+        json.dump(model, fh)
+    yml = f"""
+inputs:
+- File:
+    path: "{src}"
+    format: parquet
+filters:
+- Classify:
+    weights_path: "{mp}"
+    threshold: 0.5
+    action: mark
+outputs:
+- Stdout: {{}}
+"""
+    rows = run_yaml(spark, yml)[0].rows
+    assert len(rows) == n_docs
+    assert all(0.0 <= r["score"] <= 1.0 for r in rows)
+    assert all(r["score_keep"] == (r["score"] >= 0.5) for r in rows)
+    kept = sum(1 for r in rows if r["score_keep"])
+    assert 0 < kept < n_docs
+
+    yml2 = yml.replace("action: mark", "action: drop")
+    rows2 = run_yaml(spark, yml2)[0].rows
+    assert len(rows2) == kept
+    assert all("score" not in r or r["score"] is None for r in rows2) or all(
+        "score" not in r for r in rows2
+    )
+
+
+def test_classify_filter_validation():
+    import pytest as _pytest
+
+    from gohangout_spark.operators.textops import Classify
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        Classify()
+    with _pytest.raises(ValueError, match="mark|drop"):
+        Classify(weights=[0.1], action="explode")
