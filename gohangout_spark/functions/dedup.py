@@ -1038,3 +1038,39 @@ def winnow_fingerprints(
         .distinct()
     )
     return sel
+
+
+def winnow_neardup_pairs(
+    docs: DataFrame,
+    *,
+    k: int = 4,
+    w: int = 4,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate candidate pairs from shared winnowing fingerprints:
+    (id_a < id_b, n_shared) for pairs sharing ≥ ``min_shared`` selected
+    fingerprints — MOSS's matching step. Complements MinHash LSH: winnowing
+    guarantees detection of any shared k+w-1-token RUN (local plagiarism /
+    boilerplate), where MinHash banding is probabilistic on whole-document
+    similarity.
+
+    Shape: fingerprints are ~2/(w+1) of grams per doc; the pair space is an
+    equi-join ON THE FINGERPRINT (never all-pairs), combiner-reduced to
+    per-pair counts. A fingerprint shared by f docs contributes O(f²) pair
+    rows — the classic hot-bucket hazard — so ubiquitous fingerprints
+    (boilerplate shared by >max_df docs) should be dropped first at scale;
+    here the corpus-wide df filter is exposed via ``min_shared`` on the
+    output and the fingerprint join stays bucket-local.
+    """
+    fps = winnow_fingerprints(docs, k=k, w=w, text_col=text_col, id_col=id_col)
+    a = fps.select(F.col(id_col).alias("id_a"), "fp")
+    b = fps.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

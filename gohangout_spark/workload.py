@@ -4015,6 +4015,39 @@ def quality_classifier_score_q(spark, sf_dir):
     return score_documents(docs, weights, bias=-0.25)
 
 
+@q(
+    "winnow_neardup_pairs",
+    r"""WITH t AS (
+  SELECT doc_id, list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id, i AS pos,
+         substring(md5(array_to_string(toks[i:i+3], ' ')), 1, 16) AS h
+  FROM t, unnest(generate_series(1, greatest(len(toks) - 3, 0))) AS u(i)),
+w AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY doc_id) AS ng
+  FROM g),
+f AS (SELECT DISTINCT doc_id, fp FROM w WHERE pos <= ng - 3)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 2""",
+)
+def winnow_neardup_pairs_q(spark, sf_dir):
+    """Winnowing near-dup pairs (the MOSS matching step): docs sharing >= 2
+    selected fingerprints, counted — the local-overlap complement to
+    MinHash LSH's whole-doc similarity. Fingerprint equi-join, never
+    all-pairs."""
+    from gohangout_spark.functions.dedup import winnow_neardup_pairs
+    from gohangout_spark.io import rebalance_for_compute
+
+    docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
+    return winnow_neardup_pairs(docs, k=4, w=4, min_shared=2)
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================

@@ -2943,3 +2943,33 @@ class TestClassifier:
         import math
 
         assert abs(row.p - 1 / (1 + math.exp(-1.0))) < 1e-12
+
+
+class TestWinnowNearDup:
+    def test_planted_overlap_found(self, spark):
+        from gohangout_spark.functions.dedup import winnow_neardup_pairs
+
+        shared = " ".join(f"s{i}" for i in range(20))
+        docs = spark.createDataFrame(
+            [(1, f"intro words {shared} outro one"),
+             (2, f"other beginning {shared} different end"),
+             (3, "nothing in common with the others at all here")],
+            "doc_id long, text string",
+        )
+        pairs = {(r.id_a, r.id_b): r.n_shared
+                 for r in winnow_neardup_pairs(docs, min_shared=2).collect()}
+        assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+        assert not any(3 in p for p in pairs)
+
+    def test_no_cartesian(self, spark):
+        from gohangout_spark.functions.dedup import winnow_neardup_pairs
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "a b c d e f g h")],
+            "doc_id long, text string",
+        )
+        plan = (
+            winnow_neardup_pairs(docs)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
