@@ -206,3 +206,95 @@ def compact_files(
         "files_after": files_after,
         "bytes": total,
     }
+
+
+def upsert_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    fmt: str = "parquet",
+) -> dict:
+    """MERGE for a hive-partitioned directory table without a table format:
+    rows in ``updates`` replace target rows with the same key; new keys
+    append. ONLY the partitions that appear in ``updates`` are rewritten —
+    dynamic partition overwrite — so a 100 TB table pays for the touched
+    partitions, not a full rewrite.
+
+    Mechanics: the touched-partition values are collected (bounded — an
+    update batch touches few partitions by design; thousands at most),
+    those partitions are read back partition-pruned, anti-joined on the
+    key against the updates, unioned with the updates, and written with
+    ``partitionOverwriteMode=dynamic`` so untouched partitions' files are
+    left byte-identical on disk.
+
+    Not transactional: a mid-write failure can leave touched partitions
+    partially rewritten (the reason table formats exist). Use for
+    append-mostly corpora where the unit of correction is a partition
+    (day/source), and wrap in a directory swap when atomicity matters.
+    Returns {touched_partitions, upserted_rows}.
+    """
+    target = spark.read.format(fmt).load(target_path)
+    parts = [
+        r[0]
+        for r in updates.select(partition_col).distinct().collect()
+    ]
+    n_up = updates.count()
+    keep = (
+        target.where(F.col(partition_col).isin(parts))
+        .join(updates.select(*key_cols), key_cols, "left_anti")
+    )
+    # the write overwrites a path the plan reads — Spark rejects that at
+    # analysis time, so the kept rows (touched partitions only, bounded by
+    # design) are pinned via an eager localCheckpoint that cuts the plan's
+    # dependency on the source files before the overwrite starts
+    out = keep.unionByName(updates).localCheckpoint(eager=True)
+    (
+        out.write.format(fmt)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .save(target_path)
+    )
+    return {"touched_partitions": len(parts), "upserted_rows": n_up}
+
+
+def delete_rows_partitioned(
+    spark: SparkSession,
+    target_path: str,
+    keys: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    fmt: str = "parquet",
+) -> dict:
+    """Targeted deletion (the GDPR/right-to-be-forgotten primitive) from a
+    hive-partitioned directory table: rows matching ``keys`` are removed by
+    rewriting ONLY the partitions that contain them. ``keys`` must carry
+    ``partition_col`` (at 100 TB, finding which partitions hold a key
+    without it means a full scan — ship the partition with the deletion
+    request, or resolve it from an index first). Same dynamic-overwrite
+    mechanics and non-transactional caveat as :func:`upsert_partitioned`.
+    Returns {touched_partitions, deleted_rows}.
+    """
+    target = spark.read.format(fmt).load(target_path)
+    parts = [r[0] for r in keys.select(partition_col).distinct().collect()]
+    touched = target.where(F.col(partition_col).isin(parts))
+    n_before = touched.count()
+    # eager checkpoint for the same read-then-overwrite reason as
+    # upsert_partitioned (touched partitions only)
+    keep = touched.join(
+        keys.select(*key_cols), key_cols, "left_anti"
+    ).localCheckpoint(eager=True)
+    n_after = keep.count()
+    (
+        keep.write.format(fmt)
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .save(target_path)
+    )
+    return {
+        "touched_partitions": len(parts),
+        "deleted_rows": n_before - n_after,
+    }

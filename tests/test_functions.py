@@ -2973,3 +2973,63 @@ class TestWinnowNearDup:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "CartesianProduct" not in plan
+
+
+class TestPartitionedMutation:
+    @staticmethod
+    def _part_files(path):
+        import glob
+        import os
+
+        out = {}
+        for d in glob.glob(os.path.join(path, "day=*")):
+            files = sorted(
+                (f, os.path.getmtime(os.path.join(d, f)))
+                for f in os.listdir(d)
+                if not f.startswith((".", "_"))
+            )
+            out[os.path.basename(d)] = files
+        return out
+
+    def test_upsert_rewrites_only_touched_partitions(self, spark, tmp_path):
+        from gohangout_spark.io import upsert_partitioned
+
+        tgt = str(tmp_path / "tbl")
+        spark.createDataFrame(
+            [(i, f"d{i % 3}", f"v{i}") for i in range(30)],
+            "id long, day string, val string",
+        ).withColumn("day", F.concat(F.lit("day"), F.col("day"))
+        ).write.partitionBy("day").parquet(tgt)
+        before = self._part_files(tgt)
+
+        updates = spark.createDataFrame(
+            [(0, "dayd0", "UPDATED"), (999, "dayd0", "NEW")],
+            "id long, day string, val string",
+        )
+        stats = upsert_partitioned(spark, tgt, updates, ["id"], "day")
+        assert stats == {"touched_partitions": 1, "upserted_rows": 2}
+
+        after = self._part_files(tgt)
+        # untouched partitions byte-untouched (same files, same mtimes)
+        assert after["day=dayd1"] == before["day=dayd1"]
+        assert after["day=dayd2"] == before["day=dayd2"]
+        rows = {r.id: r.val for r in spark.read.parquet(tgt).collect()}
+        assert rows[0] == "UPDATED" and rows[999] == "NEW"
+        assert len(rows) == 31
+        assert rows[3] == "v3"  # other d0 keys kept
+
+    def test_delete_rows(self, spark, tmp_path):
+        from gohangout_spark.io import delete_rows_partitioned
+
+        tgt = str(tmp_path / "tbl2")
+        spark.createDataFrame(
+            [(i, f"day{i % 2}", i * 1.0) for i in range(20)],
+            "id long, day string, v double",
+        ).write.partitionBy("day").parquet(tgt)
+        keys = spark.createDataFrame(
+            [(4, "day0"), (6, "day0")], "id long, day string"
+        )
+        stats = delete_rows_partitioned(spark, tgt, keys, ["id"], "day")
+        assert stats == {"touched_partitions": 1, "deleted_rows": 2}
+        ids = sorted(r.id for r in spark.read.parquet(tgt).collect())
+        assert 4 not in ids and 6 not in ids and len(ids) == 18
