@@ -5,8 +5,9 @@ The decode/resize/feature steps are the standard mapInPandas shape (Arrow
 batches of binary → numpy → binary). UNCOMPRESSED formats decode for REAL
 with no external libraries: ``PpmCodec`` (binary PPM/P6), ``BmpCodec``
 (24-bit BMP), ``WavPcmCodec`` (16-bit PCM WAV via stdlib ``wave``), with
-``AutoCodec`` dispatching on magic bytes. COMPRESSED formats (JPEG/PNG,
-mp3, video containers) are the remaining environment gap:
+``AutoCodec`` dispatching on magic bytes, and ``PngCodec`` decodes REAL
+PNG (stdlib zlib + the filter algebra). The remaining compressed formats
+(JPEG/WebP, mp3, video containers) are the environment gap:
 ``DeterministicFakeCodec`` produces stable pseudo-decodes so the pipeline
 shape stays verifiable, and ``RealCodec`` raises NotImplementedError at
 the exact seam where Pillow/librosa/ffmpeg would plug in.
@@ -62,9 +63,11 @@ class DeterministicFakeCodec:
 
 
 class RealCodec:  # pragma: no cover - container has no image libs
-    """Seam for COMPRESSED formats (JPEG/PNG/WebP) — Pillow/torchvision are
-    not in this container. Uncompressed formats need no external libs and
-    decode for real: see PpmCodec / BmpCodec / WavPcmCodec / AutoCodec."""
+    """Seam for the REMAINING compressed formats (JPEG/WebP/GIF) —
+    Pillow/torchvision are not in this container. PNG decodes for real
+    (PngCodec: stdlib zlib + the filter algebra implemented here), as do
+    the uncompressed formats: PpmCodec / BmpCodec / WavPcmCodec /
+    AutoCodec."""
 
     def decode(self, payload: bytes) -> np.ndarray:
         raise NotImplementedError("plug Pillow/torchvision here (not in container)")
@@ -153,14 +156,132 @@ class BmpCodec:
         return header + data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+class PngCodec:
+    """REAL PNG decode/encode with stdlib zlib + numpy — no Pillow. The
+    "compressed formats are an env gap" waiver no longer covers PNG: the
+    DEFLATE layer is in the standard library, and the rest of the format
+    (chunks, scanline filters) is implemented here directly.
+
+    Supported: 8-bit-depth color types 2 (RGB) and 6 (RGBA, returned as
+    4 channels), non-interlaced, all five scanline filters (None/Sub/Up/
+    Average/Paeth — the Paeth predictor per the PNG spec, RFC 2083).
+    Palette/16-bit/interlaced images raise with a clear message. Encoding
+    writes filter-0 scanlines, zlib level 6 — bit-exact roundtrip.
+    """
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        import struct
+        import zlib
+
+        if not payload.startswith(_PNG_SIG):
+            raise ValueError("not a PNG payload")
+        pos = len(_PNG_SIG)
+        width = height = None
+        channels = None
+        idat = bytearray()
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = payload[pos + 4 : pos + 8]
+            data = payload[pos + 8 : pos + 8 + length]
+            pos += 12 + length  # skip CRC
+            if ctype == b"IHDR":
+                width, height, depth, color, comp, filt, interlace = (
+                    struct.unpack(">IIBBBBB", data)
+                )
+                if depth != 8:
+                    raise ValueError(f"only 8-bit PNG supported, got depth {depth}")
+                if color not in (2, 6):
+                    raise ValueError(
+                        f"only RGB/RGBA PNG supported, got color type {color}"
+                    )
+                if interlace != 0:
+                    raise ValueError("interlaced PNG not supported")
+                channels = 3 if color == 2 else 4
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+        if width is None or not idat:
+            raise ValueError("PNG missing IHDR/IDAT")
+        raw = zlib.decompress(bytes(idat))
+        stride = width * channels
+        if len(raw) != height * (stride + 1):
+            raise ValueError("PNG scanline data length mismatch")
+        out = np.empty((height, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.uint8)
+        for y in range(height):
+            row_off = y * (stride + 1)
+            ftype = raw[row_off]
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=row_off + 1
+            ).astype(np.int32)
+            if ftype == 0:  # None
+                cur = line
+            elif ftype == 2:  # Up
+                cur = (line + prev) & 0xFF
+            elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-scan
+                cur = line.copy()
+                pv = prev.astype(np.int32)
+                for x in range(stride):
+                    a = cur[x - channels] if x >= channels else 0
+                    if ftype == 1:
+                        cur[x] = (cur[x] + a) & 0xFF
+                    elif ftype == 3:
+                        cur[x] = (cur[x] + ((a + pv[x]) >> 1)) & 0xFF
+                    else:  # Paeth
+                        b = pv[x]
+                        c = pv[x - channels] if x >= channels else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                        cur[x] = (cur[x] + pred) & 0xFF
+            else:
+                raise ValueError(f"unknown PNG filter type {ftype}")
+            out[y] = cur.astype(np.uint8)
+            prev = out[y]
+        return out.reshape(height, width, channels).copy()
+
+    def encode(self, pixels: np.ndarray) -> bytes:
+        import struct
+        import zlib
+
+        px = np.asarray(pixels, dtype=np.uint8)
+        h, w = px.shape[:2]
+        channels = 1 if px.ndim == 2 else px.shape[2]
+        if channels not in (3, 4):
+            raise ValueError("encode expects HxWx3 or HxWx4")
+        color = 2 if channels == 3 else 6
+
+        def chunk(ctype: bytes, data: bytes) -> bytes:
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        body = px.reshape(h, w * channels)
+        raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+        return (
+            _PNG_SIG
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b"")
+        )
+
+
 class AutoCodec:
-    """Magic-byte dispatch: P6 -> PPM, BM -> BMP (both REAL decodes);
-    anything else raises by default, or falls back to the deterministic
-    fake when ``fallback=True`` (pipeline-shape testing with mixed
-    payloads)."""
+    """Magic-byte dispatch: P6 -> PPM, BM -> BMP, PNG signature -> PNG
+    (all REAL decodes); anything else raises by default, or falls back to
+    the deterministic fake when ``fallback=True`` (pipeline-shape testing
+    with mixed payloads)."""
 
     def __init__(self, fallback: bool = False):
-        self._ppm, self._bmp = PpmCodec(), BmpCodec()
+        self._ppm, self._bmp, self._png = PpmCodec(), BmpCodec(), PngCodec()
         self._fallback = DeterministicFakeCodec() if fallback else None
 
     def decode(self, payload: bytes) -> np.ndarray:
@@ -168,6 +289,8 @@ class AutoCodec:
             return self._ppm.decode(payload)
         if payload[:2] == b"BM":
             return self._bmp.decode(payload)
+        if payload[:8] == _PNG_SIG:
+            return self._png.decode(payload)
         if self._fallback is not None:
             return self._fallback.decode(payload)
         raise ValueError(f"unrecognized image magic {payload[:2]!r}")
@@ -188,6 +311,22 @@ def make_ppm_media_table(spark, n: int = 64) -> DataFrame:
         px = np.zeros((h, w, 3), dtype=np.uint8)
         px[:, :] = ((i * 3) % 256, (i * 7) % 256, (i * 11) % 256)
         rows.append((i, bytearray(codec.encode(px)), (w, h, 3, "ppm")))
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
+def make_png_media_table(spark, n: int = 48) -> DataFrame:
+    """Deterministic REAL-PNG media table: image i is a solid
+    (i*5 % 256, i*9 % 256, i*13 % 256) RGB of size (6 + i%4) x (5 + i%3),
+    DEFLATE-compressed through PngCodec.encode — per-channel means stay
+    analytic in the id, so the full parse→inflate→unfilter chain is
+    ORACLE-checkable (multimodal_png_features)."""
+    codec = PngCodec()
+    rows = []
+    for i in range(n):
+        w, h = 6 + i % 4, 5 + i % 3
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        px[:, :] = ((i * 5) % 256, (i * 9) % 256, (i * 13) % 256)
+        rows.append((i, bytearray(codec.encode(px)), (w, h, 3, "png")))
     return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
 
 

@@ -3033,3 +3033,109 @@ class TestPartitionedMutation:
         assert stats == {"touched_partitions": 1, "deleted_rows": 2}
         ids = sorted(r.id for r in spark.read.parquet(tgt).collect())
         assert 4 not in ids and 6 not in ids and len(ids) == 18
+
+
+class TestPngCodec:
+    """Pure-stdlib PNG decode (zlib + filter algebra) — no Pillow."""
+
+    def test_roundtrip_rgb_and_rgba(self):
+        import numpy as np
+
+        from gohangout_spark.functions.multimodal import PngCodec
+
+        codec = PngCodec()
+        rng = np.random.RandomState(7)
+        rgb = rng.randint(0, 256, size=(11, 7, 3), dtype=np.uint8)
+        assert np.array_equal(codec.decode(codec.encode(rgb)), rgb)
+        rgba = rng.randint(0, 256, size=(5, 9, 4), dtype=np.uint8)
+        assert np.array_equal(codec.decode(codec.encode(rgba)), rgba)
+
+    def test_all_five_filters_decode(self):
+        """Hand-filter a known image with EVERY filter type per row and check
+        the decoder reverses Sub/Up/Average/Paeth exactly (the encoder
+        only ever writes filter 0, so this path needs its own fixture)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from gohangout_spark.functions.multimodal import PngCodec
+
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+        h, w, ch = img.shape
+        stride = w * ch
+        flat = img.reshape(h, stride).astype(np.int32)
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+        raw = bytearray()
+        for y, ftype in enumerate([0, 1, 2, 3, 4]):
+            prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int32)
+            cur = flat[y]
+            out = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                pred = {0: 0, 1: a, 2: b, 3: (a + b) >> 1, 4: paeth(a, b, c)}[ftype]
+                out[x] = (cur[x] - pred) & 0xFF
+            raw.append(ftype)
+            raw += out.astype(np.uint8).tobytes()
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+        assert np.array_equal(PngCodec().decode(payload), img)
+
+    def test_unsupported_raise_clearly(self):
+        import struct
+        import zlib
+
+        import pytest as _pytest
+
+        from gohangout_spark.functions.multimodal import PngCodec
+
+        def mk(depth=8, color=2, interlace=0):
+            def chunk(ctype, data):
+                return (
+                    struct.pack(">I", len(data)) + ctype + data
+                    + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+                )
+
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace))
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+                + chunk(b"IEND", b"")
+            )
+
+        c = PngCodec()
+        with _pytest.raises(ValueError, match="8-bit"):
+            c.decode(mk(depth=16))
+        with _pytest.raises(ValueError, match="RGB/RGBA"):
+            c.decode(mk(color=3))
+        with _pytest.raises(ValueError, match="interlaced"):
+            c.decode(mk(interlace=1))
+        with _pytest.raises(ValueError, match="not a PNG"):
+            c.decode(b"JFIF....")
+
+    def test_autocodec_dispatch(self):
+        import numpy as np
+
+        from gohangout_spark.functions.multimodal import AutoCodec, PngCodec
+
+        img = np.full((3, 4, 3), 77, dtype=np.uint8)
+        assert np.array_equal(AutoCodec().decode(PngCodec().encode(img)), img)
