@@ -4159,6 +4159,7 @@ _GATE_PRIORITY = [
     # rows-only -> analytic oracle conversions (r4): first hash-check
     "pack_documents_bestfit",
     "semantic_dedup_kmeans",
+    "winnow_neardup_pairs",
 ]
 
 QUERIES = {
