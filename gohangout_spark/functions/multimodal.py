@@ -5,9 +5,10 @@ The decode/resize/feature steps are the standard mapInPandas shape (Arrow
 batches of binary → numpy → binary). UNCOMPRESSED formats decode for REAL
 with no external libraries: ``PpmCodec`` (binary PPM/P6), ``BmpCodec``
 (24-bit BMP), ``WavPcmCodec`` (16-bit PCM WAV via stdlib ``wave``), with
-``AutoCodec`` dispatching on magic bytes, and ``PngCodec`` decodes REAL
-PNG (stdlib zlib + the filter algebra). The remaining compressed formats
-(JPEG/WebP, mp3, video containers) are the environment gap:
+``AutoCodec`` dispatching on magic bytes; ``PngCodec`` decodes REAL PNG
+(stdlib zlib + the filter algebra) and ``GifCodec`` REAL GIF (LZW
+implemented directly). The remaining compressed formats (JPEG/WebP, mp3,
+video containers) are the environment gap:
 ``DeterministicFakeCodec`` produces stable pseudo-decodes so the pipeline
 shape stays verifiable, and ``RealCodec`` raises NotImplementedError at
 the exact seam where Pillow/librosa/ffmpeg would plug in.
@@ -63,11 +64,11 @@ class DeterministicFakeCodec:
 
 
 class RealCodec:  # pragma: no cover - container has no image libs
-    """Seam for the REMAINING compressed formats (JPEG/WebP/GIF) —
-    Pillow/torchvision are not in this container. PNG decodes for real
-    (PngCodec: stdlib zlib + the filter algebra implemented here), as do
-    the uncompressed formats: PpmCodec / BmpCodec / WavPcmCodec /
-    AutoCodec."""
+    """Seam for the REMAINING compressed formats (JPEG/WebP) —
+    Pillow/torchvision are not in this container. PNG and GIF decode for
+    real (PngCodec: stdlib zlib + the filter algebra; GifCodec: LZW
+    implemented directly), as do the uncompressed formats: PpmCodec /
+    BmpCodec / WavPcmCodec / AutoCodec."""
 
     def decode(self, payload: bytes) -> np.ndarray:
         raise NotImplementedError("plug Pillow/torchvision here (not in container)")
@@ -282,6 +283,7 @@ class AutoCodec:
 
     def __init__(self, fallback: bool = False):
         self._ppm, self._bmp, self._png = PpmCodec(), BmpCodec(), PngCodec()
+        self._gif = GifCodec()
         self._fallback = DeterministicFakeCodec() if fallback else None
 
     def decode(self, payload: bytes) -> np.ndarray:
@@ -291,6 +293,8 @@ class AutoCodec:
             return self._bmp.decode(payload)
         if payload[:8] == _PNG_SIG:
             return self._png.decode(payload)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return self._gif.decode(payload)
         if self._fallback is not None:
             return self._fallback.decode(payload)
         raise ValueError(f"unrecognized image magic {payload[:2]!r}")
@@ -314,6 +318,210 @@ def make_ppm_media_table(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
 
 
+class GifCodec:
+    """REAL GIF decode/encode in pure Python — LZW implemented directly
+    (GIF's variable-width LSB-first LZW, clear/end codes, 12-bit cap per
+    the GIF89a spec). Decodes the FIRST frame: global or local color
+    table, optional interlacing (four-pass deinterlace); extensions are
+    skipped. Encode writes GIF89a with a global palette built from the
+    image (raises if the image has more than 256 distinct colors — GIF is
+    palettized by definition; quantize upstream) and real LZW compression
+    with dictionary resets at 4096 entries.
+    """
+
+    # ---- LZW ----
+
+    @staticmethod
+    def _lzw_decode(min_code_size: int, data: bytes) -> list[int]:
+        clear = 1 << min_code_size
+        end = clear + 1
+        code_size = min_code_size + 1
+        table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+        out: list[int] = []
+        prev: list[int] | None = None
+        acc = 0
+        nbits = 0
+        for byte in data:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= code_size:
+                code = acc & ((1 << code_size) - 1)
+                acc >>= code_size
+                nbits -= code_size
+                if code == clear:
+                    table = [[i] for i in range(clear)] + [[], []]
+                    code_size = min_code_size + 1
+                    prev = None
+                    continue
+                if code == end:
+                    return out
+                if prev is None:
+                    entry = table[code]
+                else:
+                    if code < len(table):
+                        entry = table[code]
+                        table.append(prev + [entry[0]])
+                    elif code == len(table):  # the KwKwK case
+                        entry = prev + [prev[0]]
+                        table.append(entry)
+                    else:
+                        raise ValueError("corrupt GIF LZW stream")
+                    if len(table) == (1 << code_size) and code_size < 12:
+                        code_size += 1
+                out.extend(entry)
+                prev = list(entry)
+        return out
+
+    @staticmethod
+    def _lzw_encode(min_code_size: int, indices: list[int]) -> bytes:
+        clear = 1 << min_code_size
+        end = clear + 1
+        out_bits: list[tuple[int, int]] = []  # (code, width)
+        code_size = min_code_size + 1
+        table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+        next_code = end + 1
+        out_bits.append((clear, code_size))
+        buf: tuple[int, ...] = ()
+        for idx in indices:
+            cand = buf + (idx,)
+            if cand in table:
+                buf = cand
+                continue
+            out_bits.append((table[buf], code_size))
+            table[cand] = next_code
+            # width growth alignment: the encoder adds entry i+5 while
+            # emitting data code i, the decoder adds entry i+4 while
+            # READING data code i (it adds nothing on the first) — both
+            # reach "table spans 2^cs" after the same step, so growing
+            # when next_code hits 2^cs keeps every code's read width equal
+            # to its write width
+            if next_code == (1 << code_size) and code_size < 12:
+                code_size += 1
+            next_code += 1
+            if next_code == 4096:
+                out_bits.append((clear, code_size))
+                table = {(i,): i for i in range(clear)}
+                code_size = min_code_size + 1
+                next_code = end + 1
+            buf = (idx,)
+        if buf:
+            out_bits.append((table[buf], code_size))
+        out_bits.append((end, code_size))
+        acc = 0
+        nbits = 0
+        data = bytearray()
+        for code, width in out_bits:
+            acc |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            data.append(acc & 0xFF)
+        return bytes(data)
+
+    # ---- container ----
+
+    def decode(self, payload: bytes) -> np.ndarray:
+        if payload[:6] not in (b"GIF87a", b"GIF89a"):
+            raise ValueError("not a GIF payload")
+        pos = 6
+        packed = payload[pos + 4]
+        gct_flag = packed >> 7
+        gct_n = 2 << (packed & 0x07)
+        pos += 7
+        gct = None
+        if gct_flag:
+            gct = np.frombuffer(
+                payload, dtype=np.uint8, count=gct_n * 3, offset=pos
+            ).reshape(gct_n, 3)
+            pos += gct_n * 3
+        while pos < len(payload):
+            block = payload[pos]
+            pos += 1
+            if block == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                w = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+                h = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+                ipacked = payload[pos + 8]
+                pos += 9
+                palette = gct
+                if ipacked >> 7:  # local color table
+                    lct_n = 2 << (ipacked & 0x07)
+                    palette = np.frombuffer(
+                        payload, dtype=np.uint8, count=lct_n * 3, offset=pos
+                    ).reshape(lct_n, 3)
+                    pos += lct_n * 3
+                if palette is None:
+                    raise ValueError("GIF frame has no color table")
+                min_code = payload[pos]
+                pos += 1
+                lzw = bytearray()
+                while payload[pos] != 0:
+                    n = payload[pos]
+                    lzw += payload[pos + 1 : pos + 1 + n]
+                    pos += 1 + n
+                pos += 1
+                idx = self._lzw_decode(min_code, bytes(lzw))
+                if len(idx) < w * h:
+                    raise ValueError("GIF pixel data truncated")
+                grid = np.asarray(idx[: w * h], dtype=np.int32).reshape(h, w)
+                if (ipacked >> 6) & 1:  # four-pass interlace
+                    order = (
+                        list(range(0, h, 8)) + list(range(4, h, 8))
+                        + list(range(2, h, 4)) + list(range(1, h, 2))
+                    )
+                    de = np.empty_like(grid)
+                    de[order] = grid
+                    grid = de
+                return palette[grid].astype(np.uint8)
+            elif block == 0x3B:
+                break
+            else:
+                raise ValueError(f"unexpected GIF block 0x{block:02x}")
+        raise ValueError("GIF contains no image data")
+
+    def encode(self, pixels: np.ndarray) -> bytes:
+        px = np.asarray(pixels, dtype=np.uint8)
+        h, w = px.shape[:2]
+        flat = px.reshape(-1, 3)
+        colors, idx = np.unique(flat, axis=0, return_inverse=True)
+        if len(colors) > 256:
+            raise ValueError(
+                f"GIF needs <= 256 colors, image has {len(colors)} — quantize first"
+            )
+        # palette size must be a power of two, min 2
+        n_pal = max(2, 1 << (len(colors) - 1).bit_length())
+        pal = np.zeros((n_pal, 3), dtype=np.uint8)
+        pal[: len(colors)] = colors
+        min_code = max(2, n_pal.bit_length() - 1)
+        lzw = self._lzw_encode(min_code, [int(i) for i in idx])
+        blocks = bytearray()
+        for off in range(0, len(lzw), 255):
+            chunk = lzw[off : off + 255]
+            blocks.append(len(chunk))
+            blocks += chunk
+        blocks.append(0)
+        packed = 0x80 | (n_pal.bit_length() - 2)
+        return (
+            b"GIF89a"
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([packed, 0, 0])
+            + pal.tobytes()
+            + b"\x2c" + b"\x00" * 4
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + b"\x00"
+            + bytes([min_code])
+            + bytes(blocks)
+            + b"\x3b"
+        )
+
+
 def make_png_media_table(spark, n: int = 48) -> DataFrame:
     """Deterministic REAL-PNG media table: image i is a solid
     (i*5 % 256, i*9 % 256, i*13 % 256) RGB of size (6 + i%4) x (5 + i%3),
@@ -327,6 +535,22 @@ def make_png_media_table(spark, n: int = 48) -> DataFrame:
         px = np.zeros((h, w, 3), dtype=np.uint8)
         px[:, :] = ((i * 5) % 256, (i * 9) % 256, (i * 13) % 256)
         rows.append((i, bytearray(codec.encode(px)), (w, h, 3, "png")))
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
+def make_gif_media_table(spark, n: int = 48) -> DataFrame:
+    """Deterministic REAL-GIF media table: image i is a solid
+    (i*7 % 256, i*11 % 256, i*3 % 256) RGB of size (5 + i%4) x (4 + i%3),
+    LZW-compressed through GifCodec.encode — per-channel means analytic in
+    the id, so the parse→LZW-inflate→palette chain is ORACLE-checkable
+    (multimodal_gif_features)."""
+    codec = GifCodec()
+    rows = []
+    for i in range(n):
+        w, h = 5 + i % 4, 4 + i % 3
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        px[:, :] = ((i * 7) % 256, (i * 11) % 256, (i * 3) % 256)
+        rows.append((i, bytearray(codec.encode(px)), (w, h, 3, "gif")))
     return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
 
 

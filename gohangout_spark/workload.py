@@ -4093,6 +4093,31 @@ def multimodal_png_features(spark, sf_dir):
     return extract_image_features(media, codec=PngCodec())
 
 
+@q(
+    "multimodal_gif_features",
+    """SELECT CAST(i AS BIGINT) AS media_id,
+              CAST((i * 7) % 256 AS DOUBLE) AS mean_r,
+              CAST((i * 11) % 256 AS DOUBLE) AS mean_g,
+              CAST((i * 3) % 256 AS DOUBLE) AS mean_b,
+              CAST(5 + i % 4 AS INT) AS width,
+              CAST(4 + i % 3 AS INT) AS height
+       FROM range(48) t(i)""",
+)
+def multimodal_gif_features(spark, sf_dir):
+    """REAL GIF decode, oracle-checked: solid-color LZW-compressed GIF
+    payloads are decoded by GifCodec (pure-Python variable-width LZW)
+    inside mapInPandas; per-channel means/dimensions are analytic in the
+    media id, so the whole chain hash-matches a pure-SQL oracle."""
+    from gohangout_spark.functions.multimodal import (
+        GifCodec,
+        extract_image_features,
+        make_gif_media_table,
+    )
+
+    media = make_gif_media_table(spark, n=48)
+    return extract_image_features(media, codec=GifCodec())
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================

@@ -3139,3 +3139,73 @@ class TestPngCodec:
 
         img = np.full((3, 4, 3), 77, dtype=np.uint8)
         assert np.array_equal(AutoCodec().decode(PngCodec().encode(img)), img)
+
+
+class TestGifCodec:
+    """Pure-Python GIF LZW decode/encode (GIF89a spec)."""
+
+    def test_roundtrip_high_entropy_exercises_dict_reset(self):
+        import numpy as np
+
+        from gohangout_spark.functions.multimodal import GifCodec
+
+        codec = GifCodec()
+        rng = np.random.RandomState(11)
+        pal = rng.randint(0, 256, size=(64, 3), dtype=np.uint8)
+        pal = np.unique(pal, axis=0)
+        idx = rng.randint(0, len(pal), size=(120, 130))
+        img = pal[idx]
+        assert np.array_equal(codec.decode(codec.encode(img)), img)
+
+    def test_roundtrip_repetitive_hits_kwkwk(self):
+        import numpy as np
+
+        from gohangout_spark.functions.multimodal import GifCodec
+
+        codec = GifCodec()
+        # long runs of one index are the classic KwKwK-producing input
+        img = np.zeros((16, 33, 3), dtype=np.uint8)
+        img[:, ::7] = (200, 10, 10)
+        assert np.array_equal(codec.decode(codec.encode(img)), img)
+
+    def test_interlaced_decode(self):
+        import numpy as np
+
+        from gohangout_spark.functions.multimodal import GifCodec
+
+        codec = GifCodec()
+        rng = np.random.RandomState(5)
+        pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                       dtype=np.uint8)
+        idx = rng.randint(0, 4, size=(13, 9))
+        img = pal[idx]
+        h = img.shape[0]
+        order = (list(range(0, h, 8)) + list(range(4, h, 8))
+                 + list(range(2, h, 4)) + list(range(1, h, 2)))
+        payload = bytearray(codec.encode(img[order]))
+        # flip the interlace bit in the image descriptor's packed byte
+        pal_bytes = 3 * ((payload[10] & 0x80) and (2 << (payload[10] & 7)))
+        desc_packed = 13 + pal_bytes + 9
+        assert payload[desc_packed - 9] == 0x2C
+        payload[desc_packed] |= 0x40
+        assert np.array_equal(codec.decode(bytes(payload)), img)
+
+    def test_too_many_colors_raises(self):
+        import numpy as np
+
+        import pytest as _pytest
+
+        from gohangout_spark.functions.multimodal import GifCodec
+
+        rng = np.random.RandomState(2)
+        img = rng.randint(0, 256, size=(40, 40, 3), dtype=np.uint8)
+        with _pytest.raises(ValueError, match="quantize"):
+            GifCodec().encode(img)
+
+    def test_autocodec_dispatch(self):
+        import numpy as np
+
+        from gohangout_spark.functions.multimodal import AutoCodec, GifCodec
+
+        img = np.full((4, 5, 3), 9, dtype=np.uint8)
+        assert np.array_equal(AutoCodec().decode(GifCodec().encode(img)), img)
