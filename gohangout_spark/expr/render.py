@@ -360,10 +360,12 @@ def _apply_template_func(
     # intermediate pipeline stages pass Columns unchanged, so
     # `{{.tags | sortAlpha | join ","}}` composes; only the action's final
     # result is stringified.
-    if head == "join":  # join SEP list
+    if head == "join":  # join SEP list — literal separator, like splitList
         need(2)
+        if raw_args[0] is None or not raw_args[0].startswith('"'):
+            raise ValueError(f"join needs a literal separator: {expr!r}")
         return F.concat_ws(
-            raw_args[0].strip('"') if raw_args[0] is not None else "",
+            raw_args[0].strip('"'),
             F.transform(args[1], lambda x: x.cast("string")),
         )
     if head == "splitList":  # splitList SEP s — literal separator
@@ -373,7 +375,9 @@ def _apply_template_func(
         return F.split(s(1), re.escape(raw_args[0].strip('"')))
     if head in ("first", "last"):
         need(1)
-        return F.element_at(args[0], 1 if head == "first" else -1)
+        # try_element_at: sprig's first/last return nil on an empty list;
+        # plain element_at THROWS under this repo's ANSI-on Spark 4 default
+        return F.try_element_at(args[0], F.lit(1 if head == "first" else -1))
     if head == "initial":  # all but last
         need(1)
         return F.slice(args[0], 1, F.greatest(F.size(args[0]) - 1, F.lit(0)))
@@ -448,7 +452,27 @@ def _go_path_dir(s: str) -> str:
     d = _posixpath.dirname(s)
     if not d:
         return "."
-    return _posixpath.normpath(d)
+    return _go_path_clean(d)
+
+
+def _go_path_ext(s: str) -> str:
+    """Go path.Ext: suffix from the FINAL dot in the last element — unlike
+    posixpath.splitext, a leading-dot name like ".bashrc" IS an extension
+    in Go (returns the whole ".bashrc")."""
+    base = s.rsplit("/", 1)[-1]
+    i = base.rfind(".")
+    return base[i:] if i >= 0 else ""
+
+
+def _go_path_clean(s: str) -> str:
+    """Go path.Clean: normpath, but Go collapses a leading "//" that POSIX
+    (and posixpath.normpath) deliberately preserves."""
+    if not s:
+        return "."
+    r = _posixpath.normpath(s)
+    if r.startswith("//"):
+        r = "/" + r.lstrip("/")
+    return r
 
 
 def _wrap_words(width: int, s: str) -> str:
@@ -511,13 +535,13 @@ SPRIG_PY = {
     # explicitly where posixpath differs.
     "base": lambda s: _go_path_base(s),
     "dir": lambda s: _go_path_dir(s),
-    "ext": lambda s: _posixpath.splitext(s)[1],
-    "clean": lambda s: _posixpath.normpath(s) if s else ".",
+    "ext": lambda s: _go_path_ext(s),
+    "clean": lambda s: _go_path_clean(s),
     "isAbs": lambda s: str(s.startswith("/")).lower(),
     "osBase": lambda s: _go_path_base(s),
     "osDir": lambda s: _go_path_dir(s),
-    "osExt": lambda s: _posixpath.splitext(s)[1],
-    "osClean": lambda s: _posixpath.normpath(s) if s else ".",
+    "osExt": lambda s: _go_path_ext(s),
+    "osClean": lambda s: _go_path_clean(s),
     "osIsAbs": lambda s: str(s.startswith("/")).lower(),
     "adler32sum": lambda s: str(_zlib.adler32(s.encode("utf-8"))),
 }

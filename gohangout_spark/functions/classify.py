@@ -52,15 +52,23 @@ def score_documents(
     seed: int = 42,
     out_col: str = "score",
     digits: int = 4,
+    normalize: bool = True,
 ) -> DataFrame:
     """Hash-feature + linear-score in one call: (id, score). The feature
     dim is ``len(weights)``; rounding is the engine-deterministic floor
-    form so the score is oracle-comparable."""
+    form so the score is oracle-comparable.
+
+    ``normalize`` MUST match how the weights were fit:
+    :func:`train_text_classifier` trains on L2-normalized features, so the
+    default is True — scoring unnormalized vectors with normalized-trained
+    weights scales the logit by ||v|| while the bias stays fixed, flipping
+    decisions for long/short docs. Set False only for weights defined over
+    raw counts (e.g. the analytic fixture in the workload oracle)."""
     from gohangout_spark.functions.similarity import hashed_embeddings
 
     emb = hashed_embeddings(
         docs, text_col=text_col, id_col=id_col, dim=len(weights),
-        seed=seed, normalize=False,
+        seed=seed, normalize=normalize,
     )
     return emb.select(
         F.col(id_col),

@@ -488,6 +488,11 @@ class GifCodec:
 
     def encode(self, pixels: np.ndarray) -> bytes:
         px = np.asarray(pixels, dtype=np.uint8)
+        if px.ndim != 3 or px.shape[2] != 3:
+            raise ValueError(
+                "GIF encode expects HxWx3 RGB (GIF has no alpha plane; "
+                "drop it upstream)"
+            )
         h, w = px.shape[:2]
         flat = px.reshape(-1, 3)
         colors, idx = np.unique(flat, axis=0, return_inverse=True)

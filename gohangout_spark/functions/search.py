@@ -199,13 +199,17 @@ def inverted_index(
     df_pass = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df")).where(
         F.col("df") >= min_df
     )
-    cold = terms.join(
-        F.broadcast(df_pass.where(F.col("df") > max_postings).select("term")),
-        "term",
-        "left_anti",
-    )
-    postings = cold.groupBy("term").agg(
-        F.sort_array(F.collect_list("__id")).alias("postings")
+    # collect postings ONLY for qualified cold terms (min_df <= df <=
+    # max_postings): a left_anti against just the hot set would still
+    # build-and-discard a posting list for every sub-min_df hapax term —
+    # by this docstring's own claim, most of the vocabulary (code-review
+    # r4). One semi-join on the qualified-cold set drops both tails before
+    # any list is collected.
+    cold_terms = df_pass.where(F.col("df") <= max_postings).select("term")
+    postings = (
+        terms.join(cold_terms, "term", "left_semi")
+        .groupBy("term")
+        .agg(F.sort_array(F.collect_list("__id")).alias("postings"))
     )
     return df_pass.join(postings, "term", "left").select(
         "term", "df", "postings"

@@ -1059,8 +1059,13 @@ def group_centroids(
         if first is None:
             raise ValueError("empty frame and no dim given")
         dim = first["d"]
+    # try_element_at: a vector shorter than dim contributes NULL (skipped
+    # by AVG) per missing dimension — plain element_at THROWS under the
+    # repo's ANSI-on Spark 4 default
     aggs = [
-        round_half_up(F.avg(F.element_at(F.col(vec_col), i + 1)), round_to).alias(f"__c{i}")
+        round_half_up(
+            F.avg(F.try_element_at(F.col(vec_col), F.lit(i + 1))), round_to
+        ).alias(f"__c{i}")
         for i in range(dim)
     ]
     # n = vectors actually supporting the centroid: NULL vectors contribute

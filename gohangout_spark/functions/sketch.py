@@ -31,22 +31,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _misra_gries(values: Iterator, m: int) -> dict:
-    counters: dict = {}
-    for v in values:
-        if v in counters:
-            counters[v] += 1
-        elif len(counters) < m:
-            counters[v] = 1
-        else:
-            dead = [k for k in counters if counters[k] == 1]
-            for k in counters:
-                counters[k] -= 1
-            for k in dead:
-                del counters[k]
-    return counters
-
-
 def heavy_hitters(
     df: DataFrame,
     col: str,

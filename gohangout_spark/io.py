@@ -215,6 +215,7 @@ def upsert_partitioned(
     key_cols: list[str],
     partition_col: str,
     fmt: str = "parquet",
+    check_moved_keys: bool = False,
 ) -> dict:
     """MERGE for a hive-partitioned directory table without a table format:
     rows in ``updates`` replace target rows with the same key; new keys
@@ -229,6 +230,16 @@ def upsert_partitioned(
     ``partitionOverwriteMode=dynamic`` so untouched partitions' files are
     left byte-identical on disk.
 
+    CONTRACT: a key's partition value is immutable — an update must carry
+    the same ``partition_col`` value as the existing row (the standard
+    constraint behind partition-scoped MERGE: partition by a stable
+    attribute like creation day). An update that MOVES a key to a new
+    partition would leave the old row in an untouched partition and
+    duplicate the key; ``check_moved_keys=True`` scans the un-touched
+    partitions' key columns (column-pruned, no row data) and raises before
+    writing anything if that is about to happen — opt-in because it is a
+    full key scan at 100 TB.
+
     Not transactional: a mid-write failure can leave touched partitions
     partially rewritten (the reason table formats exist). Use for
     append-mostly corpora where the unit of correction is a partition
@@ -241,6 +252,21 @@ def upsert_partitioned(
         for r in updates.select(partition_col).distinct().collect()
     ]
     n_up = updates.count()
+    if check_moved_keys:
+        moved = (
+            target.where(~F.col(partition_col).isin(parts))
+            .select(*key_cols)
+            .join(updates.select(*key_cols), key_cols, "left_semi")
+            .limit(1)
+            .count()
+        )
+        if moved:
+            raise ValueError(
+                "upsert_partitioned: an update moves a key across "
+                f"partitions (its existing row lives outside {parts}); "
+                "partition values are immutable per key — delete + insert "
+                "instead"
+            )
     keep = (
         target.where(F.col(partition_col).isin(parts))
         .join(updates.select(*key_cols), key_cols, "left_anti")

@@ -440,6 +440,7 @@ class Classify(_GuardedPlanOp):
         action: str = "mark",
         target: str = "score",
         seed: int = 42,
+        normalize: bool = True,
     ):
         if action not in ("mark", "drop"):
             raise ValueError(f"Classify action must be mark|drop: {action!r}")
@@ -459,6 +460,10 @@ class Classify(_GuardedPlanOp):
         self.action = action
         self.target = target
         self.seed = seed
+        # must match training: train_text_classifier fits on L2-normalized
+        # features (code-review r4 — unnormalized scoring scales the logit
+        # by ||v|| against a fixed bias and flips decisions by doc length)
+        self.normalize = bool(normalize)
 
     def _transform(self, df: DataFrame) -> DataFrame:
         from gohangout_spark.functions.classify import linear_score_col
@@ -469,7 +474,7 @@ class Classify(_GuardedPlanOp):
             text_col="__ctext",
             dim=len(self.weights),
             seed=self.seed,
-            normalize=False,
+            normalize=self.normalize,
             out_col="__cvec",
         )
         scored = emb.withColumn(

@@ -26,11 +26,20 @@ this is an LLM-pipeline extension (SURVEY §7 phase 5).
 
 from __future__ import annotations
 
-import os
 from typing import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _index_exists(spark, path: str) -> bool:
+    """Probe the index through the Hadoop FileSystem API — a driver-local
+    os.path check silently reports 'no index' for hdfs://, s3a:// and every
+    other non-local scheme, which would turn cross-batch dedup off."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs.exists(hpath)
 
 
 def start_dedup_stream(
@@ -75,7 +84,7 @@ def start_dedup_stream(
         # one small persist per epoch, released before the epoch ends
         batch_df = batch_df.persist()
         try:
-            if os.path.isdir(index_path):
+            if _index_exists(spark, index_path):
                 index = spark.read.parquet(index_path)
                 cands = minhash_lsh_candidates_incremental(
                     batch_df, index, text_col, id_col, **kw

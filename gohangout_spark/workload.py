@@ -4031,7 +4031,10 @@ def quality_classifier_score_q(spark, sf_dir):
 
     weights = [((d * 37) % 16 - 7.5) / 8.0 for d in range(16)]
     docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
-    return score_documents(docs, weights, bias=-0.25)
+    # normalize=False: these analytic weights are defined over RAW hashed
+    # counts (the oracle rebuilds exactly those); trained weights use the
+    # default normalized path
+    return score_documents(docs, weights, bias=-0.25, normalize=False)
 
 
 @q(

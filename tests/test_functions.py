@@ -2910,8 +2910,9 @@ class TestClassifier:
         docs = spark.createDataFrame(rows, "doc_id long, text string, good boolean")
         weights, bias = train_text_classifier(docs, "good", dim=32, max_iter=30)
         assert len(weights) == 32
-        # scoring path is pure Columns (no Python) over UNNORMALIZED
-        # hashed features; the sign of the separation survives scaling
+        # scoring path is pure Columns (no Python); normalize defaults to
+        # True to MATCH training (code-review r4: unnormalized scoring
+        # scales the logit by ||v|| against a fixed bias)
         scored = score_documents(docs, weights, bias).join(
             docs.select("doc_id", "good"), "doc_id"
         )
@@ -3209,3 +3210,114 @@ class TestGifCodec:
 
         img = np.full((4, 5, 3), 9, dtype=np.uint8)
         assert np.array_equal(AutoCodec().decode(GifCodec().encode(img)), img)
+
+
+class TestReviewFixesR4:
+    """Regression pins for the round-4 code-review findings."""
+
+    def test_sprig_first_last_empty_array_is_null(self, spark):
+        """ANSI Spark: element_at throws on empty arrays — sprig first/last
+        must return nil instead (try_element_at)."""
+        from pyspark.sql import Row
+
+        from gohangout_spark.expr.render import compile_render
+
+        d = spark.createDataFrame([Row(tags=[])], "tags array<string>")
+        row = d.select(
+            compile_render("{{first .tags}}", d).alias("f"),
+            compile_render("{{last .tags}}", d).alias("l"),
+        ).first()
+        assert row.f is None and row.l is None
+
+    def test_sprig_join_nonliteral_sep_raises(self, spark):
+        import pytest as _pytest
+        from pyspark.sql import Row
+
+        from gohangout_spark.expr.render import compile_render
+
+        d = spark.createDataFrame([Row(tags=["a"], sep="-")])
+        with _pytest.raises(ValueError, match="literal separator"):
+            compile_render("{{.tags | join .sep}}", d)
+
+    def test_sprig_go_path_semantics(self, spark):
+        from pyspark.sql import Row
+
+        from gohangout_spark.expr.render import compile_render
+
+        d = spark.createDataFrame([Row(x="1")])
+        table = {
+            '{{ext ".bashrc"}}': ".bashrc",   # Go path.Ext, not splitext
+            '{{ext "a."}}': ".",
+            '{{clean "//a/b"}}': "/a/b",      # Go collapses leading //
+            '{{dir "//a/b"}}': "/a",
+        }
+        cols = [
+            compile_render(t, d, allow_udf_templates=True).alias(f"c{i}")
+            for i, t in enumerate(table)
+        ]
+        row = d.select(*cols).first()
+        for i, (t, expect) in enumerate(table.items()):
+            assert row[f"c{i}"] == expect, (t, row[f"c{i}"])
+
+    def test_group_centroids_short_vectors_null_skip(self, spark):
+        """ANSI Spark: mixed-length vectors must NULL-skip per dimension,
+        not throw (try_element_at)."""
+        from gohangout_spark.functions.similarity import group_centroids
+
+        df = spark.createDataFrame(
+            [(0, [1.0, 2.0]), (0, [3.0])], "label int, embedding array<double>"
+        )
+        r = group_centroids(df, dim=2).first()
+        assert r.n == 2
+        assert r.centroid == [2.0, 2.0]  # dim 2 averaged over ONE vector
+
+    def test_gif_encode_rejects_rgba(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from gohangout_spark.functions.multimodal import GifCodec
+
+        img = np.zeros((3, 4, 4), dtype=np.uint8)  # H*W*4 divisible by 3
+        with _pytest.raises(ValueError, match="HxWx3"):
+            GifCodec().encode(img)
+
+    def test_upsert_moved_key_check(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from gohangout_spark.io import upsert_partitioned
+
+        tgt = str(tmp_path / "t")
+        spark.createDataFrame(
+            [(1, "day0", "v")], "id long, day string, val string"
+        ).write.partitionBy("day").parquet(tgt)
+        moved = spark.createDataFrame(
+            [(1, "day1", "MOVED")], "id long, day string, val string"
+        )
+        with _pytest.raises(ValueError, match="moves a key"):
+            upsert_partitioned(
+                spark, tgt, moved, ["id"], "day", check_moved_keys=True
+            )
+        # without the check the documented contract applies (caller's duty)
+
+    def test_trained_classifier_length_invariance(self, spark):
+        """The normalize-parity fix: a LONG positive doc must not outscore
+        its own class boundary purely by token count."""
+        from gohangout_spark.functions.classify import (
+            score_documents,
+            train_text_classifier,
+        )
+
+        rows = []
+        for i in range(40):
+            good = i % 2 == 0
+            words = ["excellent", "clear"] if good else ["spam", "buy"]
+            rows.append((i, " ".join(words * 6), good))
+        # one extreme-length BAD doc
+        rows.append((99, " ".join(["spam", "buy"] * 200), False))
+        docs = spark.createDataFrame(rows, "doc_id long, text string, good boolean")
+        w, b = train_text_classifier(docs, "good", dim=32, max_iter=30)
+        scored = {r.doc_id: r.score for r in score_documents(docs, w, b).collect()}
+        # the long bad doc stays on the bad side (unnormalized scoring
+        # would blow its |logit| up by ~sqrt(400) and could flip it)
+        good_min = min(v for k, v in scored.items() if k % 2 == 0 and k != 99)
+        assert scored[99] < good_min
