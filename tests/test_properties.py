@@ -470,3 +470,93 @@ class TestRound3Properties:
         assert cleaned[3] == alone
         stats = {r.doc_id: r for r in dup_span_stats(docs, w=3).collect()}
         assert stats[3].n_dup_windows == 0
+
+
+class TestRound4Properties:
+    """Property pins for the round-4 operators."""
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        seqs=st.lists(
+            st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=6),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    def test_transition_rows_normalize(self, spark, seqs):
+        """Per-src probabilities sum to 1 (within bp rounding) and pair
+        counts total events − users (one lead per user is NULL)."""
+        import datetime as dt
+
+        from gohangout_spark.functions.analytics import transition_matrix
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        eid = 0
+        for u, types in enumerate(seqs):
+            for ty in types:
+                rows.append((eid, t0 + dt.timedelta(seconds=eid), u, ty))
+                eid += 1
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        out = transition_matrix(ev).collect()
+        n_events = sum(len(x) for x in seqs)
+        assert sum(r.n for r in out) == n_events - len(seqs)
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r.src, []).append(r.p)
+        for src, ps in by_src.items():
+            assert abs(sum(ps) - 1.0) < 1e-3 * len(ps), (src, ps)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        prefix=st.lists(st.sampled_from("pqrs"), min_size=0, max_size=6),
+        suffix=st.lists(st.sampled_from("tuvw"), min_size=0, max_size=6),
+        data=st.data(),
+    )
+    def test_winnowing_guarantee(self, spark, prefix, suffix, data):
+        """Schleimer et al.'s guarantee: two docs sharing a k+w-1-token run
+        share at least one selected fingerprint — for ANY surrounding
+        context."""
+        from gohangout_spark.functions.dedup import winnow_fingerprints
+
+        k = w = 3
+        shared = [f"run{i}" for i in range(k + w - 1)]
+        other_prefix = data.draw(
+            st.lists(st.sampled_from("fghj"), min_size=0, max_size=6)
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, " ".join(list(prefix) + shared + list(suffix))),
+                (2, " ".join(list(other_prefix) + shared)),
+            ],
+            "doc_id long, text string",
+        )
+        fps = {}
+        for r in winnow_fingerprints(docs, k=k, w=w).collect():
+            fps.setdefault(r.doc_id, set()).add(r.fp)
+        assert fps.get(1, set()) & fps.get(2, set()), (prefix, suffix)
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        vals=st.lists(
+            st.sampled_from(["x", "y", "z", "w"]), min_size=5, max_size=60
+        )
+    )
+    def test_heavy_hitters_matches_groupby(self, spark, vals):
+        from pyspark.sql import functions as F
+
+        from gohangout_spark.functions.sketch import heavy_hitters
+
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        got = [(r.v, r.n) for r in heavy_hitters(df, "v", k=3).collect()]
+        want = [
+            (r.v, r.n)
+            for r in df.groupBy("v")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("v"))
+            .limit(3)
+            .collect()
+        ]
+        assert got == want
