@@ -6,9 +6,10 @@ batches of binary → numpy → binary). UNCOMPRESSED formats decode for REAL
 with no external libraries: ``PpmCodec`` (binary PPM/P6), ``BmpCodec``
 (24-bit BMP), ``WavPcmCodec`` (16-bit PCM WAV via stdlib ``wave``), with
 ``AutoCodec`` dispatching on magic bytes; ``PngCodec`` decodes REAL PNG
-(stdlib zlib + the filter algebra) and ``GifCodec`` REAL GIF (LZW
-implemented directly). The remaining compressed formats (JPEG/WebP, mp3,
-video containers) are the environment gap:
+(stdlib zlib + the filter algebra), ``GifCodec`` REAL GIF (LZW implemented
+directly), and ``functions.jpeg.JpegCodec`` REAL baseline JPEG (DCT +
+Huffman in numpy). The remaining compressed formats (WebP, mp3, video
+containers) are the environment gap:
 ``DeterministicFakeCodec`` produces stable pseudo-decodes so the pipeline
 shape stays verifiable, and ``RealCodec`` raises NotImplementedError at
 the exact seam where Pillow/librosa/ffmpeg would plug in.
@@ -282,8 +283,10 @@ class AutoCodec:
     with mixed payloads)."""
 
     def __init__(self, fallback: bool = False):
+        from gohangout_spark.functions.jpeg import JpegCodec
+
         self._ppm, self._bmp, self._png = PpmCodec(), BmpCodec(), PngCodec()
-        self._gif = GifCodec()
+        self._gif, self._jpeg = GifCodec(), JpegCodec()
         self._fallback = DeterministicFakeCodec() if fallback else None
 
     def decode(self, payload: bytes) -> np.ndarray:
@@ -295,6 +298,8 @@ class AutoCodec:
             return self._png.decode(payload)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return self._gif.decode(payload)
+        if payload[:2] == b"\xff\xd8":
+            return self._jpeg.decode(payload)
         if self._fallback is not None:
             return self._fallback.decode(payload)
         raise ValueError(f"unrecognized image magic {payload[:2]!r}")
@@ -556,6 +561,26 @@ def make_gif_media_table(spark, n: int = 48) -> DataFrame:
         px = np.zeros((h, w, 3), dtype=np.uint8)
         px[:, :] = ((i * 7) % 256, (i * 11) % 256, (i * 3) % 256)
         rows.append((i, bytearray(codec.encode(px)), (w, h, 3, "gif")))
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
+def make_jpeg_media_table(spark, n: int = 48, quality: int = 90) -> DataFrame:
+    """Deterministic REAL-JPEG media table: image i is a solid
+    (i*6 % 256, i*10 % 256, i*14 % 256) RGB of size (10 + i%6) x (9 + i%5),
+    DCT+Huffman-compressed through JpegCodec.encode. JPEG is lossy, but a
+    solid color is DC-only, so the decoded value has a CLOSED FORM
+    (jpeg.solid_color_roundtrip_reference) — the oracle embeds those
+    reference values, making the full Huffman→dequantize→IDCT→YCbCr chain
+    hash-checkable."""
+    from gohangout_spark.functions.jpeg import JpegCodec
+
+    codec = JpegCodec(quality=quality)
+    rows = []
+    for i in range(n):
+        w, h = 10 + i % 6, 9 + i % 5
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        px[:, :] = ((i * 6) % 256, (i * 10) % 256, (i * 14) % 256)
+        rows.append((i, bytearray(codec.encode(px)), (w, h, 3, "jpeg")))
     return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
 
 

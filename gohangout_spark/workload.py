@@ -4121,6 +4121,48 @@ def multimodal_gif_features(spark, sf_dir):
     return extract_image_features(media, codec=GifCodec())
 
 
+def _jpeg_oracle_sql() -> str:
+    """VALUES oracle for multimodal_jpeg_features: expected decoded colors
+    from the DC-only closed form (jpeg.solid_color_roundtrip_reference —
+    pure math, NOT the codec), embedded as literals at import time."""
+    from gohangout_spark.functions.jpeg import solid_color_roundtrip_reference
+
+    rows = []
+    for i in range(48):
+        w, h = 10 + i % 6, 9 + i % 5
+        r, g, b = solid_color_roundtrip_reference(
+            ((i * 6) % 256, (i * 10) % 256, (i * 14) % 256), 90
+        )
+        rows.append(
+            f"({i}, {r}.0::DOUBLE, {g}.0::DOUBLE, {b}.0::DOUBLE, {w}, {h})"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, mean_r, mean_g, mean_b, "
+        "CAST(width AS INT) AS width, CAST(height AS INT) AS height "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") t(media_id, mean_r, mean_g, mean_b, width, height)"
+    )
+
+
+@q("multimodal_jpeg_features", _jpeg_oracle_sql())
+def multimodal_jpeg_features(spark, sf_dir):
+    """REAL baseline-JPEG decode, oracle-checked: solid-color DCT+Huffman
+    payloads are entropy-decoded, dequantized, IDCT'd and color-converted
+    by functions/jpeg.JpegCodec inside mapInPandas. JPEG is lossy, but a
+    solid color is DC-only so its decode has a closed form — the oracle
+    embeds those reference values (computed by pure math at import, never
+    by the codec), so a wrong Huffman table, quant scale, IDCT basis or
+    color matrix all hash-mismatch."""
+    from gohangout_spark.functions.jpeg import JpegCodec
+    from gohangout_spark.functions.multimodal import (
+        extract_image_features,
+        make_jpeg_media_table,
+    )
+
+    media = make_jpeg_media_table(spark, n=48, quality=90)
+    return extract_image_features(media, codec=JpegCodec(quality=90))
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================

@@ -1118,11 +1118,15 @@ class TestRealCodecs:
         auto = AutoCodec()
         assert (auto.decode(PpmCodec().encode(px)) == px).all()
         assert (auto.decode(BmpCodec().encode(px)) == px).all()
-        with pytest.raises(ValueError, match="magic"):
+        # JPEG magic now DISPATCHES (functions/jpeg.py); a truncated one
+        # raises the codec's own error, not "unrecognized magic"
+        with pytest.raises(ValueError, match="scan data"):
             auto.decode(b"\xff\xd8jpeg-ish")
+        with pytest.raises(ValueError, match="magic"):
+            auto.decode(b"??not-an-image")
         # fallback mode: unknown payloads go through the deterministic fake
         fb = AutoCodec(fallback=True)
-        assert fb.decode(b"\xff\xd8jpeg-ish").ndim == 3
+        assert fb.decode(b"??not-an-image").ndim == 3
 
     def test_rawvideo_roundtrip_and_sampling(self, spark):
         import numpy as np
@@ -3321,3 +3325,87 @@ class TestReviewFixesR4:
         # would blow its |logit| up by ~sqrt(400) and could flip it)
         good_min = min(v for k, v in scored.items() if k % 2 == 0 and k != 99)
         assert scored[99] < good_min
+
+
+class TestJpegCodec:
+    """Baseline JPEG (functions/jpeg.py): DCT + data-built Huffman tables."""
+
+    def test_solid_colors_match_closed_form(self):
+        import numpy as np
+
+        from gohangout_spark.functions.jpeg import (
+            JpegCodec,
+            solid_color_roundtrip_reference,
+        )
+
+        codec = JpegCodec(quality=90)
+        for rgb in [(200, 30, 90), (0, 0, 0), (255, 255, 255), (17, 123, 240)]:
+            img = np.zeros((16, 24, 3), dtype=np.uint8)
+            img[:, :] = rgb
+            out = codec.decode(codec.encode(img))
+            expect = solid_color_roundtrip_reference(rgb, 90)
+            assert np.array_equal(out, np.full_like(out, expect)), (rgb, expect)
+
+    def test_gradient_roundtrip_within_quantization(self):
+        import numpy as np
+
+        from gohangout_spark.functions.jpeg import JpegCodec
+
+        x = np.linspace(0, 255, 40)
+        img = np.dstack(
+            [np.tile(x, (40, 1)), np.tile(x[::-1], (40, 1)), np.full((40, 40), 128)]
+        ).astype(np.uint8)
+        for sub, tol in (("444", 3), ("420", 8)):
+            out = JpegCodec(quality=90, subsample=sub).decode(
+                JpegCodec(quality=90, subsample=sub).encode(img)
+            )
+            d = np.abs(out.astype(int) - img.astype(int))
+            assert d.max() <= tol, (sub, d.max())
+            assert out.shape == img.shape
+
+    def test_odd_dimensions_and_both_layouts(self):
+        import numpy as np
+
+        from gohangout_spark.functions.jpeg import JpegCodec
+
+        rng = np.random.RandomState(4)
+        # smooth-ish random field (random noise compresses terribly)
+        base = rng.randint(0, 256, size=(3, 4, 3)).astype(np.float64)
+        img = np.clip(
+            np.round(
+                np.kron(base, np.ones((8, 8, 1)))[:19, :27]
+            ),
+            0,
+            255,
+        ).astype(np.uint8)
+        for sub in ("444", "420"):
+            out = JpegCodec(quality=95, subsample=sub).decode(
+                JpegCodec(quality=95, subsample=sub).encode(img)
+            )
+            assert out.shape == (19, 27, 3)
+            d = np.abs(out.astype(int) - img.astype(int))
+            # blockwise-constant input: only block borders deviate
+            assert np.median(d) <= 2, (sub, np.median(d))
+
+    def test_progressive_rejected_clearly(self):
+        import struct
+
+        import pytest as _pytest
+
+        from gohangout_spark.functions.jpeg import JpegCodec
+
+        sof2 = b"\xff\xd8" + struct.pack(">HH", 0xFFC2, 10) + b"\x08" * 8
+        with _pytest.raises(ValueError, match="BASELINE"):
+            JpegCodec().decode(sof2)
+        with _pytest.raises(ValueError, match="not a JPEG"):
+            JpegCodec().decode(b"PNG?")
+
+    def test_autocodec_dispatch(self):
+        import numpy as np
+
+        from gohangout_spark.functions.jpeg import JpegCodec
+        from gohangout_spark.functions.multimodal import AutoCodec
+
+        img = np.full((8, 8, 3), 120, dtype=np.uint8)
+        out = AutoCodec().decode(JpegCodec().encode(img))
+        assert out.shape == (8, 8, 3)
