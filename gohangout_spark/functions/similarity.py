@@ -1152,4 +1152,68 @@ def hashed_embeddings(
                 nrm > 0, F.transform(F.col(out_col), lambda v: v / nrm)
             ).otherwise(F.col(out_col)),
         )
-    return base
+    # NULL text -> NULL embedding (not an array of 16 NULLs): the vector
+    # operators treat a NULL vector as "no embedding", and the Arrow twin
+    # must be able to mirror the semantics exactly
+    return base.withColumn(
+        out_col,
+        F.when(F.col(text_col).isNotNull(), F.col(out_col)),
+    )
+
+
+def hashed_embeddings_pandas(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 64,
+    seed: int = 42,
+    normalize: bool = True,
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-batched twin of :func:`hashed_embeddings` for production
+    widths: the Column path's per-dim ``aggregate`` over the token-pair
+    array is an interpreted HOF evaluated dim × tokens times per row
+    (docs/SCALE.md #2 — fine at dim 16, a cliff at 512+). Here each batch
+    tokenizes once, md5s once per token (hashlib), and scatters signed
+    counts with one ``np.add.at`` per row — O(tokens + dim). Bit-identical
+    output to the Column path (same md5 nibble arithmetic; equivalence
+    pinned in tests)."""
+    import hashlib as _hashlib
+    import re as _re
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit SCALAR type: postponed annotations stringify inferred hints
+    @pandas_udf("array<double>", PandasUDFType.SCALAR)
+    def _vec(text):
+        out = []
+        suffix = f"-{seed}".encode()
+        for t in text:
+            if t is None:
+                out.append(None)
+                continue
+            toks = [x for x in _re.split(r"[^a-z0-9]+", t.lower()) if x]
+            v = np.zeros(dim, dtype=np.float64)
+            if toks:
+                hs = [
+                    _hashlib.md5(tok.encode("utf-8") + suffix).hexdigest()
+                    for tok in toks
+                ]
+                buckets = np.array(
+                    [int(h[:4], 16) % dim for h in hs], dtype=np.int64
+                )
+                signs = np.array(
+                    [1.0 if int(h[4], 16) >= 8 else -1.0 for h in hs]
+                )
+                np.add.at(v, buckets, signs)
+            if normalize:
+                n = np.sqrt((v * v).sum())
+                if n > 0:
+                    v = v / n
+                # zero-norm (empty text) keeps the raw zero vector, like
+                # the Column path's when(norm > 0).otherwise(vec)
+            out.append([float(x) for x in v])
+        return pd.Series(out)
+
+    return df.withColumn(out_col, _vec(F.col(text_col)))

@@ -3409,3 +3409,31 @@ class TestJpegCodec:
         img = np.full((8, 8, 3), 120, dtype=np.uint8)
         out = AutoCodec().decode(JpegCodec().encode(img))
         assert out.shape == (8, 8, 3)
+
+
+class TestHashedEmbeddingsPandas:
+    def test_identical_to_column_path(self, spark):
+        from gohangout_spark.functions.similarity import (
+            hashed_embeddings,
+            hashed_embeddings_pandas,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "pack my box"), (3, ""),
+             (4, None), (5, "the the the")],
+            "doc_id long, text string",
+        )
+        for normalize in (False, True):
+            a = {r.doc_id: r.embedding for r in hashed_embeddings(
+                docs, dim=16, normalize=normalize
+            ).select("doc_id", "embedding").collect()}
+            b = {r.doc_id: r.embedding for r in hashed_embeddings_pandas(
+                docs, dim=16, normalize=normalize
+            ).select("doc_id", "embedding").collect()}
+            for k in a:
+                if a[k] is None or b[k] is None:
+                    assert a[k] == b[k], (normalize, k)
+                else:
+                    assert max(
+                        abs(x - y) for x, y in zip(a[k], b[k])
+                    ) < 1e-12, (normalize, k)
