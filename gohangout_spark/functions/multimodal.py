@@ -628,6 +628,39 @@ def make_wav_media_table(spark, n: int = 32, sample_rate: int = 16000) -> DataFr
     return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
 
 
+class FlacAudioCodec:
+    """Adapter exposing functions.flac.FlacCodec through the audio-codec
+    contract (decode(payload, sample_rate) -> float PCM in [-1, 1], mono):
+    the compressed-LOSSLESS audio path — decoded samples are bit-identical
+    to the encoded PCM, so the analytic WAV fixtures carry over unchanged
+    (multimodal_flac_features)."""
+
+    def decode(self, payload: bytes, sample_rate: int = 16000) -> np.ndarray:
+        from gohangout_spark.functions.flac import FlacCodec
+
+        samples, _sr = FlacCodec().decode(payload)
+        return samples[:, 0].astype(np.float64) / 32768.0
+
+    def encode(self, pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+        from gohangout_spark.functions.flac import FlacCodec
+
+        ints = np.round(np.clip(pcm, -1.0, 1.0) * 32767).astype(np.int32)
+        return FlacCodec(sample_rate=sample_rate).encode(ints)
+
+
+def make_flac_media_table(spark, n: int = 32, sample_rate: int = 16000) -> DataFrame:
+    """FLAC twin of make_wav_media_table: the SAME constant-amplitude
+    analytic clips, rice-compressed — losslessness means the decoded
+    features share the wav fixture's closed form."""
+    codec = FlacAudioCodec()
+    rows = []
+    for i in range(n):
+        amp = ((i % 20) - 10) / 16.0
+        pcm = np.full(800 + 10 * i, amp, dtype=np.float32)
+        rows.append((i, bytearray(codec.encode(pcm, sample_rate)), (0, 0, 1, "flac")))
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
 def make_fake_media_table(spark, n: int = 64) -> DataFrame:
     """Deterministic binary media table for pipeline testing."""
     rows = []

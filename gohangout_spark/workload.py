@@ -4163,6 +4163,37 @@ def multimodal_jpeg_features(spark, sf_dir):
     return extract_image_features(media, codec=JpegCodec(quality=90))
 
 
+@q(
+    "multimodal_flac_features",
+    """SELECT CAST(i AS BIGINT) AS media_id,
+              floor((800 + 10 * i) / 16000.0 * 1e4 + 0.5) / 1e4 AS duration_s,
+              floor(abs(round(((i % 20) - 10) / 16.0 * 32767) / 32768.0) * 1e4 + 0.5) / 1e4
+                AS rms,
+              0 AS zero_crossings
+       FROM range(32) t(i)""",
+)
+def multimodal_flac_features(spark, sf_dir):
+    """REAL compressed-LOSSLESS audio decode, oracle-checked: the wav
+    fixture's constant-amplitude clips rice-compressed as FLAC
+    (functions/flac.py) and decoded inside mapInPandas — losslessness
+    means the features share wav's closed form exactly, so a wrong rice
+    parameter, predictor or sync parse hash-mismatches."""
+    from gohangout_spark.functions.multimodal import (
+        FlacAudioCodec,
+        extract_audio_features,
+        make_flac_media_table,
+    )
+
+    media = make_flac_media_table(spark, n=32)
+    out = extract_audio_features(media, codec=FlacAudioCodec())
+    return out.select(
+        "media_id",
+        round_half_up(F.col("duration_s"), 4).alias("duration_s"),
+        round_half_up(F.col("rms"), 4).alias("rms"),
+        "zero_crossings",
+    )
+
+
 # ========================================================================
 # Driver-gate registration order
 # ========================================================================
