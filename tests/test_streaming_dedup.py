@@ -92,3 +92,52 @@ def test_batches_arriving_later_still_checked(spark, tmp_path):
     finally:
         q2.stop()
     assert list(out.values()) == [[10]]  # 9 deduped against the index
+
+
+def test_checkpoint_restart_processes_only_new_batches(spark, tmp_path):
+    """Same checkpoint + same index across a query restart: the restarted
+    query must process only the NEW file (offsets from the checkpoint) and
+    still dedupe it against the index built before the restart."""
+    src = str(tmp_path / "src")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    _chunk(spark, src, [Row(doc_id=1, text=A), Row(doc_id=2, text=B)])
+
+    seen = []
+
+    def sink(df, batch_id):
+        seen.append((batch_id, sorted(r["doc_id"] for r in df.collect())))
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = start_dedup_stream(stream, idx, sink, threshold=0.9,
+                           checkpoint=ckpt, query_name="dedup_rs1")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    first_run = list(seen)
+    assert [ids for _, ids in first_run] == [[1, 2]]
+
+    # new data lands while the query is DOWN; dup of doc 1 + one new doc
+    _chunk(spark, src, [Row(doc_id=7, text=A), Row(doc_id=8, text=C)])
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q2 = start_dedup_stream(stream2, idx, sink, threshold=0.9,
+                            checkpoint=ckpt, query_name="dedup_rs2")
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    new = seen[len(first_run):]
+    # only the new file was processed (no re-delivery of batch 0), and 7
+    # was deduped against the pre-restart index
+    assert [ids for _, ids in new] == [[8]]
+    idx_ids = sorted(r["doc_id"] for r in spark.read.parquet(idx).collect())
+    assert idx_ids == [1, 2, 8]
