@@ -10,7 +10,9 @@ hand-transcribed code tables anywhere; the decoder reads whatever DHT
 declares, which also covers optimized-Huffman files from other encoders.
 
 Decoder scope: baseline sequential DCT (SOF0), 8-bit samples, 1-3
-components, sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0), restart markers.
+components, sampling factors 1-2 (4:4:4, 4:2:2, 4:2:0), restart markers —
+and the encoder can emit all of those layouts too (subsample= and
+restart_interval=), so every decoder path has roundtrip coverage.
 Progressive (SOF2) and arithmetic coding raise with a clear message.
 
 JPEG is lossy: roundtrips are asserted within quantization tolerance, and
@@ -287,11 +289,19 @@ class JpegCodec:
     chroma, the near-universal camera layout); decode handles either from
     the SOF sampling factors."""
 
-    def __init__(self, quality: int = 90, subsample: str = "444"):
-        if subsample not in ("444", "420"):
-            raise ValueError("subsample must be '444' or '420'")
+    def __init__(
+        self,
+        quality: int = 90,
+        subsample: str = "444",
+        restart_interval: int = 0,
+    ):
+        if subsample not in ("444", "422", "420"):
+            raise ValueError("subsample must be '444', '422' or '420'")
         self.quality = quality
         self.subsample = subsample
+        # emit DRI + RSTn every N MCUs (0 = none): real-world encoders do,
+        # so the decoder's restart path gets roundtrip coverage
+        self.restart_interval = int(restart_interval)
 
     # -------------------------------------------------------------- encode
 
@@ -303,19 +313,22 @@ class JpegCodec:
         qt_l = _scaled_qt(_QT_LUMA, self.quality)
         qt_c = _scaled_qt(_QT_CHROMA, self.quality)
         ycc = _rgb_to_ycbcr(px)
-        sub = self.subsample == "420"
-        mcu = 16 if sub else 8
-        ph, pw = -(-h // mcu) * mcu, -(-w // mcu) * mcu
+        hs = 2 if self.subsample in ("420", "422") else 1  # horizontal factor
+        vs = 2 if self.subsample == "420" else 1           # vertical factor
+        mcu_w, mcu_h = 8 * hs, 8 * vs
+        ph, pw = -(-h // mcu_h) * mcu_h, -(-w // mcu_w) * mcu_w
         padded = np.pad(ycc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
         luma = padded[..., 0]
-        if sub:
-            # 2x2 mean pooling of each chroma plane
+        if hs == 1 and vs == 1:
+            chroma = [padded[..., 1], padded[..., 2]]
+        else:
+            # hs x vs mean pooling of each chroma plane
             chroma = [
-                padded[..., c].reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                padded[..., c]
+                .reshape(ph // vs, vs, pw // hs, hs)
+                .mean(axis=(1, 3))
                 for c in (1, 2)
             ]
-        else:
-            chroma = [padded[..., 1], padded[..., 2]]
 
         # pass 1: tokenize MCU by MCU — 4:2:0 MCUs hold 4 luma blocks +
         # 1 Cb + 1 Cr; 4:4:4 MCUs hold one block per component
@@ -329,18 +342,23 @@ class JpegCodec:
             for kind, sym, bits in toks:
                 all_tokens.append((cls, kind, sym, bits))
 
-        for my in range(0, ph, mcu):
-            for mx in range(0, pw, mcu):
-                if sub:
-                    for by in (0, 8):
-                        for bx in (0, 8):
-                            emit("l", luma, 0, my + by, mx + bx, qt_l)
-                    emit("c", chroma[0], 1, my // 2, mx // 2, qt_c)
-                    emit("c", chroma[1], 2, my // 2, mx // 2, qt_c)
-                else:
-                    emit("l", luma, 0, my, mx, qt_l)
-                    emit("c", chroma[0], 1, my, mx, qt_c)
-                    emit("c", chroma[1], 2, my, mx, qt_c)
+        mcu_marks: list[int] = []  # token index where each MCU starts
+        mcu_idx = 0
+        for my in range(0, ph, mcu_h):
+            for mx in range(0, pw, mcu_w):
+                if (
+                    self.restart_interval
+                    and mcu_idx
+                    and mcu_idx % self.restart_interval == 0
+                ):
+                    preds[0] = preds[1] = preds[2] = 0  # DC reset at RSTn
+                mcu_idx += 1
+                mcu_marks.append(len(all_tokens))
+                for by in range(0, mcu_h, 8):
+                    for bx in range(0, mcu_w, 8):
+                        emit("l", luma, 0, my + by, mx + bx, qt_l)
+                emit("c", chroma[0], 1, my // vs, mx // hs, qt_c)
+                emit("c", chroma[1], 2, my // vs, mx // hs, qt_c)
 
         # pass 2: per-(class, kind) Huffman tables from actual frequencies
         freqs: dict[tuple[str, str], dict[int, int]] = {}
@@ -350,14 +368,23 @@ class JpegCodec:
         tables = {k: _build_huffman(v) for k, v in freqs.items()}
         codes = {k: _canonical_codes(*tables[k]) for k in tables}
 
-        # pass 3: serialize
+        # pass 3: serialize, inserting RSTn between restart intervals
         bw = _BitWriter()
-        for cls, kind, sym, bits in all_tokens:
-            code, length = codes[(cls, kind)][sym]
-            bw.write(code, length)
-            size = sym & 0x0F if kind == "ac" else sym
-            if size:
-                bw.write(bits, size)
+        marks = mcu_marks + [len(all_tokens)]
+        for mi in range(len(mcu_marks)):
+            if (
+                self.restart_interval
+                and mi
+                and mi % self.restart_interval == 0
+            ):
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + ((mi // self.restart_interval - 1) % 8)])
+            for cls, kind, sym, bits in all_tokens[marks[mi] : marks[mi + 1]]:
+                code, length = codes[(cls, kind)][sym]
+                bw.write(code, length)
+                size = sym & 0x0F if kind == "ac" else sym
+                if size:
+                    bw.write(bits, size)
         bw.flush()
 
         def seg(marker: int, payload: bytes) -> bytes:
@@ -375,7 +402,7 @@ class JpegCodec:
                 bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals),
             )
 
-        y_hv = 0x22 if sub else 0x11
+        y_hv = (hs << 4) | vs
         sof = seg(
             0xFFC0,
             bytes([8])
@@ -390,6 +417,11 @@ class JpegCodec:
             bytes([3]) + bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0]),
         )
         jfif = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        dri = (
+            seg(0xFFDD, struct.pack(">H", self.restart_interval))
+            if self.restart_interval
+            else b""
+        )
         return (
             b"\xff\xd8"
             + jfif
@@ -400,6 +432,7 @@ class JpegCodec:
             + dht(0, 1, ("c", "dc"))
             + dht(1, 1, ("c", "ac"))
             + sof
+            + dri
             + sos
             + bytes(bw.out)
             + b"\xff\xd9"

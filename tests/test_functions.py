@@ -3552,3 +3552,47 @@ class TestFlacCodec:
 
         with _pytest.raises(ValueError, match="not a FLAC"):
             FlacCodec().decode(b"RIFFxxxx")
+
+
+class TestJpegRealWorldPaths:
+    """4:2:2 sampling and restart markers — layouts real encoders emit."""
+
+    def test_all_sampling_by_restart_combos(self):
+        import numpy as np
+
+        from gohangout_spark.functions.jpeg import (
+            JpegCodec,
+            solid_color_roundtrip_reference,
+        )
+
+        x = np.linspace(0, 255, 48)
+        grad = np.dstack(
+            [np.tile(x, (48, 1)), np.tile(x[::-1], (48, 1)), np.full((48, 48), 128)]
+        ).astype(np.uint8)
+        solid = np.full((17, 23, 3), (200, 30, 90), dtype=np.uint8)
+        expect = solid_color_roundtrip_reference((200, 30, 90))
+        for sub, tol in (("444", 3), ("422", 8), ("420", 8)):
+            for ri in (0, 3):
+                codec = JpegCodec(quality=90, subsample=sub, restart_interval=ri)
+                d = np.abs(
+                    codec.decode(codec.encode(grad)).astype(int) - grad.astype(int)
+                )
+                assert d.max() <= tol, (sub, ri, d.max())
+                sdec = codec.decode(codec.encode(solid))
+                assert np.array_equal(sdec, np.full_like(sdec, expect)), (sub, ri)
+
+    def test_restart_stream_decodes_identically(self):
+        import numpy as np
+
+        from gohangout_spark.functions.jpeg import JpegCodec
+
+        img = np.random.RandomState(1).randint(0, 256, (48, 48, 3)).astype(np.uint8)
+        enc0 = JpegCodec(restart_interval=0).encode(img)
+        enc3 = JpegCodec(restart_interval=3).encode(img)
+        n_rst = sum(
+            1
+            for i in range(len(enc3) - 1)
+            if enc3[i] == 0xFF and 0xD0 <= enc3[i + 1] <= 0xD7
+        )
+        assert n_rst == 11 and b"\xff\xdd" in enc3  # DRI + RSTn present
+        assert np.array_equal(JpegCodec().decode(enc0), JpegCodec().decode(enc3))
