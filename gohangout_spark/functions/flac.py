@@ -55,12 +55,13 @@ def _utf8_number(n: int) -> bytes:
     """FLAC's UTF-8-style frame-number coding (plain UTF-8 for n < 2^31)."""
     if n < 0x80:
         return bytes([n])
-    out = []
     bits = n.bit_length()
+    # an nbytes sequence carries (7 - nbytes) + 6*(nbytes - 1) = 5*nbytes + 1
+    # payload bits (code-review r4: the old formula under-counted and
+    # mis-encoded frame numbers >= 2048, silently corrupting long streams)
     nbytes = 2
-    while bits > 5 * nbytes + (7 - nbytes) - 1 + 1:
+    while bits > 5 * nbytes + 1:
         nbytes += 1
-    # standard UTF-8 construction
     marks = {2: 0xC0, 3: 0xE0, 4: 0xF0, 5: 0xF8, 6: 0xFC, 7: 0xFE}
     out = [0] * nbytes
     for i in range(nbytes - 1, 0, -1):
@@ -164,17 +165,27 @@ class FlacCodec:
     # -------------------------------------------------------------- encode
 
     def _write_residual(self, bw: _BW, resid: np.ndarray):
-        """Single-partition Rice with a simple mean-based parameter."""
-        u = _zigzag(resid.astype(np.int64))
+        """Single-partition Rice with a mean-based parameter; partitions
+        whose quotients would blow up fall back to the spec's RAW-BITS
+        escape (param 0b1111 + 5-bit width + verbatim signed residuals)."""
+        r64 = resid.astype(np.int64)
+        u = _zigzag(r64)
         mean = max(1.0, float(u.mean()) if len(u) else 1.0)
         param = min(14, max(0, int(np.ceil(np.log2(mean)))))
         bw.write(0, 2)   # coding method: 4-bit rice
         bw.write(0, 4)   # partition order 0 -> one partition
+        max_q = int(u.max() >> param) if len(u) else 0
+        if max_q > 64:   # unary would dominate: use the escape instead
+            width = min(31, max(2, int(np.abs(r64).max()).bit_length() + 1))
+            bw.write(0b1111, 4)
+            bw.write(width, 5)
+            mask = (1 << width) - 1
+            for val in r64:
+                bw.write(int(val) & mask, width)
+            return
         bw.write(param, 4)
         for val in u:
             q, r = int(val) >> param, int(val) & ((1 << param) - 1)
-            if q > 1 << 16:  # pathological residual: re-encode raw (escape)
-                raise ValueError("rice quotient blowup — data unfit for fixed-2")
             bw.write_unary(q)
             if param:
                 bw.write(r, param)

@@ -104,10 +104,31 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return codes
 
 
+def _adjust_bits(hist: list[int], limit: int) -> list[int]:
+    """T.81 Annex K.3 length limiting: push pairs of over-long codes up
+    into shorter lengths until nothing exceeds ``limit``. ``hist`` is a
+    1-indexed-by-length histogram (index 0 = length 1)."""
+    hist = list(hist)
+    for i in range(len(hist) - 1, limit - 1, -1):
+        while hist[i] > 0:
+            j = i - 2
+            while hist[j] == 0:
+                j -= 1
+            hist[i] -= 2
+            hist[i - 1] += 1
+            hist[j + 1] += 2
+            hist[j] -= 1
+    return hist[:limit] + [0] * max(0, limit - len(hist[:limit]))
+
+
 def _build_huffman(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
     """Symbol frequencies → JPEG (BITS, HUFFVAL): Huffman code lengths via
-    heapq, capped at 16 (small alphabets never get near it), symbols
-    assigned canonically in (length, symbol) order."""
+    heapq, LENGTH-LIMITED to 16 bits with Annex K's adjust_bits (skewed
+    frequency profiles legitimately exceed 16 — code-review r4), symbols
+    assigned canonically in (length, symbol) order. The all-ones codeword
+    is reserved per T.81 (the final canonical code is deepened by one bit
+    when the table would be Kraft-complete) so the 1-bit padding written
+    before RSTn/EOI can never decode as a symbol."""
     import heapq
     from itertools import count
 
@@ -132,12 +153,23 @@ def _build_huffman(freqs: dict[int, int]) -> tuple[list[int], list[int]]:
             depth[sym] += 1
         heapq.heappush(heap, (f1 + f2, next(tick), merged))
     maxlen = max(depth.values())
-    if maxlen > 16:
-        raise ValueError("Huffman code longer than 16 bits (alphabet too skewed)")
-    bits = [0] * 16
+    hist = [0] * max(16, maxlen)
+    for s in freqs:
+        hist[depth[s] - 1] += 1
+    bits = _adjust_bits(hist, 16)
+    # reserve the all-ones code: if the adjusted lengths are Kraft-complete
+    # the canonically-last (deepest) code is all 1-bits — deepen it by one
+    kraft = sum(n / (1 << (i + 1)) for i, n in enumerate(bits))
+    if kraft >= 1.0 - 1e-12:
+        deepest = max(i for i, n in enumerate(bits) if n)
+        if deepest == 15:  # already at 16 bits: make room first
+            bits = _adjust_bits(bits, 15) + [0]
+            deepest = max(i for i, n in enumerate(bits) if n)
+        bits[deepest] -= 1
+        bits[deepest + 1] += 1
+    # canonical symbol order: sort by ORIGINAL depth then symbol, then
+    # re-assign to the adjusted length histogram in that order
     ordered = sorted(freqs, key=lambda s: (depth[s], s))
-    for s in ordered:
-        bits[depth[s] - 1] += 1
     return bits, ordered
 
 
@@ -454,6 +486,9 @@ class JpegCodec:
                 continue
             marker = payload[pos + 1]
             pos += 2
+            if marker == 0xFF:  # T.81 B.1.1.2: optional fill byte
+                pos -= 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 continue
             if marker == 0xD9:
@@ -491,6 +526,10 @@ class JpegCodec:
                     off += 17 + n
             elif marker == 0xC0 or marker == 0xC1:  # baseline SOF
                 prec = body[0]
+                if prec != 8:
+                    raise ValueError(
+                        f"only 8-bit JPEG supported, got precision {prec}"
+                    )
                 h, w = struct.unpack(">HH", body[1:5])
                 ncomp = body[5]
                 comps = []
@@ -530,6 +569,16 @@ class JpegCodec:
         ]
         br = _BitReader(data)
         preds = [0] * len(comps)
+        # scan-invariant per-component state hoisted out of the MCU loop
+        # (code-review r4: the float qt copy alone was ~3 allocations/MCU)
+        comp_state = [
+            (
+                huff[(0, scan[c["id"]][0])],
+                huff[(1, scan[c["id"]][1])],
+                qts[c["qt"]].astype(np.float64),
+            )
+            for c in comps
+        ]
         mcu_count = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
@@ -537,9 +586,7 @@ class JpegCodec:
                     if br.skip_rst():
                         preds = [0] * len(comps)
                 for ci, c in enumerate(comps):
-                    dc_lut = huff[(0, scan[c["id"]][0])]
-                    ac_lut = huff[(1, scan[c["id"]][1])]
-                    qt = qts[c["qt"]].astype(np.float64)
+                    dc_lut, ac_lut, qt = comp_state[ci]
                     for by in range(c["v"]):
                         for bx in range(c["h"]):
                             zz = np.zeros(64, dtype=np.float64)

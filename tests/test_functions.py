@@ -3596,3 +3596,71 @@ class TestJpegRealWorldPaths:
         )
         assert n_rst == 11 and b"\xff\xdd" in enc3  # DRI + RSTn present
         assert np.array_equal(JpegCodec().decode(enc0), JpegCodec().decode(enc3))
+
+
+class TestCodecReviewFixesR4b:
+    """Regression pins for the second code-review pass (codec findings)."""
+
+    def test_flac_frame_numbers_past_2048(self):
+        import numpy as np
+
+        from gohangout_spark.functions.flac import FlacCodec, _utf8_number
+
+        # 3-byte UTF-8 boundary: the old capacity formula truncated here
+        assert _utf8_number(2048) == chr(2048).encode("utf-8")  # E0 A0 80
+        assert _utf8_number(0x7FF) == chr(0x7FF).encode("utf-8")
+        codec = FlacCodec(block_size=16)
+        x = (np.arange(33600) % 251 - 125).astype(np.int32)  # 2100 frames
+        dec, _ = codec.decode(codec.encode(x))
+        assert np.array_equal(dec[:, 0], x)
+
+    def test_flac_raw_bits_escape_roundtrip(self):
+        import numpy as np
+
+        from gohangout_spark.functions.flac import FlacCodec
+
+        # alternating extremes make fixed-2 residuals huge -> escape path
+        spiky = np.tile([32000, -32000], 200).astype(np.int32)
+        dec, _ = FlacCodec(block_size=64).decode(
+            FlacCodec(block_size=64).encode(spiky)
+        )
+        assert np.array_equal(dec[:, 0], spiky)
+
+    def test_jpeg_huffman_length_limit_and_all_ones_reserve(self):
+        from gohangout_spark.functions.jpeg import (
+            _build_huffman,
+            _canonical_codes,
+        )
+
+        fib = {}
+        a = b = 1
+        for sym in range(18):
+            fib[sym] = a
+            a, b = b, a + b
+        bits, vals = _build_huffman(fib)  # used to raise ValueError
+        assert max(i + 1 for i, n in enumerate(bits) if n) <= 16
+        for sym, (code, length) in _canonical_codes(bits, vals).items():
+            assert code != (1 << length) - 1, (sym, length)
+
+    def test_jpeg_fill_bytes_and_12bit_rejection(self):
+        import struct
+
+        import numpy as np
+        import pytest as _pytest
+
+        from gohangout_spark.functions.jpeg import (
+            JpegCodec,
+            solid_color_roundtrip_reference,
+        )
+
+        codec = JpegCodec()
+        img = np.full((9, 9, 3), (200, 30, 90), dtype=np.uint8)
+        enc = codec.encode(img)
+        out = codec.decode(enc[:2] + b"\xff" + enc[2:])  # fill byte
+        expect = solid_color_roundtrip_reference((200, 30, 90))
+        assert np.array_equal(out, np.full_like(out, expect))
+        twelve = b"\xff\xd8" + struct.pack(">HH", 0xFFC0, 11) + bytes(
+            [12, 0, 8, 0, 8, 1]
+        ) + bytes(3)
+        with _pytest.raises(ValueError, match="precision"):
+            codec.decode(twelve)
