@@ -53,6 +53,7 @@ def score_documents(
     out_col: str = "score",
     digits: int = 4,
     normalize: bool = True,
+    arrow: bool = False,
 ) -> DataFrame:
     """Hash-feature + linear-score in one call: (id, score). The feature
     dim is ``len(weights)``; rounding is the engine-deterministic floor
@@ -63,10 +64,18 @@ def score_documents(
     default is True — scoring unnormalized vectors with normalized-trained
     weights scales the logit by ||v|| while the bias stays fixed, flipping
     decisions for long/short docs. Set False only for weights defined over
-    raw counts (e.g. the analytic fixture in the workload oracle)."""
-    from gohangout_spark.functions.similarity import hashed_embeddings
+    raw counts (e.g. the analytic fixture in the workload oracle).
 
-    emb = hashed_embeddings(
+    ``arrow=True`` computes the features with the bit-identical Arrow
+    kernel (hashed_embeddings_pandas) — same scores, the right choice at
+    production dims (docs/SCALE.md #4)."""
+    from gohangout_spark.functions.similarity import (
+        hashed_embeddings,
+        hashed_embeddings_pandas,
+    )
+
+    fe = hashed_embeddings_pandas if arrow else hashed_embeddings
+    emb = fe(
         docs, text_col=text_col, id_col=id_col, dim=len(weights),
         seed=seed, normalize=normalize,
     )

@@ -4034,7 +4034,9 @@ def quality_classifier_score_q(spark, sf_dir):
     # normalize=False: these analytic weights are defined over RAW hashed
     # counts (the oracle rebuilds exactly those); trained weights use the
     # default normalized path
-    return score_documents(docs, weights, bias=-0.25, normalize=False)
+    return score_documents(
+        docs, weights, bias=-0.25, normalize=False, arrow=True
+    )
 
 
 @q(
