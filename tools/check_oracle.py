@@ -2,6 +2,14 @@
 entry on Spark and its oracle_sql() on DuckDB at the same sf, compare
 row-count + order-insensitive value hash (columns sorted by name).
 
+Driver-faithful comparison (round-5 fix): the driver canonicalizes BOTH
+sides through pandas (`toPandas()` vs duckdb `.df()`) and string-renders
+cells before hashing, so an int64-vs-float64 dtype skew renders `5` vs
+`5.0` and fails the hash even when the values are numerically identical
+(the round-4 HUGEINT class). This tool therefore (a) compares through
+pandas too, (b) renders floats at full precision, and (c) separately
+flags any int-vs-float / numeric-vs-object dtype-kind skew per column.
+
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
 
@@ -14,29 +22,70 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 from gohangout_spark import get_spark
 from gohangout_spark.io import TABLES
 
 
-def norm(v):
+def norm_cell(v):
+    """Render one pandas cell the way a pandas string canonicalization
+    would: dtype-visible (int 5 -> "5", float 5.0 -> "5.0"), NULL/NaN
+    uniform, full float precision."""
     if v is None:
         return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         if v != v:
-            return "NaN"
-        return f"{v:.6g}"
-    if isinstance(v, bool):
-        return str(v).lower()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm(x) for x in v) + "]"
+            return "NULL"  # pandas renders missing ints as NaN too
+        return repr(float(v))
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
     return str(v)
 
 
-def table_hash(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted("|".join(norm(r[i]) for i in order) for r in rows)
+def pdf_hash(pdf: pd.DataFrame) -> str:
+    cols = sorted(pdf.columns)
+    lines = sorted(
+        "|".join(norm_cell(row[c]) for c in cols)
+        for row in pdf.to_dict("records")
+    )
     return hashlib.md5("\n".join(lines).encode()).hexdigest()
+
+
+def dtype_kind(dt) -> str:
+    """Collapse a pandas dtype to the kind that matters for the driver's
+    string canonicalization: i (int), f (float), b (bool), O (object/str),
+    M (datetime)."""
+    k = np.dtype(dt).kind if not isinstance(dt, pd.api.types.CategoricalDtype) else "O"
+    return {"u": "i"}.get(k, k)
+
+
+def dtype_skew(pdf_s: pd.DataFrame, pdf_d: pd.DataFrame) -> list[str]:
+    """Columns whose dtype *kind* differs between the Spark and oracle
+    frames — the exact class of failure the driver's hash surfaces as a
+    mismatch (int-vs-float, numeric-vs-object)."""
+    skew = []
+    for c in pdf_s.columns:
+        if c not in pdf_d.columns:
+            continue
+        ks, kd = dtype_kind(pdf_s[c].dtype), dtype_kind(pdf_d[c].dtype)
+        if ks != kd:
+            # A column that is ALL-null on both sides renders NULL either
+            # way; anything else is a real skew.
+            if pdf_s[c].isna().all() and pdf_d[c].isna().all():
+                continue
+            skew.append(f"{c}: spark={pdf_s[c].dtype} oracle={pdf_d[c].dtype}")
+    return skew
 
 
 def main():
@@ -65,56 +114,67 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            if name in oracles:
+                # The driver canonicalizes with pandas: list/dict cells are
+                # unhashable there.
+                nonscalar = [
+                    f"{f.name}:{f.dataType.simpleString()}"
+                    for f in sdf.schema.fields
+                    if any(
+                        k in f.dataType.simpleString()
+                        for k in ("array", "map", "struct")
+                    )
+                ]
+                if nonscalar:
+                    print(f"FAIL {name}: non-scalar oracle-checked columns {nonscalar}")
+                    failures.append(name)
+                    continue
+                pdf_s = sdf.toPandas()
+            else:
+                n_rows = sdf.count()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
-        if name in oracles:
-            # The driver canonicalizes with a pandas sort: list/dict cells are
-            # unhashable there even though our local hash handles them.
-            nonscalar = [
-                f"{f.name}:{f.dataType.simpleString()}"
-                for f in sdf.schema.fields
-                if any(k in f.dataType.simpleString() for k in ("array", "map", "struct"))
-            ]
-            if nonscalar:
-                print(f"FAIL {name}: non-scalar oracle-checked columns {nonscalar}")
-                failures.append(name)
-                continue
         took = time.time() - t0
         if name not in oracles:
-            print(f"ok   {name}: rows-only rows={len(srows)} ({took:.1f}s)")
+            print(f"ok   {name}: rows-only rows={n_rows} ({took:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            pdf_d = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
-        ok_rows = len(srows) == len(drows)
-        ok_cols = sorted(scols) == sorted(dcols)
-        sh = table_hash(srows, scols)
-        dh = table_hash(drows, dcols)
-        ok_hash = sh == dh
+        ok_rows = len(pdf_s) == len(pdf_d)
+        ok_cols = sorted(pdf_s.columns) == sorted(pdf_d.columns)
+        skew = dtype_skew(pdf_s, pdf_d) if ok_cols else []
+        sh, dh = pdf_hash(pdf_s), pdf_hash(pdf_d)
+        ok_hash = sh == dh and not skew
         status = "ok  " if (ok_rows and ok_cols and ok_hash) else "FAIL"
         print(
-            f"{status} {name}: rows {len(srows)}/{len(drows)} cols_match={ok_cols} "
-            f"hash_match={ok_hash} ({took:.1f}s)"
+            f"{status} {name}: rows {len(pdf_s)}/{len(pdf_d)} cols_match={ok_cols} "
+            f"hash_match={sh == dh} dtype_skew={len(skew)} ({took:.1f}s)"
         )
         if status == "FAIL":
             failures.append(name)
             if not ok_cols:
-                print(f"      spark cols: {sorted(scols)}\n      duck cols:  {sorted(dcols)}")
-            if ok_cols and not ok_hash:
-                # show first differing normalized line
-                order = sorted(range(len(scols)), key=lambda i: scols[i])
-                sl = sorted("|".join(norm(r[i]) for i in order) for r in srows)
-                dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
-                dl = sorted("|".join(norm(r[i]) for i in dorder) for r in drows)
+                print(
+                    f"      spark cols: {sorted(pdf_s.columns)}\n"
+                    f"      duck cols:  {sorted(pdf_d.columns)}"
+                )
+            for s in skew:
+                print(f"      dtype skew — {s}")
+            if ok_cols and sh != dh:
+                cols = sorted(pdf_s.columns)
+                sl = sorted(
+                    "|".join(norm_cell(r[c]) for c in cols)
+                    for r in pdf_s.to_dict("records")
+                )
+                dl = sorted(
+                    "|".join(norm_cell(r[c]) for c in cols)
+                    for r in pdf_d.to_dict("records")
+                )
                 for a, b in zip(sl, dl):
                     if a != b:
                         print(f"      spark: {a}\n      duck:  {b}")
