@@ -206,18 +206,23 @@ def rfm_segments(
 ) -> DataFrame:
     """RFM segmentation over purchase events: per user the last-purchase
     time (Recency), purchase count (Frequency), and value total (Monetary),
-    each quartiled with ntile — the classic CRM segmentation, here as one
-    combiner-reduced aggregate plus three windows over the (small) per-user
-    table. Ties break deterministically by user id so the cut is a pure
-    function of the data. Returns (user, r, f, m, segment "RFM").
+    each quartiled — the classic CRM segmentation, here as one
+    combiner-reduced aggregate plus three DISTRIBUTED rank passes over the
+    per-user table. Ties break deterministically by user id so the cut is
+    a pure function of the data. Returns (user, r, f, m, segment "RFM").
 
-    Scale note: the ntile windows are global (a quartile is a total-order
-    property), so they single-task over the PER-USER table — rows =
-    distinct purchasers, not events; fine up to ~10⁸ users. Beyond that,
-    swap the exact ntile for approx_percentile boundary cuts + scan-side
-    bucketing (the cut points change at ties, which is why the exact form
-    is the oracle-checked default)."""
-    from pyspark.sql.window import Window
+    Scale note (r5): quartiles were previously three global ntile windows
+    — exact, but each single-tasked the per-user table (the last
+    documented global-window in an oracle-gated query). They are now
+    :func:`~gohangout_spark.functions.sampling.global_rank` passes
+    (range-partition + local rank + broadcast offsets, fully parallel)
+    with ntile's tile arithmetic applied in closed form: for N rows and n
+    tiles the first N%n tiles hold ceil(N/n) rows and the rest floor(N/n),
+    so tile(k) is pure integer arithmetic on the global rank k — output
+    is bit-identical to ntile (the unchanged exact-ntile DuckDB oracle
+    still hash-matches). Three range shuffles of the per-user table
+    replace three single-task sorts; N arrives as a broadcast scalar."""
+    from gohangout_spark.functions.sampling import global_rank
 
     per_user = (
         events.where(F.col(type_col) == purchase_type)
@@ -228,14 +233,42 @@ def rfm_segments(
             F.sum(value_col).alias("monetary"),
         )
     )
-    r_w = Window.orderBy(F.desc("last_ts"), F.asc(user_col))
-    f_w = Window.orderBy(F.desc("freq"), F.asc(user_col))
-    m_w = Window.orderBy(F.desc("monetary"), F.asc(user_col))
-    return per_user.select(
+    ranked = global_rank(
+        per_user, [F.desc("last_ts"), F.asc(user_col)], "__rk_r"
+    )
+    ranked = global_rank(ranked, [F.desc("freq"), F.asc(user_col)], "__rk_f")
+    ranked = global_rank(
+        ranked, [F.desc("monetary"), F.asc(user_col)], "__rk_m"
+    )
+    total = per_user.agg(F.count(F.lit(1)).alias("__N"))
+    ranked = ranked.crossJoin(F.broadcast(total))
+
+    def tile(rank_col: str):
+        # ntile(n) over N rows: the first r = N%n tiles hold q+1 = ceil(N/n)
+        # rows, tiles r+1..n hold q. For 1-based rank k:
+        #   k <= r*(q+1)  ->  ceil(k / (q+1))
+        #   else          ->  r + ceil((k - r*(q+1)) / q)
+        # (q = 0 only when N < n, and then k <= N = r*(q+1) always, so the
+        # q-division branch is never taken; greatest() guards it anyway)
+        n = F.lit(n_tiles).cast("long")
+        big_n = F.col("__N").cast("long")
+        q = F.floor(big_n / n).cast("long")
+        r = (big_n % n).cast("long")
+        big = r * (q + 1)
+        k = F.col(rank_col)
+        return (
+            F.when(k <= big, F.floor((k + q) / (q + 1)))
+            .otherwise(
+                r + F.floor((k - big + q - 1) / F.greatest(q, F.lit(1)))
+            )
+            .cast("int")
+        )
+
+    return ranked.select(
         F.col(user_col),
-        F.ntile(n_tiles).over(r_w).alias("r"),
-        F.ntile(n_tiles).over(f_w).alias("f"),
-        F.ntile(n_tiles).over(m_w).alias("m"),
+        tile("__rk_r").alias("r"),
+        tile("__rk_f").alias("f"),
+        tile("__rk_m").alias("m"),
     ).withColumn(
         "segment",
         F.concat(F.col("r").cast("string"), F.col("f").cast("string"), F.col("m").cast("string")),

@@ -275,15 +275,36 @@ def simhash_udf(num_bits: int = 64):
 _BIT_POWERS = [(1 << b) if b < 63 else -(1 << 63) for b in range(64)]
 
 
-def simhash_column(text_col):
+def md5_hash64(t):
+    """Deterministic signed-64 token hash from the first 16 md5 hex chars,
+    assembled as two 32-bit halves (a direct 16-hex-digit conv→long cast
+    would ANSI-overflow for values ≥ 2^63; shiftleft wraps bitwise instead).
+    Slower than xxhash64 — its purpose is CROSS-ENGINE REPLAYABILITY: the
+    DuckDB oracle computes the identical value as
+    ('0x' || substring(md5(w),1,16))::UBIGINT, which lets an entire
+    SimHash pipeline be hash-verified end-to-end (see the
+    simhash_md5_neardup workload query)."""
+    hx = F.md5(t)
+    hi = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hx, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def simhash_column(text_col, tok_hash=None):
     """Deterministic JVM-side SimHash-64 in ONE pass over the token array:
-    aggregate an array of 64 bit-vote counters (bit_get of xxhash64 per
-    token), then pack votes>0 into a signed long. No Python, no per-bit
+    aggregate an array of 64 bit-vote counters (bit_get of the token hash),
+    then pack votes>0 into a signed long. No Python, no per-bit
     re-evaluation of the token array (the naive 64×aggregate formulation
-    re-tokenizes per bit)."""
+    re-tokenizes per bit). ``tok_hash`` (Column → long Column) defaults to
+    xxhash64 — the fast production hash; pass :func:`md5_hash64` when the
+    signature must be replayable outside Spark."""
+    if tok_hash is None:
+        # wrap: F.transform rejects *cols-variadic callables as lambdas
+        def tok_hash(t):
+            return F.xxhash64(t)
     # hash each token ONCE (the aggregate input), then read its bits —
-    # xxhash64 inside the per-bit lambda would recompute 64× per token
-    tok_hashes = F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t))
+    # hashing inside the per-bit lambda would recompute 64× per token
+    tok_hashes = F.transform(F.array_distinct(tokens(text_col)), tok_hash)
     bits = F.sequence(F.lit(0), F.lit(63))
     votes = F.aggregate(
         tok_hashes,
@@ -331,9 +352,11 @@ def simhash_neardup_candidates(
     id_col: str,
     hamming_threshold: int = 2,
     n_bands: int | None = None,
+    tok_hash=None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, hamming ≤ threshold) over 64-bit
-    SimHash signatures WITHOUT the all-pairs join.
+    SimHash signatures WITHOUT the all-pairs join. ``tok_hash`` plugs the
+    per-token hash (default xxhash64; see :func:`md5_hash64`).
 
     Scale shape (the same pigeonhole-banding pattern as
     minhash_lsh_candidates): split the signature into hamming_threshold+1
@@ -367,7 +390,7 @@ def simhash_neardup_candidates(
         .filter(F.size(F.array_distinct(tokens(F.col(text_col)))) > 0)
         .select(
             F.col(id_col).alias("doc_id"),
-            simhash_column(F.col(text_col)).alias("sig"),
+            simhash_column(F.col(text_col), tok_hash).alias("sig"),
         )
         .persist()
     )

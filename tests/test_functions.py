@@ -2684,6 +2684,55 @@ class TestRound4Analytics:
 
         assert Counter(r.r for r in out.values()) == {1: 2, 2: 2, 3: 2, 4: 2}
 
+    def test_rfm_matches_ntile_and_avoids_global_window(self, spark):
+        """r5: quartiles are now distributed global_rank passes + the
+        closed-form tile arithmetic. (a) output must stay bit-identical to
+        the exact ntile formulation, including N % n_tiles != 0 and heavy
+        ties; (b) the plan must not contain a global ntile window (the
+        single-task shape the rewrite removes)."""
+        import datetime as dt
+
+        from pyspark.sql.window import Window as W
+
+        from gohangout_spark.functions.analytics import rfm_segments
+
+        t0 = dt.datetime(2024, 1, 1)
+        # 13 users (13 % 4 != 0), tied frequencies and values
+        rows = [
+            (i, t0 + dt.timedelta(hours=i % 5), i % 13, "purchase",
+             float(i % 3))
+            for i in range(60)
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double"
+        ).repartition(7)
+        out_df = rfm_segments(ev)
+        got = {r.user_id: (r.r, r.f, r.m) for r in out_df.collect()}
+
+        per_user = (
+            ev.where(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("freq"),
+                 F.sum("value").alias("monetary"))
+        )
+        ref = {
+            r.user_id: (r.r, r.f, r.m)
+            for r in per_user.select(
+                "user_id",
+                F.ntile(4).over(
+                    W.orderBy(F.desc("last_ts"), F.asc("user_id"))).alias("r"),
+                F.ntile(4).over(
+                    W.orderBy(F.desc("freq"), F.asc("user_id"))).alias("f"),
+                F.ntile(4).over(
+                    W.orderBy(F.desc("monetary"), F.asc("user_id"))).alias("m"),
+            ).collect()
+        }
+        assert got == ref
+        plan = out_df._jdf.queryExecution().executedPlan().toString()
+        assert "ntile" not in plan
+        assert "__pid" in plan  # the distributed-rank path is actually taken
+
     def test_approx_distinct_ok_on_small_groups(self, ev):
         from gohangout_spark.functions.analytics import approx_distinct_report
 
