@@ -232,6 +232,15 @@ def rfm_segments(
             F.count(F.lit(1)).alias("freq"),
             F.sum(value_col).alias("monetary"),
         )
+        # materialize ONCE: each global_rank pass triggers a
+        # repartitionByRange sampling job, and without a cut here every
+        # one of them (plus the count and the final action) would re-run
+        # the events scan + aggregate — 7 corpus passes instead of 1. The
+        # per-user table is agg-reduced (rows = distinct purchasers), so
+        # pinning it executor-local is bounded; the usual localCheckpoint
+        # lineage caveat applies and is the same trade
+        # minhash_lsh_candidates(materialize=True) documents.
+        .localCheckpoint(eager=True)
     )
     ranked = global_rank(
         per_user, [F.desc("last_ts"), F.asc(user_col)], "__rk_r"
@@ -240,8 +249,9 @@ def rfm_segments(
     ranked = global_rank(
         ranked, [F.desc("monetary"), F.asc(user_col)], "__rk_m"
     )
-    total = per_user.agg(F.count(F.lit(1)).alias("__N"))
-    ranked = ranked.crossJoin(F.broadcast(total))
+    # N as a plan literal: per_user is already materialized, so this count
+    # is a cheap metadata-sized job — no scalar crossJoin in the plan
+    big_n = per_user.count()
 
     def tile(rank_col: str):
         # ntile(n) over N rows: the first r = N%n tiles hold q+1 = ceil(N/n)
@@ -249,18 +259,13 @@ def rfm_segments(
         #   k <= r*(q+1)  ->  ceil(k / (q+1))
         #   else          ->  r + ceil((k - r*(q+1)) / q)
         # (q = 0 only when N < n, and then k <= N = r*(q+1) always, so the
-        # q-division branch is never taken; greatest() guards it anyway)
-        n = F.lit(n_tiles).cast("long")
-        big_n = F.col("__N").cast("long")
-        q = F.floor(big_n / n).cast("long")
-        r = (big_n % n).cast("long")
+        # q-division branch is never taken; the max() guards it anyway)
+        q, r = big_n // n_tiles, big_n % n_tiles
         big = r * (q + 1)
         k = F.col(rank_col)
         return (
             F.when(k <= big, F.floor((k + q) / (q + 1)))
-            .otherwise(
-                r + F.floor((k - big + q - 1) / F.greatest(q, F.lit(1)))
-            )
+            .otherwise(r + F.floor((k - big + q - 1) / max(q, 1)))
             .cast("int")
         )
 

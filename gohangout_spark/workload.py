@@ -996,7 +996,9 @@ def embedding_neardup_lsh(spark, sf_dir):
     return cosine_neardup_pairs(emb, threshold=0.5, n_planes=4, dim=64)
 
 
-# IVF approximate top-k (probed cells only) — rows-only check
+# IVF approximate top-k (probed cells only) — rows-only check (recall
+# floors in pytest; the machinery's exactness-at-the-limit is hash-gated
+# by embedding_ivf_full_probe below)
 @q("embedding_ivf_topk", None)
 def embedding_ivf_topk(spark, sf_dir):
     from gohangout_spark.functions.similarity import ivf_topk
@@ -1009,6 +1011,41 @@ def embedding_ivf_topk(spark, sf_dir):
         n_centroids=16,
         n_probe=3,
         refine_iters=2,
+    )
+
+
+@q(
+    "embedding_ivf_full_probe",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                  FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)
+       SELECT query_id, neighbor_id,
+         floor(list_cosine_similarity(qv, cv) * 1e4 + 0.5) / 1e4 AS sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS INTEGER) AS rank
+       FROM q JOIN c ON query_id <> neighbor_id
+       QUALIFY rank <= 5""",
+)
+def embedding_ivf_full_probe(spark, sf_dir):
+    """The IVF machinery's limiting-case HASH gate: with n_probe =
+    n_centroids every query probes every cell, so the candidate set is
+    the whole corpus and the output must EQUAL exact brute-force top-k —
+    regardless of where the (sample-seeded, 1-Lloyd-iteration) centroids
+    landed. The oracle is the same all-pairs exact-cosine SQL as
+    embedding_topk, so cell assignment, probe ranking, the cell-keyed
+    join, and the re-rank window are all value-verified; recall at
+    PARTIAL probe depths stays pytest-floored (approximation quality is a
+    different property than machinery correctness)."""
+    from gohangout_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 10),
+        k=5,
+        n_centroids=8,
+        n_probe=8,
+        refine_iters=1,
     )
 
 
@@ -4377,9 +4414,11 @@ _GATE_PRIORITY = [
     "multimodal_gif_features",
     "multimodal_jpeg_features",
     "multimodal_flac_features",
-    # new r5 recall-style gates for the hash-based near-dup family:
+    # new r5 recall-style gates for the hash-based near-dup family and
+    # the ANN machinery's limiting case:
     "minhash_lsh_recall",
     "simhash_md5_neardup",
+    "embedding_ivf_full_probe",
     # rows-only -> analytic-oracle conversions (r5, VERDICT #3):
     "ipip_geo",
     "webdataset_export",
@@ -4419,7 +4458,6 @@ _GATE_PRIORITY = [
     "ngram_jaccard_adjacent",
     "order_priority_semijoin",
     "quality_score",
-    "remove_fields",
 ]
 
 QUERIES = {
