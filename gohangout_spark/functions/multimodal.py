@@ -8,11 +8,15 @@ with no external libraries: ``PpmCodec`` (binary PPM/P6), ``BmpCodec``
 ``AutoCodec`` dispatching on magic bytes; ``PngCodec`` decodes REAL PNG
 (stdlib zlib + the filter algebra), ``GifCodec`` REAL GIF (LZW implemented
 directly), and ``functions.jpeg.JpegCodec`` REAL baseline JPEG (DCT +
-Huffman in numpy). The remaining compressed formats (WebP, mp3, video
-containers) are the environment gap:
-``DeterministicFakeCodec`` produces stable pseudo-decodes so the pipeline
-shape stays verifiable, and ``RealCodec`` raises NotImplementedError at
-the exact seam where Pillow/librosa/ffmpeg would plug in.
+Huffman in numpy). ``AviMjpegCodec`` demuxes a REAL video container —
+MJPEG-in-AVI: a RIFF tree walk over hdrl/movi/idx1 with each 00dc frame
+chunk decoded by the JPEG codec (and an encoder that writes
+standards-correct AVI any mainstream player opens). The remaining
+compressed formats (WebP, mp3/aac, interframe video codecs) are the
+environment gap: ``DeterministicFakeCodec`` produces stable
+pseudo-decodes so the pipeline shape stays verifiable, and ``RealCodec``
+raises NotImplementedError at the exact seam where
+Pillow/librosa/ffmpeg would plug in.
 
 Scale notes: binary payloads ride in the same parquet row group as their
 metadata; mapInPandas keeps the decode on executors with Arrow transfer;
@@ -743,6 +747,226 @@ class RawVideoCodec:
     def encode(frames) -> bytes:
         ppm = PpmCodec()
         return b"".join(ppm.encode(f) for f in frames)
+
+
+class AviMjpegCodec:
+    """REAL MJPEG-in-AVI container demux/mux — no ffmpeg, no external
+    libs. MJPEG-in-AVI is the simplest real-world video container: a RIFF
+    tree (``RIFF 'AVI '`` → ``LIST hdrl`` with avih/strh/strf headers →
+    ``LIST movi`` holding one ``00dc`` chunk per baseline-JPEG frame →
+    ``idx1`` keyframe index), each frame independently decodable by
+    :class:`~gohangout_spark.functions.jpeg.JpegCodec`.
+
+    ``encode(frames)`` writes a standards-correct minimal AVI (honest
+    avih/strh/strf dims, rates and counts; word-aligned chunks; idx1 with
+    AVIIF_KEYFRAME entries and movi-relative offsets) that mainstream
+    players/ffmpeg open. ``iter_frames(payload)`` is a tolerant RIFF walk:
+    it finds ``LIST movi`` wherever it sits, recurses into ``rec `` groups
+    (the OpenDML interleave form), accepts ``..dc``/``..db`` frame chunks,
+    and ignores unknown chunks — the behavior a demuxer needs against
+    files written by other muxers. Interframe codecs (H.264 etc.) remain
+    the documented environment gap; they would plug in at this same
+    ``iter_frames`` seam."""
+
+    def __init__(self, quality: int = 90, fps: int = 25):
+        from gohangout_spark.functions.jpeg import JpegCodec
+
+        self._jpeg = JpegCodec(quality=quality)
+        self.fps = int(fps)
+
+    # --------------------------------------------------------------- mux
+    @staticmethod
+    def _chunk(fourcc: bytes, data: bytes) -> bytes:
+        import struct
+
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    @classmethod
+    def _riff_list(cls, subtype: bytes, payload: bytes) -> bytes:
+        return cls._chunk(b"LIST", subtype + payload)
+
+    def encode(self, frames) -> bytes:
+        import struct
+
+        frames = list(frames)
+        if not frames:
+            raise ValueError("AVI encode needs at least one frame")
+        h, w = np.asarray(frames[0]).shape[:2]
+        jpegs = [self._jpeg.encode(np.asarray(f, dtype=np.uint8)) for f in frames]
+
+        movi_body = b""
+        idx_entries = []
+        offset = 4  # first chunk sits right after the 4-byte 'movi' fourcc
+        for j in jpegs:
+            movi_body += self._chunk(b"00dc", j)
+            idx_entries.append(
+                struct.pack("<4sIII", b"00dc", 0x10, offset, len(j))
+            )
+            offset += 8 + len(j) + (len(j) % 2)
+
+        max_jpeg = max(len(j) for j in jpegs)
+        avih = struct.pack(
+            "<14I",
+            1_000_000 // self.fps,  # dwMicroSecPerFrame
+            max_jpeg * self.fps,    # dwMaxBytesPerSec
+            0,                      # dwPaddingGranularity
+            0x10,                   # dwFlags: AVIF_HASINDEX
+            len(jpegs),             # dwTotalFrames
+            0, 1,                   # dwInitialFrames, dwStreams
+            max_jpeg,               # dwSuggestedBufferSize
+            w, h, 0, 0, 0, 0,       # width, height, reserved[4]
+        )
+        strh = struct.pack(
+            "<4s4sIHHIIIIIIIi4H",
+            b"vids", b"MJPG",
+            0, 0, 0, 0,             # flags, priority, language, initial
+            1, self.fps,            # dwScale / dwRate -> fps
+            0, len(jpegs),          # dwStart, dwLength (frames)
+            max_jpeg, 10_000,       # buffer, quality
+            0,                      # dwSampleSize (0: one sample = one frame)
+            0, 0, w, h,             # rcFrame
+        )
+        strf = struct.pack(
+            "<IiiHH4sIiiII",
+            40, w, h, 1, 24,        # BITMAPINFOHEADER: size, dims, planes, bpp
+            b"MJPG", w * h * 3,     # biCompression, biSizeImage
+            0, 0, 0, 0,
+        )
+        hdrl = self._riff_list(
+            b"hdrl",
+            self._chunk(b"avih", avih)
+            + self._riff_list(
+                b"strl", self._chunk(b"strh", strh) + self._chunk(b"strf", strf)
+            ),
+        )
+        body = (
+            b"AVI "
+            + hdrl
+            + self._riff_list(b"movi", movi_body)
+            + self._chunk(b"idx1", b"".join(idx_entries))
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    # ------------------------------------------------------------- demux
+    @staticmethod
+    def _chunks(buf: bytes):
+        import struct
+
+        pos = 0
+        while pos + 8 <= len(buf):
+            fourcc = buf[pos : pos + 4]
+            size = struct.unpack("<I", buf[pos + 4 : pos + 8])[0]
+            yield fourcc, buf[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size % 2)  # chunks are word-aligned
+
+    def _movi_frames(self, buf: bytes):
+        for fourcc, data in self._chunks(buf):
+            if fourcc == b"LIST" and data[:4] == b"rec ":
+                yield from self._movi_frames(data[4:])
+            elif fourcc[2:4] in (b"dc", b"db") and data:
+                yield self._jpeg.decode(data)
+
+    def iter_frames(self, payload: bytes):
+        import struct
+
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            raise ValueError("not a RIFF/AVI payload")
+        riff_size = struct.unpack("<I", payload[4:8])[0]
+        body = payload[12 : 8 + riff_size]
+        for fourcc, data in self._chunks(body):
+            if fourcc == b"LIST" and data[:4] == b"movi":
+                yield from self._movi_frames(data[4:])
+
+    def probe(self, payload: bytes) -> dict:
+        """Header metadata without decoding frames (the demuxer's cheap
+        path): dims/fps/frame count from avih+strh, index presence from
+        idx1 — what a 100 TB scan reads to PLAN frame extraction."""
+        import struct
+
+        if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+            raise ValueError("not a RIFF/AVI payload")
+        info: dict = {"has_index": False}
+        body = payload[12:]
+        for fourcc, data in self._chunks(body):
+            if fourcc == b"idx1":
+                info["has_index"] = True
+                info["n_index_entries"] = len(data) // 16
+            elif fourcc == b"LIST" and data[:4] == b"hdrl":
+                for f2, d2 in self._chunks(data[4:]):
+                    if f2 == b"avih":
+                        vals = struct.unpack("<14I", d2[:56])
+                        info["usec_per_frame"] = vals[0]
+                        info["n_frames"] = vals[4]
+                        info["width"], info["height"] = vals[8], vals[9]
+                    elif f2 == b"LIST" and d2[:4] == b"strl":
+                        for f3, d3 in self._chunks(d2[4:]):
+                            if f3 == b"strh":
+                                info["handler"] = d3[4:8].decode("ascii")
+                                scale, rate = struct.unpack("<II", d3[20:28])
+                                info["fps"] = rate // max(scale, 1)
+        return info
+
+
+def make_avi_media_table(spark, n: int = 24, quality: int = 90) -> DataFrame:
+    """Deterministic REAL MJPEG-AVI table: clip i holds 2 + i%3 solid-color
+    (10 + i%6) x (9 + i%5) frames, frame j colored
+    ((i*7 + j*31) % 256, (i*11 + j*13) % 256, (i*3 + j*29) % 256) —
+    solid-color JPEG decode has the DC-only closed form
+    (jpeg.solid_color_roundtrip_reference), so container demux + frame
+    decode is oracle-checkable end-to-end."""
+    codec = AviMjpegCodec(quality=quality)
+    rows = []
+    for i in range(n):
+        w, h = 10 + i % 6, 9 + i % 5
+        frames = []
+        for j in range(2 + i % 3):
+            px = np.zeros((h, w, 3), dtype=np.uint8)
+            px[:, :] = (
+                (i * 7 + j * 31) % 256,
+                (i * 11 + j * 13) % 256,
+                (i * 3 + j * 29) % 256,
+            )
+            frames.append(px)
+        rows.append((i, bytearray(codec.encode(frames)), (w, h, 3, "avi")))
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
+VIDEO_FRAME_FEATURE_SCHEMA = (
+    "media_id long, frame_idx int, mean_r double, mean_g double, "
+    "mean_b double, width int, height int"
+)
+
+
+def extract_video_frame_features(
+    df: DataFrame, codec, every_n: int = 1
+) -> DataFrame:
+    """Demux + decode + per-frame channel means in one mapInPandas pass:
+    every ``every_n``-th frame of each clip becomes a feature row. The
+    100 TB shape for video feature extraction — container bytes never
+    leave the scan task, no shuffle, one Arrow batch of clips per task."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                for idx, px in enumerate(codec.iter_frames(bytes(content))):
+                    if idx % every_n:
+                        continue
+                    m = px.reshape(-1, 3).mean(axis=0)
+                    rows.append(
+                        (mid, idx, float(m[0]), float(m[1]), float(m[2]),
+                         px.shape[1], px.shape[0])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "mean_r", "mean_g", "mean_b",
+                    "width", "height",
+                ],
+            )
+
+    return df.mapInPandas(feats, VIDEO_FRAME_FEATURE_SCHEMA)
 
 
 def make_rawvideo_media_table(spark, n: int = 24) -> DataFrame:

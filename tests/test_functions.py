@@ -3153,6 +3153,115 @@ class TestPartitionedMutation:
             upsert_partitioned(spark, tgt, null_updates, ["id"], "day")
 
 
+class TestAviMjpegCodec:
+    """REAL MJPEG-in-AVI container demux/mux (RIFF walk + JPEG frames)."""
+
+    @staticmethod
+    def _solid_frames(n, w=10, h=9, base=7):
+        import numpy as np
+
+        frames = []
+        for j in range(n):
+            px = np.zeros((h, w, 3), dtype=np.uint8)
+            px[:, :] = ((base + j * 31) % 256, (base * 2 + j * 13) % 256,
+                        (base * 3 + j * 29) % 256)
+            frames.append(px)
+        return frames
+
+    def test_roundtrip_matches_jpeg_closed_form(self):
+        from gohangout_spark.functions.jpeg import solid_color_roundtrip_reference
+        from gohangout_spark.functions.multimodal import AviMjpegCodec
+
+        codec = AviMjpegCodec(quality=90)
+        frames = self._solid_frames(4)
+        dec = list(codec.iter_frames(codec.encode(frames)))
+        assert len(dec) == 4
+        for j, px in enumerate(dec):
+            exp = solid_color_roundtrip_reference(
+                ((7 + j * 31) % 256, (14 + j * 13) % 256, (21 + j * 29) % 256), 90
+            )
+            assert (px == px[0, 0]).all()
+            assert tuple(int(v) for v in px[0, 0]) == exp
+
+    def test_container_structure_and_probe(self):
+        """The mux writes honest headers: RIFF/AVI magic, MJPG handler,
+        real dims/fps/frame count in avih+strh, an idx1 entry per frame —
+        what any third-party demuxer reads."""
+        from gohangout_spark.functions.multimodal import AviMjpegCodec
+
+        codec = AviMjpegCodec(quality=85, fps=30)
+        avi = codec.encode(self._solid_frames(5, w=12, h=11))
+        assert avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+        info = codec.probe(avi)
+        assert info["handler"] == "MJPG" and info["fps"] == 30
+        assert info["n_frames"] == 5 and info["n_index_entries"] == 5
+        assert (info["width"], info["height"]) == (12, 11)
+        assert info["has_index"]
+
+    def test_tolerant_demux_rec_groups_and_unknown_chunks(self):
+        """Files from other muxers interleave frames inside 'rec ' LISTs
+        and carry JUNK/INFO chunks — the walk must recurse and skip."""
+        import struct
+
+        from gohangout_spark.functions.multimodal import AviMjpegCodec
+
+        codec = AviMjpegCodec(quality=90)
+        frames = self._solid_frames(3)
+        jpegs = [codec._jpeg.encode(f) for f in frames]
+        # movi: frame0 bare, frames 1-2 inside a rec  group, JUNK between
+        movi = codec._chunk(b"00dc", jpegs[0])
+        movi += codec._chunk(b"JUNK", b"\x00" * 7)  # odd size: pad coverage
+        movi += codec._riff_list(
+            b"rec ",
+            codec._chunk(b"00dc", jpegs[1]) + codec._chunk(b"00db", jpegs[2]),
+        )
+        body = b"AVI " + codec._riff_list(b"movi", movi)
+        avi = b"RIFF" + struct.pack("<I", len(body)) + body
+        dec = list(codec.iter_frames(avi))
+        assert len(dec) == 3
+        for got, exp in zip(dec, frames):
+            import numpy as np
+
+            assert (got == got[0, 0]).all()
+            # solid-color decode: compare against the codec's own single
+            # image decode (closed-form tested elsewhere)
+            assert np.array_equal(got, codec._jpeg.decode(codec._jpeg.encode(exp)))
+
+    def test_rejects_non_avi(self):
+        import pytest
+
+        from gohangout_spark.functions.multimodal import AviMjpegCodec
+
+        codec = AviMjpegCodec()
+        with pytest.raises(ValueError, match="RIFF/AVI"):
+            list(codec.iter_frames(b"\x89PNG not an avi"))
+        with pytest.raises(ValueError, match="RIFF/AVI"):
+            codec.probe(b"RIFX wrong endian payload")
+
+    def test_frame_features_sampling(self, spark):
+        from gohangout_spark.functions.multimodal import (
+            AviMjpegCodec,
+            extract_video_frame_features,
+            make_avi_media_table,
+        )
+
+        media = make_avi_media_table(spark, n=6, quality=90)
+        out = extract_video_frame_features(
+            media, codec=AviMjpegCodec(quality=90), every_n=2
+        ).collect()
+        # clip i has 2 + i%3 frames; sampled idx 0 (always) and 2 (i%3>=1)
+        expected_rows = sum(1 + (1 if i % 3 >= 1 else 0) for i in range(6))
+        assert len(out) == expected_rows
+        assert all(r.frame_idx % 2 == 0 for r in out)
+        by_clip = {}
+        for r in out:
+            by_clip.setdefault(r.media_id, []).append(r)
+        for i, rows in by_clip.items():
+            assert all(
+                (r.width, r.height) == (10 + i % 6, 9 + i % 5) for r in rows
+            )
+
+
 class TestPngCodec:
     """Pure-stdlib PNG decode (zlib + filter algebra) — no Pillow."""
 
