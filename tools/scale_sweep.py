@@ -1,0 +1,171 @@
+"""Empirical scale sweep: measure the headline operators at sf0.1 and at a
+derived 100x corpus (500k docs / 10M events), and report the wall-time
+scaling factor per operator.
+
+A scale-safe (linear, parallel) operator should grow wall time at most
+~linearly in data on a fixed 32-core box — superlinear growth flags a
+shape that will not survive 100 TB. (A 10x derivation was tried first and
+was USELESS as signal: at 50k docs every op is scheduling-overhead-bound
+and "scales" at ~1x. 100x is the smallest ratio where data dominates.)
+
+The corpus is DERIVED, not driver-provided: 100 copies of sf0.1 with
+offset ids. Copy k's text is caesar-rotated by k%26 AND carries a
+per-copy suffix token, so the corpus is mostly DISTINCT (cross-rotation
+jaccard ~0) while each source doc keeps a bounded near-duplicate group
+(the ~4 copies sharing a rotation are high-jaccard pairs) — realistic
+near-dup density instead of the pathological all-copies-are-dups case.
+
+    PYTHONPATH=. python tools/scale_sweep.py [out_dir]
+
+Writes the derived tables once (reused across runs) and prints a
+markdown table. Results are recorded in docs/SCALE.md per round.
+"""
+
+from __future__ import annotations
+
+import os
+import string
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from gohangout_spark import get_spark
+from gohangout_spark.io import load_table
+
+COPIES = 100
+_ALPHA = string.ascii_lowercase + string.ascii_uppercase
+
+
+def _caesar(col, k: int):
+    rot = k % 26
+    if rot == 0:
+        return col
+    lower = string.ascii_lowercase[rot:] + string.ascii_lowercase[:rot]
+    upper = string.ascii_uppercase[rot:] + string.ascii_uppercase[:rot]
+    return F.translate(col, _ALPHA, lower + upper)
+
+
+def build_derived(spark, src_sf: str, out_dir: str) -> None:
+    if os.path.exists(os.path.join(out_dir, "_DONE")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    docs = load_table(spark, src_sf, "documents")
+    n_docs = docs.count()
+    parts = []
+    for k in range(COPIES):
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + k * n_docs).alias("doc_id"),
+                F.concat(
+                    _caesar(F.col("text"), k), F.lit(f" copytag{k}")
+                ).alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "documents.parquet")
+    )
+    ev = load_table(spark, src_sf, "events")
+    n_users = 1500
+    eparts = []
+    for k in range(COPIES):
+        eparts.append(
+            ev.withColumn("user_id", F.col("user_id") + k * n_users)
+            .withColumn("event_id", F.col("event_id") + k * 10_000_000)
+        )
+    bige = eparts[0]
+    for p in eparts[1:]:
+        bige = bige.unionByName(p)
+    bige.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "events.parquet")
+    )
+    open(os.path.join(out_dir, "_DONE"), "w").write("ok")
+
+
+def ops(spark):
+    """name -> callable(docs_df, events_df) returning a DataFrame to force."""
+    from gohangout_spark.functions.curation import (
+        decontaminate_ngrams,
+        gopher_rules,
+        lexical_diversity,
+    )
+    from gohangout_spark.functions.dedup import (
+        exact_dedup_groups,
+        minhash_lsh_candidates,
+        simhash_neardup_candidates,
+    )
+    from gohangout_spark.functions.search import bm25_topk
+    from gohangout_spark.functions.analytics import sessionize
+    from gohangout_spark.functions.sketch import heavy_hitters
+
+    return {
+        "exact_dedup": lambda d, e: exact_dedup_groups(d, "text", "doc_id"),
+        "minhash_lsh": lambda d, e: minhash_lsh_candidates(
+            d, "text", "doc_id", num_hashes=32, bands=16, shingle_n=3
+        ).filter(F.col("jaccard") >= 0.2),
+        "simhash_neardup": lambda d, e: simhash_neardup_candidates(
+            d, "text", "doc_id", hamming_threshold=2
+        ),
+        "gopher_rules": lambda d, e: gopher_rules(d),
+        "lexical_diversity": lambda d, e: lexical_diversity(d),
+        "decontaminate_4gram": lambda d, e: decontaminate_ngrams(
+            d, d.where(F.col("doc_id") % 37 == 0), n=4
+        ),
+        "bm25_search": lambda d, e: bm25_topk(
+            d, "model training data", k=15
+        ),
+        "sessionize": lambda d, e: sessionize(e),
+        "heavy_hitter_users": lambda d, e: heavy_hitters(
+            e, "user_id", k=10, m=1 << 18
+        ),
+    }
+
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main():
+    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_derived"
+    spark = get_spark(
+        "scale-sweep", master="local[32]", shuffle_partitions=32
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    build_derived(spark, "/root/testdata/sf0.1", out_dir)
+
+    small_docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    small_ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    big_docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
+    big_ev = spark.read.parquet(os.path.join(out_dir, "events.parquet"))
+    # warm the session so the first measured op doesn't pay JVM/codegen init
+    force(small_docs.select("doc_id"))
+    force(big_docs.select("doc_id"))
+
+    print(f"| op | sf0.1 s | {COPIES}x s | factor ({COPIES}x data) |")
+    print("|---|---|---|---|")
+    for name, fn in ops(spark).items():
+        # small pass runs FIRST and doubles as the codegen warmup for the
+        # big pass, biasing the factor UP (conservative direction)
+        t0 = time.time()
+        force(fn(small_docs, small_ev))
+        t_small = time.time() - t0
+        t0 = time.time()
+        force(fn(big_docs, big_ev))
+        t_big = time.time() - t0
+        sys.stdout.write(
+            f"| {name} | {t_small:.2f} | {t_big:.2f} "
+            f"| {t_big / max(t_small, 1e-9):.1f}x |\n"
+        )
+        sys.stdout.flush()
+
+
+if __name__ == "__main__":
+    main()
