@@ -8,12 +8,14 @@ with no external libraries: ``PpmCodec`` (binary PPM/P6), ``BmpCodec``
 ``AutoCodec`` dispatching on magic bytes; ``PngCodec`` decodes REAL PNG
 (stdlib zlib + the filter algebra), ``GifCodec`` REAL GIF (LZW implemented
 directly), and ``functions.jpeg.JpegCodec`` REAL baseline JPEG (DCT +
-Huffman in numpy). ``AviMjpegCodec`` demuxes a REAL video container —
+Huffman in numpy), and ``functions.webp.WebpLosslessCodec`` REAL WebP
+lossless (VP8L: canonical Huffman, LZ77 + color cache, all four inverse
+transforms). ``AviMjpegCodec`` demuxes a REAL video container —
 MJPEG-in-AVI: a RIFF tree walk over hdrl/movi/idx1 with each 00dc frame
 chunk decoded by the JPEG codec (and an encoder that writes
 standards-correct AVI any mainstream player opens). The remaining
-compressed formats (WebP, mp3/aac, interframe video codecs) are the
-environment gap: ``DeterministicFakeCodec`` produces stable
+compressed formats (lossy WebP/VP8, mp3/aac, interframe video codecs)
+are the environment gap: ``DeterministicFakeCodec`` produces stable
 pseudo-decodes so the pipeline shape stays verifiable, and ``RealCodec``
 raises NotImplementedError at the exact seam where
 Pillow/librosa/ffmpeg would plug in.
@@ -281,16 +283,19 @@ class PngCodec:
 
 
 class AutoCodec:
-    """Magic-byte dispatch: P6 -> PPM, BM -> BMP, PNG signature -> PNG
-    (all REAL decodes); anything else raises by default, or falls back to
-    the deterministic fake when ``fallback=True`` (pipeline-shape testing
+    """Magic-byte dispatch: P6 -> PPM, BM -> BMP, PNG signature -> PNG,
+    GIF -> GIF, JFIF SOI -> JPEG, RIFF/WEBP -> WebP-lossless (all REAL
+    decodes); anything else raises by default, or falls back to the
+    deterministic fake when ``fallback=True`` (pipeline-shape testing
     with mixed payloads)."""
 
     def __init__(self, fallback: bool = False):
         from gohangout_spark.functions.jpeg import JpegCodec
+        from gohangout_spark.functions.webp import WebpLosslessCodec
 
         self._ppm, self._bmp, self._png = PpmCodec(), BmpCodec(), PngCodec()
         self._gif, self._jpeg = GifCodec(), JpegCodec()
+        self._webp = WebpLosslessCodec()
         self._fallback = DeterministicFakeCodec() if fallback else None
 
     def decode(self, payload: bytes) -> np.ndarray:
@@ -304,6 +309,8 @@ class AutoCodec:
             return self._gif.decode(payload)
         if payload[:2] == b"\xff\xd8":
             return self._jpeg.decode(payload)
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            return self._webp.decode(payload)[..., :3]  # RGB view for parity
         if self._fallback is not None:
             return self._fallback.decode(payload)
         raise ValueError(f"unrecognized image magic {payload[:2]!r}")
@@ -585,6 +592,34 @@ def make_jpeg_media_table(spark, n: int = 48, quality: int = 90) -> DataFrame:
         px = np.zeros((h, w, 3), dtype=np.uint8)
         px[:, :] = ((i * 6) % 256, (i * 10) % 256, (i * 14) % 256)
         rows.append((i, bytearray(codec.encode(px)), (w, h, 3, "jpeg")))
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
+def make_webp_media_table(spark, n: int = 48) -> DataFrame:
+    """Deterministic REAL-WebP (VP8L lossless) media table: image i is a
+    (10 + i%6) x (9 + i%5) two-tone — left half color1(i), right half
+    color2(i) — so per-channel means are analytic. Encoding rotates
+    through the three stream shapes (plain literals / SUBTRACT_GREEN /
+    packed 2-color palette by i%3), so the gated query exercises the
+    transform machinery, not just the literal path. Lossless means the
+    oracle compares EXACT colors — no closed-form tolerance like JPEG."""
+    from gohangout_spark.functions.webp import WebpLosslessCodec
+
+    codec = WebpLosslessCodec()
+    rows = []
+    for i in range(n):
+        w, h = 10 + i % 6, 9 + i % 5
+        c1 = ((i * 6) % 256, (i * 10) % 256, (i * 14) % 256)
+        c2 = ((i * 9 + 31) % 256, (i * 5 + 77) % 256, (i * 13 + 11) % 256)
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        px[:, : w // 2] = c1
+        px[:, w // 2 :] = c2
+        kw = {}
+        if i % 3 == 0:
+            kw["palette"] = True
+        elif i % 3 == 1:
+            kw["subtract_green"] = True
+        rows.append((i, bytearray(codec.encode(px, **kw)), (w, h, 3, "webp")))
     return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
 
 

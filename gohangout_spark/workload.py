@@ -4365,6 +4365,61 @@ def multimodal_mjpeg_frames(spark, sf_dir):
     )
 
 
+def _webp_oracle_sql() -> str:
+    """VALUES oracle for multimodal_webp_features: exact two-tone means
+    (lossless codec => exact colors), replaying make_webp_media_table's
+    layout in pure arithmetic at import time."""
+    import math
+
+    rows = []
+    for i in range(48):
+        w, h = 10 + i % 6, 9 + i % 5
+        c1 = ((i * 6) % 256, (i * 10) % 256, (i * 14) % 256)
+        c2 = ((i * 9 + 31) % 256, (i * 5 + 77) % 256, (i * 13 + 11) % 256)
+        w1 = w // 2
+        means = [
+            math.floor((c1[k] * w1 + c2[k] * (w - w1)) / w * 1e4 + 0.5) / 1e4
+            for k in range(3)
+        ]
+        rows.append(
+            f"({i}, {means[0]!r}::DOUBLE, {means[1]!r}::DOUBLE, "
+            f"{means[2]!r}::DOUBLE, {w}, {h})"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, mean_r, mean_g, mean_b, "
+        "CAST(width AS INT) AS width, CAST(height AS INT) AS height "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") t(media_id, mean_r, mean_g, mean_b, width, height)"
+    )
+
+
+@q("multimodal_webp_features", _webp_oracle_sql())
+def multimodal_webp_features(spark, sf_dir):
+    """REAL WebP-lossless (VP8L) decode, oracle-checked: two-tone payloads
+    rotating through literal / SUBTRACT_GREEN / packed-palette stream
+    shapes are entropy-decoded (canonical Huffman incl. the code-length
+    code), inverse-transformed and averaged inside mapInPandas via the
+    magic-dispatch AutoCodec. Losslessness makes the oracle EXACT input
+    colors — any bitreader, Huffman, transform or packing bug
+    hash-mismatches."""
+    from gohangout_spark.functions.multimodal import (
+        AutoCodec,
+        extract_image_features,
+        make_webp_media_table,
+    )
+
+    media = make_webp_media_table(spark, n=48)
+    feats = extract_image_features(media, codec=AutoCodec())
+    return feats.select(
+        "media_id",
+        round_half_up(F.col("mean_r"), 4).alias("mean_r"),
+        round_half_up(F.col("mean_g"), 4).alias("mean_g"),
+        round_half_up(F.col("mean_b"), 4).alias("mean_b"),
+        "width",
+        "height",
+    )
+
+
 def _jpeg_oracle_sql() -> str:
     """VALUES oracle for multimodal_jpeg_features: expected decoded colors
     from the DC-only closed form (jpeg.solid_color_roundtrip_reference —
@@ -4469,8 +4524,10 @@ _GATE_PRIORITY = [
     "minhash_lsh_recall",
     "simhash_md5_neardup",
     "embedding_ivf_full_probe",
-    # r5 real video-container demux (MJPEG-in-AVI over the JPEG codec):
+    # r5 real video-container demux (MJPEG-in-AVI over the JPEG codec)
+    # and real WebP-lossless decode:
     "multimodal_mjpeg_frames",
+    "multimodal_webp_features",
     # rows-only -> analytic-oracle conversions (r5, VERDICT #3):
     "ipip_geo",
     "webdataset_export",
@@ -4508,7 +4565,6 @@ _GATE_PRIORITY = [
     "metric_reduce",
     "multimodal_features",
     "ngram_jaccard_adjacent",
-    "order_priority_semijoin",
 ]
 
 QUERIES = {

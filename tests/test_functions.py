@@ -3153,6 +3153,310 @@ class TestPartitionedMutation:
             upsert_partitioned(spark, tgt, null_updates, ["id"], "day")
 
 
+class TestWebpLossless:
+    """REAL VP8L decode/encode — canonical Huffman, transforms, LZ77,
+    color cache, meta-Huffman. Roundtrips through the encoder; the
+    decode-only paths are pinned by hand-assembled bitstreams."""
+
+    @staticmethod
+    def _codec():
+        from gohangout_spark.functions.webp import WebpLosslessCodec
+
+        return WebpLosslessCodec()
+
+    @staticmethod
+    def _wrap(body_bw, w, h):
+        """RIFF/WEBP/VP8L wrapper around hand-assembled body bits."""
+        import struct
+
+        from gohangout_spark.functions.webp import _BitWriter
+
+        full = _BitWriter()
+        full.put_bits(w - 1, 14)
+        full.put_bits(h - 1, 14)
+        full.put_bits(0, 1)
+        full.put_bits(0, 3)
+        full._bits += body_bw._bits
+        payload = b"\x2f" + full.bytes()
+        vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
+        if len(payload) % 2:
+            vp8l += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(vp8l)) + b"WEBP" + vp8l
+
+    def test_roundtrip_rgb_rgba(self):
+        import numpy as np
+
+        codec = self._codec()
+        rng = np.random.RandomState(11)
+        rgb = rng.randint(0, 256, size=(13, 17, 3), dtype=np.uint8)
+        out = codec.decode(codec.encode(rgb))
+        assert np.array_equal(out[..., :3], rgb) and (out[..., 3] == 255).all()
+        rgba = rng.randint(0, 256, size=(7, 5, 4), dtype=np.uint8)
+        assert np.array_equal(codec.decode(codec.encode(rgba)), rgba)
+
+    def test_subtract_green_transform(self):
+        import numpy as np
+
+        codec = self._codec()
+        rng = np.random.RandomState(3)
+        rgb = rng.randint(0, 256, size=(6, 9, 3), dtype=np.uint8)
+        enc = codec.encode(rgb, subtract_green=True)
+        assert np.array_equal(codec.decode(enc)[..., :3], rgb)
+        # the transform stream must actually be smaller-or-equal alphabet
+        # use: it IS a different bitstream than the plain encode
+        assert enc != codec.encode(rgb)
+
+    def test_palette_packing_all_widths(self):
+        import numpy as np
+
+        codec = self._codec()
+        rng = np.random.RandomState(5)
+        # 2 colors -> 8 px/byte, 4 colors -> 4 px/byte, 16 colors -> 2
+        for ncol, shape in [(2, (9, 11)), (4, (3, 4)), (16, (6, 7))]:
+            colors = rng.randint(0, 256, size=(ncol, 3), dtype=np.uint8)
+            img = colors[rng.randint(0, ncol, size=shape)]
+            out = codec.decode(codec.encode(img, palette=True))
+            assert np.array_equal(out[..., :3], img), ncol
+
+    def test_lz77_backward_reference(self):
+        """Hand-assembled stream: literals A, B then a length-6 distance-2
+        backref (via the close-neighbor map) reconstructs ABABABAB."""
+        import numpy as np
+
+        from gohangout_spark.functions.webp import _BitWriter, _canonical_codes
+
+        codec = self._codec()
+        A = dict(a=0xFF, r=10, g=20, b=30)
+        B = dict(a=0xFF, r=40, g=50, b=60)
+        bw = _BitWriter()
+        bw.put_bits(0, 1)  # no transforms
+        bw.put_bits(0, 1)  # no cache
+        bw.put_bits(0, 1)  # no meta
+        # green tree: {gA:2, gB:2, 260:1} (260 = length-prefix 4)
+        glens = [0] * 280
+        glens[A["g"]], glens[B["g"]], glens[260] = 2, 2, 1
+        codec._write_normal_code(bw, glens)
+        gcodes = _canonical_codes(glens)
+        # red / blue / alpha trees: two symbols at length 1 (or single)
+        rlens = [0] * 256
+        rlens[A["r"]], rlens[B["r"]] = 1, 1
+        codec._write_normal_code(bw, rlens)
+        rcodes = _canonical_codes(rlens)
+        blens = [0] * 256
+        blens[A["b"]], blens[B["b"]] = 1, 1
+        codec._write_normal_code(bw, blens)
+        bcodes = _canonical_codes(blens)
+        codec._write_single_code(bw, 0xFF)  # alpha
+        # distance tree: single symbol prefix 4 (-> dcode 5 with extra 0)
+        codec._write_single_code(bw, 4)
+
+        def lit(px):
+            c, l = gcodes[px["g"]]
+            bw.put_code(c, l)
+            c, l = rcodes[px["r"]]
+            bw.put_code(c, l)
+            c, l = bcodes[px["b"]]
+            bw.put_code(c, l)
+
+        lit(A)
+        lit(B)
+        # green symbol 260: length prefix 4 -> 5..6 with 1 extra bit; 6 = bit 1
+        c, l = gcodes[260]
+        bw.put_code(c, l)
+        bw.put_bits(1, 1)
+        # distance: tree yields prefix 4 (0 bits), extra bit 0 -> dcode 5
+        bw.put_bits(0, 1)
+        # dcode 5 maps to (dx=2, dy=0) -> dist 2 (xsize=8)
+        from gohangout_spark.functions.webp import _DIST_MAP
+
+        assert _DIST_MAP[4] == (2, 0)
+        out = codec.decode(self._wrap(bw, 8, 1))
+        exp = np.array(
+            [[ (p["r"], p["g"], p["b"], p["a"])
+               for p in [A, B, A, B, A, B, A, B] ]], dtype=np.uint8)
+        assert np.array_equal(out, exp)
+
+    def test_color_cache(self):
+        """Literal inserts into the hash cache; later pixels fetch it by
+        cache symbol (green >= 280)."""
+        import numpy as np
+
+        from gohangout_spark.functions.webp import (
+            _BitWriter, _cache_key, _canonical_codes,
+        )
+
+        codec = self._codec()
+        a, r, g, b = 0xFF, 77, 88, 99
+        argb = (a << 24) | (r << 16) | (g << 8) | b
+        cache_bits = 4
+        key = _cache_key(argb, cache_bits)
+        bw = _BitWriter()
+        bw.put_bits(0, 1)  # no transforms
+        bw.put_bits(1, 1)  # cache on
+        bw.put_bits(cache_bits, 4)
+        bw.put_bits(0, 1)  # no meta
+        glens = [0] * (280 + (1 << cache_bits))
+        glens[g], glens[280 + key] = 1, 1
+        codec._write_normal_code(bw, glens)
+        gcodes = _canonical_codes(glens)
+        codec._write_single_code(bw, r)
+        codec._write_single_code(bw, b)
+        codec._write_single_code(bw, a)
+        codec._write_single_code(bw, 0)  # distance, unused
+        c, l = gcodes[g]
+        bw.put_code(c, l)  # literal (r/b/a cost 0 bits: single-symbol trees)
+        for _ in range(3):
+            c, l = gcodes[280 + key]
+            bw.put_code(c, l)
+        out = codec.decode(self._wrap(bw, 4, 1))
+        exp = np.tile(np.array([r, g, b, a], dtype=np.uint8), (1, 4, 1))
+        assert np.array_equal(out, exp)
+
+    def test_predictor_transform_left_mode(self):
+        """Mode-1 (left) predictor block: residuals + predictions rebuild
+        the target; first pixel predicts from opaque black."""
+        import numpy as np
+
+        codec = self._codec()
+        target = np.array(
+            [[(100, 110, 120), (101, 111, 121), (103, 113, 123)],
+             [(50, 60, 70), (52, 62, 72), (55, 65, 75)]], dtype=np.uint8)
+        h, w = target.shape[:2]
+        t32 = (
+            np.full((h, w), 0xFF000000, dtype=np.uint32)
+            | target[..., 0].astype(np.uint32) << 16
+            | target[..., 1].astype(np.uint32) << 8
+            | target[..., 2].astype(np.uint32)
+        )
+        # residuals under: (0,0) black; row0 left; col0 top; rest mode 1=left
+        res = np.zeros_like(t32)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = int(t32[0, x - 1])
+                elif x == 0:
+                    pred = int(t32[y - 1, 0])
+                else:
+                    pred = int(t32[y, x - 1])
+                d = 0
+                for sh in (0, 8, 16, 24):
+                    d |= (((int(t32[y, x]) >> sh) - (pred >> sh)) % 256) << sh
+                res[y, x] = d
+
+        from gohangout_spark.functions.webp import _BitWriter
+
+        bw = _BitWriter()
+        bw.put_bits(1, 1)  # transform present
+        bw.put_bits(0, 2)  # PREDICTOR
+        bw.put_bits(0, 3)  # size_bits - 2 = 0 -> 4x4 tiles -> one tile
+        mode_px = np.array([[0xFF000000 | (1 << 8)]], dtype=np.uint32)
+        codec._encode_entropy_image(bw, mode_px)
+        bw.put_bits(0, 1)  # end transforms
+        codec._encode_pixels(bw, res)
+        out = codec.decode(self._wrap(bw, w, h))
+        assert np.array_equal(out[..., :3], target)
+        assert (out[..., 3] == 255).all()
+
+    def test_color_transform_inverse(self):
+        """One color-transform tile (g2r=16, g2b=8, r2b=4): the decoder's
+        signed-multiplier deltas must reconstruct the original channels."""
+        import numpy as np
+
+        codec = self._codec()
+        rng = np.random.RandomState(9)
+        target = rng.randint(0, 256, size=(3, 3, 3), dtype=np.uint8)
+        h, w = 3, 3
+        g2r, g2b, r2b = 16, 8, 4
+
+        def s8(v):
+            return v - 256 if v >= 128 else v
+
+        def delta(t, c):
+            return (s8(t) * s8(c)) >> 5
+
+        fwd = np.zeros((h, w), dtype=np.uint32)
+        for y in range(h):
+            for x in range(w):
+                r, g, b = (int(v) for v in target[y, x])
+                nr = (r - delta(g2r, g)) & 0xFF
+                # the inverse applies the red->blue delta AFTER red is
+                # reconstructed, so the forward uses the ORIGINAL red
+                nb = (b - delta(g2b, g) - delta(r2b, r)) & 0xFF
+                fwd[y, x] = 0xFF000000 | (nr << 16) | (g << 8) | nb
+
+        from gohangout_spark.functions.webp import _BitWriter
+
+        bw = _BitWriter()
+        bw.put_bits(1, 1)
+        bw.put_bits(1, 2)  # COLOR transform
+        bw.put_bits(2, 3)  # size_bits - 2 = 2 -> 16x16 tile -> one tile
+        cte = 0xFF000000 | (r2b << 16) | (g2b << 8) | g2r
+        codec._encode_entropy_image(bw, np.array([[cte]], dtype=np.uint32))
+        bw.put_bits(0, 1)
+        codec._encode_pixels(bw, fwd)
+        out = codec.decode(self._wrap(bw, w, h))
+        assert np.array_equal(out[..., :3], target)
+
+    def test_meta_huffman_groups(self):
+        """Two spatial code groups via the entropy image: pixels select
+        their group by tile — misrouted groups break Huffman alignment."""
+        import numpy as np
+
+        from gohangout_spark.functions.webp import _BitWriter, _canonical_codes
+
+        codec = self._codec()
+        # 5x1 image: x 0..3 -> group 0 (flat codes), x4 -> group 1 (small set)
+        px = np.array(
+            [[(1, 2, 3), (4, 5, 6), (7, 8, 9), (10, 11, 12), (200, 201, 202)]],
+            dtype=np.uint8,
+        )
+        bw = _BitWriter()
+        bw.put_bits(0, 1)  # no transforms
+        bw.put_bits(0, 1)  # no cache
+        bw.put_bits(1, 1)  # meta huffman ON
+        bw.put_bits(0, 3)  # meta_bits - 2 = 0 -> 4px tiles -> 2x1 entropy img
+        # entropy image pixels: group ids in (red<<8)|green -> green byte
+        ent = np.array([[0xFF000000, 0xFF000100]], dtype=np.uint32)
+        codec._encode_entropy_image(bw, ent)
+        # group 0: flat trees
+        codec._write_flat_code(bw, 280, 256)
+        for _ in range(3):
+            codec._write_flat_code(bw, 256, 256)
+        codec._write_single_code(bw, 0)
+        # group 1: dedicated small trees for pixel (200,201,202)
+        glens = [0] * 280
+        glens[201] = 1
+        glens[0] = 1  # padding symbol to keep the code kraft-complete
+        codec._write_normal_code(bw, glens)
+        g1 = _canonical_codes(glens)
+        codec._write_single_code(bw, 200)
+        codec._write_single_code(bw, 202)
+        codec._write_single_code(bw, 0xFF)
+        codec._write_single_code(bw, 0)
+        # pixels: 4 via group0 flat (g, r, b, a each 8 bits), 1 via group1
+        for x in range(4):
+            r, g, b = (int(v) for v in px[0, x])
+            bw.put_code(g, 8)
+            bw.put_code(r, 8)
+            bw.put_code(b, 8)
+            bw.put_code(0xFF, 8)
+        c, l = g1[201]
+        bw.put_code(c, l)  # green via group-1 tree; r/b/a are single-symbol
+        out = codec.decode(self._wrap(bw, 5, 1))
+        assert np.array_equal(out[0, :, :3], px[0])
+
+    def test_rejects_garbage(self):
+        import pytest
+
+        codec = self._codec()
+        with pytest.raises(ValueError, match="RIFF/WEBP"):
+            codec.decode(b"not a webp at all....")
+        with pytest.raises(ValueError):
+            codec.decode(b"RIFF\x08\x00\x00\x00WEBPVP8 ")  # lossy chunk
+
+
 class TestAviMjpegCodec:
     """REAL MJPEG-in-AVI container demux/mux (RIFF walk + JPEG frames)."""
 
