@@ -21,8 +21,11 @@ deliberately simple).
 
 Scope notes: lossy WebP (VP8 intra prediction + DCT) is a different
 codec and remains out of scope alongside mp3/aac. The close-neighbor
-distance map is generated from the spec's plane-code rule ((dy, dx)
-neighbors ordered by Euclidean distance, ties x-major) — reference:
+distance map is generated from the spec's plane-code rule (dx in
+-7..8, dy in 0..7 ordered by squared distance; ties larger dy first,
+then smaller |dx|, positive dx before negative — matches libwebp's
+kCodeToPlane with xoffset = 8-(code&0xF), yoffset = code>>4) —
+reference:
 https://developers.google.com/speed/webp/docs/webp_lossless_bitstream_specification.
 """
 
@@ -197,17 +200,19 @@ def _prefix_decode(prefix: int, br: _BitReader) -> int:
 
 
 def _dist_map() -> list[tuple[int, int]]:
-    """The 120 close-neighbor (dx, dy) plane codes: neighbors with dy in
-    0..7 (dy=0 only for dx>0), dx in -8..7, ordered by squared distance
-    (ties: smaller dy, then smaller |dx|, x>0 before x<0)."""
+    """The 120 close-neighbor (dx, dy) plane codes (spec kCodeToPlane:
+    xoffset = 8 - (code & 0xF), yoffset = code >> 4): neighbors with dy
+    in 0..7 (dy=0 only for dx>0), dx in -7..8, ordered by squared
+    distance; ties break larger dy first, then smaller |dx|, positive
+    dx before negative."""
     cands = []
     for dy in range(8):
-        for dx in range(-8, 8):
+        for dx in range(-7, 9):
             if dy == 0 and dx <= 0:
                 continue
             cands.append((dx, dy))
-    cands.sort(key=lambda p: (p[0] ** 2 + p[1] ** 2, p[1], abs(p[0]), -p[0]))
-    return cands[:120]
+    cands.sort(key=lambda p: (p[0] ** 2 + p[1] ** 2, -p[1], abs(p[0]), -p[0]))
+    return cands
 
 
 _DIST_MAP = _dist_map()
@@ -448,7 +453,9 @@ class WebpLosslessCodec:
                 r = 0
                 for sh in (0, 8, 16, 24):
                     a = (((l >> sh) & 0xFF) + ((t >> sh) & 0xFF)) >> 1
-                    v = a + (a - ((tl >> sh) & 0xFF)) // 2
+                    d = a - ((tl >> sh) & 0xFF)
+                    # C division truncates toward zero, not floor
+                    v = a + (abs(d) // 2) * (1 if d >= 0 else -1)
                     r |= max(0, min(255, v)) << sh
                 return r
 
@@ -477,8 +484,10 @@ class WebpLosslessCodec:
                         L = int(out[y, x - 1])
                         T = int(out[y - 1, x])
                         TL = int(out[y - 1, x - 1])
+                        # rightmost column: spec addresses P[pos-width+1],
+                        # i.e. the CURRENT row's leftmost (already decoded)
                         TR = int(out[y - 1, x + 1]) if x + 1 < w else int(
-                            out[y - 1, 0]
+                            out[y, 0]
                         )
                         if mode == 0:
                             pred = 0xFF000000

@@ -295,6 +295,33 @@ def upsert_partitioned(
     return {"touched_partitions": len(parts), "upserted_rows": n_up}
 
 
+def _escape_partition_value(spark: SparkSession, v) -> str:
+    """Render a partition value exactly as Spark's writer does for the
+    directory name: string conversion (JVM-style booleans) followed by
+    Hive path escaping (percent-encodes ':', '%', '=', '/', '#',
+    control chars, ...). Uses the very same JVM routine the writer uses
+    (``ExternalCatalogUtils.escapePathName``) so the emptied-partition
+    delete in :func:`delete_rows_partitioned` targets the directory the
+    write actually created; falls back to an offline twin of Hive's
+    char table if the catalyst class is unreachable."""
+    if isinstance(v, bool):
+        s = "true" if v else "false"
+    else:
+        s = str(v)
+    try:
+        return (
+            spark._jvm.org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils.escapePathName(s)
+        )
+    except Exception:
+        needs = set('"#%\'*/:=?\\{[]^') | {
+            chr(c) for c in range(1, 32)
+        }
+        return "".join(
+            f"%{ord(c):02X}" if c in needs else c for c in s
+        )
+
+
 def delete_rows_partitioned(
     spark: SparkSession,
     target_path: str,
@@ -350,8 +377,11 @@ def delete_rows_partitioned(
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
         for p in emptied:
+            # the writer percent-escapes special chars in partition dir
+            # names (':', '%', '=', '/', control chars, ...) — escape the
+            # value the same way or the delete silently misses the dir
             pdir = jvm.org.apache.hadoop.fs.Path(
-                f"{target_path}/{partition_col}={p}"
+                f"{target_path}/{partition_col}={_escape_partition_value(spark, p)}"
             )
             fs = pdir.getFileSystem(hconf)
             if fs.exists(pdir):

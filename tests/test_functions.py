@@ -3126,6 +3126,36 @@ class TestPartitionedMutation:
         assert ids == [3, 5, 7, 9, 11, 13, 15, 17, 19]
         assert all(r.day == "day1" for r in rows)
 
+    def test_emptied_partition_with_escaped_chars_is_removed(
+        self, spark, tmp_path
+    ):
+        """Regression (r6, ADVICE r5): Spark percent-escapes special
+        chars (':', '=', '%', ...) in partition directory names, so the
+        emptied-partition delete must escape the value the same way —
+        a raw f-string path never matches the on-disk dir and the old
+        files silently survive."""
+        import os
+
+        from gohangout_spark.io import delete_rows_partitioned
+
+        tgt = str(tmp_path / "tbl4")
+        hot = "a:b=c%d"  # ':' '=' '%' all escaped by the writer
+        spark.createDataFrame(
+            [(1, hot, 1.0), (2, hot, 2.0), (3, "plain", 3.0)],
+            "id long, day string, v double",
+        ).write.partitionBy("day").parquet(tgt)
+        # sanity: the writer escaped the dir name
+        dirs = [d for d in os.listdir(tgt) if d.startswith("day=")]
+        assert "day=a%3Ab%3Dc%25d" in dirs, dirs
+        keys = spark.createDataFrame(
+            [(1, hot), (2, hot)], "id long, day string"
+        )
+        stats = delete_rows_partitioned(spark, tgt, keys, ["id"], "day")
+        assert stats["emptied_partitions"] == 1
+        assert not os.path.exists(os.path.join(tgt, "day=a%3Ab%3Dc%25d"))
+        rows = spark.read.parquet(tgt).collect()
+        assert [(r.id, r.day) for r in rows] == [(3, "plain")]
+
     def test_null_partition_values_rejected(self, spark, tmp_path):
         """isin(parts) never matches NULL, so null-partition keys/updates
         would silently mis-handle the null partition; both mutators must
@@ -3264,12 +3294,17 @@ class TestWebpLossless:
         c, l = gcodes[260]
         bw.put_code(c, l)
         bw.put_bits(1, 1)
-        # distance: tree yields prefix 4 (0 bits), extra bit 0 -> dcode 5
-        bw.put_bits(0, 1)
-        # dcode 5 maps to (dx=2, dy=0) -> dist 2 (xsize=8)
+        # distance: tree yields prefix 4 (0 bits), extra bit 1 -> dcode 6
+        bw.put_bits(1, 1)
+        # dcode 6 maps to (dx=2, dy=0) -> dist 2 (xsize=8); spec table
+        # order (kCodeToPlane): (0,1),(1,0),(1,1),(-1,1),(0,2),(2,0),...
         from gohangout_spark.functions.webp import _DIST_MAP
 
-        assert _DIST_MAP[4] == (2, 0)
+        assert _DIST_MAP[0] == (0, 1)
+        assert _DIST_MAP[4] == (0, 2)
+        assert _DIST_MAP[5] == (2, 0)
+        assert _DIST_MAP[96] == (8, 0)
+        assert _DIST_MAP[119] == (8, 7)
         out = codec.decode(self._wrap(bw, 8, 1))
         exp = np.array(
             [[ (p["r"], p["g"], p["b"], p["a"])
