@@ -75,17 +75,28 @@ def decontaminate(
     )
 
 
-def _word_ngrams(col: Column, n: int, hashed: bool) -> Column:
+def _word_ngrams(col: Column, n: int, hashed) -> Column:
     """Distinct word n-grams of a text column, scan-side.
 
     ``transform(sequence(1, len-n+1), i -> slice(words, i, n))`` — all
-    built-in HOFs, no Python. ``hashed`` emits xxhash64 of each gram (8-byte
-    join keys) instead of the gram string. Docs shorter than ``n`` words
+    built-in HOFs, no Python. ``hashed`` truthy emits a 64-bit hash of
+    each gram (8-byte join keys) instead of the gram string: the default
+    (``True``) is xxhash64, the fast production hash; the string ``"md5"``
+    selects :func:`~gohangout_spark.functions.dedup.md5_hash64`, whose
+    value a SQL oracle can recompute — the replayability hook behind the
+    bloom_md5_decontaminate hash gate. Docs shorter than ``n`` words
     yield an empty array (sequence(1, 0) would count DOWN, so guard first).
     """
     ws = _words(col)
     gram = lambda i: F.concat_ws(" ", F.slice(ws, i, n))  # noqa: E731
-    mk = (lambda i: F.xxhash64(gram(i))) if hashed else gram
+    if hashed == "md5":
+        from gohangout_spark.functions.dedup import md5_hash64
+
+        mk = lambda i: md5_hash64(gram(i))  # noqa: E731
+    elif hashed:
+        mk = lambda i: F.xxhash64(gram(i))  # noqa: E731
+    else:
+        mk = gram
     empty = F.array().cast("array<bigint>" if hashed else "array<string>")
     return F.when(
         F.size(ws) >= n,
@@ -210,6 +221,8 @@ def build_ngram_bloom(
     text_col: str = "text",
     fp_rate: float = 1e-3,
     expected_items: int | None = None,
+    hashed="xxhash64",
+    size: tuple[int, int] | None = None,
 ) -> NgramBloom:
     """Build an :class:`NgramBloom` from an eval corpus WITHOUT collecting
     it: each partition ORs its grams into a local m/8-byte bitmap inside
@@ -227,16 +240,24 @@ def build_ngram_bloom(
     8-byte hashes is cheaper than spinning a Python-worker stage, and the
     bitmap builds driver-side from the same probe code. Big sets keep the
     distributed build (driver traffic stays O(partitions × m/8)).
+
+    ``hashed`` picks the gram hash (``"xxhash64"`` production default /
+    ``"md5"`` for SQL replayability); ``size`` pins ``(m, k)`` explicitly
+    instead of deriving them from the measured cardinality — required when
+    an external oracle must rebuild the identical bitmap.
     """
     import math
 
     import numpy as np
 
+    hashed = "md5" if hashed == "md5" else True
     grams = eval_docs.select(
-        F.explode(_word_ngrams(F.col(text_col), n, hashed=True)).alias("h")
+        F.explode(_word_ngrams(F.col(text_col), n, hashed=hashed)).alias("h")
     )
 
     def _size(items: int):
+        if size is not None:
+            return size
         mm = max(64, int(-items * math.log(fp_rate) / (math.log(2) ** 2)))
         mm = (mm + 63) // 64 * 64
         return mm, max(1, round(mm / items * math.log(2)))
@@ -292,6 +313,7 @@ def bloom_decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_hits: int = 1,
+    hashed="xxhash64",
 ) -> DataFrame:
     """Decontamination with ZERO joins and ZERO corpus shuffle: the bloom
     filter (m/8 bytes, e.g. ~1.8 MB per million eval grams at fp 1e-3)
@@ -336,9 +358,10 @@ def bloom_decontaminate(
         ends = np.cumsum(lens)
         return pd.Series((csum[ends] - csum[ends - lens]).astype(np.int32))
 
+    hashed = "md5" if hashed == "md5" else True
     out = docs.withColumn(
         "contam_hits",
-        F.coalesce(_hits(_word_ngrams(F.col(text_col), n, hashed=True)), F.lit(0)),
+        F.coalesce(_hits(_word_ngrams(F.col(text_col), n, hashed=hashed)), F.lit(0)),
     )
     return out.withColumn("contaminated", F.col("contam_hits") >= min_hits)
 

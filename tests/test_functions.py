@@ -1735,6 +1735,31 @@ class TestBloomDecontaminate:
         )
         assert bloom.might_contain(hashes).all()
 
+    def test_md5_twin_matches_exact_and_pins_size(self, spark, frames):
+        """The md5-keyed replayable variant (r6 hash gate): pinned (m, k)
+        land in the bloom verbatim, and at a large m the flags equal the
+        exact path's on the fixture (superset guarantee + zero fp)."""
+        from gohangout_spark.functions.curation import (
+            bloom_decontaminate,
+            build_ngram_bloom,
+            decontaminate_ngrams,
+        )
+
+        ev, corpus = frames
+        bloom = build_ngram_bloom(ev, n=4, hashed="md5", size=(65536, 3))
+        assert (bloom.m, bloom.k) == (65536, 3)
+        got = {
+            r.doc_id: r.contaminated
+            for r in bloom_decontaminate(corpus, bloom, n=4, hashed="md5").collect()
+        }
+        exact = {
+            r.doc_id: r.contaminated
+            for r in decontaminate_ngrams(corpus, ev, n=4).collect()
+        }
+        assert set(got) == set(exact)
+        assert all(got[d] for d in exact if exact[d])  # no false negatives
+        assert [d for d in got if got[d] and not exact[d]] == []
+
     def test_empty_and_short_docs_clean(self, spark, frames):
         from gohangout_spark.functions.curation import (
             bloom_decontaminate,
