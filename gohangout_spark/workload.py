@@ -862,10 +862,50 @@ def doc_fingerprint(spark, sf_dir):
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
 
 
-# Multimodal feature extraction over a generated binary media table —
-# rows-only check (no shared oracle input table)
-@q("multimodal_features", None)
+def _fake_features_oracle_sql() -> str:
+    """VALUES oracle for multimodal_features (VERDICT r5 #5): the stub
+    codec's decode is pure arithmetic (md5 of the payload seeds dims and
+    a RandomState pixel block), so expected means replay at import time
+    from hashlib+numpy directly — the codec class is never imported here.
+    What the gate then value-checks is the distributed plumbing: table
+    generation, Arrow batching through mapInPandas, schema and rounding."""
+    import hashlib as _hl
+    import math
+
+    import numpy as _np
+
+    rows = []
+    for i in range(64):
+        payload = _hl.sha256(str(i).encode()).digest() * 8
+        h = _hl.md5(payload).digest()
+        w, ht = 4 + h[0] % 4, 4 + h[1] % 4
+        rng = _np.random.RandomState(int.from_bytes(h[:4], "big"))
+        px = rng.randint(0, 255, size=(ht, w, 3), dtype=_np.uint8)
+        means = [
+            math.floor(float(m) * 1e2 + 0.5) / 1e2
+            for m in px.reshape(-1, 3).mean(axis=0)
+        ]
+        rows.append(
+            f"({i}, {means[0]!r}::DOUBLE, {means[1]!r}::DOUBLE, "
+            f"{means[2]!r}::DOUBLE, {w}, {ht})"
+        )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, mean_r, mean_g, mean_b, "
+        "CAST(width AS INT) AS width, CAST(height AS INT) AS height "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") t(media_id, mean_r, mean_g, mean_b, width, height)"
+    )
+
+
+@q("multimodal_features", _fake_features_oracle_sql())
 def multimodal_features(spark, sf_dir):
+    """Generic image-feature pipeline over the stub codec (the documented
+    seam for formats whose decoders aren't in this container) — HASH-
+    verified since r6: the stub's decode is deterministic arithmetic, so
+    a VALUES oracle replays it at import and pins the mapInPandas
+    plumbing, batch shape and per-channel means end-to-end. Real-codec
+    decode paths carry their own gates (multimodal_{png,gif,jpeg,webp,
+    mjpeg,flac}_*)."""
     from gohangout_spark.functions.multimodal import (
         extract_image_features,
         make_fake_media_table,
@@ -875,9 +915,9 @@ def multimodal_features(spark, sf_dir):
     feats = extract_image_features(media)
     return feats.select(
         "media_id",
-        F.round("mean_r", 2).alias("mean_r"),
-        F.round("mean_g", 2).alias("mean_g"),
-        F.round("mean_b", 2).alias("mean_b"),
+        round_half_up(F.col("mean_r"), 2).alias("mean_r"),
+        round_half_up(F.col("mean_g"), 2).alias("mean_g"),
+        round_half_up(F.col("mean_b"), 2).alias("mean_b"),
         "width",
         "height",
     )
@@ -2237,9 +2277,42 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
-# audio feature extraction over generated binary payloads — rows-only
-@q("multimodal_audio_features", None)
+def _fake_audio_oracle_sql() -> str:
+    """VALUES oracle for multimodal_audio_features (VERDICT r5 #5): the
+    stub audio codec's PCM is arithmetic (md5 seeds the length and a
+    RandomState gaussian block), so duration/RMS/zero-crossings replay at
+    import from hashlib+numpy — the codec class is never imported. The
+    gate pins the audio mapInPandas plumbing and feature math."""
+    import hashlib as _hl
+    import math
+
+    import numpy as _np
+
+    rows = []
+    for i in range(32):
+        payload = _hl.sha256(str(i).encode()).digest() * 8
+        h = _hl.md5(payload).digest()
+        n = 1000 + h[0] * 16
+        rng = _np.random.RandomState(int.from_bytes(h[:4], "big"))
+        pcm = (rng.randn(n) * 0.1).astype(_np.float32)
+        dur = math.floor(n / 16000 * 1e3 + 0.5) / 1e3
+        rms = math.floor(float(_np.sqrt(_np.mean(pcm**2))) * 1e4 + 0.5) / 1e4
+        zc = int(((pcm[:-1] * pcm[1:]) < 0).sum())
+        rows.append(f"({i}, {dur!r}::DOUBLE, {rms!r}::DOUBLE, {zc})")
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, duration_s, rms, "
+        "CAST(zero_crossings AS INT) AS zero_crossings "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") t(media_id, duration_s, rms, zero_crossings)"
+    )
+
+
+@q("multimodal_audio_features", _fake_audio_oracle_sql())
 def multimodal_audio_features(spark, sf_dir):
+    """Audio feature extraction over the stub codec — HASH-verified since
+    r6 via an import-time arithmetic replay (see _fake_audio_oracle_sql);
+    the real compressed-audio decode path carries its own closed-form
+    gate (multimodal_flac_features)."""
     from gohangout_spark.functions.multimodal import (
         extract_audio_features,
         make_fake_media_table,
@@ -2248,8 +2321,8 @@ def multimodal_audio_features(spark, sf_dir):
     media = make_fake_media_table(spark, n=32)
     return extract_audio_features(media).select(
         "media_id",
-        F.round("duration_s", 3).alias("duration_s"),
-        F.round("rms", 4).alias("rms"),
+        round_half_up(F.col("duration_s"), 3).alias("duration_s"),
+        round_half_up(F.col("rms"), 4).alias("rms"),
         "zero_crossings",
     )
 
@@ -2686,20 +2759,44 @@ def udaf_geomean(spark, sf_dir):
     )
 
 
-@q("multimodal_frame_sample", None)
+def _frame_sample_oracle_sql() -> str:
+    """VALUES oracle for multimodal_frame_sample (VERDICT r5 #5 — frame
+    sampling is index arithmetic): clip i of the rawvid table holds
+    2 + i%4 solid 4x3 frames; every 2nd is sampled and re-emitted as a
+    standalone binary PPM, whose exact bytes are header + 36 color bytes
+    — assembled here by pure byte arithmetic, never the codec."""
+    rows = []
+    for i in range(24):
+        for j in range(0, 2 + i % 4, 2):
+            c = (i * 5 + j * 17) % 256
+            frame = b"P6\n4 3\n255\n" + bytes([c, (c * 3) % 256, (c * 7) % 256]) * 12
+            rows.append(f"({i}, {j}, '{frame.hex().upper()}')")
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(frame_idx AS INT) AS frame_idx, frame_hex "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") t(media_id, frame_idx, frame_hex)"
+    )
+
+
+@q("multimodal_frame_sample", _frame_sample_oracle_sql())
 def multimodal_frame_sample(spark, sf_dir):
-    """Video frame sampling contract: every-Nth-frame explode through
-    mapInPandas (Arrow batches; deterministic fake decoder — the container
-    has no ffmpeg, functions/multimodal.py docstring). Rows-only by design;
-    frame bytes are projected to a hex fingerprint so the result is
-    scalar-canonicalizable."""
+    """Video frame sampling, HASH-verified since r6: every-2nd-frame
+    explode through mapInPandas over the REAL raw-video container
+    (back-to-back binary PPMs — the ffmpeg-less stand-in for MJPEG,
+    whose AVI variant has its own gate), each sampled frame re-encoded
+    as a standalone PPM and hex-fingerprinted; the oracle assembles the
+    exact expected bytes from the container layout's index arithmetic,
+    so a wrong stride, frame offset or re-encode header all
+    hash-mismatch."""
     from gohangout_spark.functions.multimodal import (
-        make_fake_media_table,
+        RawVideoCodec,
+        make_rawvideo_media_table,
         sample_video_frames,
     )
 
-    media = make_fake_media_table(spark, n=32)
-    frames = sample_video_frames(media, every_n=10)
+    media = make_rawvideo_media_table(spark, n=24)
+    frames = sample_video_frames(media, every_n=2, codec=RawVideoCodec())
     return frames.select(
         "media_id", "frame_idx", F.hex(F.col("frame")).alias("frame_hex")
     )
@@ -3995,13 +4092,102 @@ def webdataset_export(spark, sf_dir):
     return m.select("shard", "n_docs", "n_bytes")
 
 
+# Frozen BPE vocabulary for the SQL-replayable encode gate: merges derive
+# once (pure Python, import-time, no Spark) from a fixed seed word-count
+# table, so both the Spark encoder and the DuckDB oracle hold the
+# IDENTICAL 50-merge ranking regardless of sf.
+_BPE_SEED_COUNTS = [
+    ("the", 120), ("and", 90), ("that", 70), ("with", 60), ("this", 55),
+    ("stream", 50), ("streaming", 45), ("data", 44), ("spark", 40),
+    ("window", 38), ("vector", 36), ("customer", 30), ("there", 28),
+    ("other", 26), ("their", 24), ("these", 22), ("then", 20),
+    ("them", 18), ("than", 16), ("when", 14),
+]
+
+
+def _bpe_frozen_merges():
+    from gohangout_spark.functions.bpe import bpe_merges_from_counts
+
+    return bpe_merges_from_counts(_BPE_SEED_COUNTS, 50)
+
+
+def _bpe_encode_oracle_sql() -> str:
+    """Full SQL replay of fixed-vocabulary BPE encoding (VERDICT r5 #4):
+    the frozen merge table rides the oracle as a MAP literal and a
+    recursive CTE applies the encoder's exact greedy loop — find the
+    lowest-rank adjacent pair (leftmost on ties, list_position returns
+    the FIRST minimum), merge it, repeat until no pair has a rank. Word
+    states recurse once per DISTINCT word; docs reassemble by position."""
+    merges = _bpe_frozen_merges()
+    keys = ", ".join(f"'{a}|{b}'" for a, b in merges)
+    vals = ", ".join(str(i) for i in range(len(merges)))
+    rks = (
+        "list_transform(generate_series(1, len(syms)-1), "
+        "i -> coalesce(map_extract(m, syms[i] || '|' || syms[i+1])[1], 999999))"
+    )
+    return f"""WITH RECURSIVE mm AS (SELECT map([{keys}], [{vals}]) AS m),
+t AS (SELECT doc_id, {_TOK_SQL} AS toks FROM documents),
+dw AS (SELECT doc_id, i, toks[i] AS w
+       FROM t, unnest(generate_series(1, len(toks))) u(i)),
+w0 AS (
+  SELECT w, list_transform(generate_series(1, length(w)), i ->
+           CASE WHEN i = length(w) THEN w[i] || '</w>' ELSE w[i] END) AS syms
+  FROM (SELECT DISTINCT w FROM dw)),
+st AS (
+  SELECT w, syms FROM w0
+  UNION ALL
+  SELECT w,
+    syms[1:best_i-1] || [syms[best_i] || syms[best_i+1]] || syms[best_i+2:]
+  FROM (
+    SELECT w, syms, list_position(rks, minrk) AS best_i
+    FROM (SELECT w, syms, {rks} AS rks, list_min({rks}) AS minrk
+          FROM st, mm WHERE len(syms) > 1)
+    WHERE minrk < 999999)),
+enc AS (
+  SELECT w, syms FROM (
+    SELECT w, syms,
+      CASE WHEN len(syms) <= 1 THEN 999999 ELSE list_min({rks}) END AS minrk
+    FROM st, mm)
+  WHERE minrk = 999999),
+doc AS (
+  SELECT doc_id, flatten(list(syms ORDER BY i)) AS all_toks
+  FROM dw JOIN enc USING (w) GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(len(all_toks), 0) AS INTEGER) AS n_bpe_tokens,
+       coalesce(array_to_string(all_toks, ' '), '') AS bpe_text
+FROM documents d LEFT JOIN doc USING (doc_id)"""
+
+
+@q("bpe_encode_fixed", _bpe_encode_oracle_sql())
+def bpe_encode_fixed(spark, sf_dir):
+    """Fixed-vocabulary BPE encode, HASH-verified (r5 #4 done): the Arrow
+    encoder runs the frozen 50-merge table over every document and the
+    oracle replays the greedy lowest-rank-leftmost merge recursion in
+    pure SQL (recursive CTE over distinct words + positional doc
+    reassembly) — a wrong rank order, tie-break, word-end marker or
+    boundary-crossing merge all hash-mismatch. Training stays rows-only
+    in bpe_tokenize (iterative driver loop by design)."""
+    from gohangout_spark.functions.bpe import bpe_encode_udf
+    from gohangout_spark.io import rebalance_for_compute
+
+    docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
+    enc = bpe_encode_udf(_bpe_frozen_merges())(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.coalesce(F.size(enc), F.lit(0)).alias("n_bpe_tokens"),
+        F.coalesce(F.concat_ws(" ", enc), F.lit("")).alias("bpe_text"),
+    )
+
+
 @q("bpe_tokenize", None)
 def bpe_tokenize(spark, sf_dir):
     """BPE trained in-engine (40 merges over the en slice's word counts —
     one distributed scan, driver merge loop) then applied scan-side via
-    the Arrow encoder. Rows-only (BPE training is iterative, no SQL
-    form); correctness is pytest: classic-corpus merge sequence, encode
-    == training segmentation, determinism
+    the Arrow encoder. Rows-only because TRAINING is iterative (no SQL
+    form) and the vocabulary varies with the sf's corpus; the ENCODER
+    itself is hash-verified bit-for-bit by the frozen-vocabulary
+    companion gate (bpe_encode_fixed above). Pytest adds: classic-corpus
+    merge sequence, encode == training segmentation, determinism
     (tests/test_functions.py::TestBPE)."""
     from gohangout_spark.functions.bpe import bpe_encode_udf, train_bpe
     from gohangout_spark.io import rebalance_for_compute
@@ -4758,66 +4944,67 @@ def multimodal_flac_features(spark, sf_dir):
 # first couple of them is harmless).  New round-3 queries are inserted
 # before the tail so they are gated the round they land.
 _GATE_PRIORITY = [
-    # --- round-5 window (VERDICT r4 items #1-#3) ---
-    # the 5 rows red in r4 (oracle HUGEINT dtype, now ::BIGINT-cast):
-    "repetition_stats",
-    "profile_documents",
-    "sessionize_events",
-    "lexical_diversity",
-    "salted_heavy_hitters",
-    # registered in r4 but never driver-gated (VERDICT #2):
-    "winnow_neardup_pairs",
-    "udaf_geomean",
-    "multimodal_png_features",
-    "multimodal_gif_features",
-    "multimodal_jpeg_features",
-    "multimodal_flac_features",
-    # new r5 recall-style gates for the hash-based near-dup family and
-    # the ANN machinery's limiting case:
-    "minhash_lsh_recall",
-    "simhash_md5_neardup",
-    "embedding_ivf_full_probe",
-    # r5 real video-container demux (MJPEG-in-AVI over the JPEG codec)
-    # and real WebP-lossless decode:
-    "multimodal_mjpeg_frames",
-    "multimodal_webp_features",
-    # rows-only -> analytic-oracle conversions (r5, VERDICT #3):
-    "ipip_geo",
-    "webdataset_export",
-    # changed this round (MG bound now sized for guaranteed exactness):
-    "heavy_hitter_users",
-    # --- remaining 34 slots: stalest evidence first (last green r2) ---
-    "add_fields",
-    "condition_dsl",
-    "convert_array",
-    "convert_types",
-    "date_location",
-    "date_parse",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "doc_fingerprint",
-    "drop_filter",
-    "embedding_ivf_topk",
+    # --- round-6 window (VERDICT r5 items #1-#5) ---
+    # rows-only -> full-hash conversions: the last ANN variants (SQL
+    # replay of SQ8 arithmetic, literal JL matrix, literal hyperplanes
+    # for both topk and the banded near-dup pair op):
+    "embedding_q8_topk",
+    "embedding_rp_topk",
     "embedding_lsh_topk",
-    "embedding_neardup_exact",
     "embedding_neardup_lsh",
-    "embedding_pq_topk",
-    "embedding_topk",
-    "event_type_median",
-    "failtag_contract",
-    "filters_nested",
-    "grok_extract",
-    "grok_target",
-    "gsub",
-    "json_parse",
-    "kv_parse",
-    "lang_id",
-    "link_metric_count",
-    "link_stats_metric",
-    "lowercase",
-    "metric_reduce",
+    # new limiting-case gate: PQ with full rerank == brute force (r5 #2):
+    "embedding_pq_exact_rerank",
+    # new md5-twin bloom replay (r5 #3) and frozen-vocab BPE encode
+    # recursion (r5 #4):
+    "bloom_md5_decontaminate",
+    "bpe_encode_fixed",
+    # the multimodal no_oracle trio, now arithmetic-replay gated (r5 #5):
     "multimodal_features",
-    "ngram_jaccard_adjacent",
+    "multimodal_audio_features",
+    "multimodal_frame_sample",
+    # VP8L codec fixed this round (spec dist-map/TR/mode-13) — re-gate:
+    "multimodal_webp_features",
+    # --- 17 slots: stalest evidence (last green r2) ---
+    "order_priority_semijoin",
+    "quality_score",
+    "remove_fields",
+    "rename_field",
+    "replace_literal",
+    "segment_topk_rank",
+    "session_window",
+    "split_maxsplit",
+    "split_parse",
+    "token_count",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "translate_broadcast_join",
+    "translate_dict",
+    "uppercase",
+    "urldecode",
+    # --- remaining 22 slots: last green r3 ---
+    "cap_per_source",
+    "chunk_dedup_stats",
+    "customers_without_orders",
+    "decontaminate_docs",
+    "dedup_clusters",
+    "dedup_filter_events",
+    "dedup_paragraphs",
+    "deterministic_sample",
+    "distinct_users",
+    "etl_pipeline_chain",
+    "event_type_pivot",
+    "event_value_geomean",
+    "intersect_buyers_clickers",
+    "ngram_decontaminate",
+    "orders_left_outer",
+    "pack_documents",
+    "paragraph_dedup_stats",
+    "purchase_attribution",
+    "quality_filter_pipeline",
+    "quantile_buckets_lang",
+    "redact_pii",
+    "rollup_totals",
 ]
 
 QUERIES = {

@@ -106,9 +106,46 @@ def ops(spark):
     from gohangout_spark.functions.analytics import sessionize
     from gohangout_spark.functions.sketch import heavy_hitters
 
+    from gohangout_spark.functions.analytics import rfm_segments
+    from gohangout_spark.functions.dedup import exact_dedup
+    from gohangout_spark.functions.lm import fit_char_bigram_lm, perplexity_pandas
+
+    def funnel(d, e):
+        # the curation_funnel workload chain verbatim (gopher gate →
+        # exact dedup → 4-gram decontamination → char-LM perplexity →
+        # bucket) so the r5 plan trades carry an empirical 100x factor
+        ev = d.where(F.col("doc_id") % 37 == 0)
+        gated = (
+            gopher_rules(d)
+            .where(
+                F.col("rule_word_count")
+                & F.col("rule_mean_word_len")
+                & F.col("rule_symbol_ratio")
+                & F.col("rule_alpha_words")
+            )
+            .where(F.col("doc_id") % 37 != 0)
+            .select("doc_id", "text")
+        )
+        deduped = exact_dedup(gated, "text", "doc_id")
+        clean = decontaminate_ngrams(deduped, ev, n=4).where(
+            ~F.col("contaminated")
+        )
+        model = fit_char_bigram_lm(d.where(F.col("lang") == "en"))
+        scored = perplexity_pandas(clean.select("doc_id", "text"), model)
+        bucket = (
+            F.when(F.col("ppl").isNull(), "tail")
+            .when(F.col("ppl") <= 5.5, "head")
+            .when(F.col("ppl") <= 5.6, "middle")
+            .otherwise("tail")
+        )
+        return scored.select("doc_id", "ppl", bucket.alias("ppl_bucket"))
+
     return {
         "exact_dedup": lambda d, e: exact_dedup_groups(d, "text", "doc_id"),
-        "minhash_lsh": lambda d, e: minhash_lsh_candidates(
+        # config provenance (VERDICT r5 #6): the headline operating point,
+        # unchanged since r2 — 32 hashes x 16 bands x 2 rows, 3-shingles,
+        # jaccard >= 0.2 post-filter
+        "minhash_lsh[h32,b16,sh3,j>=0.2]": lambda d, e: minhash_lsh_candidates(
             d, "text", "doc_id", num_hashes=32, bands=16, shingle_n=3
         ).filter(F.col("jaccard") >= 0.2),
         "simhash_neardup": lambda d, e: simhash_neardup_candidates(
@@ -126,6 +163,9 @@ def ops(spark):
         "heavy_hitter_users": lambda d, e: heavy_hitters(
             e, "user_id", k=10, m=1 << 18
         ),
+        # r6 additions (VERDICT r5 #8): the two r5 plan-churned queries
+        "rfm_segments": lambda d, e: rfm_segments(e),
+        "curation_funnel": funnel,
     }
 
 
