@@ -3419,6 +3419,97 @@ class TestWebpLossless:
         assert np.array_equal(out[..., :3], target)
         assert (out[..., 3] == 255).all()
 
+    def test_predictor_right_edge_and_mode13_spec(self):
+        """Regression (r6, ADVICE r5): modes using TOP-RIGHT must fall back
+        to the CURRENT row's leftmost pixel at the right edge (spec
+        P[pos-width+1]), and mode 13's (a-tl)/2 must truncate toward zero
+        like C — both verified against an independent spec predictor
+        reimplemented here, on inputs asserted to exercise both paths."""
+        import numpy as np
+
+        codec = self._codec()
+
+        def avg2(p, q):
+            r = 0
+            for sh in (0, 8, 16, 24):
+                r |= ((((p >> sh) & 0xFF) + ((q >> sh) & 0xFF)) >> 1) << sh
+            return r
+
+        def spec_pred(mode, t32, y, x, w):
+            L, T = int(t32[y, x - 1]), int(t32[y - 1, x])
+            TL = int(t32[y - 1, x - 1])
+            TR = int(t32[y - 1, x + 1]) if x + 1 < w else int(t32[y, 0])
+            if mode == 3:
+                return TR
+            if mode == 5:
+                return avg2(avg2(L, TR), T)
+            if mode == 9:
+                return avg2(T, TR)
+            if mode == 10:
+                return avg2(avg2(L, TL), avg2(T, TR))
+            if mode == 13:
+                r = 0
+                for sh in (0, 8, 16, 24):
+                    a = (((L >> sh) & 0xFF) + ((T >> sh) & 0xFF)) >> 1
+                    d = a - ((TL >> sh) & 0xFF)
+                    v = a + int(d / 2)  # C division: toward zero
+                    r |= max(0, min(255, v)) << sh
+                return r
+            raise AssertionError(mode)
+
+        from gohangout_spark.functions.webp import _BitWriter
+
+        rng = np.random.RandomState(11)
+        for mode in (3, 5, 9, 10, 13):
+            target = rng.randint(0, 256, size=(3, 4, 3), dtype=np.uint8)
+            h, w = target.shape[:2]
+            t32 = (
+                np.full((h, w), 0xFF000000, dtype=np.uint32)
+                | target[..., 0].astype(np.uint32) << 16
+                | target[..., 1].astype(np.uint32) << 8
+                | target[..., 2].astype(np.uint32)
+            )
+            saw_edge_diff = saw_odd_neg = False
+            res = np.zeros_like(t32)
+            for y in range(h):
+                for x in range(w):
+                    if x == 0 and y == 0:
+                        pred = 0xFF000000
+                    elif y == 0:
+                        pred = int(t32[0, x - 1])
+                    elif x == 0:
+                        pred = int(t32[y - 1, 0])
+                    else:
+                        pred = spec_pred(mode, t32, y, x, w)
+                        if x == w - 1 and int(t32[y, 0]) != int(t32[y - 1, 0]):
+                            saw_edge_diff = True
+                        if mode == 13:
+                            L, T = int(t32[y, x - 1]), int(t32[y - 1, x])
+                            TL = int(t32[y - 1, x - 1])
+                            for sh in (0, 8, 16, 24):
+                                a = (((L >> sh) & 0xFF) + ((T >> sh) & 0xFF)) >> 1
+                                d = a - ((TL >> sh) & 0xFF)
+                                if d < 0 and d % 2:
+                                    saw_odd_neg = True
+                    d = 0
+                    for sh in (0, 8, 16, 24):
+                        d |= (((int(t32[y, x]) >> sh) - (pred >> sh)) % 256) << sh
+                    res[y, x] = d
+            # the fixture genuinely exercises the fixed paths
+            assert saw_edge_diff if mode in (3, 5, 9, 10) else saw_odd_neg, mode
+
+            bw = _BitWriter()
+            bw.put_bits(1, 1)  # transform present
+            bw.put_bits(0, 2)  # PREDICTOR
+            bw.put_bits(0, 3)  # 4x4 tiles -> one tile
+            mode_px = np.array([[0xFF000000 | (mode << 8)]], dtype=np.uint32)
+            codec._encode_entropy_image(bw, mode_px)
+            bw.put_bits(0, 1)  # end transforms
+            codec._encode_pixels(bw, res)
+            out = codec.decode(self._wrap(bw, w, h))
+            assert np.array_equal(out[..., :3], target), mode
+            assert (out[..., 3] == 255).all(), mode
+
     def test_color_transform_inverse(self):
         """One color-transform tile (g2r=16, g2b=8, r2b=4): the decoder's
         signed-multiplier deltas must reconstruct the original channels."""
