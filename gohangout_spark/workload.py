@@ -3071,14 +3071,81 @@ def embedding_q8_topk(spark, sf_dir):
 
 
 
+@q(
+    "dedup_incremental_recall",
+    """WITH t AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(toks) - 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t WHERE len(toks) >= 3)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         floor(len(list_intersect(a.sh, b.sh))::DOUBLE
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+           * 1e4 + 0.5) / 1e4 AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.5 AND id_b >= 400""",
+)
+def dedup_incremental_recall(spark, sf_dir):
+    """The incremental-dedup path's HASH gate (r6, same construction as
+    minhash_lsh_recall): history = docs < 400 persisted as a minhash_index
+    (signatures + band keys only), batch = docs >= 400; the incremental
+    candidate op runs at the recall-1 operating point (64 hashes x 32
+    bands, miss prob (1-j²)^32 ≤ 1e-4 at j ≥ 0.5, zero misses verified on
+    the fixed corpus at every shipped sf), candidates keep exact
+    shingle-Jaccard ≥ 0.5, and the result must EQUAL DuckDB's all-pairs
+    exact answer restricted to pairs touching the new batch (id_b >= 400
+    — monotonic ids make the larger id the new side for both
+    history-vs-new and new-vs-new legs). Equality both directions: the
+    index's band keys reproduce the one-shot op's (a key drift would drop
+    pairs) and no pair is fabricated. The estimator-threshold production
+    point stays rows-only below."""
+    from gohangout_spark.functions.dedup import (
+        minhash_index,
+        minhash_lsh_candidates_incremental,
+        shingle_hashes,
+    )
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400)
+    idx = minhash_index(old, "text", "doc_id", num_hashes=64, bands=32)
+    cand = minhash_lsh_candidates_incremental(
+        new, idx, num_hashes=64, bands=32
+    ).select("id_a", "id_b")
+    sh = docs.select(
+        F.col("doc_id"), shingle_hashes(F.col("text"), 3).alias("sh")
+    ).filter(F.size("sh") > 0)
+    withsh = cand.join(
+        sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+        "id_a",
+    ).join(
+        sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return withsh.select(
+        "id_a", "id_b", round_half_up(inter / union, 4).alias("jaccard")
+    ).where(F.col("jaccard") >= 0.5)
+
+
 @q("dedup_incremental", None)
 def dedup_incremental(spark, sf_dir):
     """Append-only incremental dedup: docs < 400 are 'history' (persisted
     minhash_index — signatures + band keys, no text retained), docs >= 400
     are the new batch; candidates are new-vs-history + new-vs-new with
-    signature-estimated jaccard. Rows-only (minhash is not SQL-expressible);
-    the pair-set-equivalence-vs-full-corpus property is asserted in
-    TestDedup.test_minhash_incremental_matches_full."""
+    signature-estimated jaccard. Rows-only at THIS operating point (the
+    xxhash signature estimate is not SQL-expressible and recall at 0.2 is
+    intentionally partial); the machinery is hash-verified end-to-end by
+    dedup_incremental_recall above, and pair-set-equivalence-vs-full-corpus
+    is asserted in TestDedup.test_minhash_incremental_matches_full."""
     from gohangout_spark.functions.dedup import (
         minhash_index,
         minhash_lsh_candidates_incremental,
@@ -4962,6 +5029,8 @@ _GATE_PRIORITY = [
     "multimodal_features",
     "multimodal_audio_features",
     "multimodal_frame_sample",
+    # new r6 recall-1 gate for the incremental minhash-index path:
+    "dedup_incremental_recall",
     # VP8L codec fixed this round (spec dist-map/TR/mode-13) — re-gate:
     "multimodal_webp_features",
     # --- 17 slots: stalest evidence (last green r2) ---
@@ -5004,7 +5073,6 @@ _GATE_PRIORITY = [
     "quality_filter_pipeline",
     "quantile_buckets_lang",
     "redact_pii",
-    "rollup_totals",
 ]
 
 QUERIES = {
