@@ -25,6 +25,10 @@ BNLJ_OK = {
     # PQ ADC scan: same broadcast-query shape, but the corpus side is the
     # compressed (id, codes) projection — m ints per row, not the vectors
     "embedding_pq_topk",
+    # PQ limiting-case hash gate: same ADC broadcast-query scan as
+    # embedding_pq_topk, run at rerank >= corpus so the output must equal
+    # brute force; broadcast side is still only the 10-query block
+    "embedding_pq_exact_rerank",
     # avg(c_acctbal) scalar subquery: a 1-row broadcast
     "tpch_q22",
     # benchmark snippet list (KBs) broadcast for substring containment —
