@@ -13,9 +13,11 @@ lossless (VP8L: canonical Huffman, LZ77 + color cache, all four inverse
 transforms). ``AviMjpegCodec`` demuxes a REAL video container —
 MJPEG-in-AVI: a RIFF tree walk over hdrl/movi/idx1 with each 00dc frame
 chunk decoded by the JPEG codec (and an encoder that writes
-standards-correct AVI any mainstream player opens). The remaining
-compressed formats (lossy WebP/VP8, mp3/aac, interframe video codecs)
-are the environment gap: ``DeterministicFakeCodec`` produces stable
+standards-correct AVI any mainstream player opens).
+``functions.adpcm.ImaAdpcmCodec`` is a REAL lossy audio codec —
+IMA/DVI ADPCM in WAV (wFormatTag 0x11), 4:1 vs 16-bit PCM. The
+remaining compressed formats (lossy WebP/VP8, mp3/aac psychoacoustic
+codecs, interframe video codecs) are the environment gap: ``DeterministicFakeCodec`` produces stable
 pseudo-decodes so the pipeline shape stays verifiable, and ``RealCodec``
 raises NotImplementedError at the exact seam where
 Pillow/librosa/ffmpeg would plug in.
@@ -698,6 +700,103 @@ def make_flac_media_table(spark, n: int = 32, sample_rate: int = 16000) -> DataF
         pcm = np.full(800 + 10 * i, amp, dtype=np.float32)
         rows.append((i, bytearray(codec.encode(pcm, sample_rate)), (0, 0, 1, "flac")))
     return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
+class ImaAdpcmAudioCodec:
+    """Adapter exposing functions.adpcm.ImaAdpcmCodec through the
+    audio-codec contract — the compressed-LOSSY audio path (4:1 vs
+    16-bit PCM). Unlike WAV/FLAC the decode is not the encoded PCM, so
+    the gate verifies the decoded stream itself: DuckDB replays the IMA
+    state machine over the literal nibble stream (multimodal_adpcm_decode)
+    and pytest cross-checks the recurrence against CPython's audioop."""
+
+    def __init__(self, block_align: int = 256):
+        self.block_align = block_align
+
+    def decode(self, payload: bytes, sample_rate: int = 16000) -> np.ndarray:
+        from gohangout_spark.functions.adpcm import ImaAdpcmCodec
+
+        pcm = ImaAdpcmCodec(sample_rate, self.block_align).decode(payload)
+        return pcm.astype(np.float64) / 32768.0
+
+    def encode(self, pcm: np.ndarray, sample_rate: int = 16000) -> bytes:
+        from gohangout_spark.functions.adpcm import ImaAdpcmCodec
+
+        ints = np.round(np.clip(pcm, -1.0, 1.0) * 32767).astype(np.int64)
+        return ImaAdpcmCodec(sample_rate, self.block_align).encode(ints)
+
+
+def adpcm_fixture_clip(i: int, n_samples: int = 33) -> np.ndarray:
+    """Deterministic int16 clip i for the ADPCM gate: a quadratic-phase
+    modular sweep that exercises both sign nibbles and the full step
+    ladder. Shared by make_adpcm_media_table AND the oracle builder so
+    the fixture waveform cannot drift between the two sides (the oracle
+    only ever ENCODES with it — its decode is pure SQL)."""
+    t = np.arange(n_samples, dtype=np.int64)
+    return ((i * 911 + t * t * 241 + t * 37) % 65536) - 32768
+
+
+def make_adpcm_media_table(
+    spark, n: int = 32, sample_rate: int = 16000, block_align: int = 20
+) -> DataFrame:
+    """IMA-ADPCM media table: clip i is adpcm_fixture_clip(i) compressed
+    at block_align=20 (33 samples = exactly one block), so every clip's
+    nibble stream is small enough to embed as oracle literals while still
+    walking the whole quantizer state machine."""
+    from gohangout_spark.functions.adpcm import ImaAdpcmCodec
+
+    codec = ImaAdpcmCodec(sample_rate, block_align)
+    spb = codec.samples_per_block
+    rows = []
+    for i in range(n):
+        payload = codec.encode(adpcm_fixture_clip(i, spb))
+        rows.append((i, bytearray(payload), (0, 0, 1, "adpcm")))
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
+ADPCM_DECODE_SCHEMA = (
+    "media_id long, n_samples int, first_sample int, last_sample int, "
+    "sum_samples long, min_sample int, max_sample int"
+)
+
+
+def extract_adpcm_decode_stats(df: DataFrame, block_align: int = 20) -> DataFrame:
+    """Decode IMA-ADPCM clips inside mapInPandas and emit per-clip stats
+    over the decoded int16 stream — the columns the SQL state-machine
+    replay aggregates to."""
+    from gohangout_spark.functions.adpcm import ImaAdpcmCodec
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = ImaAdpcmCodec(block_align=block_align)
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                pcm = codec.decode(bytes(content)).astype(np.int64)
+                out.append(
+                    (
+                        mid,
+                        len(pcm),
+                        int(pcm[0]),
+                        int(pcm[-1]),
+                        int(pcm.sum()),
+                        int(pcm.min()),
+                        int(pcm.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "first_sample",
+                    "last_sample",
+                    "sum_samples",
+                    "min_sample",
+                    "max_sample",
+                ],
+            )
+
+    return df.mapInPandas(stats, ADPCM_DECODE_SCHEMA)
 
 
 def make_fake_media_table(spark, n: int = 64) -> DataFrame:
