@@ -72,11 +72,11 @@ HEADLINE = [
     "heavy_hitter_users",
     "quality_classifier_score",
     # round 6 (gate-style queries — minhash_lsh_recall, simhash_md5_neardup,
-    # dedup_incremental_recall — stay out of the headline set by the r5
-    # precedent: their oracle-matching operating points are deliberately
-    # expensive recall-1 configurations, not production points)
+    # dedup_incremental_recall, bloom_md5_decontaminate — stay out of the
+    # headline set by the r5 precedent: their oracle-matching operating
+    # points are pinned/recall-1 configurations, not production points;
+    # bloom_decontaminate above is the xxhash64 production representative)
     "embedding_lsh_topk",
-    "bloom_md5_decontaminate",
     "bpe_encode_fixed",
 ]
 

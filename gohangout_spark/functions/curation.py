@@ -282,7 +282,12 @@ def build_ngram_bloom(
         expected_items = None  # too big for the fast path after all
 
     if expected_items is None:
-        expected_items = grams.select(F.approx_count_distinct("h")).first()[0] or 1
+        if size is not None:
+            # (m, k) are pinned: a cardinality estimate would be computed
+            # and then ignored by _size — skip the count pass entirely.
+            expected_items = 0
+        else:
+            expected_items = grams.select(F.approx_count_distinct("h")).first()[0] or 1
     m, k = _size(expected_items)
 
     nbytes = m // 8

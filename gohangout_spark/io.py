@@ -314,9 +314,9 @@ def _escape_partition_value(spark: SparkSession, v) -> str:
             .ExternalCatalogUtils.escapePathName(s)
         )
     except Exception:
-        needs = set('"#%\'*/:=?\\{[]^') | {
+        needs = set('"#%\'*/:=?\\{[]^') | {
             chr(c) for c in range(1, 32)
-        }
+        } | {chr(127)}  # DEL is in Hive's escape table too
         return "".join(
             f"%{ord(c):02X}" if c in needs else c for c in s
         )

@@ -1,0 +1,191 @@
+"""ADPCM correctness: the IMA/DVI quantizer recurrence cross-checked
+bit-for-bit against CPython's independent ``audioop`` implementation
+(the cross-check cited by functions/adpcm.py and the
+``multimodal_adpcm_decode`` gate docstrings), plus hand-walked spec
+vectors, lossy roundtrip bounds, and multi-block/padding container
+behavior. No Spark session needed — this pins the pure-Python core the
+mapInPandas decode path calls.
+
+NOTE on nibble packing: ``audioop`` packs the FIRST nibble in the HIGH
+half of each byte (CPython Modules/audioop.c lin2adpcm/adpcm2lin),
+whereas the WAV IMA layout our container uses packs low-nibble-first —
+the tests below repack accordingly so the comparison is over the same
+nibble SEQUENCE.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+audioop = pytest.importorskip("audioop")  # removed from stdlib in 3.13
+
+from gohangout_spark.functions.adpcm import (
+    INDEX_TABLE,
+    STEP_TABLE,
+    ImaAdpcmCodec,
+    adpcm_core_decode,
+    adpcm_core_encode,
+)
+
+
+def _signals():
+    rng = np.random.RandomState(7)
+    sine = np.round(12000 * np.sin(np.arange(400) * 0.07)).astype(np.int64)
+    noise = rng.randint(-32768, 32768, size=401).astype(np.int64)
+    steps = np.repeat([0, 30000, -30000, 5, -5, 32767, -32768], 23).astype(np.int64)
+    return {"sine": sine, "noise": noise, "steps": steps}
+
+
+def _pack_high_first(nibbles):
+    """audioop byte layout: first nibble HIGH, second nibble LOW."""
+    if len(nibbles) % 2:
+        nibbles = list(nibbles) + [0]
+    return bytes((a << 4) | b for a, b in zip(nibbles[0::2], nibbles[1::2]))
+
+
+def _unpack_high_first(frag):
+    out = []
+    for byte in frag:
+        out.append(byte >> 4)
+        out.append(byte & 0xF)
+    return out
+
+
+class TestAdpcmCoreVsAudioop:
+    @pytest.mark.parametrize("name", ["sine", "noise", "steps"])
+    def test_encode_matches_lin2adpcm(self, name):
+        """Our encoder's nibble stream and final (predictor, index) state
+        must equal audioop.lin2adpcm's bit-for-bit from the same seed."""
+        samples = _signals()[name]
+        # even length: audioop emits whole bytes only
+        samples = samples[: len(samples) // 2 * 2]
+        ours, pred, index = adpcm_core_encode(samples, 0, 0)
+        frag, (a_pred, a_index) = audioop.lin2adpcm(
+            samples.astype("<i2").tobytes(), 2, None
+        )
+        assert _unpack_high_first(frag) == ours
+        assert (a_pred, a_index) == (pred, index)
+
+    @pytest.mark.parametrize("name", ["sine", "noise", "steps"])
+    def test_decode_matches_adpcm2lin(self, name):
+        """Decoding our own nibble stream through audioop must reproduce
+        our decoder's samples and state exactly."""
+        samples = _signals()[name]
+        samples = samples[: len(samples) // 2 * 2]
+        nibbles, _, _ = adpcm_core_encode(samples, 0, 0)
+        ours, pred, index = adpcm_core_decode(nibbles, 0, 0)
+        pcm, (a_pred, a_index) = audioop.adpcm2lin(
+            _pack_high_first(nibbles), 2, None
+        )
+        theirs = np.frombuffer(pcm, dtype="<i2").astype(int).tolist()
+        assert theirs == ours
+        assert (a_pred, a_index) == (pred, index)
+
+    def test_nonzero_seed_state_threads_through(self):
+        """State (predictor, index) carried across calls matches audioop's
+        stateful API — pins the cross-block index carry the container uses."""
+        samples = _signals()["sine"]
+        a, b = samples[:100], samples[100:200]
+        n1, p1, i1 = adpcm_core_encode(a, 0, 0)
+        n2, p2, i2 = adpcm_core_encode(b, p1, i1)
+        f1, st = audioop.lin2adpcm(a.astype("<i2").tobytes(), 2, None)
+        f2, st = audioop.lin2adpcm(b.astype("<i2").tobytes(), 2, st)
+        assert _unpack_high_first(f1) + _unpack_high_first(f2) == n1 + n2
+        assert st == (p2, i2)
+
+
+class TestAdpcmSpecVectors:
+    """Hand-walked IMA spec vectors (step table entry 0 = 7)."""
+
+    def test_decode_nibble_3_from_zero(self):
+        # step=7: vpdiff = 7>>3 + 7>>1 + 7>>2 = 0+3+1 = 4; index 0-1 -> clamp 0
+        assert adpcm_core_decode([3], 0, 0) == ([4], 4, 0)
+
+    def test_decode_nibble_7_from_zero(self):
+        # vpdiff = 0 + 7 + 3 + 1 = 11; index 0+8 = 8
+        assert adpcm_core_decode([7], 0, 0) == ([11], 11, 8)
+
+    def test_decode_sign_nibble_is_negative(self):
+        # nib 0xF = sign | 7: predictor 0 - 11 = -11
+        assert adpcm_core_decode([15], 0, 0) == ([-11], -11, 8)
+
+    def test_decode_clamps_predictor(self):
+        # from +32767 at max step, a big positive vpdiff clamps at 32767
+        samples, pred, _ = adpcm_core_decode([7], 32767, 88)
+        assert samples == [32767] and pred == 32767
+
+    def test_index_clamps_at_table_ends(self):
+        _, _, idx = adpcm_core_decode([0, 0, 0], 0, 1)
+        assert idx == 0  # -1 per zero nibble, clamped at 0
+        _, _, idx = adpcm_core_decode([7, 7], 0, 85)
+        assert idx == 88  # +8 twice, clamped at 88
+
+    def test_tables_match_published_spec(self):
+        assert len(STEP_TABLE) == 89
+        assert STEP_TABLE[0] == 7 and STEP_TABLE[-1] == 32767
+        assert INDEX_TABLE[:8] == [-1, -1, -1, -1, 2, 4, 6, 8]
+
+    def test_encoder_decoder_predictors_never_drift(self):
+        """The encoder reconstructs with the decoder's truncated arithmetic,
+        so running the decoder over the encoder's nibbles must land on the
+        encoder's own final predictor for ANY input."""
+        for samples in _signals().values():
+            nibbles, e_pred, e_idx = adpcm_core_encode(samples, 0, 0)
+            _, d_pred, d_idx = adpcm_core_decode(nibbles, 0, 0)
+            assert (d_pred, d_idx) == (e_pred, e_idx)
+
+
+class TestAdpcmContainer:
+    def test_roundtrip_bounded_error(self):
+        """Lossy, but bounded: with the per-block predictor seeded from the
+        true first sample, the reconstruction error on a smooth signal stays
+        within ~1.5x the local step size (spec behavior, not a tight bound)."""
+        codec = ImaAdpcmCodec(16000, 256)
+        pcm = np.round(8000 * np.sin(np.arange(2000) * 0.01)).astype(np.int64)
+        out = codec.decode(codec.encode(pcm))
+        assert len(out) == len(pcm)
+        assert np.max(np.abs(out.astype(np.int64) - pcm)) < 256
+
+    def test_block_first_sample_is_lossless(self):
+        codec = ImaAdpcmCodec(16000, 20)  # 33 samples/block
+        pcm = _signals()["noise"][:165]
+        out = codec.decode(codec.encode(pcm))
+        assert np.array_equal(out[::33].astype(np.int64), pcm[::33])
+
+    def test_multi_block_padding_trimmed_by_fact(self):
+        """A clip that is NOT a whole number of blocks: the short final block
+        is padded on encode and the fact chunk trims it back on decode."""
+        codec = ImaAdpcmCodec(16000, 20)
+        for n in (1, 32, 33, 34, 100):
+            pcm = _signals()["sine"][:n]
+            payload = codec.encode(pcm)
+            assert len(codec.decode(payload)) == n
+
+    def test_blocks_are_independent(self):
+        """Each block decodes from its own header seed alone — the property
+        the 100 TB block-parallel claim rests on."""
+        codec = ImaAdpcmCodec(16000, 20)
+        pcm = _signals()["noise"][:99]  # 3 exact blocks
+        payload = codec.encode(pcm)
+        full = codec.decode(payload)
+        spb = codec.samples_per_block
+        for bi, (pred, index, nibbles) in enumerate(codec.block_streams(payload)):
+            samples, _, _ = adpcm_core_decode(nibbles, pred, index)
+            block = [pred] + samples
+            assert block == full[bi * spb : (bi + 1) * spb].astype(int).tolist()
+
+    def test_wav_framing_fields(self):
+        codec = ImaAdpcmCodec(8000, 256)
+        payload = codec.encode(np.zeros(10, dtype=np.int64))
+        assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+        fmt_at = payload.index(b"fmt ") + 8
+        tag, ch, rate, _avg, align, bits = struct.unpack_from("<HHIIHH", payload, fmt_at)
+        assert (tag, ch, rate, align, bits) == (0x0011, 1, 8000, 256, 4)
+
+    def test_decode_rejects_non_adpcm(self):
+        codec = ImaAdpcmCodec()
+        with pytest.raises(ValueError):
+            codec.decode(b"RIFX" + b"\x00" * 40)
