@@ -3071,9 +3071,10 @@ def embedding_q8_topk(spark, sf_dir):
 
 
 
-@q(
-    "dedup_incremental_recall",
-    """WITH t AS (
+# Shared by dedup_incremental_recall (one-shot) and dedup_stream_replay
+# (N foreachBatch increments of the SAME machinery): DuckDB's all-pairs
+# exact shingle-jaccard answer restricted to pairs touching the new side.
+_INCR_RECALL_SQL = """WITH t AS (
   SELECT doc_id,
          list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
                      x -> x <> '') AS toks
@@ -3090,8 +3091,10 @@ SELECT id_a, id_b, jaccard FROM (
            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
            * 1e4 + 0.5) / 1e4 AS jaccard
   FROM s a JOIN s b ON a.doc_id < b.doc_id)
-WHERE jaccard >= 0.5 AND id_b >= 400""",
-)
+WHERE jaccard >= 0.5 AND id_b >= 400"""
+
+
+@q("dedup_incremental_recall", _INCR_RECALL_SQL)
 def dedup_incremental_recall(spark, sf_dir):
     """The incremental-dedup path's HASH gate (r6, same construction as
     minhash_lsh_recall): history = docs < 400 persisted as a minhash_index
@@ -3159,6 +3162,113 @@ def dedup_incremental(spark, sf_dir):
         new, idx, num_hashes=32, bands=16
     ).filter(F.col("est_jaccard") >= 0.2)
 
+
+@q("dedup_stream_replay", _INCR_RECALL_SQL)
+def dedup_stream_replay(spark, sf_dir):
+    """HASH gate for the STREAMING dedup loop itself (VERDICT r6 #5 —
+    streaming/dedup_stream.py was [T]-only): docs >= 400 are replayed as
+    a real Structured Streaming file source (maxFilesPerTrigger=1, four
+    contiguous-id parquet files = four foreachBatch epochs) through
+    start_dedup_stream against a history index seeded from docs < 400,
+    at the recall-1 operating point (64 hashes x 32 bands) with the
+    suppression threshold pinned ABOVE 1 — the limiting case where no
+    doc can drop, so every epoch must append its full batch's signatures
+    and band keys to the index (the PQ-exact-rerank gate pattern).
+
+    The gate then re-probes the streamed docs against the FINAL index:
+    because the index now holds history + all four appends, the candidate
+    set (oriented id_a < id_b, cross-leg duplicates collapsed) must equal
+    the one-shot op's over the whole corpus — any lost/duplicated epoch,
+    signature drift between the loop's minhash_index writes and the probe,
+    band-key corruption through the parquet round-trip, or a broken
+    _index_exists probe surfaces as missing/extra pairs against the SAME
+    DuckDB all-pairs oracle dedup_incremental_recall uses. Python-side
+    asserts additionally pin epoch count == 4 and survivors == all docs."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from gohangout_spark.functions.dedup import (
+        minhash_index,
+        minhash_lsh_candidates_incremental,
+        shingle_hashes,
+    )
+    from gohangout_spark.streaming.dedup_stream import start_dedup_stream
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 400).select("doc_id", "text")
+    kw = dict(num_hashes=64, bands=32)
+
+    base = tempfile.mkdtemp(prefix="dedup_stream_gate_")
+    in_dir, index_path = f"{base}/in", f"{base}/index"
+    os.makedirs(in_dir)
+    try:
+        minhash_index(old, "text", "doc_id", **kw).write.parquet(index_path)
+
+        # four contiguous-id micro-batch files, written in ingest order
+        # (driver pulls only the scalar id bounds, never rows)
+        lo, hi = new.agg(F.min("doc_id"), F.max("doc_id")).first()
+        cuts = [lo + (hi - lo + 1) * k // 4 for k in range(5)]
+        for k in range(4):
+            tmp = f"{base}/tmp_{k}"
+            new.filter(
+                (F.col("doc_id") >= cuts[k]) & (F.col("doc_id") < cuts[k + 1])
+            ).coalesce(1).write.parquet(tmp)
+            (part,) = glob.glob(f"{tmp}/part-*.parquet")
+            shutil.move(part, f"{in_dir}/batch_{k}.parquet")
+            os.utime(f"{in_dir}/batch_{k}.parquet", (1_000_000 + k, 1_000_000 + k))
+
+        seen: list[tuple[int, int]] = []
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        query = start_dedup_stream(
+            stream,
+            index_path,
+            lambda df, bid: seen.append((bid, df.count())),
+            threshold=1.01,  # limiting case: est_jaccard <= 1.0 < threshold
+            checkpoint=f"{base}/ckpt",
+            query_name="dedup_stream_gate",
+            **kw,
+        )
+        query.processAllAvailable()
+        query.stop()
+        query.awaitTermination()
+
+        n_new = new.count()
+        assert len(seen) == 4, f"expected 4 foreachBatch epochs, got {seen}"
+        assert sum(n for _, n in seen) == n_new, f"dropped docs at t>1: {seen}"
+
+        final_index = spark.read.parquet(index_path)
+        cand = (
+            minhash_lsh_candidates_incremental(new, final_index, **kw)
+            .where(F.col("id_a") < F.col("id_b"))  # drop self/flipped pairs
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        sh = docs.select(
+            F.col("doc_id"), shingle_hashes(F.col("text"), 3).alias("sh")
+        ).filter(F.size("sh") > 0)
+        withsh = cand.join(
+            sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        ).join(
+            sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        out = withsh.select(
+            "id_a", "id_b", round_half_up(inter / union, 4).alias("jaccard")
+        ).where(F.col("jaccard") >= 0.5)
+        # detach from the temp parquet before it is removed (small result)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @q(
@@ -5081,70 +5191,78 @@ def multimodal_flac_features(spark, sf_dir):
 # first couple of them is harmless).  New round-3 queries are inserted
 # before the tail so they are gated the round they land.
 _GATE_PRIORITY = [
-    # --- round-6 window (VERDICT r5 items #1-#5) ---
-    # rows-only -> full-hash conversions: the last ANN variants (SQL
-    # replay of SQ8 arithmetic, literal JL matrix, literal hyperplanes
-    # for both topk and the banded near-dup pair op):
-    "embedding_q8_topk",
-    "embedding_rp_topk",
-    "embedding_lsh_topk",
-    "embedding_neardup_lsh",
-    # new limiting-case gate: PQ with full rerank == brute force (r5 #2):
-    "embedding_pq_exact_rerank",
-    # new md5-twin bloom replay (r5 #3) and frozen-vocab BPE encode
-    # recursion (r5 #4):
-    "bloom_md5_decontaminate",
-    "bpe_encode_fixed",
-    # the multimodal no_oracle trio, now arithmetic-replay gated (r5 #5):
-    "multimodal_features",
-    "multimodal_audio_features",
-    "multimodal_frame_sample",
-    # new r6 recall-1 gate for the incremental minhash-index path:
-    "dedup_incremental_recall",
-    # new r6 lossy-audio codec (IMA ADPCM), SQL state-machine replay:
-    "multimodal_adpcm_decode",
-    # VP8L codec fixed this round (spec dist-map/TR/mode-13) — re-gate:
-    "multimodal_webp_features",
-    # --- 17 slots: stalest evidence (last green r2) ---
-    "order_priority_semijoin",
-    "quality_score",
-    "remove_fields",
-    "rename_field",
-    "replace_literal",
-    "segment_topk_rank",
-    "session_window",
-    "split_maxsplit",
-    "split_parse",
-    "token_count",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "translate_broadcast_join",
-    "translate_dict",
-    "uppercase",
-    "urldecode",
-    # --- remaining 22 slots: last green r3 ---
-    "cap_per_source",
-    "chunk_dedup_stats",
-    "customers_without_orders",
-    "decontaminate_docs",
-    "dedup_clusters",
-    "dedup_filter_events",
-    "dedup_paragraphs",
-    "deterministic_sample",
-    "distinct_users",
-    "etl_pipeline_chain",
-    "event_type_pivot",
-    "event_value_geomean",
-    "intersect_buyers_clickers",
-    "ngram_decontaminate",
-    "orders_left_outer",
-    "pack_documents",
-    "paragraph_dedup_stats",
-    "purchase_attribution",
-    "quality_filter_pipeline",
-    "quantile_buckets_lang",
+    # --- round-7 window (VERDICT r6 #2/#5): 1 new gate + the stale
+    # r3/r4 cohort. The driver samples the FIRST 50 registrations; r6
+    # re-greened the r2/r3 tail, so this round rotates in everything
+    # whose last green is <= r4 (22 r3-cohort + 27 of 39 r4-cohort,
+    # alphabetical; the remaining 12 r4 rows lead the r8 window below
+    # slot 50). New-this-round gates go first so they are checked the
+    # round they land.
+    "dedup_stream_replay",
+    # --- 22 slots: last green r3 ---
     "redact_pii",
+    "rollup_totals",
+    "semantic_dedup_by_label",
+    "signup_error_window",
+    "sliding_window_counts",
+    "stratified_sample",
+    "template_condition",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "user_rolling_avg",
+    "vocabulary_topn",
+    "weighted_mixture",
+    "yaml_pipeline_e2e",
+    # --- 27 slots: last green r4 (alphabetical) ---
+    "approx_distinct_report",
+    "bm25_search",
+    "boilerplate_lines",
+    "bpe_token_count",
+    "char_lm_perplexity",
+    "chunk_documents",
+    "cohort_retention",
+    "cube_totals",
+    "curation_funnel",
+    "deterministic_shuffle",
+    "dup_span_stats",
+    "event_sequences_topk",
+    "flesch_reading_ease",
+    "funnel_conversion",
+    "fuzzy_name_pairs",
+    "gopher_rules",
+    "hashed_embedding_vectors",
+    "inverted_index",
+    "label_centroids",
+    "markov_transitions",
+    "multimodal_audio_spectrum",
+    "multimodal_ppm_features",
+    "multimodal_video_frames",
+    "multimodal_wav_features",
+    "near_dedup_keep",
+    "ngram_repetition",
+    "pack_documents_bestfit",
+    # --- below slot 50: the r4 remainder, heading the r8 window ---
+    "quality_classifier_score",
+    "remove_dup_spans",
+    "rfm_segments",
+    "semantic_dedup_kmeans",
+    "tfidf_search",
+    "token_budget_mixture",
+    "top_phrases",
+    "udtf_paragraphs",
+    "url_curation",
+    "weighted_sample_topk",
+    "winnow_fingerprints",
+    "zscore_anomalies",
 ]
 
 QUERIES = {
