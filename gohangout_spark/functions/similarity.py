@@ -981,23 +981,18 @@ def quantize_embeddings(
     return df.withColumn(scale_col, scale).withColumn(out_col, q)
 
 
-def q8_topk(
+def q8_encode_corpus(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Brute-force cosine top-k over the int8-quantized corpus: queries stay
-    float (broadcast — asymmetric quantization, the SQ8 pattern), corpus
-    rows are scored as ``scale * Σ q_i·c8_i`` — exact dot against the
-    DEQUANTIZED vector without materializing it. Same plan shape as
-    :func:`brute_force_topk` (broadcast queries, corpus streams, per-query
-    top-k window) at 1/8 the corpus scan bytes."""
-    from pyspark.sql.window import Window
-
+    """Ingest-side half of the SQ8 scan: unit-normalize then int8-quantize
+    the corpus, returning (neighbor_id, c8 array<tinyint>, cscale) — the
+    compact representation to MATERIALIZE (parquet) so query-time scans
+    read 1/8 the bytes and the float originals stay cold. At 100 TB this
+    encode runs once per ingest batch, not once per query."""
     to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
-    c = quantize_embeddings(
+    return quantize_embeddings(
         _unit(
             corpus.select(
                 F.col(id_col).alias("neighbor_id"), to_d(F.col(vec_col)).alias("cv")
@@ -1008,11 +1003,30 @@ def q8_topk(
         out_col="c8",
         scale_col="cscale",
     ).select("neighbor_id", "c8", "cscale")
+
+
+def q8_topk_encoded(
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query-side half of the SQ8 scan, over a PRE-ENCODED codes table
+    (:func:`q8_encode_corpus` output, usually read back from parquet):
+    queries stay float (broadcast — asymmetric quantization, the SQ8
+    pattern), corpus rows are scored as ``scale * Σ q_i·c8_i`` — exact
+    dot against the DEQUANTIZED vector without materializing it. Same
+    plan shape as :func:`brute_force_topk` (broadcast queries, corpus
+    streams, per-query top-k window) at 1/8 the corpus scan bytes."""
+    from pyspark.sql.window import Window
+
+    to_d = lambda c: F.transform(c, lambda x: x.cast("double"))
     q = _unit(
         queries.select(F.col(id_col).alias("query_id"), to_d(F.col(vec_col)).alias("qv")),
         "qv",
     )
-    joined = c.crossJoin(F.broadcast(q)).where(
+    joined = codes.crossJoin(F.broadcast(q)).where(
         F.col("query_id") != F.col("neighbor_id")
     )
     dot8 = F.aggregate(
@@ -1028,6 +1042,22 @@ def q8_topk(
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", round_half_up(F.col("sim"), 4).alias("sim"), "rank")
+    )
+
+
+def q8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """One-shot SQ8 brute-force top-k: :func:`q8_encode_corpus` composed
+    with :func:`q8_topk_encoded` in a single plan (encode rides the scan —
+    the shape the embedding_q8_topk hash gate replays in SQL). Production
+    at scale materializes the encode once instead; see q8_topk_encoded."""
+    return q8_topk_encoded(
+        q8_encode_corpus(corpus, vec_col, id_col), queries, k, vec_col, id_col
     )
 
 

@@ -90,6 +90,49 @@ def build_derived(spark, src_sf: str, out_dir: str) -> None:
     open(os.path.join(out_dir, "_DONE"), "w").write("ok")
 
 
+def build_derived_embeddings(spark, src_sf: str, out_dir: str) -> None:
+    """100 copies of the embeddings table with offset ids (separate marker:
+    the docs/events derivation may already exist from an earlier round).
+    Vectors are kept verbatim — the ANN scan shapes under test are
+    content-oblivious (q8/rp scan every row; LSH bucket occupancy scales
+    with corpus size exactly as it would with distinct vectors)."""
+    if os.path.exists(os.path.join(out_dir, "_DONE_EMB")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    emb = load_table(spark, src_sf, "embeddings")
+    n_vecs = emb.count()
+    parts = [
+        emb.select(
+            (F.col("vec_id") + k * n_vecs).alias("vec_id"), "embedding", "label"
+        )
+        for k in range(COPIES)
+    ]
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    # the STORED compact representations (encode-at-ingest, the production
+    # shape): int8 SQ8 codes and the 16-dim JL projection, small and big
+    from gohangout_spark.functions.similarity import (
+        q8_encode_corpus,
+        random_projection,
+    )
+
+    big_emb = spark.read.parquet(os.path.join(out_dir, "embeddings.parquet"))
+    for tag, src, parts_n in (("small", emb, 8), ("big", big_emb, 64)):
+        q8_encode_corpus(src).repartition(parts_n).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"embeddings_q8_{tag}.parquet"))
+        random_projection(src, dim=64, out_dim=16).select(
+            "vec_id", "embedding_rp"
+        ).repartition(parts_n).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"embeddings_rp16_{tag}.parquet")
+        )
+    open(os.path.join(out_dir, "_DONE_EMB"), "w").write("ok")
+
+
 def ops(spark):
     """name -> callable(docs_df, events_df) returning a DataFrame to force."""
     from gohangout_spark.functions.curation import (
@@ -169,6 +212,41 @@ def ops(spark):
     }
 
 
+def ann_ops():
+    """name -> callable(emb_df) — the r6-gated ANN scan shapes (VERDICT r6
+    #6), at the exact workload operating points: a 10-query block against
+    the corpus. q8 scans int8 codes (1/8 the bytes), rp scans the 16-dim
+    projection (1/4 the dims), lsh replaces the scan with a bucket
+    equi-join."""
+    from gohangout_spark.functions.similarity import (
+        brute_force_topk,
+        lsh_topk,
+        q8_topk,
+        random_projection,
+    )
+
+    def rp(emb):
+        proj = random_projection(emb, dim=64, out_dim=16)
+        return brute_force_topk(
+            proj, proj.filter(F.col("vec_id") < 10), vec_col="embedding_rp", k=5
+        )
+
+    return {
+        # uncompressed float64 scan: the baseline the compressed variants
+        # are measured against
+        "ann_brute_force[f64,k5]": lambda emb: brute_force_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5
+        ),
+        "ann_q8_scan[int8,k5]": lambda emb: q8_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5
+        ),
+        "ann_rp_scan[64->16,k5]": rp,
+        "ann_lsh_bucketed[p6,k5]": lambda emb: lsh_topk(
+            emb, emb.filter(F.col("vec_id") < 10), dim=64, k=5, n_planes=6
+        ),
+    }
+
+
 def force(df):
     df.write.format("noop").mode("overwrite").save()
 
@@ -180,31 +258,82 @@ def main():
     )
     spark.sparkContext.setLogLevel("ERROR")
     build_derived(spark, "/root/testdata/sf0.1", out_dir)
+    build_derived_embeddings(spark, "/root/testdata/sf0.1", out_dir)
 
     small_docs = load_table(spark, "/root/testdata/sf0.1", "documents")
     small_ev = load_table(spark, "/root/testdata/sf0.1", "events")
+    small_emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
     big_docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
     big_ev = spark.read.parquet(os.path.join(out_dir, "events.parquet"))
+    big_emb = spark.read.parquet(os.path.join(out_dir, "embeddings.parquet"))
     # warm the session so the first measured op doesn't pay JVM/codegen init
     force(small_docs.select("doc_id"))
     force(big_docs.select("doc_id"))
 
-    print(f"| op | sf0.1 s | {COPIES}x s | factor ({COPIES}x data) |")
-    print("|---|---|---|---|")
-    for name, fn in ops(spark).items():
+    def measure(name, run_small, run_big):
         # small pass runs FIRST and doubles as the codegen warmup for the
         # big pass, biasing the factor UP (conservative direction)
         t0 = time.time()
-        force(fn(small_docs, small_ev))
+        force(run_small())
         t_small = time.time() - t0
         t0 = time.time()
-        force(fn(big_docs, big_ev))
+        force(run_big())
         t_big = time.time() - t0
         sys.stdout.write(
             f"| {name} | {t_small:.2f} | {t_big:.2f} "
             f"| {t_big / max(t_small, 1e-9):.1f}x |\n"
         )
         sys.stdout.flush()
+
+    print(f"| op | sf0.1 s | {COPIES}x s | factor ({COPIES}x data) |")
+    print("|---|---|---|---|")
+    only = set(sys.argv[2:])  # optional op-name filter
+    for name, fn in ops(spark).items():
+        if only and name not in only:
+            continue
+        measure(
+            name,
+            lambda: fn(small_docs, small_ev),
+            lambda: fn(big_docs, big_ev),
+        )
+    for name, fn in ann_ops().items():
+        if only and name not in only:
+            continue
+        measure(name, lambda: fn(small_emb), lambda: fn(big_emb))
+
+    # stored-representation scans: the encode ran at ingest (derived build),
+    # the measured op is ONLY the query-time scan over the compact table —
+    # the operating point the SQ8/JL scan-byte claims are about
+    from gohangout_spark.functions.similarity import (
+        brute_force_topk,
+        q8_topk_encoded,
+        random_projection,
+    )
+
+    qblock = small_emb.filter(F.col("vec_id") < 10)
+    stored = {
+        t: spark.read.parquet(os.path.join(out_dir, f"embeddings_{t}.parquet"))
+        for t in ("q8_small", "q8_big", "rp16_small", "rp16_big")
+    }
+    rp_q = random_projection(qblock, dim=64, out_dim=16)
+    stored_ops = {
+        "ann_q8_stored_scan[int8,k5]": (
+            lambda: q8_topk_encoded(stored["q8_small"], qblock, k=5),
+            lambda: q8_topk_encoded(stored["q8_big"], qblock, k=5),
+        ),
+        "ann_rp_stored_scan[16d,k5]": (
+            lambda: brute_force_topk(
+                stored["rp16_small"], rp_q, vec_col="embedding_rp", k=5
+            ),
+            lambda: brute_force_topk(
+                stored["rp16_big"], rp_q, vec_col="embedding_rp", k=5
+            ),
+        ),
+    }
+    for name, (run_small, run_big) in stored_ops.items():
+        if only and name not in only:
+            continue
+        measure(name, run_small, run_big)
 
 
 if __name__ == "__main__":
