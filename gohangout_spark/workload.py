@@ -3272,6 +3272,135 @@ def dedup_stream_replay(spark, sf_dir):
 
 
 @q(
+    "link_metric_stream_replay",
+    # value has exactly 2 decimals -> integer cents make sum/mean
+    # summation-order-independent (same device as link_stats_metric)
+    """WITH e AS (
+  SELECT date_trunc('hour', ts) AS w, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents,
+         CAST(event_id % 4 AS INT) AS batch_id
+  FROM events),
+per AS (
+  SELECT batch_id, w, event_type, count(*) AS c,
+         min(cents) AS mn, max(cents) AS mx, sum(cents) AS s
+  FROM e GROUP BY 1, 2, 3),
+cum AS (
+  SELECT batch_id, w, event_type,
+         CAST(sum(c) OVER win AS BIGINT) AS count,
+         min(mn) OVER win AS mincents,
+         max(mx) OVER win AS maxcents,
+         CAST(sum(s) OVER win AS BIGINT) AS sumcents
+  FROM per
+  WINDOW win AS (PARTITION BY w, event_type ORDER BY batch_id))
+SELECT batch_id, strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, count,
+       round(mincents / 100.0, 4) AS min, round(maxcents / 100.0, 4) AS max,
+       sumcents / 100.0 AS sum,
+       ((sumcents * 100 + count // 2) // count) / 10000.0 AS mean
+FROM cum""",
+)
+def link_metric_stream_replay(spark, sf_dir):
+    """HASH gate for the applyInPandasWithState cumulative metric
+    (VERDICT r6 #5 second half — streaming/stateful.py was [T]-only):
+    events are replayed as a real Structured Streaming file source (four
+    files split by event_id % 4, processed in order, one epoch each)
+    through cumulative_link_metric_stream in its LinkStatsMetric shape
+    (group event_type, hourly buckets, value stats). Every UPDATE-mode
+    emission is captured per epoch via foreachBatch, and the full
+    emission LOG — one row per (window, event_type, epoch the group
+    appeared in), carrying the RUNNING count/min/max/sum/mean — must
+    equal DuckDB's cumulative-window replay over the same batch split.
+    This pins the reference's cumulative re-emission contract
+    (link_metric.go:169-179: re-emit the running total every tick) plus
+    the state carry across epochs; reserve_window is pinned huge so no
+    state expires and the watermark never drops a row (expiry semantics
+    stay pinned by tests/test_streaming_stateful.py).
+
+    Sum/mean ride integer cents (values have exactly 2 decimals; the
+    float state sum is within 1e-6 of the true cent total, so the round
+    trip is exact) to stay summation-order-independent across engines."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from gohangout_spark.streaming.stateful import cumulative_link_metric_stream
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    base = tempfile.mkdtemp(prefix="link_metric_stream_gate_")
+    in_dir = f"{base}/in"
+    os.makedirs(in_dir)
+    try:
+        for k in range(4):
+            tmp = f"{base}/tmp_{k}"
+            ev.filter(F.col("event_id") % 4 == k).coalesce(1).write.parquet(tmp)
+            (part,) = glob.glob(f"{tmp}/part-*.parquet")
+            shutil.move(part, f"{in_dir}/batch_{k}.parquet")
+            os.utime(f"{in_dir}/batch_{k}.parquet", (1_000_000 + k, 1_000_000 + k))
+
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = cumulative_link_metric_stream(
+            stream,
+            "event_type",
+            batch_window=3600,
+            reserve_window=1_000_000_000,  # nothing expires, nothing is late
+            ts_field="ts",
+            stats_field="value",
+        )
+        rows: list[tuple] = []
+
+        def capture(batch_df, batch_id):
+            for r in batch_df.select(
+                F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("w"),
+                "event_type",
+                "count",
+                "min",
+                "max",
+                "sum",
+            ).collect():
+                cents = round(r["sum"] * 100)
+                rows.append(
+                    (
+                        int(batch_id),
+                        r["w"],
+                        r["event_type"],
+                        int(r["count"]),
+                        float(r["min"]),
+                        float(r["max"]),
+                        cents / 100.0,
+                        ((cents * 100 + r["count"] // 2) // r["count"]) / 10000.0,
+                    )
+                )
+
+        query = (
+            out.writeStream.foreachBatch(capture)
+            .outputMode("update")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .queryName("link_metric_stream_gate")
+            .start()
+        )
+        query.processAllAvailable()
+        query.stop()
+        query.awaitTermination()
+        assert rows, "stream emitted nothing"
+        return spark.createDataFrame(
+            rows,
+            "batch_id int, window_start string, event_type string, "
+            "count bigint, min double, max double, sum double, mean double",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@q(
     "near_dedup_keep",
     f"""WITH RECURSIVE t AS (
          SELECT doc_id, list_distinct({_TOK_SQL}) AS toks FROM documents),
@@ -5199,6 +5328,7 @@ _GATE_PRIORITY = [
     # slot 50). New-this-round gates go first so they are checked the
     # round they land.
     "dedup_stream_replay",
+    "link_metric_stream_replay",
     # --- 22 slots: last green r3 ---
     "redact_pii",
     "rollup_totals",
@@ -5249,8 +5379,8 @@ _GATE_PRIORITY = [
     "multimodal_wav_features",
     "near_dedup_keep",
     "ngram_repetition",
-    "pack_documents_bestfit",
     # --- below slot 50: the r4 remainder, heading the r8 window ---
+    "pack_documents_bestfit",
     "quality_classifier_score",
     "remove_dup_spans",
     "rfm_segments",
