@@ -799,6 +799,91 @@ def extract_adpcm_decode_stats(df: DataFrame, block_align: int = 20) -> DataFram
     return df.mapInPandas(stats, ADPCM_DECODE_SCHEMA)
 
 
+class G711AudioCodec:
+    """Adapter exposing functions.g711.G711Codec through the audio-codec
+    contract — the telephony LOSSY audio path (2:1 companding, stateless
+    per sample). Decode differs from the encoded PCM, so the gate checks
+    the decoded stream itself: the multimodal_g711_decode oracle replays
+    BOTH the companding encode and the expansion decode as pure SQL
+    arithmetic from the closed-form fixture, and pytest cross-checks all
+    four maps bit-for-bit against CPython's audioop over the full
+    16-bit / 256-code ranges (tests/test_multimodal.py)."""
+
+    def __init__(self, law: str = "ulaw"):
+        self.law = law
+
+    def decode(self, payload: bytes, sample_rate: int = 8000) -> np.ndarray:
+        from gohangout_spark.functions.g711 import G711Codec
+
+        return G711Codec(self.law, sample_rate).decode(payload).astype(
+            np.float64
+        ) / 32768.0
+
+    def encode(self, pcm: np.ndarray, sample_rate: int = 8000) -> bytes:
+        from gohangout_spark.functions.g711 import G711Codec
+
+        ints = np.round(np.clip(pcm, -1.0, 1.0) * 32767).astype(np.int64)
+        return G711Codec(self.law, sample_rate).encode(ints)
+
+
+def make_g711_media_table(
+    spark, n: int = 32, n_samples: int = 400, sample_rate: int = 8000
+) -> DataFrame:
+    """G.711 media table: clip i is adpcm_fixture_clip(i, n_samples)
+    (the same quadratic-phase modular sweep — closed-form, so the oracle
+    re-derives the PCM in SQL) companded as μ-law for even ids and A-law
+    for odd ids — one table exercising both curves."""
+    from gohangout_spark.functions.g711 import G711Codec
+
+    rows = []
+    for i in range(n):
+        law = "ulaw" if i % 2 == 0 else "alaw"
+        payload = G711Codec(law, sample_rate).encode(
+            adpcm_fixture_clip(i, n_samples)
+        )
+        rows.append((i, bytearray(payload), (0, 0, 1, law)))
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
+def extract_g711_decode_stats(df: DataFrame) -> DataFrame:
+    """Decode G.711 clips inside mapInPandas (law sniffed from the WAV
+    fmt tag by the codec) and emit the same per-clip stats shape as the
+    ADPCM path, over the decoded int16 stream."""
+    from gohangout_spark.functions.g711 import G711Codec
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = G711Codec("ulaw")  # decode() dispatches on the fmt tag
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                pcm = codec.decode(bytes(content)).astype(np.int64)
+                out.append(
+                    (
+                        mid,
+                        len(pcm),
+                        int(pcm[0]),
+                        int(pcm[-1]),
+                        int(pcm.sum()),
+                        int(pcm.min()),
+                        int(pcm.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "n_samples",
+                    "first_sample",
+                    "last_sample",
+                    "sum_samples",
+                    "min_sample",
+                    "max_sample",
+                ],
+            )
+
+    return df.mapInPandas(stats, ADPCM_DECODE_SCHEMA)
+
+
 def make_fake_media_table(spark, n: int = 64) -> DataFrame:
     """Deterministic binary media table for pipeline testing."""
     rows = []

@@ -3726,6 +3726,96 @@ def multimodal_adpcm_decode(spark, sf_dir):
     return extract_adpcm_decode_stats(media, block_align=20)
 
 
+def _g711_decode_oracle_sql(n_clips: int = 32, n_samples: int = 400) -> str:
+    """Closed-form oracle for multimodal_g711_decode: DuckDB re-derives
+    the fixture PCM from its formula, COMPANDS it (μ-law for even clips,
+    A-law for odd — segment search, clip, bias, mask xor) and EXPANDS it
+    back, all as pure SQL integer arithmetic — no literals cross from
+    Python at all, so a wrong segment bound, bias, shift, mask or sign
+    branch on EITHER the encode or the decode side hash-mismatches."""
+    return f"""WITH pcm AS (
+  SELECT CAST(i AS BIGINT) AS media_id, CAST(t AS BIGINT) AS t,
+         ((i * 911 + t * t * 241 + t * 37) % 65536) - 32768 AS s
+  FROM range({n_clips}) c(i), range({n_samples}) ts(t)),
+fold AS (
+  SELECT media_id, t,
+         CAST(floor(s / 4.0) AS BIGINT) AS s14,
+         CAST(floor(s / 8.0) AS BIGINT) AS s13
+  FROM pcm),
+mag AS (
+  SELECT media_id, t,
+         least(CASE WHEN s14 < 0 THEN -s14 ELSE s14 END, 8159) + 33 AS mu,
+         CASE WHEN s14 < 0 THEN 127 ELSE 255 END AS ku,
+         CASE WHEN s13 < 0 THEN -s13 - 1 ELSE s13 END AS ma,
+         CASE WHEN s13 < 0 THEN 85 ELSE 213 END AS ka
+  FROM fold),
+seg AS (
+  SELECT media_id, t, mu, ku, ma, ka,
+         CASE WHEN mu <= 63 THEN 0 WHEN mu <= 127 THEN 1 WHEN mu <= 255 THEN 2
+              WHEN mu <= 511 THEN 3 WHEN mu <= 1023 THEN 4 WHEN mu <= 2047 THEN 5
+              WHEN mu <= 4095 THEN 6 WHEN mu <= 8191 THEN 7 ELSE 8 END AS su,
+         CASE WHEN ma <= 31 THEN 0 WHEN ma <= 63 THEN 1 WHEN ma <= 127 THEN 2
+              WHEN ma <= 255 THEN 3 WHEN ma <= 511 THEN 4 WHEN ma <= 1023 THEN 5
+              WHEN ma <= 2047 THEN 6 ELSE 7 END AS sa
+  FROM mag),
+code AS (
+  SELECT media_id, t,
+         CASE WHEN media_id % 2 = 0
+           THEN xor(CASE WHEN su >= 8 THEN 127
+                         ELSE su * 16 + ((mu >> (su + 1)) & 15) END, ku)
+           ELSE xor(sa * 16 + ((CASE WHEN sa < 2 THEN ma >> 1
+                                     ELSE ma >> sa END) & 15), ka)
+         END AS c
+  FROM seg),
+expand AS (
+  SELECT media_id, t,
+         xor(c, 255) AS u, xor(c, 85) AS a
+  FROM code),
+lin AS (
+  SELECT media_id, t,
+         CASE WHEN media_id % 2 = 0 THEN
+           CASE WHEN u >= 128
+             THEN 132 - (((u & 15) * 8 + 132) << ((u & 112) >> 4))
+             ELSE (((u & 15) * 8 + 132) << ((u & 112) >> 4)) - 132 END
+         ELSE
+           (CASE WHEN a >= 128 THEN 1 ELSE -1 END)
+           * (CASE WHEN (a & 112) >> 4 = 0 THEN (a & 15) * 16 + 8
+                   WHEN (a & 112) >> 4 = 1 THEN (a & 15) * 16 + 264
+                   ELSE ((a & 15) * 16 + 264) << (((a & 112) >> 4) - 1) END)
+         END AS v
+  FROM expand)
+SELECT media_id,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       CAST(arg_min(v, t) AS INT) AS first_sample,
+       CAST(arg_max(v, t) AS INT) AS last_sample,
+       CAST(SUM(v) AS BIGINT) AS sum_samples,
+       CAST(MIN(v) AS INT) AS min_sample,
+       CAST(MAX(v) AS INT) AS max_sample
+FROM lin GROUP BY media_id"""
+
+
+@q("multimodal_g711_decode", _g711_decode_oracle_sql())
+def multimodal_g711_decode(spark, sf_dir):
+    """REAL LOSSY telephony audio, oracle-checked end-to-end (r7,
+    completing the lossy-audio family next to IMA ADPCM): G.711
+    μ-law/A-law clips in WAV framing (wFormatTag 0x7/0x6, 2:1 companding,
+    STATELESS per sample — decode parallelizes at any granularity with
+    zero carried state) are decoded by functions/g711.G711Codec inside
+    mapInPandas and reduced to per-clip stats; the oracle re-derives the
+    closed-form fixture PCM and replays the ENTIRE encode+decode pipeline
+    in SQL integer arithmetic — the strongest oracle construction in the
+    multimodal family (zero literals shipped). All four companding maps
+    are additionally cross-checked bit-for-bit against CPython's audioop
+    over the full 16-bit/256-code ranges in tests/test_multimodal.py."""
+    from gohangout_spark.functions.multimodal import (
+        extract_g711_decode_stats,
+        make_g711_media_table,
+    )
+
+    media = make_g711_media_table(spark, n=32, n_samples=400)
+    return extract_g711_decode_stats(media)
+
+
 @q(
     "multimodal_video_frames",
     """SELECT CAST(i AS BIGINT) AS media_id,
@@ -5329,6 +5419,7 @@ _GATE_PRIORITY = [
     # round they land.
     "dedup_stream_replay",
     "link_metric_stream_replay",
+    "multimodal_g711_decode",
     # --- 22 slots: last green r3 ---
     "redact_pii",
     "rollup_totals",
@@ -5378,8 +5469,8 @@ _GATE_PRIORITY = [
     "multimodal_video_frames",
     "multimodal_wav_features",
     "near_dedup_keep",
-    "ngram_repetition",
     # --- below slot 50: the r4 remainder, heading the r8 window ---
+    "ngram_repetition",
     "pack_documents_bestfit",
     "quality_classifier_score",
     "remove_dup_spans",

@@ -189,3 +189,103 @@ class TestAdpcmContainer:
         codec = ImaAdpcmCodec()
         with pytest.raises(ValueError):
             codec.decode(b"RIFX" + b"\x00" * 40)
+
+
+class TestG711VsAudioop:
+    """G.711 companding cross-checked bit-for-bit against CPython's
+    independent audioop implementation over the FULL input ranges —
+    all 65536 16-bit samples on encode, all 256 code bytes on decode."""
+
+    def test_ulaw_encode_full_range(self):
+        from gohangout_spark.functions.g711 import ulaw_encode
+
+        pcm = np.arange(-32768, 32768, dtype=np.int64)
+        ref = np.frombuffer(audioop.lin2ulaw(pcm.astype("<i2").tobytes(), 2), np.uint8)
+        assert np.array_equal(ulaw_encode(pcm), ref)
+
+    def test_ulaw_decode_full_range(self):
+        from gohangout_spark.functions.g711 import ulaw_decode
+
+        codes = np.arange(256, dtype=np.uint8)
+        ref = np.frombuffer(audioop.ulaw2lin(codes.tobytes(), 2), "<i2")
+        assert np.array_equal(ulaw_decode(codes), ref)
+
+    def test_alaw_encode_full_range(self):
+        from gohangout_spark.functions.g711 import alaw_encode
+
+        pcm = np.arange(-32768, 32768, dtype=np.int64)
+        ref = np.frombuffer(audioop.lin2alaw(pcm.astype("<i2").tobytes(), 2), np.uint8)
+        assert np.array_equal(alaw_encode(pcm), ref)
+
+    def test_alaw_decode_full_range(self):
+        from gohangout_spark.functions.g711 import alaw_decode
+
+        codes = np.arange(256, dtype=np.uint8)
+        ref = np.frombuffer(audioop.alaw2lin(codes.tobytes(), 2), "<i2")
+        assert np.array_equal(alaw_decode(codes), ref)
+
+
+class TestG711Container:
+    def test_roundtrip_matches_raw_maps(self):
+        """Container decode(encode(pcm)) == raw expand(compand(pcm)) for
+        both laws — pins the WAV framing around the verified maps."""
+        from gohangout_spark.functions.g711 import (
+            G711Codec,
+            alaw_decode,
+            alaw_encode,
+            ulaw_decode,
+            ulaw_encode,
+        )
+
+        t = np.arange(500, dtype=np.int64)
+        pcm = ((t * t * 241 + t * 37) % 65536) - 32768
+        for law, enc, dec in (
+            ("ulaw", ulaw_encode, ulaw_decode),
+            ("alaw", alaw_encode, alaw_decode),
+        ):
+            codec = G711Codec(law)
+            assert np.array_equal(codec.decode(codec.encode(pcm)), dec(enc(pcm)))
+
+    def test_decode_dispatches_on_fmt_tag(self):
+        """A ulaw-configured codec decodes an alaw payload correctly —
+        the fmt tag, not the constructor arg, picks the expansion curve
+        (the mapInPandas extractor relies on this)."""
+        from gohangout_spark.functions.g711 import G711Codec, alaw_decode, alaw_encode
+
+        pcm = np.array([100, -5000, 31000, -32768], dtype=np.int64)
+        payload = G711Codec("alaw").encode(pcm)
+        assert np.array_equal(
+            G711Codec("ulaw").decode(payload), alaw_decode(alaw_encode(pcm))
+        )
+
+    def test_companding_error_bounded(self):
+        """Lossy but bounded: relative step error ~ 1/16 within a segment;
+        on a full-scale ramp the absolute error stays under 1024 (top
+        μ-law segment step) and under 2048/16 for A-law's 13-bit fold."""
+        from gohangout_spark.functions.g711 import (
+            alaw_decode,
+            alaw_encode,
+            ulaw_decode,
+            ulaw_encode,
+        )
+
+        pcm = np.arange(-32768, 32768, 7, dtype=np.int64)
+        assert np.max(np.abs(ulaw_decode(ulaw_encode(pcm)) - pcm)) <= 1024
+        assert np.max(np.abs(alaw_decode(alaw_encode(pcm)) - pcm)) <= 1024
+
+    def test_wav_framing_fields(self):
+        from gohangout_spark.functions.g711 import G711Codec
+
+        for law, tag in (("ulaw", 0x0007), ("alaw", 0x0006)):
+            payload = G711Codec(law, 8000).encode(np.zeros(10, dtype=np.int64))
+            fmt_at = payload.index(b"fmt ") + 8
+            got = struct.unpack_from("<HHIIHH", payload, fmt_at)
+            assert got == (tag, 1, 8000, 8000, 1, 8)
+
+    def test_rejects_unknown_law_and_payload(self):
+        from gohangout_spark.functions.g711 import G711Codec
+
+        with pytest.raises(ValueError):
+            G711Codec("mp3")
+        with pytest.raises(ValueError):
+            G711Codec().decode(b"not a wav")
