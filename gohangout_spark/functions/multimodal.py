@@ -1188,6 +1188,59 @@ def extract_video_frame_features(
     return df.mapInPandas(feats, VIDEO_FRAME_FEATURE_SCHEMA)
 
 
+def screenvideo_fixture_params(i: int):
+    """Geometry + schedule for Screen Video gate clip i: dims exercising
+    partial edge blocks, 3-4 frames, and a deterministic block-update
+    schedule — block (bx, by) updates at frame j iff j == 0 (keyframe) or
+    (bx + by + j) % 3 == 0. Color when updated at j is the closed form
+    below. Shared by make_screenvideo_media_table AND (re-derived as pure
+    arithmetic) the oracle builder, so the schedule cannot drift."""
+    w = 20 + (i % 3) * 7   # 20 | 27 | 34 -> 2-3 block columns at bs=16
+    h = 18 + (i % 2) * 5   # 18 | 23     -> 2 block rows, top one cropped
+    n_frames = 3 + i % 2
+    return w, h, n_frames
+
+
+def screenvideo_fixture_color(i: int, bx: int, by: int, j: int):
+    return (
+        (i * 7 + bx * 13 + by * 29 + j * 31) % 256,
+        (i * 11 + bx * 17 + by * 5 + j * 13) % 256,
+        (i * 3 + bx * 23 + by * 19 + j * 29) % 256,
+    )
+
+
+def make_screenvideo_media_table(spark, n: int = 24) -> DataFrame:
+    """FLV Screen Video media table: clip i's frames are per-block solid
+    colors following the fixture schedule — interframes only re-send
+    scheduled blocks (the encoder's unchanged-block markers fire for the
+    rest), so a decoder that botches the temporal block copy produces
+    wrong means for every non-updated block."""
+    from gohangout_spark.functions.screenvideo import ScreenVideoCodec
+
+    codec = ScreenVideoCodec(16)
+    rows = []
+    for i in range(n):
+        w, h, n_frames = screenvideo_fixture_params(i)
+        nbx, nby = (w + 15) // 16, (h + 15) // 16
+        last = {}
+        frames = []
+        for j in range(n_frames):
+            frame = np.zeros((h, w, 3), dtype=np.uint8)
+            for by in range(nby):
+                for bx in range(nbx):
+                    if j == 0 or (bx + by + j) % 3 == 0:
+                        last[bx, by] = j
+                    region = ScreenVideoCodec._block_region(
+                        frame, 16, bx, by, w, h
+                    )
+                    region[:, :] = screenvideo_fixture_color(
+                        i, bx, by, last[bx, by]
+                    )
+            frames.append(frame)
+        rows.append((i, bytearray(codec.encode(frames)), (w, h, 3, "flv")))
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
 def make_rawvideo_media_table(spark, n: int = 24) -> DataFrame:
     """Deterministic REAL raw-video table: clip i holds 2 + i%4 solid-color
     4x3 frames (frame j colored ((i*5 + j*17) % 256, ...)) — per-frame

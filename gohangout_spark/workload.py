@@ -5270,6 +5270,82 @@ def multimodal_mjpeg_frames(spark, sf_dir):
     )
 
 
+def _screenvideo_frames_oracle_sql() -> str:
+    """VALUES oracle for multimodal_screenvideo_frames: per-frame channel
+    means from the fixture's block-update schedule, re-derived as pure
+    arithmetic at import (the codec is never consulted) — frame j's mean
+    is the area-weighted sum of each block's color at its LAST scheduled
+    update ≤ j, so a decoder that misses the temporal block copy, flips
+    the bottom-up row order, miscrops edge blocks or walks the FLV tags
+    wrong lands on different means. Lossless zlib blocks ⇒ exact values."""
+    import math
+
+    from gohangout_spark.functions.multimodal import (
+        screenvideo_fixture_color,
+        screenvideo_fixture_params,
+    )
+
+    rows = []
+    for i in range(24):
+        w, h, n_frames = screenvideo_fixture_params(i)
+        nbx, nby = (w + 15) // 16, (h + 15) // 16
+        last = {}
+        for j in range(n_frames):
+            sums = [0, 0, 0]
+            for by in range(nby):
+                for bx in range(nbx):
+                    if j == 0 or (bx + by + j) % 3 == 0:
+                        last[bx, by] = j
+                    area = min(16, w - bx * 16) * min(16, h - by * 16)
+                    c = screenvideo_fixture_color(i, bx, by, last[bx, by])
+                    for ch in range(3):
+                        sums[ch] += area * c[ch]
+            means = [
+                math.floor(s / (w * h) * 1e4 + 0.5) / 1e4 for s in sums
+            ]
+            rows.append(
+                f"({i}, {j}, {means[0]!r}::DOUBLE, {means[1]!r}::DOUBLE, "
+                f"{means[2]!r}::DOUBLE, {w}, {h})"
+            )
+    return (
+        "SELECT CAST(media_id AS BIGINT) AS media_id, "
+        "CAST(frame_idx AS INT) AS frame_idx, mean_r, mean_g, mean_b, "
+        "CAST(width AS INT) AS width, CAST(height AS INT) AS height "
+        "FROM (VALUES " + ", ".join(rows)
+        + ") t(media_id, frame_idx, mean_r, mean_g, mean_b, width, height)"
+    )
+
+
+@q("multimodal_screenvideo_frames", _screenvideo_frames_oracle_sql())
+def multimodal_screenvideo_frames(spark, sf_dir):
+    """REAL INTERFRAME video decode, oracle-checked end-to-end (r7,
+    shrinking the last multimodal seam): FLV Screen Video clips (Adobe
+    FLV spec, codec id 3 — zlib BGR blocks bottom-up, zero-length block
+    markers = unchanged since previous frame) are demuxed from the FLV
+    tag chain and decoded with temporal block copy inside mapInPandas;
+    per-frame channel means must match the closed-form replay of the
+    block-update schedule. Interframes in the fixture genuinely omit
+    ~2/3 of blocks (pytest-asserted), so the temporal path is load-
+    bearing, not decorative."""
+    from gohangout_spark.functions.multimodal import (
+        extract_video_frame_features,
+        make_screenvideo_media_table,
+    )
+    from gohangout_spark.functions.screenvideo import ScreenVideoCodec
+
+    media = make_screenvideo_media_table(spark, n=24)
+    feats = extract_video_frame_features(media, codec=ScreenVideoCodec(16))
+    return feats.select(
+        "media_id",
+        "frame_idx",
+        round_half_up(F.col("mean_r"), 4).alias("mean_r"),
+        round_half_up(F.col("mean_g"), 4).alias("mean_g"),
+        round_half_up(F.col("mean_b"), 4).alias("mean_b"),
+        "width",
+        "height",
+    )
+
+
 def _webp_oracle_sql() -> str:
     """VALUES oracle for multimodal_webp_features: exact two-tone means
     (lossless codec => exact colors), replaying make_webp_media_table's
@@ -5420,6 +5496,7 @@ _GATE_PRIORITY = [
     "dedup_stream_replay",
     "link_metric_stream_replay",
     "multimodal_g711_decode",
+    "multimodal_screenvideo_frames",
     # --- 22 slots: last green r3 ---
     "redact_pii",
     "rollup_totals",
@@ -5468,8 +5545,8 @@ _GATE_PRIORITY = [
     "multimodal_ppm_features",
     "multimodal_video_frames",
     "multimodal_wav_features",
-    "near_dedup_keep",
     # --- below slot 50: the r4 remainder, heading the r8 window ---
+    "near_dedup_keep",
     "ngram_repetition",
     "pack_documents_bestfit",
     "quality_classifier_score",

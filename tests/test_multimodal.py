@@ -289,3 +289,156 @@ class TestG711Container:
             G711Codec("mp3")
         with pytest.raises(ValueError):
             G711Codec().decode(b"not a wav")
+
+
+class TestScreenVideo:
+    """FLV Screen Video: interframe block-copy decode (codec id 3)."""
+
+    def _codec(self):
+        from gohangout_spark.functions.screenvideo import ScreenVideoCodec
+
+        return ScreenVideoCodec(16)
+
+    def test_roundtrip_with_edge_blocks(self):
+        codec = self._codec()
+        rng = np.random.RandomState(11)
+        frames = [rng.randint(0, 256, (23, 37, 3), dtype=np.uint8) for _ in range(4)]
+        out = list(codec.iter_frames(codec.encode(frames)))
+        assert len(out) == 4
+        assert all(np.array_equal(a, b) for a, b in zip(frames, out))
+
+    def test_interframe_markers_are_emitted(self):
+        """A single-block change must encode as ONE zlib block and
+        unchanged-markers for the rest — the temporal path is real."""
+        import struct
+
+        codec = self._codec()
+        rng = np.random.RandomState(5)
+        f0 = rng.randint(0, 256, (32, 48, 3), dtype=np.uint8)  # 3x2 blocks
+        f1 = f0.copy()
+        f1[16:32, 0:16] = 7  # exactly one block region
+        payload = codec.encode([f0, f1])
+        tags = list(codec._tags(payload))
+        body = tags[1][1]  # interframe video data
+        assert body[0] >> 4 == 2  # inter frame type
+        pos, sizes = 5, []
+        while pos + 2 <= len(body):
+            (size,) = struct.unpack(">H", body[pos : pos + 2])
+            sizes.append(size)
+            pos += 2 + size
+        assert sizes.count(0) == 5 and len(sizes) == 6
+        out = list(codec.iter_frames(payload))
+        assert np.array_equal(out[1], f1)
+
+    def test_hand_assembled_stream_pins_bottom_up_bgr(self):
+        """Decode a manually built FLV+packet (never touched our encoder):
+        block rows are BOTTOM-UP and channels BGR per the spec."""
+        import struct
+        import zlib
+
+        # target frame, top-down RGB
+        want = np.array(
+            [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], dtype=np.uint8
+        )
+        # spec payload: bottom row first, BGR
+        raw = bytes([9, 8, 7, 12, 11, 10, 3, 2, 1, 6, 5, 4])
+        block = zlib.compress(raw)
+        packet = (
+            struct.pack(">H", (0 << 12) | 2)
+            + struct.pack(">H", (0 << 12) | 2)
+            + struct.pack(">H", len(block))
+            + block
+        )
+        video_data = bytes([(1 << 4) | 3]) + packet
+        tag = (
+            bytes([9])
+            + struct.pack(">I", len(video_data))[1:]
+            + b"\x00\x00\x00\x00"
+            + b"\x00\x00\x00"
+            + video_data
+        )
+        payload = (
+            b"FLV\x01\x01" + struct.pack(">I", 9) + struct.pack(">I", 0)
+            + tag + struct.pack(">I", len(tag))
+        )
+        (frame,) = self._codec().iter_frames(payload)
+        assert np.array_equal(frame, want)
+
+    def test_static_clip_collapses_to_markers(self):
+        codec = self._codec()
+        f0 = np.full((17, 20, 3), 55, dtype=np.uint8)
+        payload = codec.encode([f0, f0.copy(), f0.copy()])
+        out = list(codec.iter_frames(payload))
+        assert all(np.array_equal(f0, f) for f in out)
+        # 3 frames but only the keyframe carries pixel data
+        info = codec.probe(payload)
+        assert info == {
+            "n_frames": 3, "n_keyframes": 1,
+            "width": 20, "height": 17, "block_size": 16,
+        }
+
+    def test_rejects_inter_first_and_bad_magic(self):
+        import struct
+
+        codec = self._codec()
+        f0 = np.zeros((4, 4, 3), dtype=np.uint8)
+        payload = codec.encode([f0, f0.copy()])
+        tags = list(codec._tags(payload))
+        # rebuild an FLV holding ONLY the interframe
+        body = tags[1][1]
+        tag = (
+            bytes([9]) + struct.pack(">I", len(body))[1:]
+            + b"\x00" * 7 + body
+        )
+        bad = (
+            b"FLV\x01\x01" + struct.pack(">I", 9) + struct.pack(">I", 0)
+            + tag + struct.pack(">I", len(tag))
+        )
+        with pytest.raises(ValueError):
+            list(codec.iter_frames(bad))
+        with pytest.raises(ValueError):
+            list(codec.iter_frames(b"AVI whatever"))
+
+    def test_fixture_interframes_skip_blocks(self):
+        """The gate fixture's interframes must actually exercise the
+        temporal path: every clip's inter tags contain >= 1 unchanged
+        marker (schedule updates ~1/3 of blocks per frame)."""
+        import struct
+
+        from gohangout_spark.functions.multimodal import (
+            screenvideo_fixture_params,
+        )
+        from gohangout_spark.functions.screenvideo import ScreenVideoCodec
+
+        # rebuild clip 0's payload exactly as the media table does
+        import numpy as np
+        from gohangout_spark.functions.multimodal import (
+            screenvideo_fixture_color,
+        )
+
+        codec = ScreenVideoCodec(16)
+        i = 0
+        w, h, n_frames = screenvideo_fixture_params(i)
+        nbx, nby = (w + 15) // 16, (h + 15) // 16
+        last, frames = {}, []
+        for j in range(n_frames):
+            frame = np.zeros((h, w, 3), dtype=np.uint8)
+            for by in range(nby):
+                for bx in range(nbx):
+                    if j == 0 or (bx + by + j) % 3 == 0:
+                        last[bx, by] = j
+                    ScreenVideoCodec._block_region(frame, 16, bx, by, w, h)[
+                        :, :
+                    ] = screenvideo_fixture_color(i, bx, by, last[bx, by])
+            frames.append(frame)
+        payload = codec.encode(frames)
+        for k, (tag_type, body) in enumerate(codec._tags(payload)):
+            if k == 0:
+                continue
+            pos, zeros, total = 5, 0, 0
+            while pos + 2 <= len(body):
+                (size,) = struct.unpack(">H", body[pos : pos + 2])
+                zeros += size == 0
+                total += 1
+                pos += 2 + size
+            assert zeros >= 1 and zeros < total
