@@ -74,7 +74,7 @@ def alaw_decode(codes) -> np.ndarray:
     a = np.asarray(codes, dtype=np.int64) ^ 0x55
     t = (a & 0xF) << 4
     seg = (a & 0x70) >> 4
-    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, t + 0x108))
+    t = np.where(seg == 0, t + 8, t + 0x108)  # seg >= 1 shares the offset
     t = np.where(seg >= 2, t << np.maximum(seg - 1, 0), t)
     return np.where(a & 0x80, t, -t).astype(np.int16)
 

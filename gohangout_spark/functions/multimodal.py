@@ -760,18 +760,17 @@ ADPCM_DECODE_SCHEMA = (
 )
 
 
-def extract_adpcm_decode_stats(df: DataFrame, block_align: int = 20) -> DataFrame:
-    """Decode IMA-ADPCM clips inside mapInPandas and emit per-clip stats
-    over the decoded int16 stream — the columns the SQL state-machine
-    replay aggregates to."""
-    from gohangout_spark.functions.adpcm import ImaAdpcmCodec
+def _extract_pcm_decode_stats(df: DataFrame, decode) -> DataFrame:
+    """Shared reducer for the lossy-audio gates: ``decode`` maps payload
+    bytes to an int64 sample array; per clip the mapInPandas pass emits
+    the stats columns the SQL replays aggregate to (one reducer, so the
+    ADPCM and G.711 gate families cannot drift apart)."""
 
     def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        codec = ImaAdpcmCodec(block_align=block_align)
         for pdf in batches:
             out = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
-                pcm = codec.decode(bytes(content)).astype(np.int64)
+                pcm = decode(bytes(content))
                 out.append(
                     (
                         mid,
@@ -797,6 +796,20 @@ def extract_adpcm_decode_stats(df: DataFrame, block_align: int = 20) -> DataFram
             )
 
     return df.mapInPandas(stats, ADPCM_DECODE_SCHEMA)
+
+
+def extract_adpcm_decode_stats(df: DataFrame, block_align: int = 20) -> DataFrame:
+    """Decode IMA-ADPCM clips inside mapInPandas and emit per-clip stats
+    over the decoded int16 stream — the columns the SQL state-machine
+    replay aggregates to."""
+    from gohangout_spark.functions.adpcm import ImaAdpcmCodec
+
+    def decode(payload: bytes):
+        return ImaAdpcmCodec(block_align=block_align).decode(payload).astype(
+            np.int64
+        )
+
+    return _extract_pcm_decode_stats(df, decode)
 
 
 class G711AudioCodec:
@@ -851,37 +864,11 @@ def extract_g711_decode_stats(df: DataFrame) -> DataFrame:
     ADPCM path, over the decoded int16 stream."""
     from gohangout_spark.functions.g711 import G711Codec
 
-    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        codec = G711Codec("ulaw")  # decode() dispatches on the fmt tag
-        for pdf in batches:
-            out = []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                pcm = codec.decode(bytes(content)).astype(np.int64)
-                out.append(
-                    (
-                        mid,
-                        len(pcm),
-                        int(pcm[0]),
-                        int(pcm[-1]),
-                        int(pcm.sum()),
-                        int(pcm.min()),
-                        int(pcm.max()),
-                    )
-                )
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "media_id",
-                    "n_samples",
-                    "first_sample",
-                    "last_sample",
-                    "sum_samples",
-                    "min_sample",
-                    "max_sample",
-                ],
-            )
+    def decode(payload: bytes):
+        # decode() dispatches on the fmt tag, constructor law is moot
+        return G711Codec("ulaw").decode(payload).astype(np.int64)
 
-    return df.mapInPandas(stats, ADPCM_DECODE_SCHEMA)
+    return _extract_pcm_decode_stats(df, decode)
 
 
 def make_fake_media_table(spark, n: int = 64) -> DataFrame:
@@ -1209,6 +1196,14 @@ def screenvideo_fixture_color(i: int, bx: int, by: int, j: int):
     )
 
 
+def screenvideo_fixture_updates(bx: int, by: int, j: int) -> bool:
+    """True iff block (bx, by) re-sends at frame j — keyframe (j = 0) or
+    the interframe schedule hit (~1/3 of blocks per frame). The ONE copy
+    of the schedule predicate: the media-table builder, the oracle
+    builder and the marker-emission test all call this."""
+    return j == 0 or (bx + by + j) % 3 == 0
+
+
 def make_screenvideo_media_table(spark, n: int = 24) -> DataFrame:
     """FLV Screen Video media table: clip i's frames are per-block solid
     colors following the fixture schedule — interframes only re-send
@@ -1228,7 +1223,7 @@ def make_screenvideo_media_table(spark, n: int = 24) -> DataFrame:
             frame = np.zeros((h, w, 3), dtype=np.uint8)
             for by in range(nby):
                 for bx in range(nbx):
-                    if j == 0 or (bx + by + j) % 3 == 0:
+                    if screenvideo_fixture_updates(bx, by, j):
                         last[bx, by] = j
                     region = ScreenVideoCodec._block_region(
                         frame, 16, bx, by, w, h

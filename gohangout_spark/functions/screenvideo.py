@@ -185,6 +185,10 @@ class ScreenVideoCodec:
         for tag_type, body in self._tags(payload):
             if tag_type != 9 or not body:
                 continue
+            if body[0] & 0xF != self.CODEC_ID:
+                raise ValueError(
+                    f"not Screen Video: codec id {body[0] & 0xF}"
+                )
             info["n_frames"] += 1
             if body[0] >> 4 == 1:
                 info["n_keyframes"] += 1

@@ -5283,6 +5283,7 @@ def _screenvideo_frames_oracle_sql() -> str:
     from gohangout_spark.functions.multimodal import (
         screenvideo_fixture_color,
         screenvideo_fixture_params,
+        screenvideo_fixture_updates,
     )
 
     rows = []
@@ -5294,7 +5295,7 @@ def _screenvideo_frames_oracle_sql() -> str:
             sums = [0, 0, 0]
             for by in range(nby):
                 for bx in range(nbx):
-                    if j == 0 or (bx + by + j) % 3 == 0:
+                    if screenvideo_fixture_updates(bx, by, j):
                         last[bx, by] = j
                     area = min(16, w - bx * 16) * min(16, h - by * 16)
                     c = screenvideo_fixture_color(i, bx, by, last[bx, by])
@@ -5486,13 +5487,15 @@ def multimodal_flac_features(spark, sf_dir):
 # first couple of them is harmless).  New round-3 queries are inserted
 # before the tail so they are gated the round they land.
 _GATE_PRIORITY = [
-    # --- round-7 window (VERDICT r6 #2/#5): 1 new gate + the stale
+    # --- round-7 window (VERDICT r6 #2/#5): 4 new gates + the stale
     # r3/r4 cohort. The driver samples the FIRST 50 registrations; r6
-    # re-greened the r2/r3 tail, so this round rotates in everything
-    # whose last green is <= r4 (22 r3-cohort + 27 of 39 r4-cohort,
-    # alphabetical; the remaining 12 r4 rows lead the r8 window below
-    # slot 50). New-this-round gates go first so they are checked the
-    # round they land.
+    # re-greened the r2/r3 tail, so this round rotates in the full
+    # 22-query r3 cohort plus 24 of the 39 r4-cohort rows (alphabetical;
+    # the remaining 15 r4 rows sit directly below slot 50 and lead the
+    # r8 window). New-this-round gates go first so they are checked the
+    # round they land. All 50 window rows were pre-verified green at
+    # sf0.01 this round (and the whole registry besides — SCALE.md
+    # "Round-7 full-registry verification").
     "dedup_stream_replay",
     "link_metric_stream_replay",
     "multimodal_g711_decode",
@@ -5520,7 +5523,7 @@ _GATE_PRIORITY = [
     "vocabulary_topn",
     "weighted_mixture",
     "yaml_pipeline_e2e",
-    # --- 27 slots: last green r4 (alphabetical) ---
+    # --- 24 slots: last green r4 (alphabetical) ---
     "approx_distinct_report",
     "bm25_search",
     "boilerplate_lines",

@@ -259,9 +259,10 @@ class TestG711Container:
         )
 
     def test_companding_error_bounded(self):
-        """Lossy but bounded: relative step error ~ 1/16 within a segment;
-        on a full-scale ramp the absolute error stays under 1024 (top
-        μ-law segment step) and under 2048/16 for A-law's 13-bit fold."""
+        """Lossy but bounded: half a top-segment quantization step plus
+        the fold truncation — measured maxima over the FULL 16-bit range
+        are 644 (μ-law) and 512 (A-law); assert those exact ceilings so
+        any regression that widens a segment shift fails immediately."""
         from gohangout_spark.functions.g711 import (
             alaw_decode,
             alaw_encode,
@@ -269,9 +270,9 @@ class TestG711Container:
             ulaw_encode,
         )
 
-        pcm = np.arange(-32768, 32768, 7, dtype=np.int64)
-        assert np.max(np.abs(ulaw_decode(ulaw_encode(pcm)) - pcm)) <= 1024
-        assert np.max(np.abs(alaw_decode(alaw_encode(pcm)) - pcm)) <= 1024
+        pcm = np.arange(-32768, 32768, dtype=np.int64)
+        assert np.max(np.abs(ulaw_decode(ulaw_encode(pcm)) - pcm)) <= 644
+        assert np.max(np.abs(alaw_decode(alaw_encode(pcm)) - pcm)) <= 512
 
     def test_wav_framing_fields(self):
         from gohangout_spark.functions.g711 import G711Codec
@@ -411,9 +412,9 @@ class TestScreenVideo:
         from gohangout_spark.functions.screenvideo import ScreenVideoCodec
 
         # rebuild clip 0's payload exactly as the media table does
-        import numpy as np
         from gohangout_spark.functions.multimodal import (
             screenvideo_fixture_color,
+            screenvideo_fixture_updates,
         )
 
         codec = ScreenVideoCodec(16)
@@ -425,7 +426,7 @@ class TestScreenVideo:
             frame = np.zeros((h, w, 3), dtype=np.uint8)
             for by in range(nby):
                 for bx in range(nbx):
-                    if j == 0 or (bx + by + j) % 3 == 0:
+                    if screenvideo_fixture_updates(bx, by, j):
                         last[bx, by] = j
                     ScreenVideoCodec._block_region(frame, 16, bx, by, w, h)[
                         :, :

@@ -97,9 +97,21 @@ def _bnlj_broadcast_rows(df):
     return counts
 
 
+# Gates that RUN a streaming query / driver-side collection inside the
+# query function and return a detached result (localCheckpoint scan or
+# createDataFrame): their returned plan is vacuously clean, so auditing it
+# would only pay for full streaming replays without inspecting anything.
+# Their internal batch plans ARE audited through the one-shot twins built
+# from the same functions (dedup_incremental/_recall -> the minhash band
+# joins; link_metric_count/link_stats_metric -> the metric aggregations).
+STREAMING_GATES = {"dedup_stream_replay", "link_metric_stream_replay"}
+
+
 def test_no_scale_killer_joins(spark):
     offenders = {}
     for name, (fn, _) in sorted(QUERIES.items()):
+        if name in STREAMING_GATES:
+            continue
         plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
         if "CartesianProduct" in plan:
             offenders[name] = "CartesianProduct"

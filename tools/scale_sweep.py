@@ -37,6 +37,7 @@ from gohangout_spark.io import load_table
 
 COPIES = 100
 _ALPHA = string.ascii_lowercase + string.ascii_uppercase
+STORED_OP_NAMES = ("ann_q8_stored_scan[int8,k5]", "ann_rp_stored_scan[16d,k5]")
 
 
 def _caesar(col, k: int):
@@ -252,7 +253,17 @@ def force(df):
 
 
 def main():
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1_derived"
+    # argv: [out_dir] [op ...] — if the first arg names a known op instead
+    # of a directory, treat ALL args as the op filter and keep the default
+    # out_dir (otherwise "scale_sweep.py some_op" would rebuild the 100x
+    # derivation into a directory literally named after the op)
+    argv = sys.argv[1:]
+    op_names = (
+        set(ops(None)) | set(ann_ops()) | set(STORED_OP_NAMES)
+    )  # ops bodies only close over their args; None spark is fine here
+    if argv and argv[0] in op_names:
+        argv = ["/tmp/sf1_derived"] + argv
+    out_dir = argv[0] if argv else "/tmp/sf1_derived"
     spark = get_spark(
         "scale-sweep", master="local[32]", shuffle_partitions=32
     )
@@ -287,7 +298,7 @@ def main():
 
     print(f"| op | sf0.1 s | {COPIES}x s | factor ({COPIES}x data) |")
     print("|---|---|---|---|")
-    only = set(sys.argv[2:])  # optional op-name filter
+    only = set(argv[1:])  # optional op-name filter
     for name, fn in ops(spark).items():
         if only and name not in only:
             continue
@@ -317,11 +328,11 @@ def main():
     }
     rp_q = random_projection(qblock, dim=64, out_dim=16)
     stored_ops = {
-        "ann_q8_stored_scan[int8,k5]": (
+        STORED_OP_NAMES[0]: (
             lambda: q8_topk_encoded(stored["q8_small"], qblock, k=5),
             lambda: q8_topk_encoded(stored["q8_big"], qblock, k=5),
         ),
-        "ann_rp_stored_scan[16d,k5]": (
+        STORED_OP_NAMES[1]: (
             lambda: brute_force_topk(
                 stored["rp16_small"], rp_q, vec_col="embedding_rp", k=5
             ),
