@@ -11,7 +11,10 @@ repo (no Pillow/librosa/ffmpeg in the container):
   JPEG           baseline DCT + Huffman (tables read from DHT)
   WAV            stdlib wave, 16-bit PCM
   FLAC           Rice coding + fixed/LPC predictors, lossless
+  IMA ADPCM      4-bit adaptive quantizer, lossy 4:1, block-parallel
+  G.711          mu-law/A-law companding, lossy 2:1, stateless/sample
   raw video      back-to-back PPM frames, every-Nth sampling
+  Screen Video   FLV interframe block codec (zlib blocks + block copy)
 
 Each section prints the extracted features; the corresponding workload
 queries hash-match analytic oracles at the driver gate.
@@ -95,6 +98,30 @@ def main() -> None:
     )
     frames.select("media_id", "frame_idx").show()
 
+    print("== IMA ADPCM (lossy 4:1) decode stats")
+    from gohangout_spark.functions.multimodal import (
+        extract_adpcm_decode_stats,
+        extract_g711_decode_stats,
+        extract_video_frame_features,
+        make_adpcm_media_table,
+        make_g711_media_table,
+        make_screenvideo_media_table,
+    )
+
+    extract_adpcm_decode_stats(
+        make_adpcm_media_table(spark, n=6, block_align=20), block_align=20
+    ).show()
+
+    print("== G.711 mu-law/A-law (lossy 2:1) decode stats")
+    extract_g711_decode_stats(make_g711_media_table(spark, n=6)).show()
+
+    print("== FLV Screen Video interframe decode (per-frame means)")
+    from gohangout_spark.functions.screenvideo import ScreenVideoCodec
+
+    extract_video_frame_features(
+        make_screenvideo_media_table(spark, n=4), codec=ScreenVideoCodec(16)
+    ).show()
+
     print("compression check: FLAC vs raw PCM bytes on a tonal clip")
     import numpy as np
 
@@ -103,6 +130,23 @@ def main() -> None:
     enc = FlacCodec().encode(tone)
     print(f"  raw 16-bit: {2 * len(tone)} B   flac: {len(enc)} B "
           f"({100 * len(enc) // (2 * len(tone))}%)")
+
+    print("compression check: interframe vs all-keyframe bytes on a "
+          "mostly-static clip")
+    rng = np.random.RandomState(0)
+    base = rng.randint(0, 256, (64, 96, 3), dtype=np.uint8)
+    clip = [base]
+    for j in range(9):  # one 16x16 block changes per frame
+        nxt = clip[-1].copy()
+        nxt[16:32, (j % 6) * 16 : (j % 6) * 16 + 16] = rng.randint(
+            0, 256, (16, 16, 3), dtype=np.uint8
+        )
+        clip.append(nxt)
+    codec = ScreenVideoCodec(16)
+    inter = len(codec.encode(clip))
+    allkey = sum(len(codec.encode([f])) for f in clip)
+    print(f"  all-keyframes: {allkey} B   interframe: {inter} B "
+          f"({100 * inter // allkey}%)")
 
 
 if __name__ == "__main__":
