@@ -38,6 +38,7 @@ from gohangout_spark.io import load_table
 COPIES = 100
 _ALPHA = string.ascii_lowercase + string.ascii_uppercase
 STORED_OP_NAMES = ("ann_q8_stored_scan[int8,k5]", "ann_rp_stored_scan[16d,k5]")
+MEDIA_OP_NAMES = ("media_screenvideo_decode", "media_adpcm_decode")
 
 
 def _caesar(col, k: int):
@@ -213,6 +214,73 @@ def ops(spark):
     }
 
 
+def build_derived_media(spark, out_dir: str) -> None:
+    """Media tables for the decode sweep: the Screen Video and ADPCM gate
+    fixtures at 1x (the gate's 24/32 clips) and 100x, ENCODED IN PARALLEL
+    (mapInPandas over an id range — the ingest shape: clip generation and
+    encode never touch the driver)."""
+    if os.path.exists(os.path.join(out_dir, "_DONE_MEDIA")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    import pandas as pd
+
+    def gen_sv(batches):
+        import numpy as np
+
+        from gohangout_spark.functions.multimodal import (
+            screenvideo_fixture_color,
+            screenvideo_fixture_params,
+            screenvideo_fixture_updates,
+        )
+        from gohangout_spark.functions.screenvideo import ScreenVideoCodec
+
+        codec = ScreenVideoCodec(16)
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h, n_frames = screenvideo_fixture_params(i)
+                nbx, nby = (w + 15) // 16, (h + 15) // 16
+                last, frames = {}, []
+                for j in range(n_frames):
+                    frame = np.zeros((h, w, 3), dtype=np.uint8)
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            if screenvideo_fixture_updates(bx, by, j):
+                                last[bx, by] = j
+                            ScreenVideoCodec._block_region(
+                                frame, 16, bx, by, w, h
+                            )[:, :] = screenvideo_fixture_color(
+                                i, bx, by, last[bx, by]
+                            )
+                    frames.append(frame)
+                rows.append((i, codec.encode(frames)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    def gen_adpcm(batches):
+        from gohangout_spark.functions.adpcm import ImaAdpcmCodec
+        from gohangout_spark.functions.multimodal import adpcm_fixture_clip
+
+        codec = ImaAdpcmCodec(16000, 256)  # 505 samples/block, ~8 blocks
+        for pdf in batches:
+            rows = [
+                (int(i), codec.encode(adpcm_fixture_clip(int(i), 4000)))
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = "media_id long, content binary"
+    for tag, n_small in (("sv", 24), ("adpcm", 32)):
+        gen = gen_sv if tag == "sv" else gen_adpcm
+        for size, n in (("small", n_small), ("big", n_small * 100)):
+            spark.range(n).repartition(32 if size == "big" else 4).mapInPandas(
+                gen, schema
+            ).write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"media_{tag}_{size}.parquet")
+            )
+    open(os.path.join(out_dir, "_DONE_MEDIA"), "w").write("ok")
+
+
 def ann_ops():
     """name -> callable(emb_df) — the r6-gated ANN scan shapes (VERDICT r6
     #6), at the exact workload operating points: a 10-query block against
@@ -260,6 +328,7 @@ def main():
     argv = sys.argv[1:]
     op_names = (
         set(ops(None)) | set(ann_ops()) | set(STORED_OP_NAMES)
+        | set(MEDIA_OP_NAMES)
     )  # ops bodies only close over their args; None spark is fine here
     if argv and argv[0] in op_names:
         argv = ["/tmp/sf1_derived"] + argv
@@ -345,6 +414,40 @@ def main():
         if only and name not in only:
             continue
         measure(name, run_small, run_big)
+
+    # media decode: clip-parallel mapInPandas over pre-encoded payloads
+    # (encode happened at ingest in build_derived_media) — the multimodal
+    # family's scale shape: zero shuffle, one Arrow batch of clips/task
+    if not only or only & set(MEDIA_OP_NAMES):
+        build_derived_media(spark, out_dir)
+        from gohangout_spark.functions.multimodal import (
+            extract_adpcm_decode_stats,
+            extract_video_frame_features,
+        )
+        from gohangout_spark.functions.screenvideo import ScreenVideoCodec
+
+        media = {
+            t: spark.read.parquet(os.path.join(out_dir, f"media_{t}.parquet"))
+            for t in ("sv_small", "sv_big", "adpcm_small", "adpcm_big")
+        }
+        media_ops = {
+            MEDIA_OP_NAMES[0]: (
+                lambda: extract_video_frame_features(
+                    media["sv_small"], codec=ScreenVideoCodec(16)
+                ),
+                lambda: extract_video_frame_features(
+                    media["sv_big"], codec=ScreenVideoCodec(16)
+                ),
+            ),
+            MEDIA_OP_NAMES[1]: (
+                lambda: extract_adpcm_decode_stats(media["adpcm_small"]),
+                lambda: extract_adpcm_decode_stats(media["adpcm_big"]),
+            ),
+        }
+        for name, (run_small, run_big) in media_ops.items():
+            if only and name not in only:
+                continue
+            measure(name, run_small, run_big)
 
 
 if __name__ == "__main__":
