@@ -34,6 +34,16 @@ HEADLINE = [
     "tpch_q10",
     "tpch_q14",
     "tpch_q18",
+    # round 7: the adapted TPC-H completions (q2/q4/q9/q11/q12/q16/q20/q21
+    # re-expressed for the reduced schema — full 22-query suite coverage)
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
     "order_priority_semijoin",
     "segment_topk_rank",
     "grok_extract",

@@ -2048,6 +2048,383 @@ def tpch_q22(spark, sf_dir):
 
 
 @q(
+    "tpch_q2",
+    """WITH shippers AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT p_partkey, s_name, s_acctbal, n_name
+  FROM shippers
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE' AND p_size < 10 AND p_type = 'LARGE')
+SELECT s_acctbal, s_name, n_name, p_partkey
+FROM cand
+WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2
+                   WHERE c2.p_partkey = cand.p_partkey)
+ORDER BY s_acctbal, s_name, p_partkey LIMIT 100""",
+)
+def tpch_q2(spark, sf_dir):
+    """Minimum-cost supplier (q2 adapted to the reduced schema: no
+    partsupp, so "supplies part p" = "shipped part p" via lineitem and
+    the minimized measure is s_acctbal instead of ps_supplycost —
+    tpch/queries/q2.sql parity is the SHAPE: a correlated per-part MIN
+    subquery over a region-scoped dimension join). The correlated min
+    decorrelates into a window over p_partkey; part/supplier/nation/
+    region are broadcast dimension sides; the only shuffles are the
+    (partkey, suppkey) dedup and the window. LIMIT is deterministic:
+    (s_name, p_partkey) is a unique total order."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") < 10) & (F.col("p_type") == "LARGE")
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sdim = (
+        sup.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    shippers = li.select("l_partkey", "l_suppkey").distinct()
+    cand = shippers.join(
+        F.broadcast(part), F.col("p_partkey") == F.col("l_partkey")
+    ).join(F.broadcast(sdim), F.col("s_suppkey") == F.col("l_suppkey"))
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey")
+        .orderBy("s_acctbal", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@q(
+    "tpch_q4",
+    """SELECT o_orderpriority, count(*) AS order_count FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate < TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority""",
+)
+def tpch_q4(spark, sf_dir):
+    """Order-priority checking (q4 adapted: the reduced schema has no
+    l_commitdate/l_receiptdate, so "late" = shipped more than 60 days
+    after the order date — the date-correlated EXISTS is preserved,
+    which is the query's point; tpch/queries/q4.sql). One quarter of
+    orders, semi-joined against the late-lineitem key set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    late_keys = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey")
+        .distinct()
+    )
+    return (
+        orders.join(late_keys, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@q(
+    "tpch_q9",
+    # prices/discounts have exactly 2 decimals -> revenue rides integer
+    # 1e-4 units so the half-up round to cents is engine-independent
+    # (the float sum landed half-an-ulp across the .xx5 boundary on two
+    # of 175 groups at sf0.01)
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))) + 50)
+             / 100.0) / 100.0 AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2""",
+)
+def tpch_q9(spark, sf_dir):
+    """Product-type profit by nation and year (q9 adapted: no partsupp,
+    so profit omits the ps_supplycost term; tpch/queries/q9.sql parity
+    is the 5-table star-plus-fact shape). part/supplier/nation broadcast
+    (the name filter prunes part first); lineitem joins orders on the
+    order key — the one fact-fact shuffle — then a combiner-reduced agg
+    on (nation, year)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+    )
+    rev4 = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    return (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            (F.floor((F.sum(rev4) + 50) / 100.0) / 100.0).alias("profit")
+        )
+    )
+
+
+@q(
+    "tpch_q11",
+    # revenue rides integer 1e-4 units (2-decimal prices/discounts) so
+    # the per-part sums, the scalar threshold and the half-up cent round
+    # are engine-independent (float-order .xx5 boundaries hit at sf0.1)
+    """WITH europe AS (
+  SELECT l_partkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS val4
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE')
+SELECT l_partkey, floor((sum(val4) + 50) / 100.0) / 100.0 AS value
+FROM europe GROUP BY l_partkey
+HAVING sum(val4) > (SELECT 1.5 * sum(val4) / count(DISTINCT l_partkey)
+                    FROM europe)""",
+)
+def tpch_q11(spark, sf_dir):
+    """Important-stock identification (q11 adapted: no partsupp, so
+    "stock value" = shipped revenue via lineitem, scoped to one region's
+    suppliers instead of one nation so the sf0.001 table is non-empty;
+    the signature shape survives — an aggregate filtered against a
+    GLOBAL scalar aggregate of the same relation;
+    tpch/queries/q11.sql). The scalar derives from the per-part
+    aggregate itself (sum of sums / row count), so the corpus is scanned
+    once; the 1-row threshold broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sdim = (
+        sup.join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey")
+    )
+    val4 = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        100 - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    europe = li.join(
+        F.broadcast(sdim), F.col("s_suppkey") == F.col("l_suppkey")
+    ).select("l_partkey", val4.alias("val4"))
+    per = europe.groupBy("l_partkey").agg(F.sum("val4").alias("part_val4"))
+    thr = per.agg(
+        (F.lit(1.5) * F.sum("part_val4") / F.count(F.lit(1))).alias("threshold")
+    )
+    return (
+        per.crossJoin(F.broadcast(thr))
+        .where(F.col("part_val4") > F.col("threshold"))
+        .select(
+            "l_partkey",
+            (F.floor((F.col("part_val4") + 50) / 100.0) / 100.0).alias("value"),
+        )
+    )
+
+
+@q(
+    "tpch_q12",
+    """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+            THEN 'slow' ELSE 'fast' END AS ship_speed,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1""",
+)
+def tpch_q12(spark, sf_dir):
+    """Shipping-mode priority split (q12 adapted: no l_shipmode or
+    receipt/commit dates, so lines bucket by shipping LATENCY — slow =
+    shipped >60 days after ordering; the signature conditional
+    aggregation over priority classes is preserved;
+    tpch/queries/q12.sql). One fact-fact join, then a two-group
+    combiner-reduced conditional agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    speed = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        "slow",
+    ).otherwise("fast")
+    return joined.groupBy(speed.alias("ship_speed")).agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+    )
+
+
+@q(
+    "tpch_q16",
+    """SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3""",
+)
+def tpch_q16(spark, sf_dir):
+    """Parts/supplier relationship (q16 adapted: no partsupp, supply =
+    shipment; the excluded-supplier subquery keeps q16's NOT IN against
+    a filtered supplier set, with negative account balance standing in
+    for the complaints predicate; tpch/queries/q16.sql). Part filter
+    broadcasts; the exclusion is a broadcast anti-join; distinct
+    supplier count per (brand, type, size) is the one shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "tpch_q20",
+    """WITH named AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+per AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem JOIN named ON p_partkey = l_partkey
+  GROUP BY 1, 2),
+tot AS (SELECT l_partkey, sum(qty) AS total_qty FROM per GROUP BY 1),
+dominant AS (
+  SELECT DISTINCT l_suppkey FROM per JOIN tot USING (l_partkey)
+  WHERE qty >= 0.1 * total_qty)
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (SELECT l_suppkey FROM dominant)""",
+)
+def tpch_q20(spark, sf_dir):
+    """Dominant suppliers of a named part family (q20 adapted: no
+    partsupp/availqty, so "holds excess stock" becomes "shipped >= 10%
+    of the family part's total volume"; the signature nested-IN chain —
+    suppliers IN (per-part aggregate compared against a correlated
+    aggregate over parts IN (name-filtered set)) — is preserved;
+    tpch/queries/q20.sql). The per-(part, supplier) agg reuses its own
+    partials for the per-part total; both joins are key-local."""
+    li = load_table(spark, sf_dir, "lineitem")
+    named = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    sup = load_table(spark, sf_dir, "supplier")
+    per = (
+        li.join(F.broadcast(named), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    tot = per.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    dominant = (
+        per.join(tot, "l_partkey")
+        .where(F.col("qty") >= 0.1 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return sup.join(
+        F.broadcast(dominant), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    ).select("s_suppkey", "s_name")
+
+
+@q(
+    "tpch_q21",
+    """WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 100 DAY)
+SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+FROM late l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey
+                  AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20""",
+)
+def tpch_q21(spark, sf_dir):
+    """Suppliers who kept orders waiting (q21 adapted: late = shipped
+    >100 days after ordering instead of receipt>commit; the famous
+    double correlation — EXISTS another supplier in the order, NOT
+    EXISTS another LATE supplier — is preserved;
+    tpch/queries/q21.sql). Decorrelation: the NOT EXISTS collapses to
+    "exactly one distinct late supplier in the order" (a count over the
+    late set); the EXISTS is a semi join against multi-supplier orders.
+    LIMIT is deterministic: (numwait desc, s_name) totally orders the
+    unique supplier names."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("nlate"),
+            F.first("l_suppkey").alias("l_suppkey"),
+        )
+        .where(F.col("nlate") == 1)
+        .select("l_orderkey", "l_suppkey")
+    )
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("nsup"))
+        .where(F.col("nsup") > 1)
+        .select("l_orderkey")
+    )
+    waiting = sole_late.join(multi, "l_orderkey", "left_semi")
+    return (
+        waiting.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+@q(
     "vocabulary_topn",
     r"""SELECT word, n, rank FROM (
           SELECT word, count(*) AS n,
@@ -5487,19 +5864,30 @@ def multimodal_flac_features(spark, sf_dir):
 # first couple of them is harmless).  New round-3 queries are inserted
 # before the tail so they are gated the round they land.
 _GATE_PRIORITY = [
-    # --- round-7 window (VERDICT r6 #2/#5): 4 new gates + the stale
-    # r3/r4 cohort. The driver samples the FIRST 50 registrations; r6
-    # re-greened the r2/r3 tail, so this round rotates in the full
-    # 22-query r3 cohort plus 24 of the 39 r4-cohort rows (alphabetical;
-    # the remaining 15 r4 rows sit directly below slot 50 and lead the
-    # r8 window). New-this-round gates go first so they are checked the
-    # round they land. All 50 window rows were pre-verified green at
-    # sf0.01 this round (and the whole registry besides — SCALE.md
-    # "Round-7 full-registry verification").
+    # --- round-7 window: 12 new queries (4 gates + 8 adapted TPC-H
+    # completions) + the stale r3/r4 cohort. The driver samples the
+    # FIRST 50 registrations; r6 re-greened the r2/r3 tail, so this
+    # round rotates in the full 22-query r3 cohort plus 16 of the 39
+    # r4-cohort rows (alphabetical; the remaining 23 r4 rows sit
+    # directly below slot 50 and lead the r8 window). New-this-round
+    # queries go first so they are checked the round they land. Every
+    # row of the window — and the whole registry besides — was
+    # locally pre-verified green at sf0.01 this round (SCALE.md
+    # "Round-7 full-registry verification"), so the below-slot-50 rows
+    # carry fresh local evidence even before their next driver row.
     "dedup_stream_replay",
     "link_metric_stream_replay",
     "multimodal_g711_decode",
     "multimodal_screenvideo_frames",
+    # --- 8 slots: the adapted TPC-H completions (new r7) ---
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
     # --- 22 slots: last green r3 ---
     "redact_pii",
     "rollup_totals",
@@ -5540,6 +5928,7 @@ _GATE_PRIORITY = [
     "funnel_conversion",
     "fuzzy_name_pairs",
     "gopher_rules",
+    # --- below slot 50: the r4 remainder, heading the r8 window ---
     "hashed_embedding_vectors",
     "inverted_index",
     "label_centroids",
@@ -5548,7 +5937,6 @@ _GATE_PRIORITY = [
     "multimodal_ppm_features",
     "multimodal_video_frames",
     "multimodal_wav_features",
-    # --- below slot 50: the r4 remainder, heading the r8 window ---
     "near_dedup_keep",
     "ngram_repetition",
     "pack_documents_bestfit",

@@ -39,6 +39,8 @@ BNLJ_OK = {
     "embedding_pq_exact_rerank": (16, "10-query probe block"),
     # avg(c_acctbal) scalar subquery: a 1-row broadcast
     "tpch_q22": (1, "scalar subquery"),
+    # global revenue-share threshold: a 1-row broadcast (q11's scalar)
+    "tpch_q11": (1, "scalar subquery"),
     # benchmark snippet list (KBs) broadcast for substring containment —
     # no equi-key exists for substring matching; the snippets ride as one
     # collected array row
