@@ -2408,8 +2408,13 @@ def tpch_q21(spark, sf_dir):
         .where(F.col("nlate") == 1)
         .select("l_orderkey", "l_suppkey")
     )
+    # restrict the multi-supplier probe to sole-late orders FIRST: the
+    # countDistinct then runs over |sole_late orders| lineitems, not the
+    # whole fact table (measured 41 s -> re-check at 100x facts; AQE
+    # broadcast-converts the semi side from its runtime row count)
     multi = (
-        li.groupBy("l_orderkey")
+        li.join(sole_late.select("l_orderkey"), "l_orderkey", "left_semi")
+        .groupBy("l_orderkey")
         .agg(F.count_distinct("l_suppkey").alias("nsup"))
         .where(F.col("nsup") > 1)
         .select("l_orderkey")

@@ -39,6 +39,7 @@ COPIES = 100
 _ALPHA = string.ascii_lowercase + string.ascii_uppercase
 STORED_OP_NAMES = ("ann_q8_stored_scan[int8,k5]", "ann_rp_stored_scan[16d,k5]")
 MEDIA_OP_NAMES = ("media_screenvideo_decode", "media_adpcm_decode")
+TPCH_SWEEP = ("tpch_q9", "tpch_q11", "tpch_q12", "tpch_q21")
 
 
 def _caesar(col, k: int):
@@ -214,6 +215,50 @@ def ops(spark):
     }
 
 
+def build_derived_tpch(spark, src_sf: str, out_dir: str) -> None:
+    """100x TPC-H FACT tables (lineitem/orders with offset order keys;
+    customer keys offset in step) — dimensions (part/supplier/nation/
+    region) deliberately stay 1x: at 100 TB the fact side grows, the
+    dimension side does not, which is exactly what keeps the broadcast
+    plans broadcastable."""
+    if os.path.exists(os.path.join(out_dir, "_DONE_TPCH")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    li = load_table(spark, src_sf, "lineitem")
+    orders = load_table(spark, src_sf, "orders")
+    okey_span = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    ckey_span = 10_000_000
+    parts = []
+    oparts = []
+    for k in range(COPIES):
+        parts.append(li.withColumn("l_orderkey", F.col("l_orderkey") + k * okey_span))
+        oparts.append(
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + k * okey_span)
+            .withColumn("o_custkey", F.col("o_custkey") + (k % 10) * ckey_span)
+        )
+    big = parts[0]
+    for p in parts[1:]:
+        big = big.unionByName(p)
+    big.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "lineitem.parquet")
+    )
+    bigo = oparts[0]
+    for p in oparts[1:]:
+        bigo = bigo.unionByName(p)
+    bigo.repartition(64).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "orders.parquet")
+    )
+    # dimensions ride along unchanged so load_table works on out_dir
+    import shutil as _sh
+
+    for t in ("customer", "supplier", "part", "nation", "region"):
+        src = os.path.join(src_sf, f"{t}.parquet")
+        dst = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(dst):
+            _sh.copyfile(src, dst)
+    open(os.path.join(out_dir, "_DONE_TPCH"), "w").write("ok")
+
+
 def build_derived_media(spark, out_dir: str) -> None:
     """Media tables for the decode sweep: the Screen Video and ADPCM gate
     fixtures at 1x (the gate's 24/32 clips) and 100x, ENCODED IN PARALLEL
@@ -328,7 +373,7 @@ def main():
     argv = sys.argv[1:]
     op_names = (
         set(ops(None)) | set(ann_ops()) | set(STORED_OP_NAMES)
-        | set(MEDIA_OP_NAMES)
+        | set(MEDIA_OP_NAMES) | set(TPCH_SWEEP)
     )  # ops bodies only close over their args; None spark is fine here
     if argv and argv[0] in op_names:
         argv = ["/tmp/sf1_derived"] + argv
@@ -448,6 +493,25 @@ def main():
             if only and name not in only:
                 continue
             measure(name, run_small, run_big)
+
+    # TPC-H at 100x FACTS / 1x dims: the adapted completions' join shapes
+    # (fact-fact shuffle, scalar threshold, double correlation) measured
+    # against a 60M-row lineitem — the workload functions run verbatim,
+    # pointed at the derived directory
+    if not only or only & set(TPCH_SWEEP):
+        tdir = os.path.join(out_dir, "tpch100")
+        build_derived_tpch(spark, "/root/testdata/sf0.1", tdir)
+        from gohangout_spark.workload import QUERIES
+
+        for name in TPCH_SWEEP:
+            if only and name not in only:
+                continue
+            fn = QUERIES[name][0]
+            measure(
+                name,
+                lambda fn=fn: fn(spark, "/root/testdata/sf0.1"),
+                lambda fn=fn: fn(spark, tdir),
+            )
 
 
 if __name__ == "__main__":
