@@ -30,6 +30,58 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.lower(col), r"[^a-z0-9]+"), lambda t: t != "")
 
 
+def strip_control_chars(col: Column) -> Column:
+    """Remove C0 control characters (except \\t \\n \\r) and DEL — the
+    standard first pass over scraped text; a pure codegen projection."""
+    return F.regexp_replace(col, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+
+
+# minimal named-entity set for html_to_text, decoded in THIS order —
+# '&amp;' strictly last, or '&amp;lt;' would double-decode to '<'
+HTML_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(col: Column) -> Column:
+    """Boilerplate HTML → text: drop tags, decode the common entities
+    (amp last — order matters), squeeze whitespace, trim. Chained
+    regexp_replace/replace — JVM-side, no UDF, replayable verbatim in
+    any engine with the same regex dialect (RE2 ⊆ Java here)."""
+    out = F.regexp_replace(col, r"<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    # explicit class, not \s: Java's \s includes \x0B, RE2's does not —
+    # the explicit form is dialect-independent
+    return F.trim(F.regexp_replace(out, r"[ \t\n\r\f]+", " "))
+
+
+def nfc_normalize(col: Column) -> Column:
+    """Unicode NFC normalization (compose combining sequences) — the
+    canonical-form pass a multilingual corpus needs before hashing or
+    dedup (decomposed 'e'+U+0301 and composed U+00E9 must collide).
+    Spark has no built-in normalizer, so this is the one text op on the
+    Arrow path: a pandas UDF over stdlib unicodedata, vectorized per
+    batch. Oracle twin: DuckDB's native nfc_normalize."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pandas_udf rejects the unresolvable 'pd.Series' signature
+    return pandas_udf(_nfc, "string")(col)
+
+
 def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 

@@ -2430,6 +2430,115 @@ def tpch_q21(spark, sf_dir):
 
 
 @q(
+    "unicode_nfc_normalize",
+    """SELECT doc_id,
+       CAST(length(dec) AS INT) AS len_decomposed,
+       CAST(length(nfc_normalize(dec)) AS INT) AS len_nfc,
+       md5(nfc_normalize(dec)) AS nfc_md5
+FROM (SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS dec
+      FROM documents)""",
+)
+def unicode_nfc_normalize(spark, sf_dir):
+    """Unicode NFC canonicalization (r7 text-canonicalization trio): the
+    corpus is deterministically DECOMPOSED (every 'e' becomes e +
+    U+0301 combining acute) and functions/text.nfc_normalize must
+    recompose — lengths shrink back and the md5 over the composed bytes
+    must equal DuckDB's native nfc_normalize of the same derivation.
+    Exercises the one Arrow-path text op (stdlib unicodedata pandas
+    UDF) against an independent normalizer implementation."""
+    from gohangout_spark.functions.text import nfc_normalize
+
+    docs = _docs(spark, sf_dir)
+    # explicit e + combining acute U+0301 (NOT char(769): Spark's
+    # char() wraps mod 256) - the fixture feeds DECOMPOSED input
+    dec = F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301"))
+    d = docs.select("doc_id", dec.alias("dec"))
+    return d.select(
+        "doc_id",
+        F.length("dec").cast("int").alias("len_decomposed"),
+        F.length(nfc_normalize(F.col("dec"))).cast("int").alias("len_nfc"),
+        F.md5(nfc_normalize(F.col("dec")).cast("binary")).alias("nfc_md5"),
+    )
+
+
+@q(
+    "strip_control_chars",
+    """SELECT doc_id,
+       CAST(length(dirty) AS INT) AS len_dirty,
+       CAST(length(regexp_replace(dirty,
+            '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS INT)
+         AS len_clean,
+       md5(regexp_replace(dirty,
+            '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')) AS clean_md5
+FROM (SELECT doc_id, text || chr(7) || 'x' || chr(31) || chr(127) AS dirty
+      FROM documents)""",
+)
+def strip_control_chars(spark, sf_dir):
+    """Control-character stripping (C0 minus tab/newline/CR, plus DEL)
+    — the standard first scrub over scraped text, as a pure codegen
+    regexp projection; the fixture appends BEL/US/DEL so the class
+    edges are load-bearing, and the md5 pins byte-exact agreement with
+    DuckDB's RE2 replay of the same class."""
+    from gohangout_spark.functions.text import strip_control_chars as scc
+
+    docs = _docs(spark, sf_dir)
+    dirty = F.concat(
+        F.col("text"),
+        F.expr("char(7)"),
+        F.lit("x"),
+        F.expr("char(31)"),
+        F.expr("char(127)"),
+    )
+    d = docs.select("doc_id", dirty.alias("dirty"))
+    return d.select(
+        "doc_id",
+        F.length("dirty").cast("int").alias("len_dirty"),
+        F.length(scc(F.col("dirty"))).cast("int").alias("len_clean"),
+        F.md5(scc(F.col("dirty")).cast("binary")).alias("clean_md5"),
+    )
+
+
+@q(
+    "html_strip_entities",
+    """SELECT doc_id, CAST(length(clean) AS INT) AS len_clean,
+       md5(clean) AS clean_md5
+FROM (
+  SELECT doc_id,
+    trim(regexp_replace(
+      replace(replace(replace(replace(replace(replace(
+        regexp_replace(html, '<[^>]+>', ' ', 'g'),
+        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        '&nbsp;', ' '), '&amp;', '&'),
+      '[ \t\n\r\f]+', ' ', 'g')) AS clean
+  FROM (SELECT doc_id,
+          '<p id="x">' || replace(text, 'and', '&amp;')
+            || '</p>' || chr(10) || '<br/>&lt;end&gt;' AS html
+        FROM documents))""",
+)
+def html_strip_entities(spark, sf_dir):
+    """HTML boilerplate → text (tags dropped, the common entities
+    decoded amp-LAST, whitespace squeezed) — all chained JVM
+    regexp_replace/replace, zero UDF; the fixture wraps each doc in
+    tags and injects entities so the decode ordering is load-bearing.
+    DuckDB replays the identical chain (explicit whitespace class —
+    Java and RE2 disagree on \s)."""
+    from gohangout_spark.functions.text import html_to_text
+
+    docs = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit('<p id="x">'),
+        F.replace(F.col("text"), F.lit("and"), F.lit("&amp;")),
+        F.lit("</p>\n<br/>&lt;end&gt;"),
+    )
+    d = docs.select("doc_id", html.alias("html"))
+    return d.select(
+        "doc_id",
+        F.length(html_to_text(F.col("html"))).cast("int").alias("len_clean"),
+        F.md5(html_to_text(F.col("html")).cast("binary")).alias("clean_md5"),
+    )
+
+
+@q(
     "vocabulary_topn",
     r"""SELECT word, n, rank FROM (
           SELECT word, count(*) AS n,
@@ -5869,17 +5978,18 @@ def multimodal_flac_features(spark, sf_dir):
 # first couple of them is harmless).  New round-3 queries are inserted
 # before the tail so they are gated the round they land.
 _GATE_PRIORITY = [
-    # --- round-7 window: 12 new queries (4 gates + 8 adapted TPC-H
-    # completions) + the stale r3/r4 cohort. The driver samples the
-    # FIRST 50 registrations; r6 re-greened the r2/r3 tail, so this
-    # round rotates in the full 22-query r3 cohort plus 16 of the 39
-    # r4-cohort rows (alphabetical; the remaining 23 r4 rows sit
-    # directly below slot 50 and lead the r8 window). New-this-round
-    # queries go first so they are checked the round they land. Every
-    # row of the window — and the whole registry besides — was
-    # locally pre-verified green at sf0.01 this round (SCALE.md
-    # "Round-7 full-registry verification"), so the below-slot-50 rows
-    # carry fresh local evidence even before their next driver row.
+    # --- round-7 window: 15 new queries (4 gates + 8 adapted TPC-H
+    # completions + the text-canonicalization trio) + the stale r3/r4
+    # cohort. The driver samples the FIRST 50 registrations; r6
+    # re-greened the r2/r3 tail, so this round rotates in the full
+    # 22-query r3 cohort plus 13 of the 39 r4-cohort rows
+    # (alphabetical; the remaining 26 r4 rows sit directly below slot
+    # 50 and lead the r8 window). New-this-round queries go first so
+    # they are checked the round they land. Every row of the window —
+    # and the whole registry besides — was locally pre-verified green
+    # at sf0.01 this round (SCALE.md "Round-7 full-registry
+    # verification"), so the below-slot-50 rows carry fresh local
+    # evidence even before their next driver row.
     "dedup_stream_replay",
     "link_metric_stream_replay",
     "multimodal_g711_decode",
@@ -5893,6 +6003,10 @@ _GATE_PRIORITY = [
     "tpch_q16",
     "tpch_q20",
     "tpch_q21",
+    # --- 3 slots: the text-canonicalization trio (new r7) ---
+    "unicode_nfc_normalize",
+    "strip_control_chars",
+    "html_strip_entities",
     # --- 22 slots: last green r3 ---
     "redact_pii",
     "rollup_totals",
@@ -5930,10 +6044,10 @@ _GATE_PRIORITY = [
     "dup_span_stats",
     "event_sequences_topk",
     "flesch_reading_ease",
+    # --- below slot 50: the r4 remainder, heading the r8 window ---
     "funnel_conversion",
     "fuzzy_name_pairs",
     "gopher_rules",
-    # --- below slot 50: the r4 remainder, heading the r8 window ---
     "hashed_embedding_vectors",
     "inverted_index",
     "label_centroids",

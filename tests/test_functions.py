@@ -48,6 +48,37 @@ class TestText:
         got = {r["doc_id"]: r["fp"] for r in out}
         assert got[0] == got[3]  # identical docs -> identical sketch
 
+    def test_strip_control_chars(self, spark):
+        df = spark.createDataFrame(
+            [Row(s="a\x00b\x07c\tkeep\nme\rok\x7f\x1fend")]
+        )
+        (got,) = df.select(text.strip_control_chars(F.col("s"))).first()
+        assert got == "abc\tkeep\nme\rokend"  # tab/newline/CR survive
+
+    def test_html_to_text(self, spark):
+        df = spark.createDataFrame(
+            [Row(s='<div class="x">a &amp;&nbsp; b</div>\n<br/>&lt;tag&gt; &#39;q&#39;')]
+        )
+        (got,) = df.select(text.html_to_text(F.col("s"))).first()
+        assert got == "a & b <tag> 'q'"
+
+    def test_html_entities_amp_decoded_last(self, spark):
+        # '&amp;lt;' must NOT double-decode into '<'
+        df = spark.createDataFrame([Row(s="x &amp;lt; y")])
+        (got,) = df.select(text.html_to_text(F.col("s"))).first()
+        assert got == "x &lt; y"
+
+    def test_nfc_normalize_composes(self, spark):
+        import unicodedata
+
+        decomposed = "Cafe\u0301 touche\u0301"
+        df = spark.createDataFrame([Row(s=decomposed), Row(s=None)])
+        rows = df.select(text.nfc_normalize(F.col("s")).alias("n")).collect()
+        got = {r["n"] for r in rows}
+        assert unicodedata.normalize("NFC", decomposed) in got  # 'Café touché'
+        assert None in got
+        assert all(len(x) == len(decomposed) - 2 for x in got if x)
+
 
 class TestDedup:
     def test_exact_groups(self, docs):
