@@ -1204,6 +1204,28 @@ def screenvideo_fixture_updates(bx: int, by: int, j: int) -> bool:
     return j == 0 or (bx + by + j) % 3 == 0
 
 
+def screenvideo_fixture_frames(i: int) -> list:
+    """Clip i's frames, built from params/schedule/color — the ONE copy
+    of the frame-construction loop (the media table, the 100x sweep's
+    distributed encoder and the marker-emission test all call this)."""
+    from gohangout_spark.functions.screenvideo import ScreenVideoCodec
+
+    w, h, n_frames = screenvideo_fixture_params(i)
+    nbx, nby = (w + 15) // 16, (h + 15) // 16
+    last: dict = {}
+    frames = []
+    for j in range(n_frames):
+        frame = np.zeros((h, w, 3), dtype=np.uint8)
+        for by in range(nby):
+            for bx in range(nbx):
+                if screenvideo_fixture_updates(bx, by, j):
+                    last[bx, by] = j
+                region = ScreenVideoCodec._block_region(frame, 16, bx, by, w, h)
+                region[:, :] = screenvideo_fixture_color(i, bx, by, last[bx, by])
+        frames.append(frame)
+    return frames
+
+
 def make_screenvideo_media_table(spark, n: int = 24) -> DataFrame:
     """FLV Screen Video media table: clip i's frames are per-block solid
     colors following the fixture schedule — interframes only re-send
@@ -1215,24 +1237,9 @@ def make_screenvideo_media_table(spark, n: int = 24) -> DataFrame:
     codec = ScreenVideoCodec(16)
     rows = []
     for i in range(n):
-        w, h, n_frames = screenvideo_fixture_params(i)
-        nbx, nby = (w + 15) // 16, (h + 15) // 16
-        last = {}
-        frames = []
-        for j in range(n_frames):
-            frame = np.zeros((h, w, 3), dtype=np.uint8)
-            for by in range(nby):
-                for bx in range(nbx):
-                    if screenvideo_fixture_updates(bx, by, j):
-                        last[bx, by] = j
-                    region = ScreenVideoCodec._block_region(
-                        frame, 16, bx, by, w, h
-                    )
-                    region[:, :] = screenvideo_fixture_color(
-                        i, bx, by, last[bx, by]
-                    )
-            frames.append(frame)
-        rows.append((i, bytearray(codec.encode(frames)), (w, h, 3, "flv")))
+        w, h, _ = screenvideo_fixture_params(i)
+        payload = codec.encode(screenvideo_fixture_frames(i))
+        rows.append((i, bytearray(payload), (w, h, 3, "flv")))
     return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
 
 

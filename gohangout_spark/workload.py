@@ -2452,12 +2452,14 @@ def unicode_nfc_normalize(spark, sf_dir):
     # explicit e + combining acute U+0301 (NOT char(769): Spark's
     # char() wraps mod 256) - the fixture feeds DECOMPOSED input
     dec = F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301"))
-    d = docs.select("doc_id", dec.alias("dec"))
+    d = docs.select("doc_id", dec.alias("dec")).withColumn(
+        "nfc", nfc_normalize(F.col("dec"))  # ONE Arrow pass, reused below
+    )
     return d.select(
         "doc_id",
         F.length("dec").cast("int").alias("len_decomposed"),
-        F.length(nfc_normalize(F.col("dec"))).cast("int").alias("len_nfc"),
-        F.md5(nfc_normalize(F.col("dec")).cast("binary")).alias("nfc_md5"),
+        F.length("nfc").cast("int").alias("len_nfc"),
+        F.md5(F.col("nfc").cast("binary")).alias("nfc_md5"),
     )
 
 
@@ -6030,7 +6032,7 @@ _GATE_PRIORITY = [
     "vocabulary_topn",
     "weighted_mixture",
     "yaml_pipeline_e2e",
-    # --- 24 slots: last green r4 (alphabetical) ---
+    # --- 13 slots: last green r4 (alphabetical) ---
     "approx_distinct_report",
     "bm25_search",
     "boilerplate_lines",

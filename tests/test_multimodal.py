@@ -411,28 +411,12 @@ class TestScreenVideo:
         )
         from gohangout_spark.functions.screenvideo import ScreenVideoCodec
 
-        # rebuild clip 0's payload exactly as the media table does
         from gohangout_spark.functions.multimodal import (
-            screenvideo_fixture_color,
-            screenvideo_fixture_updates,
+            screenvideo_fixture_frames,
         )
 
         codec = ScreenVideoCodec(16)
-        i = 0
-        w, h, n_frames = screenvideo_fixture_params(i)
-        nbx, nby = (w + 15) // 16, (h + 15) // 16
-        last, frames = {}, []
-        for j in range(n_frames):
-            frame = np.zeros((h, w, 3), dtype=np.uint8)
-            for by in range(nby):
-                for bx in range(nbx):
-                    if screenvideo_fixture_updates(bx, by, j):
-                        last[bx, by] = j
-                    ScreenVideoCodec._block_region(frame, 16, bx, by, w, h)[
-                        :, :
-                    ] = screenvideo_fixture_color(i, bx, by, last[bx, by])
-            frames.append(frame)
-        payload = codec.encode(frames)
+        payload = codec.encode(screenvideo_fixture_frames(0))
         for k, (tag_type, body) in enumerate(codec._tags(payload)):
             if k == 0:
                 continue

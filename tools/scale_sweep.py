@@ -227,14 +227,16 @@ def build_derived_tpch(spark, src_sf: str, out_dir: str) -> None:
     li = load_table(spark, src_sf, "lineitem")
     orders = load_table(spark, src_sf, "orders")
     okey_span = orders.agg(F.max("o_orderkey")).first()[0] + 1
-    ckey_span = 10_000_000
     parts = []
     oparts = []
     for k in range(COPIES):
         parts.append(li.withColumn("l_orderkey", F.col("l_orderkey") + k * okey_span))
+        # o_custkey stays UNOFFSET so every derived order still resolves
+        # against the 1x customer dimension (100 orders/customer instead
+        # of 1 — the realistic fact-growth shape; an offset would leave
+        # dangling keys for any customer-join query pointed here)
         oparts.append(
             orders.withColumn("o_orderkey", F.col("o_orderkey") + k * okey_span)
-            .withColumn("o_custkey", F.col("o_custkey") + (k % 10) * ckey_span)
         )
     big = parts[0]
     for p in parts[1:]:
@@ -270,36 +272,17 @@ def build_derived_media(spark, out_dir: str) -> None:
     import pandas as pd
 
     def gen_sv(batches):
-        import numpy as np
-
         from gohangout_spark.functions.multimodal import (
-            screenvideo_fixture_color,
-            screenvideo_fixture_params,
-            screenvideo_fixture_updates,
+            screenvideo_fixture_frames,
         )
         from gohangout_spark.functions.screenvideo import ScreenVideoCodec
 
         codec = ScreenVideoCodec(16)
         for pdf in batches:
-            rows = []
-            for i in pdf["id"]:
-                i = int(i)
-                w, h, n_frames = screenvideo_fixture_params(i)
-                nbx, nby = (w + 15) // 16, (h + 15) // 16
-                last, frames = {}, []
-                for j in range(n_frames):
-                    frame = np.zeros((h, w, 3), dtype=np.uint8)
-                    for by in range(nby):
-                        for bx in range(nbx):
-                            if screenvideo_fixture_updates(bx, by, j):
-                                last[bx, by] = j
-                            ScreenVideoCodec._block_region(
-                                frame, 16, bx, by, w, h
-                            )[:, :] = screenvideo_fixture_color(
-                                i, bx, by, last[bx, by]
-                            )
-                    frames.append(frame)
-                rows.append((i, codec.encode(frames)))
+            rows = [
+                (int(i), codec.encode(screenvideo_fixture_frames(int(i))))
+                for i in pdf["id"]
+            ]
             yield pd.DataFrame(rows, columns=["media_id", "content"])
 
     def gen_adpcm(batches):
