@@ -61,6 +61,38 @@ def html_to_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(out, r"[ \t\n\r\f]+", " "))
 
 
+# telltale lead characters of utf-8 bytes mis-decoded as latin-1/cp1252:
+# every 2-3 byte utf-8 sequence starts 0xC2-0xEF, which latin-1 renders
+# in this set. Presence gates the repair attempt (plain text never pays).
+MOJIBAKE_MARKERS = "ÃÂâÎÏÐ"
+
+
+def fix_mojibake(col: Column) -> Column:
+    """Repair the classic double-encoding mojibake ('é' shown as 'Ã©'):
+    text that is really utf-8 bytes mis-decoded as latin-1/cp1252 is
+    re-encoded to those bytes and decoded as utf-8. The repair only
+    applies when (a) a marker character is present, (b) the latin-1
+    re-encode is possible, and (c) the bytes parse as valid utf-8 —
+    otherwise the input passes through untouched, so clean text
+    (including clean text CONTAINING 'Ã' legitimately, which fails (c)
+    with high probability on real words) is never corrupted. Arrow-path
+    pandas UDF (byte-level transcode, no JVM primitive exists)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _fix_one(x):
+        if x is None or not any(m in x for m in MOJIBAKE_MARKERS):
+            return x
+        try:
+            return x.encode("latin-1").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            return x
+
+    def _fix(s):
+        return s.map(_fix_one)
+
+    return pandas_udf(_fix, "string")(col)
+
+
 def nfc_normalize(col: Column) -> Column:
     """Unicode NFC normalization (compose combining sequences) — the
     canonical-form pass a multilingual corpus needs before hashing or

@@ -2541,6 +2541,36 @@ def html_strip_entities(spark, sf_dir):
 
 
 @q(
+    "fix_mojibake",
+    """SELECT doc_id,
+       CAST(length(replace(text, 'e', chr(233))) AS INT) AS len_fixed,
+       md5(replace(text, 'e', chr(233))) AS fixed_md5
+FROM documents""",
+)
+def fix_mojibake(spark, sf_dir):
+    """Mojibake repair (the ftfy-style double-encoding fix, completing
+    the r7 canonicalization set): the corpus is deterministically
+    CORRUPTED the way real pipelines see it — every 'e' becomes
+    'Ã©' (U+00C3 U+00A9: the latin-1 rendering of utf-8 'é') — and
+    functions/text.fix_mojibake must invert the damage byte-exactly:
+    the oracle computes the TARGET directly (text with 'é', chr(233)),
+    so a wrong transcode, an over-eager repair of clean rows, or a
+    skipped marker row all hash-mismatch. Rows without markers pass
+    through untouched by construction (pure-ASCII fixture rows keep
+    their original md5)."""
+    from gohangout_spark.functions.text import fix_mojibake as fix
+
+    docs = _docs(spark, sf_dir)
+    moji = F.replace(F.col("text"), F.lit("e"), F.lit("\u00c3\u00a9"))
+    d = docs.select("doc_id", fix(moji).alias("fixed"))
+    return d.select(
+        "doc_id",
+        F.length("fixed").cast("int").alias("len_fixed"),
+        F.md5(F.col("fixed").cast("binary")).alias("fixed_md5"),
+    )
+
+
+@q(
     "vocabulary_topn",
     r"""SELECT word, n, rank FROM (
           SELECT word, count(*) AS n,
@@ -5980,12 +6010,12 @@ def multimodal_flac_features(spark, sf_dir):
 # first couple of them is harmless).  New round-3 queries are inserted
 # before the tail so they are gated the round they land.
 _GATE_PRIORITY = [
-    # --- round-7 window: 15 new queries (4 gates + 8 adapted TPC-H
-    # completions + the text-canonicalization trio) + the stale r3/r4
-    # cohort. The driver samples the FIRST 50 registrations; r6
+    # --- round-7 window: 16 new queries (4 gates + 8 adapted TPC-H
+    # completions + the 4-query text-canonicalization set) + the stale
+    # r3/r4 cohort. The driver samples the FIRST 50 registrations; r6
     # re-greened the r2/r3 tail, so this round rotates in the full
-    # 22-query r3 cohort plus 13 of the 39 r4-cohort rows
-    # (alphabetical; the remaining 26 r4 rows sit directly below slot
+    # 22-query r3 cohort plus 12 of the 39 r4-cohort rows
+    # (alphabetical; the remaining 27 r4 rows sit directly below slot
     # 50 and lead the r8 window). New-this-round queries go first so
     # they are checked the round they land. Every row of the window —
     # and the whole registry besides — was locally pre-verified green
@@ -6009,6 +6039,7 @@ _GATE_PRIORITY = [
     "unicode_nfc_normalize",
     "strip_control_chars",
     "html_strip_entities",
+    "fix_mojibake",
     # --- 22 slots: last green r3 ---
     "redact_pii",
     "rollup_totals",
@@ -6032,7 +6063,7 @@ _GATE_PRIORITY = [
     "vocabulary_topn",
     "weighted_mixture",
     "yaml_pipeline_e2e",
-    # --- 13 slots: last green r4 (alphabetical) ---
+    # --- 12 slots: last green r4 (alphabetical) ---
     "approx_distinct_report",
     "bm25_search",
     "boilerplate_lines",
@@ -6045,8 +6076,8 @@ _GATE_PRIORITY = [
     "deterministic_shuffle",
     "dup_span_stats",
     "event_sequences_topk",
-    "flesch_reading_ease",
     # --- below slot 50: the r4 remainder, heading the r8 window ---
+    "flesch_reading_ease",
     "funnel_conversion",
     "fuzzy_name_pairs",
     "gopher_rules",

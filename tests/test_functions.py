@@ -68,6 +68,24 @@ class TestText:
         (got,) = df.select(text.html_to_text(F.col("s"))).first()
         assert got == "x &lt; y"
 
+    def test_fix_mojibake(self, spark):
+        cases = [
+            Row(s="cafÃ©"),       # utf-8 é seen as latin-1 -> repair
+            Row(s="plain ascii stays"),      # no markers -> untouched
+            Row(s="real café stays"),   # é alone: no marker char
+            Row(s="Ã alone stays"),     # marker but invalid utf-8 bytes
+            Row(s=None),
+        ]
+        from gohangout_spark.functions import text as t
+
+        df = spark.createDataFrame(cases)
+        got = [r[0] for r in df.select(t.fix_mojibake(F.col("s"))).collect()]
+        assert got[0] == "café"
+        assert got[1] == "plain ascii stays"
+        assert got[2] == "real café stays"
+        assert got[3] == "Ã alone stays"
+        assert got[4] is None
+
     def test_nfc_normalize_composes(self, spark):
         import unicodedata
 
