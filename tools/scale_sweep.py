@@ -155,6 +155,7 @@ def ops(spark):
     from gohangout_spark.functions.analytics import rfm_segments
     from gohangout_spark.functions.dedup import exact_dedup
     from gohangout_spark.functions.lm import fit_char_bigram_lm, perplexity_pandas
+    from gohangout_spark.functions import text as _text
 
     def funnel(d, e):
         # the curation_funnel workload chain verbatim (gopher gate →
@@ -212,6 +213,25 @@ def ops(spark):
         # r6 additions (VERDICT r5 #8): the two r5 plan-churned queries
         "rfm_segments": lambda d, e: rfm_segments(e),
         "curation_funnel": funnel,
+        # r7 text canonicalization: one codegen chain, two Arrow-path ops
+        "html_strip[codegen]": lambda d, e: d.select(
+            "doc_id",
+            _text.html_to_text(
+                F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>&amp;"))
+            ).alias("clean"),
+        ),
+        "nfc_normalize[arrow]": lambda d, e: d.select(
+            "doc_id",
+            _text.nfc_normalize(
+                F.replace(F.col("text"), F.lit("e"), F.lit("e\u0301"))
+            ).alias("nfc"),
+        ),
+        "fix_mojibake[arrow]": lambda d, e: d.select(
+            "doc_id",
+            _text.fix_mojibake(
+                F.replace(F.col("text"), F.lit("e"), F.lit("\u00c3\u00a9"))
+            ).alias("fixed"),
+        ),
     }
 
 
