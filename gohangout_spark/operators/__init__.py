@@ -23,6 +23,7 @@ from gohangout_spark.operators.filters import Filters
 from gohangout_spark.operators.ipip import IPIP
 from gohangout_spark.operators.metrics import LinkMetric, LinkStatsMetric
 from gohangout_spark.operators.textops import (
+    Canonicalize,
     Decontaminate,
     Fingerprint,
     BoilerplateLines,
@@ -65,6 +66,7 @@ FILTER_REGISTRY = {
     "Fingerprint": Fingerprint,
     "SimHash": SimHash,
     "RedactPii": RedactPii,
+    "Canonicalize": Canonicalize,
     "Decontaminate": Decontaminate,
     "BoilerplateLines": BoilerplateLines,
     "Classify": Classify,

@@ -304,6 +304,58 @@ class QuantileBucket(_GuardedPlanOp):
         return {self.target: F.lit(None).cast(typ)}
 
 
+class Canonicalize(_TextOp):
+    """Text canonicalization as one YAML filter (``target`` defaults to
+    ``src`` — canonicalization replaces the field, like RedactPii):
+    optional stages applied in the fixed scrub order a crawl pipeline
+    wants — mojibake repair first (byte damage), then control-char
+    strip (so HTML's whitespace squeeze/trim sees no residue), then
+    HTML strip, then NFC normalization (compose LAST, after all
+    textual edits). Each stage is individually gate-verified
+    (fix_mojibake / html_strip_entities / strip_control_chars /
+    unicode_nfc_normalize); this filter only sequences them.
+
+        - Canonicalize: {src: text, html: true, nfc: true}
+    """
+
+    default_target = None
+
+    def __init__(
+        self,
+        src: str = "text",
+        target: str | None = None,
+        mojibake: bool = True,
+        html: bool = False,
+        control: bool = True,
+        nfc: bool = False,
+    ):
+        self.src = src
+        self.target = target or src
+        self.mojibake = mojibake
+        self.html = html
+        self.control = control
+        self.nfc = nfc
+
+    def expr(self, col):
+        from gohangout_spark.functions.text import (
+            fix_mojibake,
+            html_to_text,
+            nfc_normalize,
+            strip_control_chars,
+        )
+
+        out = col
+        if self.mojibake:
+            out = fix_mojibake(out)
+        if self.control:
+            out = strip_control_chars(out)
+        if self.html:
+            out = html_to_text(out)
+        if self.nfc:
+            out = nfc_normalize(out)
+        return out
+
+
 class RedactPii(_TextOp):
     """Scrub emails/IPv4s/phones in place (``target`` defaults to ``src`` —
     redaction replaces the field, matching how a log pipeline uses it)."""

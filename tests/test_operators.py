@@ -917,3 +917,34 @@ outputs:
                 AsofLookup(path=dim, on="item", timestamp="ts",
                            right_timestamp="valid_from")
             ).apply(stream)
+
+
+class TestCanonicalize:
+    def test_yaml_filter_sequences_stages(self, spark):
+        from pyspark.sql import Row
+
+        from gohangout_spark.operators import Canonicalize, Chain, FilterBox
+
+        df = spark.createDataFrame(
+            [Row(text="<p>cafÃ© &amp; tea</p>\x07")]
+        )
+        out = Chain(
+            [FilterBox(Canonicalize(src="text", html=True, nfc=True))]
+        ).apply(df)
+        (got,) = out.select("text").first()
+        assert got == "café & tea"
+
+    def test_default_stages_replace_in_place(self, spark):
+        from pyspark.sql import Row
+
+        from gohangout_spark.operators import Canonicalize, FilterBox
+
+        df = spark.createDataFrame([Row(text="ok\x00fine")])
+        out = FilterBox(Canonicalize(src="text")).apply(df)
+        assert out.select("text").first()[0] == "okfine"
+
+    def test_registry_builds_from_yaml_name(self):
+        from gohangout_spark.operators import FILTER_REGISTRY
+
+        f = FILTER_REGISTRY["Canonicalize"](src="text", nfc=True)
+        assert f.target == "text" and f.nfc
