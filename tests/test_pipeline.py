@@ -832,3 +832,44 @@ def test_classify_filter_validation():
         Classify()
     with _pytest.raises(ValueError, match="mark|drop"):
         Classify(weights=[0.1], action="explode")
+
+
+class TestDriverWindow:
+    """Invariants of the driver-gate window (_GATE_PRIORITY): the
+    correctness driver samples the FIRST 50 registrations, so a rotation
+    edit that breaks these silently un-gates queries."""
+
+    def test_window_has_50_known_queries(self):
+        from gohangout_spark.workload import QUERIES, _GATE_PRIORITY
+
+        assert len(_GATE_PRIORITY) == len(set(_GATE_PRIORITY)), "duplicates"
+        missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
+        assert not missing, f"priority names not registered: {missing}"
+        window = list(QUERIES)[:50]
+        assert len(window) == 50
+
+    def test_new_round_gates_lead_the_window(self):
+        from gohangout_spark.workload import QUERIES
+
+        window = set(list(QUERIES)[:50])
+        r7_new = {
+            "dedup_stream_replay",
+            "link_metric_stream_replay",
+            "multimodal_g711_decode",
+            "multimodal_screenvideo_frames",
+            "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11",
+            "tpch_q12", "tpch_q16", "tpch_q20", "tpch_q21",
+            "unicode_nfc_normalize", "strip_control_chars",
+            "html_strip_entities", "fix_mojibake",
+        }
+        assert r7_new <= window, r7_new - window
+
+    def test_every_window_query_is_oracle_backed(self):
+        """The window exists to produce hash rows; a rows-only query in it
+        wastes a slot (rows-only points are frozen per docs/COVERAGE.md)."""
+        from gohangout_spark.workload import QUERIES
+
+        slotted_rows_only = [
+            n for n, (_, sql) in list(QUERIES.items())[:50] if sql is None
+        ]
+        assert not slotted_rows_only, slotted_rows_only
