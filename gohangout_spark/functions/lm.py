@@ -41,6 +41,7 @@ __all__ = [
     "perplexity",
     "perplexity_pandas",
     "perplexity_buckets",
+    "kneser_ney_score",
 ]
 
 
@@ -120,6 +121,87 @@ def fit_char_bigram_lm(ref_docs: DataFrame, *, text_col: str = "text") -> list[f
         for i2 in range(V):
             table.append(math.log((int(counts[i1 * V + i2]) + 1) / (tot + V)))
     return table
+
+
+def kneser_ney_score(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    discount: float = 0.75,
+    out_col: str = "ppl",
+) -> DataFrame:
+    """Interpolated Kneser-Ney word-BIGRAM perplexity (the KenLM/CCNet
+    model family proper, next to the char-bigram signal above), trained
+    and scored over the SAME corpus wholly in-plan:
+
+        P(w|v) = (max(c(v,w) - D, 0) + D * N1+(v.) * N1+(.w)/T) / c(v)
+
+    with c(v) = total bigram tokens with context v, N1+(v.) = distinct
+    continuations of v, N1+(.w) = distinct contexts of w (the
+    continuation-probability novelty count that distinguishes KN from
+    absolute discounting), T = distinct bigram types, D = ``discount``.
+    Scoring the training corpus means every (v,w) was seen, so the
+    unseen-context backoff branch never fires — the whole formula stays
+    join-expressible and the DuckDB oracle replays train+score exactly
+    (kneser_ney_perplexity gate).
+
+    Scale shape: tokenization + pair-explode is one corpus scan; the
+    aggregation CASCADES through shrinking keyspaces — (doc,v,w) →
+    (v,w) → v / w — all hash-partitioned equi-joins on vocabulary-sized
+    tables (Catalyst's ReuseExchange dedupes the shared (doc,v,w)
+    subtree). The only driver traffic is the single scalar T (one
+    count(), bounded by construction). Nothing collects the vocabulary;
+    at 100 TB the model tables shuffle like any dimension table.
+
+    Returns docs' ``doc_id`` plus ``n_bigrams`` (0 for <2-token docs)
+    and ``out_col`` = exp(mean -ln P), 4-decimal floor-form rounding,
+    NULL for docs with no bigrams."""
+    from gohangout_spark.functions.text import tokens
+
+    base = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    n = F.size("toks")
+    length = F.greatest(n - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice("toks", 1, length).alias("v"), F.slice("toks", 2, length).alias("w")
+    )
+    inst = base.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.v").alias("v"), F.col("p.w").alias("w")
+    )
+    doc_bg = inst.groupBy("doc_id", "v", "w").agg(F.count("*").alias("cnt"))
+    bg = doc_bg.groupBy("v", "w").agg(F.sum("cnt").alias("c_vw"))
+    ctx = bg.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"), F.count("*").alias("n1_fwd")
+    )
+    cont = bg.groupBy("w").agg(F.count("*").alias("n1_back"))
+    t_types = float(bg.count())  # single scalar to the driver
+    d = F.lit(float(discount))
+    # identical association order to the oracle SQL:
+    #   (greatest(c_vw - D, 0) + D * n1_fwd * (n1_back / T)) / c_v
+    p = (
+        F.greatest(F.col("c_vw") - d, F.lit(0.0))
+        + d * F.col("n1_fwd") * (F.col("n1_back") / F.lit(t_types))
+    ) / F.col("c_v")
+    scored = (
+        doc_bg.join(bg, ["v", "w"])
+        .join(ctx, ["v"])
+        .join(cont, ["w"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * -F.log(p)).alias("nll"),
+        )
+    )
+    return (
+        base.select("doc_id")
+        .join(scored, ["doc_id"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            round_half_up(
+                F.exp(F.col("nll") / F.col("n_bigrams")), 4
+            ).alias(out_col),
+        )
+    )
 
 
 def perplexity(

@@ -871,6 +871,88 @@ def extract_g711_decode_stats(df: DataFrame) -> DataFrame:
     return _extract_pcm_decode_stats(df, decode)
 
 
+def qoi_fixture_pixel(i: int, x: int, y: int) -> tuple[int, int, int]:
+    """Closed-form fixture pixel for image ``i`` at ``(x, y)`` — the
+    row pattern cycles through the five 3-channel QOI op families
+    (RUN / DIFF / LUMA / RGB / INDEX-heavy repeat), and the
+    ``multimodal_qoi_features`` oracle re-derives the identical values in
+    SQL (the formulas below are mirrored verbatim in its CASE arms)."""
+    m = y % 5
+    if m == 0:  # flat row -> QOI_OP_RUN
+        return (i * 7) % 256, (i * 11) % 256, (i * 13) % 256
+    if m == 1:  # +1/channel/step -> QOI_OP_DIFF
+        return (i * 7 + x) % 256, (i * 11 + x) % 256, (i * 13 + x) % 256
+    if m == 2:  # vg=9, vg_r=+1, vg_b=-2 -> QOI_OP_LUMA
+        return (i * 7 + 10 * x) % 256, (i * 11 + 9 * x) % 256, (i * 13 + 7 * x) % 256
+    # m in (3, 4): large jumps -> QOI_OP_RGB; row m==4 repeats row m==3
+    # pixel-for-pixel (same x-only formula) -> QOI_OP_INDEX hits
+    return (i * 31 + x * 97) % 256, (i * 17 + x * 59) % 256, (i * 23 + x * 131) % 256
+
+
+def make_qoi_media_table(spark, n: int = 48) -> DataFrame:
+    """Deterministic REAL-QOI media table: image i is
+    (12 + i%5) x (10 + i%4) with qoi_fixture_pixel rows, encoded through
+    functions/qoi.QoiCodec — closed-form pixels, so the full
+    header→chunk-stream→running-index decode chain is ORACLE-checkable
+    (multimodal_qoi_features) and the stream provably contains all five
+    3-channel ops (tests/test_qoi.py asserts op coverage)."""
+    from gohangout_spark.functions.qoi import QoiCodec
+
+    codec = QoiCodec()
+    rows = []
+    for i in range(n):
+        w, h = 12 + i % 5, 10 + i % 4
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                px[y, x] = qoi_fixture_pixel(i, x, y)
+        rows.append((i, bytearray(codec.encode(px)), (w, h, 3, "qoi")))
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
+QOI_STATS_SCHEMA = (
+    "media_id long, width int, height int, n_pixels long, "
+    "sum_r long, sum_g long, sum_b long, checksum long"
+)
+
+
+def extract_qoi_decode_stats(df: DataFrame) -> DataFrame:
+    """Decode QOI images inside mapInPandas and reduce each to channel
+    sums plus a position-weighted checksum
+    ``sum((3r+5g+7b+11) * (1 + (y*w+x) % 97))`` — the weight pins every
+    pixel to its raster position, so an op that decodes the right colors
+    in the wrong places (e.g. a run length off by one) still mismatches."""
+    from gohangout_spark.functions.qoi import QoiCodec
+
+    codec = QoiCodec()
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                px = codec.decode(bytes(content)).astype(np.int64)
+                h, w = px.shape[:2]
+                pos = np.arange(h * w).reshape(h, w)
+                weight = 1 + pos % 97
+                r, g, b = px[..., 0], px[..., 1], px[..., 2]
+                out.append(
+                    (
+                        int(mid), w, h, h * w,
+                        int(r.sum()), int(g.sum()), int(b.sum()),
+                        int(((3 * r + 5 * g + 7 * b + 11) * weight).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "width", "height", "n_pixels",
+                    "sum_r", "sum_g", "sum_b", "checksum",
+                ],
+            )
+
+    return df.mapInPandas(feats, QOI_STATS_SCHEMA)
+
+
 def make_fake_media_table(spark, n: int = 64) -> DataFrame:
     """Deterministic binary media table for pipeline testing."""
     rows = []

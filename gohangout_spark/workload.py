@@ -4340,6 +4340,60 @@ def multimodal_g711_decode(spark, sf_dir):
 
 
 @q(
+    "multimodal_qoi_features",
+    r"""WITH dims AS (
+  SELECT CAST(i AS BIGINT) AS media_id, 12 + i % 5 AS w, 10 + i % 4 AS h
+  FROM range(48) c(i)),
+px AS (
+  SELECT media_id, w, h, x, y,
+         CASE y % 5
+           WHEN 0 THEN (media_id * 7) % 256
+           WHEN 1 THEN (media_id * 7 + x) % 256
+           WHEN 2 THEN (media_id * 7 + 10 * x) % 256
+           ELSE (media_id * 31 + x * 97) % 256 END AS r,
+         CASE y % 5
+           WHEN 0 THEN (media_id * 11) % 256
+           WHEN 1 THEN (media_id * 11 + x) % 256
+           WHEN 2 THEN (media_id * 11 + 9 * x) % 256
+           ELSE (media_id * 17 + x * 59) % 256 END AS g,
+         CASE y % 5
+           WHEN 0 THEN (media_id * 13) % 256
+           WHEN 1 THEN (media_id * 13 + x) % 256
+           WHEN 2 THEN (media_id * 13 + 7 * x) % 256
+           ELSE (media_id * 23 + x * 131) % 256 END AS b
+  FROM dims, range(16) xs(x), range(13) ys(y)
+  WHERE x < w AND y < h)
+SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       COUNT(*) AS n_pixels,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM((3 * r + 5 * g + 7 * b + 11) * (1 + (y * w + x) % 97)) AS BIGINT)
+         AS checksum
+FROM px GROUP BY media_id, w, h""",
+)
+def multimodal_qoi_features(spark, sf_dir):
+    """REAL QOI lossless image codec, oracle-checked end-to-end (new r7):
+    fixture images whose row pattern cycles through all five 3-channel
+    QOI op families (RUN / DIFF / LUMA / RGB / INDEX-heavy repeat rows)
+    are encoded by functions/qoi.QoiCodec, decoded inside mapInPandas and
+    reduced to channel sums plus a position-weighted checksum; the oracle
+    re-derives the closed-form pixels in SQL (identical CASE arms to
+    qoi_fixture_pixel) — lossless, so a wrong bias, wrap, hash multiplier
+    or run length anywhere in the chunk chain hash-mismatches. The spec
+    byte layout is additionally pinned by hand-assembled streams in
+    tests/test_qoi.py. QOI's spec is fully algorithmic (no
+    Huffman/DCT tables), same from-spec doctrine as adpcm/g711."""
+    from gohangout_spark.functions.multimodal import (
+        extract_qoi_decode_stats,
+        make_qoi_media_table,
+    )
+
+    media = make_qoi_media_table(spark, n=48)
+    return extract_qoi_decode_stats(media)
+
+
+@q(
     "multimodal_video_frames",
     """SELECT CAST(i AS BIGINT) AS media_id,
               CAST(j AS INT) AS frame_idx,
@@ -4674,6 +4728,53 @@ def char_lm_perplexity(spark, sf_dir):
     docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
     model = fit_char_bigram_lm(docs.where(F.col("lang") == "en"))
     return perplexity_pandas(docs, model).select("doc_id", "ppl")
+
+
+@q(
+    "kneser_ney_perplexity",
+    r"""WITH t AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+pr AS (
+  SELECT doc_id, toks[i] AS v, toks[i + 1] AS w
+  FROM t, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)),
+doc_bg AS (SELECT doc_id, v, w, count(*) AS cnt FROM pr GROUP BY doc_id, v, w),
+bg AS (SELECT v, w, CAST(sum(cnt) AS BIGINT) AS c_vw FROM doc_bg GROUP BY v, w),
+ctx AS (SELECT v, CAST(sum(c_vw) AS BIGINT) AS c_v, count(*) AS n1_fwd
+        FROM bg GROUP BY v),
+cont AS (SELECT w, count(*) AS n1_back FROM bg GROUP BY w),
+tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM bg),
+sc AS (
+  SELECT doc_bg.doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         sum(cnt * -ln((greatest(c_vw - 0.75, 0)
+                        + 0.75 * n1_fwd * (n1_back / t)) / c_v)) AS nll
+  FROM doc_bg JOIN bg USING (v, w) JOIN ctx USING (v) JOIN cont USING (w), tt
+  GROUP BY doc_bg.doc_id)
+SELECT t.doc_id,
+       coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       floor(exp(sc.nll / sc.n_bigrams) * 1e4 + 0.5) / 1e4 AS ppl
+FROM t LEFT JOIN sc USING (doc_id)""",
+)
+def kneser_ney_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney word-bigram LM (the KenLM model family
+    CCNet actually deploys, arXiv:1911.00359) with train AND score fully
+    in-plan: corpus bigram counts cascade through shrinking keyspaces
+    ((doc,v,w) → (v,w) → contexts/continuations — all equi-joins, the
+    vocabulary never collects), the continuation-novelty counts N1+
+    supply the KN lower-order distribution, and every doc is scored
+    against the model trained on the same corpus. The oracle replays the
+    ENTIRE pipeline — tokenization, discounting, continuation
+    probabilities, interpolation weights — in DuckDB SQL and
+    hash-matches the perplexities, so a wrong discount clamp, a
+    type-vs-token count swap (THE classic KN bug) or a mis-joined
+    continuation count all mismatch."""
+    from gohangout_spark.functions.lm import kneser_ney_score
+    from gohangout_spark.io import rebalance_for_compute
+
+    docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
+    return kneser_ney_score(docs).select("doc_id", "n_bigrams", "ppl")
 
 
 @q(

@@ -1998,6 +1998,132 @@ class TestCharLM:
             perplexity(docs, [0.0] * 10)
 
 
+class TestKneserNey:
+    """Interpolated KN word-bigram perplexity (lm.kneser_ney_score),
+    cross-checked against an independent plain-Python reimplementation of
+    the textbook formula (Chen & Goodman 1999 eq. interpolated KN) — same
+    role audioop plays for the ADPCM/G.711 codecs."""
+
+    @staticmethod
+    def _reference_ppl(corpus: dict[int, str], discount: float = 0.75):
+        import math
+        import re
+        from collections import Counter
+
+        toks = {
+            d: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+            for d, t in corpus.items()
+        }
+        bg = Counter()
+        for ws in toks.values():
+            bg.update(zip(ws, ws[1:]))
+        c_v = Counter()
+        n1_fwd = Counter()
+        n1_back = Counter()
+        for (v, w), c in bg.items():
+            c_v[v] += c
+            n1_fwd[v] += 1
+            n1_back[w] += 1
+        t_types = len(bg)
+        out = {}
+        for d, ws in toks.items():
+            pairs = list(zip(ws, ws[1:]))
+            if not pairs:
+                out[d] = (0, None)
+                continue
+            nll = 0.0
+            for v, w in pairs:
+                p = (
+                    max(bg[(v, w)] - discount, 0.0)
+                    + discount * n1_fwd[v] * (n1_back[w] / t_types)
+                ) / c_v[v]
+                nll -= math.log(p)
+            out[d] = (
+                len(pairs),
+                math.floor(math.exp(nll / len(pairs)) * 1e4 + 0.5) / 1e4,
+            )
+        return out
+
+    def test_matches_reference_implementation(self, spark):
+        from gohangout_spark.functions.lm import kneser_ney_score
+
+        corpus = {
+            1: "the cat sat on the mat",
+            2: "the dog sat on the log",
+            3: "a cat and a dog and a rat",
+            4: "the the the the",  # repeated-token degenerate
+            5: "solo",  # 1 token -> no bigrams
+            6: "",  # empty -> no bigrams
+            7: "San Francisco! san-francisco; SAN FRANCISCO",
+        }
+        docs = spark.createDataFrame(
+            list(corpus.items()), "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: (r.n_bigrams, r.ppl)
+            for r in kneser_ney_score(docs).collect()
+        }
+        want = self._reference_ppl(corpus)
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d][0] == want[d][0], d
+            if want[d][1] is None:
+                assert got[d][1] is None, d
+            else:
+                assert got[d][1] == pytest.approx(want[d][1], abs=2e-4), d
+
+    def test_probabilities_sum_to_one_per_context(self, spark):
+        """Interpolated KN must yield a proper conditional distribution:
+        for a context v, sum over OBSERVED continuations of the discounted
+        term plus the full redistributed mass equals 1 when the
+        continuation distribution is restricted to the observed bigram
+        vocabulary (which it is, by construction, when scoring = training
+        corpus)."""
+        import math
+        from collections import Counter
+        import re
+
+        corpus = {
+            1: "the cat sat on the mat",
+            2: "the dog sat on the log",
+            3: "a cat and a dog and a rat",
+        }
+        toks = {
+            d: [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+            for d, t in corpus.items()
+        }
+        bg = Counter()
+        for ws in toks.values():
+            bg.update(zip(ws, ws[1:]))
+        c_v, n1_fwd, n1_back = Counter(), Counter(), Counter()
+        for (v, w), c in bg.items():
+            c_v[v] += c
+            n1_fwd[v] += 1
+            n1_back[w] += 1
+        t_types = len(bg)
+        vocab = set(n1_back)
+        for v in c_v:
+            total = sum(
+                (
+                    max(bg.get((v, w), 0) - 0.75, 0.0)
+                    + 0.75 * n1_fwd[v] * (n1_back[w] / t_types)
+                )
+                / c_v[v]
+                for w in vocab
+            )
+            assert abs(total - 1.0) < 1e-9, v
+
+    def test_discount_bounds(self, spark):
+        from gohangout_spark.functions.lm import kneser_ney_score
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b a c")], "doc_id long, text string"
+        )
+        # all probabilities must be in (0, 1]: finite positive perplexity
+        row = kneser_ney_score(docs).collect()[0]
+        assert row.n_bigrams == 5 and row.ppl is not None and row.ppl >= 1.0
+
+
 class TestBoilerplate:
     """Line-wise boilerplate removal (curation.remove_boilerplate_lines)."""
 
