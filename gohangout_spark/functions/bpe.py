@@ -162,3 +162,117 @@ def learned_token_count(col: Column, merges: list[tuple[str, str]]) -> Column:
     avoid shadowing text.bpe_token_count, the one-arg regex
     approximation.)"""
     return F.size(bpe_encode_udf(merges)(col))
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) Viterbi segmentation with a frozen model
+# --------------------------------------------------------------------------
+
+#: Frozen demo unigram model: (piece, integer cost ~ -log p). Lower cost =
+#: more probable. Single chars (cost 50) guarantee every [a-z0-9]+ word is
+#: segmentable; multi-char pieces are cheaper than their char sum so the
+#: Viterbi search has real work to do. Pieces are capped at 4 chars to
+#: bound the oracle's path enumeration. Integer costs make the DP exact —
+#: no float ties — and the (cost, path) tuple order makes the argmin
+#: segmentation unique and engine-independent.
+UNIGRAM_DEMO_VOCAB: list[tuple[str, int]] = [
+    ("the", 40), ("ing", 45), ("tion", 55), ("ment", 58), ("doc", 52),
+    ("er", 38), ("an", 36), ("re", 37), ("at", 36), ("en", 37),
+    ("ed", 38), ("es", 39), ("on", 37), ("in", 35), ("qu", 39),
+    ("ify", 54), ("ic", 38), ("or", 37), ("al", 37), ("ti", 41),
+] + [(c, 50) for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
+
+
+def unigram_segment_word(
+    word: str, costs: dict[str, int], max_piece_len: int
+) -> tuple[str, int] | None:
+    """Viterbi min-cost segmentation of one word under a frozen unigram
+    model (SentencePiece inference with -log p as integer cost). Ties are
+    broken by lexicographic piece-stream order — ``min((cost, path))`` —
+    which is a valid DP objective: equal-position candidates have
+    identical consumed chars, so their path strings never stand in a
+    prefix relation and tuple order is preserved under common suffixes.
+    Returns (space-joined pieces, total cost), or None if the word has a
+    char outside the model (impossible with single-char coverage)."""
+    best: list[tuple[int, str] | None] = [None] * (len(word) + 1)
+    best[0] = (0, "")
+    for i in range(1, len(word) + 1):
+        cand = None
+        for length in range(1, min(max_piece_len, i) + 1):
+            prev = best[i - length]
+            if prev is None:
+                continue
+            c = costs.get(word[i - length : i])
+            if c is None:
+                continue
+            pc, pp = prev
+            t = (pc + c, pp + " " + word[i - length : i] if pp else word[i - length : i])
+            if cand is None or t < cand:
+                cand = t
+        best[i] = cand
+    if best[len(word)] is None:
+        return None
+    cost, path = best[len(word)]
+    return path, cost
+
+
+def unigram_encode_stats(
+    docs: DataFrame,
+    vocab: list[tuple[str, int]] | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc unigram-LM tokenization stats: ``n_pieces``, ``total_cost``
+    and ``pieces_hash`` (md5 of the space-joined piece stream in token
+    order — pinning the actual SEGMENTATION, not just its cost). The
+    frozen model ships inside the Arrow UDF; segmentations are memoized
+    per batch (corpora repeat words — the DP runs once per distinct word
+    per batch). Scale shape: embarrassingly doc-parallel mapInPandas,
+    the same seam every tokenizer in this module uses; the
+    ``unigram_encode_fixed`` gate replays the whole Viterbi search in a
+    recursive-CTE DuckDB oracle (path enumeration + (cost, path) argmin)
+    and hash-matches stream md5s."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    vocab = UNIGRAM_DEMO_VOCAB if vocab is None else vocab
+    costs = dict(vocab)
+    if len(costs) != len(vocab):
+        raise ValueError("duplicate pieces in vocab")
+    max_len = max(len(p) for p in costs)
+
+    def stats(batches):
+        memo: dict[str, tuple[str, int]] = {}
+        for pdf in batches:
+            out = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                toks = [w for w in re.split(r"[^a-z0-9]+", (t or "").lower()) if w]
+                parts, cost_sum = [], 0
+                for w in toks:
+                    seg = memo.get(w)
+                    if seg is None:
+                        seg = unigram_segment_word(w, costs, max_len)
+                        if seg is None:
+                            raise ValueError(f"unsegmentable word {w!r}")
+                        memo[w] = seg
+                    parts.append(seg[0])
+                    cost_sum += seg[1]
+                stream = " ".join(parts)
+                out.append(
+                    (
+                        int(did),
+                        sum(len(p.split(" ")) for p in parts),
+                        cost_sum,
+                        hashlib.md5(stream.encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[id_col, "n_pieces", "total_cost", "pieces_hash"]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        stats, f"{id_col} long, n_pieces long, total_cost long, pieces_hash string"
+    )

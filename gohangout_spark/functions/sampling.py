@@ -222,3 +222,95 @@ def weighted_sample_k(
         .limit(k)
     )
     return out.drop("__aes")
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target_if,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1024,
+    out_col: str = "logw",
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling", arXiv:2302.03169): score
+    every raw doc by how target-like its hashed n-gram profile is, as a
+    precursor to importance resampling (compose with
+    :func:`weighted_sample_k` on ``exp(logw)`` or a Gumbel top-k).
+
+    Features are unigram + adjacent-bigram INSTANCES hashed into ``k``
+    buckets by md5-hex-prefix (cross-engine-replayable, the module's
+    house hash); the bucket unigram models use add-one smoothing:
+
+        log w(doc) = sum over doc's feature instances of
+                     ln((ct[b]+1)/(Nt+k)) - ln((cr[b]+1)/(Nr+k))
+
+    with ct/cr the target/raw bucket counts and Nt/Nr their totals.
+    ``target_if`` is a boolean Column selecting the target slice OF the
+    raw corpus (the paper's setting has target ⊆ feature space of raw;
+    scoring the corpus the models were fit on keeps every bucket
+    populated).
+
+    Scale shape: ONE explode+shuffle builds the (doc, bucket) count
+    table; both bucket models AND the per-doc scores cascade from it
+    (bucket tables are ≤ k rows regardless of corpus size — the windowed
+    totals run on k rows, and the score join broadcasts them). The
+    vocabulary never collects; k is the only memory knob, exactly the
+    paper's hashed-feature design point. Returns ``id_col``, ``n_feats``
+    (0 for featureless docs) and ``out_col`` (4-decimal floor-form,
+    NULL for featureless docs)."""
+    from gohangout_spark.functions.text import tokens
+
+    base = docs.select(
+        F.col(id_col), target_if.alias("__tgt"), tokens(F.col(text_col)).alias("toks")
+    )
+    n = F.size("toks")
+    bi = F.zip_with(
+        F.slice("toks", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("toks", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    inst = base.select(
+        id_col, "__tgt", F.explode(F.concat("toks", bi)).alias("feat")
+    ).select(
+        id_col,
+        "__tgt",
+        (F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long") % k).alias(
+            "bucket"
+        ),
+    )
+    db = inst.groupBy(id_col, "__tgt", "bucket").agg(F.count("*").alias("cnt"))
+    cr = db.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
+    ct = db.where("__tgt").groupBy("bucket").agg(F.sum("cnt").alias("ct"))
+    allb = Window.partitionBy()  # bucket tables are <= k rows by construction
+    lr = (
+        cr.join(ct, ["bucket"], "left")
+        .select("bucket", "cr", F.coalesce("ct", F.lit(0)).alias("ct"))
+        .select(
+            "bucket",
+            (
+                F.log((F.col("ct") + 1.0) / (F.sum("ct").over(allb) + k))
+                - F.log((F.col("cr") + 1.0) / (F.sum("cr").over(allb) + k))
+            ).alias("logr"),
+        )
+    )
+    scored = (
+        db.join(F.broadcast(lr), ["bucket"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.sum(F.col("cnt") * F.col("logr")).alias("__lw"),
+        )
+    )
+    from gohangout_spark.functions.num import round_half_up
+
+    return (
+        base.select(id_col)
+        .join(scored, [id_col], "left")
+        .select(
+            id_col,
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            round_half_up(F.col("__lw"), 4).alias(out_col),
+        )
+    )

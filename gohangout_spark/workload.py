@@ -4778,6 +4778,138 @@ def kneser_ney_perplexity(spark, sf_dir):
 
 
 @q(
+    "dsir_importance_weights",
+    r"""WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS toks
+  FROM documents),
+uni AS (
+  SELECT doc_id, lang, toks[i] AS feat
+  FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+bi AS (
+  SELECT doc_id, lang, toks[i] || ' ' || toks[i + 1] AS feat
+  FROM t, unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS u(i)),
+inst AS (
+  SELECT doc_id, lang,
+         ('0x' || substring(md5(feat), 1, 8))::BIGINT % 1024 AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+db AS (SELECT doc_id, lang, bucket, count(*) AS cnt
+       FROM inst GROUP BY doc_id, lang, bucket),
+cr AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS cr FROM db GROUP BY bucket),
+ct AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS ct
+       FROM db WHERE lang = 'en' GROUP BY bucket),
+lr AS (
+  SELECT bucket,
+         ln((coalesce(ct, 0) + 1.0) / (sum(coalesce(ct, 0)) OVER () + 1024))
+         - ln((cr + 1.0) / (sum(cr) OVER () + 1024)) AS logr
+  FROM cr LEFT JOIN ct USING (bucket)),
+sc AS (
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+         sum(cnt * logr) AS logw
+  FROM db JOIN lr USING (bucket) GROUP BY doc_id)
+SELECT t.doc_id, coalesce(sc.n_feats, 0) AS n_feats,
+       floor(sc.logw * 1e4 + 0.5) / 1e4 AS logw
+FROM t LEFT JOIN sc USING (doc_id)""",
+)
+def dsir_importance_weights(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): every doc
+    scored by the log importance ratio of its hashed unigram+bigram
+    profile under target (lang='en' slice) vs raw bucket models — the
+    hashed-feature importance-resampling precursor. One explode+shuffle
+    builds the (doc,bucket) counts; both 1024-bucket models and the
+    per-doc scores cascade from it, with the bucket log-ratio table
+    broadcast into the scoring join. The oracle replays the ENTIRE
+    pipeline (tokenize, md5 bucketing, add-one bucket models, windowed
+    totals, instance-weighted ratio sum) in DuckDB SQL — a wrong
+    smoothing constant, a dropped bigram or a target/raw count swap all
+    hash-mismatch."""
+    from gohangout_spark.functions.sampling import dsir_logweights
+    from gohangout_spark.io import rebalance_for_compute
+
+    docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
+    return dsir_logweights(docs, F.col("lang") == "en").select(
+        "doc_id", "n_feats", "logw"
+    )
+
+
+_UNIGRAM_AUG = " reiterating information doc{id}ment quantification"
+
+
+def _unigram_oracle_sql() -> str:
+    """Oracle for unigram_encode_fixed: the frozen (piece, cost) model
+    rides as VALUES literals; a recursive CTE enumerates EVERY
+    segmentation path of every distinct word (pieces capped at 4 chars
+    bounds the enumeration) and the (cost, path) row_number argmin
+    replays the Viterbi tie-break exactly."""
+    from gohangout_spark.functions.bpe import UNIGRAM_DEMO_VOCAB
+
+    vals = ", ".join(f"('{p}', {c})" for p, c in UNIGRAM_DEMO_VOCAB)
+    return f"""WITH RECURSIVE v(piece, cost) AS (VALUES {vals}),
+t AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(coalesce(text, '')
+             || ' reiterating information doc' || doc_id::VARCHAR
+             || 'ment quantification'), '[^a-z0-9]+'),
+           x -> x <> '') AS toks
+  FROM documents),
+w AS (SELECT doc_id, i AS widx, toks[i] AS word
+      FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+words(word) AS (SELECT DISTINCT word FROM w),
+walk(word, pos, cost, path) AS (
+  SELECT word, 0, 0, '' FROM words
+  UNION
+  SELECT wk.word, wk.pos + length(v.piece), wk.cost + v.cost,
+         CASE WHEN wk.path = '' THEN v.piece ELSE wk.path || ' ' || v.piece END
+  FROM walk wk JOIN v ON substring(wk.word, wk.pos + 1, length(v.piece)) = v.piece
+  WHERE wk.pos < length(wk.word)),
+best AS (
+  SELECT word, path, cost,
+         len(string_split(path, ' ')) AS n_pieces,
+         row_number() OVER (PARTITION BY word ORDER BY cost, path) AS rn
+  FROM walk WHERE pos = length(word))
+SELECT w.doc_id,
+       CAST(sum(b.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(b.cost) AS BIGINT) AS total_cost,
+       md5(string_agg(b.path, ' ' ORDER BY w.widx)) AS pieces_hash
+FROM w JOIN best b ON w.word = b.word AND b.rn = 1
+GROUP BY w.doc_id"""
+
+
+@q("unigram_encode_fixed", _unigram_oracle_sql())
+def unigram_encode_fixed(spark, sf_dir):
+    """SentencePiece-style unigram-LM tokenization under a FROZEN model
+    (Kudo 2018, arXiv:1804.10959 inference step): Viterbi min-cost
+    segmentation with integer -log-p costs and a deterministic
+    (cost, path) tie-break, run doc-parallel in an Arrow UDF with
+    per-batch word memoization. Docs are augmented with derived
+    pseudo-words ('doc<id>ment', 'quantification', ...) so multi-piece
+    DP paths actually compete — the raw synthetic vocabulary is only 31
+    words. The oracle enumerates ALL segmentation paths per distinct
+    word in a recursive CTE and takes the same (cost, path) argmin, then
+    md5-hashes each doc's reassembled piece STREAM — so a wrong DP
+    transition, a tie broken the other way, or pieces emitted out of
+    order all hash-mismatch. Completes the tokenizer family: BPE
+    (greedy merge ranks, bpe_encode_fixed) + unigram (global-optimum
+    search) — the two algorithms real LLM tokenizers use."""
+    from gohangout_spark.functions.bpe import unigram_encode_stats
+    from gohangout_spark.io import rebalance_for_compute
+
+    docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
+    aug = docs.select(
+        "doc_id",
+        F.lower(
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" reiterating information doc"),
+                F.col("doc_id").cast("string"),
+                F.lit("ment quantification"),
+            )
+        ).alias("text"),
+    )
+    return unigram_encode_stats(aug)
+
+
+@q(
     "boilerplate_lines",
     r"""WITH aug AS (
   SELECT doc_id,

@@ -2124,6 +2124,180 @@ class TestKneserNey:
         assert row.n_bigrams == 5 and row.ppl is not None and row.ppl >= 1.0
 
 
+class TestUnigramTokenizer:
+    """Unigram-LM Viterbi segmentation (bpe.unigram_segment_word /
+    unigram_encode_stats): DP argmin cross-checked against brute-force
+    enumeration of ALL segmentations, tie-break pinned by hand."""
+
+    def test_dp_equals_bruteforce(self):
+        import itertools
+        import random
+
+        from gohangout_spark.functions.bpe import (
+            UNIGRAM_DEMO_VOCAB,
+            unigram_segment_word,
+        )
+
+        costs = dict(UNIGRAM_DEMO_VOCAB)
+        max_len = max(len(p) for p in costs)
+
+        def brute(word):
+            best = None
+            # all compositions of len(word) into parts of size 1..max_len
+            def rec(pos, parts, cost):
+                nonlocal best
+                if pos == len(word):
+                    t = (cost, " ".join(parts))
+                    if best is None or t < best:
+                        best = t
+                    return
+                for ln in range(1, min(max_len, len(word) - pos) + 1):
+                    piece = word[pos : pos + ln]
+                    if piece in costs:
+                        rec(pos + ln, parts + [piece], cost + costs[piece])
+
+            rec(0, [], 0)
+            return (best[1], best[0]) if best else None
+
+        rng = random.Random(11)
+        words = ["the", "reiterating", "quantification", "doc42ment", "a",
+                 "information", "x9z"]
+        words += ["".join(rng.choice("abcdefgiqru0") for _ in range(rng.randint(1, 10)))
+                  for _ in range(40)]
+        for w in words:
+            assert unigram_segment_word(w, costs, max_len) == brute(w), w
+
+    def test_known_segmentations_and_tiebreak(self):
+        from gohangout_spark.functions.bpe import unigram_segment_word
+
+        costs = dict([("the", 40), ("er", 38)] + [(c, 50) for c in "abcdehrst"])
+        assert unigram_segment_word("the", costs, 3) == ("the", 40)
+        assert unigram_segment_word("thees", costs, 3) == ("the e s", 140)
+        # equal-cost tie: 'ab' as 'a b' is the only option; craft a real
+        # tie -- two 2-char pieces with cost == two singles
+        tie = dict([("ab", 100), ("cd", 100)] + [(c, 50) for c in "abcd"])
+        # 'abcd': 'ab cd' (200), 'a b cd' (200), 'ab c d' (200), 'a b c d'
+        # (200) all tie at 200 -> lexicographically smallest path wins
+        got = unigram_segment_word("abcd", tie, 2)
+        assert got == ("a b c d", 200)
+
+    def test_unsegmentable_raises_in_encode(self, spark):
+        import pytest as _pytest
+
+        from gohangout_spark.functions.bpe import unigram_encode_stats
+
+        docs = spark.createDataFrame([(1, "zzz")], "doc_id long, text string")
+        vocab = [("a", 50)]  # no 'z' coverage
+        with _pytest.raises(Exception, match="unsegmentable"):
+            unigram_encode_stats(docs, vocab).collect()
+
+    def test_stats_shape_and_hash(self, spark):
+        import hashlib
+
+        from gohangout_spark.functions.bpe import unigram_encode_stats
+
+        docs = spark.createDataFrame(
+            [(1, "The THE the!"), (2, ""), (3, None)], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in unigram_encode_stats(docs).collect()}
+        assert rows[1].n_pieces == 3 and rows[1].total_cost == 120
+        assert rows[1].pieces_hash == hashlib.md5(b"the the the").hexdigest()
+        empty = hashlib.md5(b"").hexdigest()
+        for d in (2, 3):
+            assert rows[d].n_pieces == 0 and rows[d].total_cost == 0
+            assert rows[d].pieces_hash == empty
+
+
+class TestDsir:
+    """DSIR hashed n-gram importance log-weights (sampling.dsir_logweights),
+    cross-checked against an independent plain-Python replay of the
+    paper's formula (hashed bag-of-ngrams bucket models, add-one
+    smoothing, instance-weighted log ratio)."""
+
+    CORPUS = {
+        1: ("en", "the quick brown fox jumps over the lazy dog"),
+        2: ("en", "the cat sat on the mat and the dog sat too"),
+        3: ("xx", "zorp blik vump qats nerl zorp blik"),
+        4: ("xx", "the quick cat and the lazy fox"),  # target-like non-target
+        5: ("xx", ""),  # featureless
+    }
+
+    @classmethod
+    def _reference(cls, k=1024):
+        import hashlib
+        import math
+        import re
+        from collections import Counter
+
+        def bucket(feat):
+            return int(hashlib.md5(feat.encode()).hexdigest()[:8], 16) % k
+
+        feats = {}
+        for d, (_lang, text) in cls.CORPUS.items():
+            ws = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+            feats[d] = [bucket(f) for f in ws + [
+                f"{a} {b}" for a, b in zip(ws, ws[1:])
+            ]]
+        ct, cr = Counter(), Counter()
+        for d, bs in feats.items():
+            cr.update(bs)
+            if cls.CORPUS[d][0] == "en":
+                ct.update(bs)
+        nt, nr = sum(ct.values()), sum(cr.values())
+        out = {}
+        for d, bs in feats.items():
+            if not bs:
+                out[d] = (0, None)
+                continue
+            lw = sum(
+                math.log((ct[b] + 1.0) / (nt + k)) - math.log((cr[b] + 1.0) / (nr + k))
+                for b in bs
+            )
+            out[d] = (len(bs), math.floor(lw * 1e4 + 0.5) / 1e4)
+        return out
+
+    def test_matches_reference_implementation(self, spark):
+        from gohangout_spark.functions.sampling import dsir_logweights
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [(d, lang, text) for d, (lang, text) in self.CORPUS.items()],
+            "doc_id long, lang string, text string",
+        )
+        got = {
+            r.doc_id: (r.n_feats, r.logw)
+            for r in dsir_logweights(docs, F.col("lang") == "en").collect()
+        }
+        want = self._reference()
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d][0] == want[d][0], d
+            if want[d][1] is None:
+                assert got[d][1] is None, d
+            else:
+                assert got[d][1] == pytest.approx(want[d][1], abs=2e-4), d
+
+    def test_target_like_docs_score_higher(self, spark):
+        from gohangout_spark.functions.sampling import dsir_logweights
+        from pyspark.sql import functions as F
+
+        docs = spark.createDataFrame(
+            [(d, lang, text) for d, (lang, text) in self.CORPUS.items()],
+            "doc_id long, lang string, text string",
+        )
+        rows = {
+            r.doc_id: r.logw
+            for r in dsir_logweights(docs, F.col("lang") == "en").collect()
+        }
+        # per-feature average so length doesn't dominate the comparison
+        want = self._reference()
+        per_feat = {d: rows[d] / want[d][0] for d in rows if want[d][0]}
+        # the out-of-domain doc must rank below every in-target doc, and
+        # the target-like non-target doc must beat the gibberish one
+        assert per_feat[3] < min(per_feat[1], per_feat[2])
+        assert per_feat[4] > per_feat[3]
+
+
 class TestBoilerplate:
     """Line-wise boilerplate removal (curation.remove_boilerplate_lines)."""
 
