@@ -88,6 +88,13 @@ HEADLINE = [
     # bloom_decontaminate above is the xxhash64 production representative)
     "embedding_lsh_topk",
     "bpe_encode_fixed",
+    # round 7 late additions: KN and DSIR are production-shaped corpus
+    # ops (cascading vocab aggs / bucket-model broadcast); unigram joins
+    # bpe_encode_fixed as the tokenizer-encode representative. The QOI
+    # gate stays out like every other multimodal_* fixture query.
+    "kneser_ney_perplexity",
+    "dsir_importance_weights",
+    "unigram_encode_fixed",
 ]
 
 

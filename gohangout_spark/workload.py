@@ -6243,18 +6243,23 @@ def multimodal_flac_features(spark, sf_dir):
 # first couple of them is harmless).  New round-3 queries are inserted
 # before the tail so they are gated the round they land.
 _GATE_PRIORITY = [
-    # --- round-7 window: 16 new queries (4 gates + 8 adapted TPC-H
-    # completions + the 4-query text-canonicalization set) + the stale
-    # r3/r4 cohort. The driver samples the FIRST 50 registrations; r6
-    # re-greened the r2/r3 tail, so this round rotates in the full
-    # 22-query r3 cohort plus 12 of the 39 r4-cohort rows
-    # (alphabetical; the remaining 27 r4 rows sit directly below slot
-    # 50 and lead the r8 window). New-this-round queries go first so
-    # they are checked the round they land. Every row of the window —
-    # and the whole registry besides — was locally pre-verified green
-    # at sf0.01 this round (SCALE.md "Round-7 full-registry
-    # verification"), so the below-slot-50 rows carry fresh local
-    # evidence even before their next driver row.
+    # --- round-7 window: 20 new queries (4 gates + 8 adapted TPC-H
+    # completions + the 4-query text-canonicalization set + the
+    # 4-query late-round additions: QOI codec, Kneser-Ney, DSIR,
+    # unigram tokenizer) + the stale r3/r4 cohort. The driver samples
+    # the FIRST 50 registrations; r6 re-greened the r2/r3 tail, so
+    # this round rotates in the full 22-query r3 cohort plus 8 of the
+    # 39 r4-cohort rows (alphabetical; the remaining 31 r4 rows sit
+    # directly below slot 50 and lead the r8 window). New-this-round
+    # queries go first so they are checked the round they land. Every
+    # row of the window — and the whole registry besides — was locally
+    # pre-verified green at sf0.01 this round (SCALE.md "Round-7
+    # full-registry verification"), so the below-slot-50 rows carry
+    # fresh local evidence even before their next driver row.
+    "multimodal_qoi_features",
+    "kneser_ney_perplexity",
+    "dsir_importance_weights",
+    "unigram_encode_fixed",
     "dedup_stream_replay",
     "link_metric_stream_replay",
     "multimodal_g711_decode",
@@ -6296,7 +6301,7 @@ _GATE_PRIORITY = [
     "vocabulary_topn",
     "weighted_mixture",
     "yaml_pipeline_e2e",
-    # --- 12 slots: last green r4 (alphabetical) ---
+    # --- 8 slots: last green r4 (alphabetical) ---
     "approx_distinct_report",
     "bm25_search",
     "boilerplate_lines",
@@ -6305,11 +6310,11 @@ _GATE_PRIORITY = [
     "chunk_documents",
     "cohort_retention",
     "cube_totals",
+    # --- below slot 50: the r4 remainder, heading the r8 window ---
     "curation_funnel",
     "deterministic_shuffle",
     "dup_span_stats",
     "event_sequences_topk",
-    # --- below slot 50: the r4 remainder, heading the r8 window ---
     "flesch_reading_ease",
     "funnel_conversion",
     "fuzzy_name_pairs",

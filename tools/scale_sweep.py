@@ -38,7 +38,8 @@ from gohangout_spark.io import load_table
 COPIES = 100
 _ALPHA = string.ascii_lowercase + string.ascii_uppercase
 STORED_OP_NAMES = ("ann_q8_stored_scan[int8,k5]", "ann_rp_stored_scan[16d,k5]")
-MEDIA_OP_NAMES = ("media_screenvideo_decode", "media_adpcm_decode")
+MEDIA_OP_NAMES = ("media_screenvideo_decode", "media_adpcm_decode",
+                  "media_qoi_decode")
 TPCH_SWEEP = ("tpch_q9", "tpch_q11", "tpch_q12", "tpch_q21")
 
 
@@ -155,6 +156,9 @@ def ops(spark):
     from gohangout_spark.functions.analytics import rfm_segments
     from gohangout_spark.functions.dedup import exact_dedup
     from gohangout_spark.functions.lm import fit_char_bigram_lm, perplexity_pandas
+    from gohangout_spark.functions.lm import kneser_ney_score as _kn
+    from gohangout_spark.functions.sampling import dsir_logweights as _dsir
+    from gohangout_spark.functions.bpe import unigram_encode_stats as _uni
     from gohangout_spark.functions import text as _text
 
     def funnel(d, e):
@@ -232,6 +236,13 @@ def ops(spark):
                 F.replace(F.col("text"), F.lit("e"), F.lit("\u00c3\u00a9"))
             ).alias("fixed"),
         ),
+        # r7 late additions: the KN/DSIR/unigram gated shapes \u2014 cascading
+        # vocab-sized aggs, bucket-model broadcast, doc-parallel Arrow DP
+        "kneser_ney[bigram]": lambda d, e: _kn(d),
+        "dsir_logweights[k1024]": lambda d, e: _dsir(
+            d, F.col("lang") == "en"
+        ),
+        "unigram_encode[frozen]": lambda d, e: _uni(d),
     }
 
 
@@ -327,6 +338,43 @@ def build_derived_media(spark, out_dir: str) -> None:
                 os.path.join(out_dir, f"media_{tag}_{size}.parquet")
             )
     open(os.path.join(out_dir, "_DONE_MEDIA"), "w").write("ok")
+
+
+def build_derived_media_qoi(spark, out_dir: str) -> None:
+    """QOI media tables (separate marker — the sv/adpcm tables predate
+    this op and must not re-encode): the gate's 48 fixture images at 1x
+    and 100x, encoded in parallel like the other media derivations."""
+    if os.path.exists(os.path.join(out_dir, "_DONE_MEDIA_QOI")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    import numpy as np
+    import pandas as pd
+
+    def gen_qoi(batches):
+        from gohangout_spark.functions.multimodal import qoi_fixture_pixel
+        from gohangout_spark.functions.qoi import QoiCodec
+
+        codec = QoiCodec()
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                w, h = 12 + i % 5, 10 + i % 4
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                for y in range(h):
+                    for x in range(w):
+                        px[y, x] = qoi_fixture_pixel(i, x, y)
+                rows.append((i, codec.encode(px)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = "media_id long, content binary"
+    for size, n in (("small", 48), ("big", 4800)):
+        spark.range(n).repartition(32 if size == "big" else 4).mapInPandas(
+            gen_qoi, schema
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"media_qoi_{size}.parquet")
+        )
+    open(os.path.join(out_dir, "_DONE_MEDIA_QOI"), "w").write("ok")
 
 
 def ann_ops():
@@ -492,6 +540,17 @@ def main():
                 lambda: extract_adpcm_decode_stats(media["adpcm_big"]),
             ),
         }
+        build_derived_media_qoi(spark, out_dir)
+        from gohangout_spark.functions.multimodal import extract_qoi_decode_stats
+
+        qoi_media = {
+            t: spark.read.parquet(os.path.join(out_dir, f"media_qoi_{t}.parquet"))
+            for t in ("small", "big")
+        }
+        media_ops[MEDIA_OP_NAMES[2]] = (
+            lambda: extract_qoi_decode_stats(qoi_media["small"]),
+            lambda: extract_qoi_decode_stats(qoi_media["big"]),
+        )
         for name, (run_small, run_big) in media_ops.items():
             if only and name not in only:
                 continue
