@@ -36,6 +36,10 @@ __all__ = [
     "bpe_merges_from_counts",
     "bpe_encode_udf",
     "learned_token_count",
+    "unigram_segment_word",
+    "unigram_encode_stats",
+    "wordpiece_segment_word",
+    "wordpiece_encode_stats",
 ]
 
 
@@ -275,4 +279,137 @@ def unigram_encode_stats(
 
     return docs.select(id_col, text_col).mapInPandas(
         stats, f"{id_col} long, n_pieces long, total_cost long, pieces_hash string"
+    )
+
+
+# --------------------------------------------------------------------------
+# WordPiece (BERT-style) greedy longest-match-first segmentation
+# --------------------------------------------------------------------------
+
+UNK = "[UNK]"
+
+#: Frozen demo WordPiece vocabulary (the BERT tokenizer's inference
+#: algorithm — Devlin et al. 2019, arXiv:1810.04805 — is greedy
+#: longest-match-first, NOT a search like unigram, so a frozen vocab fully
+#: determines every segmentation). Pieces starting ``##`` only match at
+#: word-interior positions; all others only at position 0. Content is
+#: capped at 4 chars (bounds the oracle's substring probes). Single-char
+#: initial pieces cover every [a-z0-9]; single-char CONTINUATIONS
+#: deliberately omit ``##q`` and ``##x`` so words with an interior q/x
+#: exercise the third leg of the algorithm — the whole-word ``[UNK]``
+#: fallback (BERT emits one [UNK] for the entire word when matching dead-
+#: ends, it does not backtrack). Multi-char pieces make longest-match
+#: matter: e.g. ``##er`` must beat ``##e``, ``quer`` must beat ``q``.
+WORDPIECE_DEMO_VOCAB: list[str] = (
+    ["the", "fast", "key", "sort", "tab", "scan", "mer", "part", "win",
+     "hash", "join", "bat", "dup", "gro", "quer", "row", "data", "slow",
+     "fil", "cust", "val", "agg", "col", "big", "vec", "ord", "sma",
+     "str", "spa", "line"]
+    + list("abcdefghijklmnopqrstuvwxyz0123456789")
+    + ["##er", "##ge", "##le", "##ch", "##dow", "##eam", "##ue", "##ry",
+       "##ter", "##tor", "##umn", "##ing", "##ll", "##rk", "##up"]
+    + ["##" + c for c in "abcdefghijklmnoprstuvwyz0123456789"]  # no q, x
+)
+
+
+def _wordpiece_tables(vocab: list[str]) -> tuple[dict[str, str], dict[str, str], int]:
+    """(initial content→form, continuation content→form, max content len).
+    Rejects duplicate content within a position class — the greedy argmax
+    must be unique for the oracle's anti-join replay to be well-defined."""
+    init: dict[str, str] = {}
+    cont: dict[str, str] = {}
+    for form in vocab:
+        if form.startswith("##"):
+            txt, table = form[2:], cont
+        else:
+            txt, table = form, init
+        if not txt:
+            raise ValueError(f"empty piece content in {form!r}")
+        if txt in table:
+            raise ValueError(f"duplicate piece content {form!r}")
+        table[txt] = form
+    return init, cont, max(len(t) for t in (*init, *cont))
+
+
+def wordpiece_segment_word(
+    word: str, init: dict[str, str], cont: dict[str, str], max_len: int
+) -> list[str]:
+    """Greedy longest-match-first WordPiece segmentation of one word (pure
+    function — unit-testable without Spark). At each position the longest
+    vocab piece of the correct position class wins; a position with no
+    match collapses the WHOLE word to a single ``[UNK]`` (no backtracking
+    — BERT's exact behavior)."""
+    pieces: list[str] = []
+    pos = 0
+    while pos < len(word):
+        table = init if pos == 0 else cont
+        for length in range(min(max_len, len(word) - pos), 0, -1):
+            form = table.get(word[pos : pos + length])
+            if form is not None:
+                pieces.append(form)
+                pos += length
+                break
+        else:
+            return [UNK]
+    return pieces
+
+
+def wordpiece_encode_stats(
+    docs: DataFrame,
+    vocab: list[str] | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc WordPiece tokenization stats under a frozen vocabulary:
+    ``n_pieces`` (an [UNK] word contributes 1), ``n_unk`` (words that
+    collapsed to [UNK]) and ``pieces_hash`` (md5 of the space-joined piece
+    stream in token order — pinning the actual segmentation). Same scale
+    seam as every tokenizer here: embarrassingly doc-parallel
+    mapInPandas, frozen tables ship with the UDF, segmentations memoized
+    per batch so the greedy walk runs once per distinct word per batch.
+    The ``wordpiece_encode_fixed`` gate replays the greedy walk in a
+    recursive-CTE DuckDB oracle (longest-match enforced by an anti-join
+    on any longer matching piece; dead-ended words LEFT-JOIN to [UNK])
+    and hash-matches the per-doc streams. Completes the tokenizer
+    family: BPE (merge ranks), unigram (Viterbi global optimum),
+    WordPiece (greedy longest prefix) — the three algorithms production
+    LLM tokenizers actually use."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    init, cont, max_len = _wordpiece_tables(
+        WORDPIECE_DEMO_VOCAB if vocab is None else vocab
+    )
+
+    def stats(batches):
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            out = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                toks = [w for w in re.split(r"[^a-z0-9]+", (t or "").lower()) if w]
+                parts: list[list[str]] = []
+                for w in toks:
+                    seg = memo.get(w)
+                    if seg is None:
+                        seg = wordpiece_segment_word(w, init, cont, max_len)
+                        memo[w] = seg
+                    parts.append(seg)
+                stream = " ".join(" ".join(p) for p in parts)
+                out.append(
+                    (
+                        int(did),
+                        sum(len(p) for p in parts),
+                        sum(1 for p in parts if p == [UNK]),
+                        hashlib.md5(stream.encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[id_col, "n_pieces", "n_unk", "pieces_hash"]
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        stats, f"{id_col} long, n_pieces long, n_unk long, pieces_hash string"
     )

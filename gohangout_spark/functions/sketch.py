@@ -1,4 +1,5 @@
-"""Bounded-memory sketch operators: Misra-Gries heavy hitters.
+"""Bounded-memory sketch operators: Misra-Gries heavy hitters and
+Count-Min frequency estimation.
 
 The HLL validation lives in functions.analytics (approx_distinct_report);
 this module holds the frequency side. The production problem: "top-k most
@@ -82,3 +83,100 @@ def heavy_hitters(
         .limit(k)
     )
     return exact.select(F.col("__v").alias(col), "n")
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) frequency estimation
+# --------------------------------------------------------------------------
+
+def countmin_table(
+    df: DataFrame, col: str, *, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """The Count-Min sketch of ``col`` as a (depth, bucket, cnt) DataFrame
+    (Cormode & Muthukrishnan 2005, "An improved data stream summary: the
+    count-min sketch and its applications"). Complements the module's
+    Misra-Gries candidates: MG answers "which values are frequent", CM
+    answers "how frequent is THIS value" for any value, in d×w counters.
+
+    Row d's hash is the md5-hex-prefix of ``"<d>:<value>"`` mod width —
+    the repo's house hash (cross-engine-replayable; the
+    ``countmin_user_events`` gate replays it in DuckDB). Scale shape: one
+    scan explodes each row into ``depth`` (d, bucket) pairs and a
+    combiner-reduced groupBy collapses them — the shuffle is bounded by
+    the SKETCH (≤ depth×width rows per partition), never by the key
+    domain, which is the entire point vs a full groupBy(col) at 100 TB of
+    URLs/tokens. Sketches MERGE by elementwise sum (union the inputs, or
+    sum two tables on (depth, bucket)) — the property that makes the
+    same code work per-partition, per-day, or per-cluster. NULLs are not
+    counted (as in heavy_hitters)."""
+    key = F.col(col).cast("string")
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.lit(str(d)), key)), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.where(key.isNotNull())
+        .select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.depth").alias("depth"), F.col("p.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    out_col: str = "cm_est",
+) -> DataFrame:
+    """Point-query the sketch for every row of ``keys``: the estimate is
+    min over the ``depth`` rows of the probed counters (absent counter =
+    0). ``depth``/``width`` MUST match the ``countmin_table`` call. The
+    sketch is ≤ depth×width rows regardless of data size, so the probe
+    join broadcasts it — estimating any number of keys costs one
+    broadcast-join pass, no shuffle of the key side. Guarantee: est ≥
+    true count always (counters only over-count), and
+    P[est > true + εN] ≤ δ for width ≥ e/ε, depth ≥ ln(1/δ)."""
+    key = F.col(col).cast("string")
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat_ws(":", F.lit(str(d)), key)), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    probed = keys.select(F.col(col), F.explode(probes).alias("p")).select(
+        col, F.col("p.depth").alias("depth"), F.col("p.bucket").alias("bucket")
+    )
+    return (
+        probed.join(F.broadcast(sketch), ["depth", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
+    )

@@ -4909,6 +4909,97 @@ def unigram_encode_fixed(spark, sf_dir):
     return unigram_encode_stats(aug)
 
 
+def _wordpiece_oracle_sql() -> str:
+    """Oracle for wordpiece_encode_fixed: the frozen vocab rides as
+    (form, content, is-initial) VALUES literals; a recursive CTE replays
+    the greedy walk — each step joins the longest matching piece of the
+    right position class (longest enforced by an anti-join on ANY longer
+    match, unique because duplicate content per class is rejected at
+    vocab build), and a word whose walk dead-ends before consuming all
+    chars LEFT-JOINs to a single [UNK]."""
+    from gohangout_spark.functions.bpe import WORDPIECE_DEMO_VOCAB
+
+    rows = []
+    for form in WORDPIECE_DEMO_VOCAB:
+        txt = form[2:] if form.startswith("##") else form
+        init = "FALSE" if form.startswith("##") else "TRUE"
+        rows.append(f"('{form}', '{txt}', {init})")
+    vals = ", ".join(rows)
+    return f"""WITH RECURSIVE v(form, txt, init) AS (VALUES {vals}),
+t AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(coalesce(text, '')
+             || ' maximum sequence batch' || doc_id::VARCHAR
+             || 'ing vertex' || (doc_id % 5)::VARCHAR), '[^a-z0-9]+'),
+           x -> x <> '') AS toks
+  FROM documents),
+w AS (SELECT doc_id, i AS widx, toks[i] AS word
+      FROM t, unnest(generate_series(1, len(toks))) AS u(i)),
+words(word) AS (SELECT DISTINCT word FROM w),
+walk(word, pos, path) AS (
+  SELECT word, 0, '' FROM words
+  UNION
+  SELECT wk.word, wk.pos + length(m.txt),
+         CASE WHEN wk.path = '' THEN m.form ELSE wk.path || ' ' || m.form END
+  FROM walk wk
+  JOIN v m ON m.init = (wk.pos = 0)
+          AND substring(wk.word, wk.pos + 1, length(m.txt)) = m.txt
+  LEFT JOIN v m2 ON m2.init = (wk.pos = 0)
+          AND length(m2.txt) > length(m.txt)
+          AND substring(wk.word, wk.pos + 1, length(m2.txt)) = m2.txt
+  WHERE wk.pos < length(wk.word) AND m2.form IS NULL),
+seg AS (
+  SELECT words.word,
+         coalesce(d.path, '[UNK]') AS path,
+         CASE WHEN d.word IS NULL THEN 1
+              ELSE len(string_split(d.path, ' ')) END AS n_pieces,
+         CASE WHEN d.word IS NULL THEN 1 ELSE 0 END AS unk
+  FROM words LEFT JOIN (SELECT word, path FROM walk
+                        WHERE pos = length(word)) d USING (word))
+SELECT w.doc_id,
+       CAST(sum(s.n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(s.unk) AS BIGINT) AS n_unk,
+       md5(string_agg(s.path, ' ' ORDER BY w.widx)) AS pieces_hash
+FROM w JOIN seg s USING (word)
+GROUP BY w.doc_id"""
+
+
+@q("wordpiece_encode_fixed", _wordpiece_oracle_sql())
+def wordpiece_encode_fixed(spark, sf_dir):
+    """BERT-style WordPiece tokenization under a frozen vocabulary
+    (Devlin et al. 2019, arXiv:1810.04805 inference step): greedy
+    longest-match-first with ``##`` continuation pieces and the
+    whole-word [UNK] collapse on a dead end — run doc-parallel in an
+    Arrow UDF with per-batch word memoization. Docs are augmented with
+    'maximum'/'sequence'/'vertex<id%5>' (interior q/x — the vocab omits
+    ##q/##x, so these exercise the [UNK] leg) and a derived
+    'batch<id>ing' (multi-piece digits + ##ing, per-doc distinct). The
+    oracle replays the greedy walk in a recursive CTE — longest-match
+    enforced by an anti-join, dead ends LEFT-JOIN to [UNK] — and
+    md5-hashes each doc's reassembled piece stream, so a wrong match
+    length, a position-class mixup (initial piece used mid-word), or a
+    partial-word UNK all hash-mismatch. Completes the tokenizer family:
+    BPE (bpe_encode_fixed, merge ranks) + unigram (unigram_encode_fixed,
+    Viterbi optimum) + WordPiece (greedy longest prefix)."""
+    from gohangout_spark.functions.bpe import wordpiece_encode_stats
+    from gohangout_spark.io import rebalance_for_compute
+
+    docs = rebalance_for_compute(_docs(spark, sf_dir), spark)
+    aug = docs.select(
+        "doc_id",
+        F.lower(
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" maximum sequence batch"),
+                F.col("doc_id").cast("string"),
+                F.lit("ing vertex"),
+                (F.col("doc_id") % 5).cast("string"),
+            )
+        ).alias("text"),
+    )
+    return wordpiece_encode_stats(aug)
+
+
 @q(
     "boilerplate_lines",
     r"""WITH aug AS (
@@ -5843,6 +5934,57 @@ def heavy_hitter_users_q(spark, sf_dir):
 
 
 @q(
+    "countmin_user_events",
+    """WITH e AS (SELECT user_id::VARCHAR AS k FROM events
+                  WHERE user_id IS NOT NULL),
+probes AS (
+  SELECT k, d,
+         ('0x' || substring(md5(d::VARCHAR || ':' || k), 1, 8))::BIGINT % 64
+           AS bucket
+  FROM e, unnest([0, 1, 2, 3]) AS u(d)),
+sk AS (SELECT d, bucket, count(*) AS cnt FROM probes GROUP BY d, bucket),
+ex AS (SELECT k, count(*) AS exact_n FROM e GROUP BY k),
+kp AS (
+  SELECT k, d,
+         ('0x' || substring(md5(d::VARCHAR || ':' || k), 1, 8))::BIGINT % 64
+           AS bucket
+  FROM ex, unnest([0, 1, 2, 3]) AS u(d)),
+est AS (SELECT k, min(coalesce(sk.cnt, 0)) AS cm_est
+        FROM kp LEFT JOIN sk USING (d, bucket) GROUP BY k)
+SELECT ex.k::BIGINT AS user_id, ex.exact_n, est.cm_est
+FROM ex JOIN est USING (k)""",
+)
+def countmin_user_events(spark, sf_dir):
+    """Count-Min sketch per-user event counts (functions/sketch.py
+    countmin_table/countmin_estimate, Cormode & Muthukrishnan 2005) at a
+    DELIBERATELY collision-heavy operating point — depth=4, width=64
+    against 150-1500 distinct users — so the min-over-depths estimate
+    genuinely differs from the exact count for collided keys and the gate
+    verifies the sketch MATH, not a degenerate no-collision identity.
+    The result carries (exact_n, cm_est) side by side; the oracle replays
+    the whole construction — md5 "<d>:<key>" bucketing, the d×w counter
+    table, the probe min — in DuckDB SQL, so a wrong hash seam, a
+    min-over-the-wrong-axis, or a missing absent-counter-is-zero rule all
+    hash-mismatch. Scale shape: the sketch build shuffles ≤ depth×width
+    combiner-reduced rows per partition regardless of key cardinality,
+    and the probe join broadcasts the ≤ 256-row sketch — the bounded
+    frequency-oracle companion to Misra-Gries top-k and the HLL distinct
+    sketch."""
+    from gohangout_spark.functions.sketch import countmin_estimate, countmin_table
+    from gohangout_spark.io import rebalance_for_compute
+
+    ev = rebalance_for_compute(_events(spark, sf_dir), spark).where(
+        F.col("user_id").isNotNull()
+    )
+    sk = countmin_table(ev, "user_id", depth=4, width=64)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = countmin_estimate(sk, exact, "user_id", depth=4, width=64)
+    return exact.join(est, "user_id").select(
+        "user_id", "exact_n", F.col("cm_est").cast("long").alias("cm_est")
+    )
+
+
+@q(
     "quality_classifier_score",
     """WITH t AS (
   SELECT doc_id,
@@ -6243,19 +6385,22 @@ def multimodal_flac_features(spark, sf_dir):
 # first couple of them is harmless).  New round-3 queries are inserted
 # before the tail so they are gated the round they land.
 _GATE_PRIORITY = [
-    # --- round-7 window: 20 new queries (4 gates + 8 adapted TPC-H
+    # --- round-7 window: 22 new queries (4 gates + 8 adapted TPC-H
     # completions + the 4-query text-canonicalization set + the
-    # 4-query late-round additions: QOI codec, Kneser-Ney, DSIR,
-    # unigram tokenizer) + the stale r3/r4 cohort. The driver samples
-    # the FIRST 50 registrations; r6 re-greened the r2/r3 tail, so
-    # this round rotates in the full 22-query r3 cohort plus 8 of the
-    # 39 r4-cohort rows (alphabetical; the remaining 31 r4 rows sit
+    # 6-query late-round additions: QOI codec, Kneser-Ney, DSIR,
+    # unigram tokenizer, WordPiece tokenizer, Count-Min sketch) + the
+    # stale r3/r4 cohort. The driver samples the FIRST 50
+    # registrations; r6 re-greened the r2/r3 tail, so this round
+    # rotates in the full 22-query r3 cohort plus 6 of the 39
+    # r4-cohort rows (alphabetical; the remaining 33 r4 rows sit
     # directly below slot 50 and lead the r8 window). New-this-round
     # queries go first so they are checked the round they land. Every
     # row of the window — and the whole registry besides — was locally
     # pre-verified green at sf0.01 this round (SCALE.md "Round-7
     # full-registry verification"), so the below-slot-50 rows carry
     # fresh local evidence even before their next driver row.
+    "wordpiece_encode_fixed",
+    "countmin_user_events",
     "multimodal_qoi_features",
     "kneser_ney_perplexity",
     "dsir_importance_weights",
@@ -6301,16 +6446,16 @@ _GATE_PRIORITY = [
     "vocabulary_topn",
     "weighted_mixture",
     "yaml_pipeline_e2e",
-    # --- 8 slots: last green r4 (alphabetical) ---
+    # --- 6 slots: last green r4 (alphabetical) ---
     "approx_distinct_report",
     "bm25_search",
     "boilerplate_lines",
     "bpe_token_count",
     "char_lm_perplexity",
     "chunk_documents",
+    # --- below slot 50: the r4 remainder, heading the r8 window ---
     "cohort_retention",
     "cube_totals",
-    # --- below slot 50: the r4 remainder, heading the r8 window ---
     "curation_funnel",
     "deterministic_shuffle",
     "dup_span_stats",

@@ -4690,3 +4690,179 @@ class TestCodecReviewFixesR4b:
         ) + bytes(3)
         with _pytest.raises(ValueError, match="precision"):
             codec.decode(twelve)
+
+
+class TestWordPiece:
+    """WordPiece greedy longest-match segmentation (bpe.wordpiece_segment_word
+    / wordpiece_encode_stats): cross-checked against an independent
+    enumerate-all-matches-then-argmax reimplementation; longest-match,
+    position-class, [UNK] and no-backtracking semantics pinned by hand."""
+
+    @staticmethod
+    def _tables(vocab):
+        from gohangout_spark.functions.bpe import _wordpiece_tables
+
+        return _wordpiece_tables(vocab)
+
+    def test_greedy_equals_independent_reimpl(self):
+        import random
+
+        from gohangout_spark.functions.bpe import (
+            WORDPIECE_DEMO_VOCAB,
+            wordpiece_segment_word,
+        )
+
+        init, cont, max_len = self._tables(WORDPIECE_DEMO_VOCAB)
+
+        # independent formulation: enumerate EVERY matching piece at the
+        # position, then argmax on content length (vs the impl's
+        # longest-first early-exit probe)
+        def reimpl(word):
+            out, pos = [], 0
+            while pos < len(word):
+                table = init if pos == 0 else cont
+                cands = [
+                    (txt, form)
+                    for txt, form in table.items()
+                    if word[pos : pos + len(txt)] == txt
+                ]
+                if not cands:
+                    return ["[UNK]"]
+                txt, form = max(cands, key=lambda c: len(c[0]))
+                out.append(form)
+                pos += len(txt)
+            return out
+
+        rng = random.Random(7)
+        words = ["window", "stream", "customer", "query", "maximum",
+                 "sequence", "batch42ing", "vertex3", "a", "x", "qq"]
+        words += ["".join(rng.choice("abceqrtux01") for _ in range(rng.randint(1, 12)))
+                  for _ in range(60)]
+        for w in words:
+            assert wordpiece_segment_word(w, init, cont, max_len) == reimpl(w), w
+
+    def test_longest_match_and_position_class(self):
+        from gohangout_spark.functions.bpe import (
+            WORDPIECE_DEMO_VOCAB,
+            wordpiece_segment_word,
+        )
+
+        init, cont, max_len = self._tables(WORDPIECE_DEMO_VOCAB)
+        seg = lambda w: wordpiece_segment_word(w, init, cont, max_len)
+        # ##ter (3) must beat ##t/##te at the same position
+        assert seg("filter") == ["fil", "##ter"]
+        assert seg("customer") == ["cust", "##o", "##m", "##er"]
+        # 'the' is an INITIAL piece: mid-word it must NOT match
+        assert seg("tthe") == ["t", "##t", "##h", "##e"]
+        # digits segment via single-char continuations, then ##ing (3) wins
+        assert seg("batch7ing") == ["bat", "##ch", "##7", "##ing"]
+
+    def test_unk_and_no_backtracking(self):
+        from gohangout_spark.functions.bpe import wordpiece_segment_word
+
+        # interior q has no continuation in a vocab without ##q
+        init, cont, ml = self._tables(["s", "e", "q", "##e", "##u"])
+        assert wordpiece_segment_word("seq", init, cont, ml) == ["[UNK]"]
+        # greedy takes 'ab' then dead-ends, even though a+##bc segments:
+        # WordPiece does NOT backtrack (BERT semantics)
+        init, cont, ml = self._tables(["ab", "a", "##bc"])
+        assert wordpiece_segment_word("abc", init, cont, ml) == ["[UNK]"]
+        assert wordpiece_segment_word("a", init, cont, ml) == ["a"]
+
+    def test_duplicate_content_rejected(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="duplicate"):
+            self._tables(["ab", "ab"])
+        with _pytest.raises(ValueError, match="duplicate"):
+            self._tables(["##er", "##er"])
+        # same content in DIFFERENT position classes is fine
+        init, cont, _ = self._tables(["er", "##er"])
+        assert "er" in init and "er" in cont
+
+    def test_stats_shape_and_hash(self, spark):
+        import hashlib
+
+        from gohangout_spark.functions.bpe import wordpiece_encode_stats
+
+        docs = spark.createDataFrame(
+            [(1, "The Window!"), (2, "sequence the"), (3, ""), (4, None)],
+            "doc_id long, text string",
+        )
+        rows = {r.doc_id: r for r in wordpiece_encode_stats(docs).collect()}
+        assert rows[1].n_pieces == 3 and rows[1].n_unk == 0
+        assert rows[1].pieces_hash == hashlib.md5(b"the win ##dow").hexdigest()
+        # 'sequence' collapses to ONE [UNK] token
+        assert rows[2].n_pieces == 2 and rows[2].n_unk == 1
+        assert rows[2].pieces_hash == hashlib.md5(b"[UNK] the").hexdigest()
+        empty = hashlib.md5(b"").hexdigest()
+        for d in (3, 4):
+            assert rows[d].n_pieces == 0 and rows[d].n_unk == 0
+            assert rows[d].pieces_hash == empty
+
+
+class TestCountMin:
+    """Count-Min sketch (sketch.countmin_table/countmin_estimate): the
+    over-count-only invariant, exactness without collisions, and the
+    elementwise-sum merge property that makes it distributable."""
+
+    def _df(self, spark, rows):
+        return spark.createDataFrame([(v,) for v in rows], "k string")
+
+    def test_never_underestimates_and_tight_when_wide(self, spark):
+        import random
+
+        from gohangout_spark.functions.sketch import (
+            countmin_estimate,
+            countmin_table,
+        )
+
+        rng = random.Random(3)
+        vals = [f"u{rng.randint(0, 40)}" for _ in range(500)]
+        truth = {v: vals.count(v) for v in set(vals)}
+        df = self._df(spark, vals)
+        keys = df.dropDuplicates(["k"])
+        # narrow sketch: collisions guaranteed (41 keys, 8 buckets) but
+        # estimates may NEVER undercount
+        sk = countmin_table(df, "k", depth=3, width=8)
+        est = {
+            r.k: r.cm_est
+            for r in countmin_estimate(sk, keys, "k", depth=3, width=8).collect()
+        }
+        assert set(est) == set(truth)
+        assert all(est[k] >= truth[k] for k in truth)
+        assert any(est[k] > truth[k] for k in truth), "8 buckets must collide"
+        # wide sketch: no collisions plausible at 41 keys x 4096 buckets
+        # and est==exact for every key
+        sk2 = countmin_table(df, "k", depth=4, width=4096)
+        est2 = {
+            r.k: r.cm_est
+            for r in countmin_estimate(sk2, keys, "k", depth=4, width=4096).collect()
+        }
+        assert est2 == truth
+
+    def test_merge_is_elementwise_sum(self, spark):
+        from pyspark.sql import functions as F
+
+        from gohangout_spark.functions.sketch import countmin_table
+
+        a = self._df(spark, ["x", "y", "x", "z"])
+        b = self._df(spark, ["y", "y", "w"])
+        whole = countmin_table(a.union(b), "k", depth=3, width=16)
+        merged = (
+            countmin_table(a, "k", depth=3, width=16)
+            .union(countmin_table(b, "k", depth=3, width=16))
+            .groupBy("depth", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        as_set = lambda df: {(r.depth, r.bucket, r.cnt) for r in df.collect()}
+        assert as_set(whole) == as_set(merged)
+
+    def test_nulls_not_counted(self, spark):
+        from gohangout_spark.functions.sketch import countmin_table
+
+        df = spark.createDataFrame([("a",), (None,), ("a",)], "k string")
+        sk = countmin_table(df, "k", depth=2, width=8)
+        # every counter row belongs to 'a' alone: total per depth == 2
+        rows = sk.collect()
+        assert sum(r.cnt for r in rows) == 4  # 2 occurrences x 2 depths

@@ -861,9 +861,10 @@ class TestDriverWindow:
             "tpch_q12", "tpch_q16", "tpch_q20", "tpch_q21",
             "unicode_nfc_normalize", "strip_control_chars",
             "html_strip_entities", "fix_mojibake",
-            # late-round additions (same round, second session)
+            # late-round additions (same round, second/third session)
             "multimodal_qoi_features", "kneser_ney_perplexity",
             "dsir_importance_weights", "unigram_encode_fixed",
+            "wordpiece_encode_fixed", "countmin_user_events",
         }
         assert r7_new <= window, r7_new - window
 

@@ -159,7 +159,16 @@ def ops(spark):
     from gohangout_spark.functions.lm import kneser_ney_score as _kn
     from gohangout_spark.functions.sampling import dsir_logweights as _dsir
     from gohangout_spark.functions.bpe import unigram_encode_stats as _uni
+    from gohangout_spark.functions.bpe import wordpiece_encode_stats as _wp
     from gohangout_spark.functions import text as _text
+
+    def _cm(ev):
+        from gohangout_spark.functions.sketch import countmin_estimate, countmin_table
+
+        ev = ev.where(F.col("user_id").isNotNull())
+        sk = countmin_table(ev, "user_id", depth=4, width=64)
+        keys = ev.select("user_id").distinct()
+        return countmin_estimate(sk, keys, "user_id", depth=4, width=64)
 
     def funnel(d, e):
         # the curation_funnel workload chain verbatim (gopher gate →
@@ -243,6 +252,11 @@ def ops(spark):
             d, F.col("lang") == "en"
         ),
         "unigram_encode[frozen]": lambda d, e: _uni(d),
+        # r7 third session: WordPiece greedy encode (same doc-parallel
+        # Arrow seam) and the Count-Min sketch build+probe over events
+        # (bounded d x w combiner shuffle + broadcast probe join)
+        "wordpiece_encode[frozen]": lambda d, e: _wp(d),
+        "countmin[d4w64]": lambda d, e: _cm(e),
     }
 
 
