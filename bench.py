@@ -95,10 +95,12 @@ HEADLINE = [
     "kneser_ney_perplexity",
     "dsir_importance_weights",
     "unigram_encode_fixed",
-    # Count-Min joins the sketch-family representatives (heavy_hitter_users
-    # is the MG one); wordpiece_encode_fixed stays out — unigram + bpe
-    # already carry the tokenizer-encode shape in the headline set.
+    # Count-Min and the log-bucket quantile sketch join the sketch-family
+    # representatives (heavy_hitter_users is the MG one);
+    # wordpiece_encode_fixed stays out — unigram + bpe already carry the
+    # tokenizer-encode shape in the headline set.
     "countmin_user_events",
+    "logbucket_value_quantiles",
 ]
 
 

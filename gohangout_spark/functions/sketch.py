@@ -180,3 +180,86 @@ def countmin_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
     )
+
+
+# --------------------------------------------------------------------------
+# Log-bucket (HDR-histogram-style) quantile estimation
+# --------------------------------------------------------------------------
+
+def logbucket_index(v) -> "F.Column":
+    """Bucket index of a positive scaled-integer value: values below 8 map
+    to themselves (exact); otherwise ``(e-2)*8 + (v >> (e-3))`` with
+    ``e = floor(log2 v)`` — the leading octave plus the next three
+    significant bits, i.e. 8 linear sub-buckets per power of two (the
+    HdrHistogram layout at precision 3 bits; Gil Tene's design, same
+    family as DDSketch's log buckets). The index is computed ENTIRELY in
+    integer/string ops (``length(bin(v))`` and a shift) so it is
+    bit-identical across engines — no floating log anywhere. Monotone in
+    ``v``; sub-bucket ≥ 8 bounds the relative error of a bucket's lower
+    bound at 1/8 = 12.5%."""
+    e = (F.length(F.bin(v)) - 1).cast("long")
+    sub = F.call_function("shiftright", v, (e - 3).cast("int"))
+    return F.when(v < 8, v).otherwise((e - 2) * 8 + sub)
+
+
+def logbucket_lower_bound(idx) -> "F.Column":
+    """Scaled-integer lower bound of a bucket index (the quantile
+    estimate): inverts :func:`logbucket_index` — ``sub << (e-3)`` with
+    ``e = (idx-8)//8 + 2`` — again in pure integer ops."""
+    e = F.floor((idx - 8) / 8) + 2
+    sub = (idx - (e - 2) * 8).cast("long")  # long base: no shift overflow
+    lb = F.call_function("shiftleft", sub, (e - 3).cast("int"))
+    return F.when(idx <= 7, idx).otherwise(lb.cast("long"))
+
+
+def logbucket_table(
+    df: DataFrame, value_col: str, group_cols: list[str], *, scale: int = 1000
+) -> DataFrame:
+    """The mergeable quantile sketch: per group, (idx, cnt) counts of
+    ``floor(value*scale)`` in log buckets. The table is bounded by the
+    INDEX RANGE (≈ 8 buckets per octave, ~500 for the full long range),
+    never by row count or value cardinality — so the groupBy shuffles
+    combiner-reduced bounded rows, and sketches merge by summing cnt on
+    (group, idx), the same union property as countmin_table. Non-positive
+    and NULL values are excluded (log buckets need v ≥ 1)."""
+    v = F.floor(F.col(value_col) * scale).cast("long")
+    d = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, v.alias("__v"))
+        .where(F.col("__v") >= 1)
+    )
+    return (
+        d.select(*group_cols, logbucket_index(F.col("__v")).alias("idx"))
+        .groupBy(*group_cols, "idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def logbucket_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    qs: list[tuple[int, int, str]] = ((1, 2, "p50"), (19, 20, "p95"), (99, 100, "p99")),
+) -> DataFrame:
+    """Per-group quantile estimates from a :func:`logbucket_table`: for
+    each quantile num/den the estimate is the lower bound of the first
+    bucket whose cumulative count reaches rank ``ceil(num*n/den)`` —
+    computed as the INTEGER ceil-division ``(num*n + den - 1) div den``
+    so rank selection has no float anywhere (a float ``ceil(0.95*n)``
+    can straddle an integer boundary; the integer form cannot). Runs on
+    the bounded sketch, not the data: the window partitions are ≤ a few
+    hundred rows per group."""
+    from pyspark.sql import Window
+
+    cum = Window.partitionBy(*group_cols).orderBy("idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = Window.partitionBy(*group_cols)
+    h = hist.withColumn("cum", F.sum("cnt").over(cum)).withColumn(
+        "n", F.sum("cnt").over(tot)
+    )
+    lb = logbucket_lower_bound(F.col("idx"))
+    aggs = [F.max("n").alias("n_rows")]
+    for num, den, name in qs:
+        rank = F.expr(f"({num} * n + {den} - 1) div {den}")
+        aggs.append(F.min(F.when(F.col("cum") >= rank, lb)).alias(name))
+    return h.groupBy(*group_cols).agg(*aggs)

@@ -5933,9 +5933,10 @@ def heavy_hitter_users_q(spark, sf_dir):
     return heavy_hitters(ev, "user_id", k=10, m=65536)
 
 
-@q(
-    "countmin_user_events",
-    """WITH e AS (SELECT user_id::VARCHAR AS k FROM events
+# Shared by countmin_user_events (one-shot) and countmin_stream_replay
+# (four foreachBatch epoch partials summed on read): the merge property
+# makes both paths answer to the SAME replay of the sketch construction.
+_COUNTMIN_ORACLE = """WITH e AS (SELECT user_id::VARCHAR AS k FROM events
                   WHERE user_id IS NOT NULL),
 probes AS (
   SELECT k, d,
@@ -5952,8 +5953,10 @@ kp AS (
 est AS (SELECT k, min(coalesce(sk.cnt, 0)) AS cm_est
         FROM kp LEFT JOIN sk USING (d, bucket) GROUP BY k)
 SELECT ex.k::BIGINT AS user_id, ex.exact_n, est.cm_est
-FROM ex JOIN est USING (k)""",
-)
+FROM ex JOIN est USING (k)"""
+
+
+@q("countmin_user_events", _COUNTMIN_ORACLE)
 def countmin_user_events(spark, sf_dir):
     """Count-Min sketch per-user event counts (functions/sketch.py
     countmin_table/countmin_estimate, Cormode & Muthukrishnan 2005) at a
@@ -5981,6 +5984,149 @@ def countmin_user_events(spark, sf_dir):
     est = countmin_estimate(sk, exact, "user_id", depth=4, width=64)
     return exact.join(est, "user_id").select(
         "user_id", "exact_n", F.col("cm_est").cast("long").alias("cm_est")
+    )
+
+
+@q("countmin_stream_replay", _COUNTMIN_ORACLE)
+def countmin_stream_replay(spark, sf_dir):
+    """HASH gate for the STREAMING Count-Min loop itself
+    (streaming/sketch_stream.py — the dedup_stream_replay pattern applied
+    to the sketch family): events are replayed as a real Structured
+    Streaming file source (maxFilesPerTrigger=1, four contiguous-event-id
+    parquet files = four foreachBatch epochs) through
+    start_countmin_stream, which reduces each epoch to a bounded partial
+    sketch in its own ``epoch=<id>`` partition. The gate then loads the
+    live store (sum of the four partials) and probes it — because
+    Count-Min merges by elementwise sum, the drained stream's estimates
+    must EQUAL the one-shot batch sketch, so this answers to the exact
+    same DuckDB oracle as countmin_user_events: any lost/duplicated
+    epoch, a partial that reduced with different hash parameters, or a
+    load that mis-sums the partition partials all hash-mismatch.
+    Python-side asserts additionally pin epoch-partition count == 4."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from gohangout_spark.functions.sketch import countmin_estimate
+    from gohangout_spark.streaming.sketch_stream import (
+        load_countmin_sketch,
+        start_countmin_stream,
+    )
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select("event_id", "user_id")
+    )
+    base = tempfile.mkdtemp(prefix="countmin_stream_gate_")
+    in_dir, sk_path = f"{base}/in", f"{base}/sketch"
+    os.makedirs(in_dir)
+    try:
+        # four contiguous-id micro-batch files in ingest order (driver
+        # pulls only the scalar id bounds, never rows)
+        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+        cuts = [lo + (hi - lo + 1) * k // 4 for k in range(5)]
+        for k in range(4):
+            tmp = f"{base}/tmp_{k}"
+            ev.filter(
+                (F.col("event_id") >= cuts[k]) & (F.col("event_id") < cuts[k + 1])
+            ).coalesce(1).write.parquet(tmp)
+            (part,) = glob.glob(f"{tmp}/part-*.parquet")
+            shutil.move(part, f"{in_dir}/batch_{k}.parquet")
+            os.utime(f"{in_dir}/batch_{k}.parquet", (1_000_000 + k, 1_000_000 + k))
+
+        stream = (
+            spark.readStream.schema("event_id bigint, user_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        query = start_countmin_stream(
+            stream,
+            sk_path,
+            "user_id",
+            depth=4,
+            width=64,
+            checkpoint=f"{base}/ckpt",
+            query_name="countmin_stream_gate",
+        )
+        query.processAllAvailable()
+        query.stop()
+        query.awaitTermination()
+
+        epochs = [p for p in os.listdir(sk_path) if p.startswith("epoch=")]
+        assert len(epochs) == 4, f"expected 4 epoch partials, got {epochs}"
+
+        sk = load_countmin_sketch(spark, sk_path)
+        exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+        est = countmin_estimate(sk, exact, "user_id", depth=4, width=64)
+        out = exact.join(est, "user_id").select(
+            "user_id", "exact_n", F.col("cm_est").cast("long").alias("cm_est")
+        )
+        # detach from the temp parquet before it is removed (small result)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@q(
+    "logbucket_value_quantiles",
+    """WITH e AS (
+  SELECT event_type, (floor(value * 1000))::BIGINT AS v
+  FROM events WHERE value IS NOT NULL),
+b AS (
+  SELECT event_type,
+         CASE WHEN v < 8 THEN v
+              ELSE (length(bin(v)) - 3) * 8
+                   + (v >> ((length(bin(v)) - 4))::INT)
+         END AS idx
+  FROM e WHERE v >= 1),
+h AS (SELECT event_type, idx, count(*) AS cnt FROM b GROUP BY event_type, idx),
+c AS (
+  SELECT event_type, idx, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY idx) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM h),
+lb AS (
+  SELECT *, CASE WHEN idx <= 7 THEN idx
+                 ELSE (idx - ((idx - 8) // 8) * 8)
+                      << (((idx - 8) // 8 + 2) - 3)::INT
+            END AS lo
+  FROM c)
+SELECT event_type, max(n)::BIGINT AS n_rows,
+       min(CASE WHEN cum >= (1 * n + 1) // 2 THEN lo END)::BIGINT AS p50,
+       min(CASE WHEN cum >= (19 * n + 19) // 20 THEN lo END)::BIGINT AS p95,
+       min(CASE WHEN cum >= (99 * n + 99) // 100 THEN lo END)::BIGINT AS p99
+FROM lb GROUP BY event_type""",
+)
+def logbucket_value_quantiles(spark, sf_dir):
+    """Per-event-type latency-percentile estimation via the mergeable
+    log-bucket histogram (functions/sketch.py logbucket_table/_quantiles
+    — HdrHistogram's layout: 8 linear sub-buckets per power of two, the
+    DDSketch/HDR family): values scale to integers, the bucket index is
+    computed entirely in integer/string ops (length(bin(v)) and shifts —
+    NO floating log anywhere, so the sketch is bit-identical across
+    engines), and the p50/p95/p99 estimates are bucket lower bounds
+    selected by integer ceil-division ranks. Max relative error 12.5% by
+    construction, and the estimate itself is deterministic — which is
+    why this gate can demand full hash equality on a QUANTILE SKETCH.
+    The oracle replays everything: scaling, octave+sub-bucket indexing,
+    cumulative rank walk, lower-bound reconstruction. Scale shape: the
+    histogram is bounded by the index range (~8/octave), the groupBy is
+    combiner-reduced, and the quantile window runs on the sketch rows,
+    never the data — the quantile member of the sketch family (HLL
+    distinct, MG top-k, CM frequency, Bloom membership)."""
+    from gohangout_spark.functions.sketch import logbucket_quantiles, logbucket_table
+    from gohangout_spark.io import rebalance_for_compute
+
+    ev = rebalance_for_compute(_events(spark, sf_dir), spark)
+    hist = logbucket_table(ev, "value", ["event_type"], scale=1000)
+    return logbucket_quantiles(hist, ["event_type"]).select(
+        "event_type",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("p50").cast("long").alias("p50"),
+        F.col("p95").cast("long").alias("p95"),
+        F.col("p99").cast("long").alias("p99"),
     )
 
 
@@ -6385,22 +6531,26 @@ def multimodal_flac_features(spark, sf_dir):
 # first couple of them is harmless).  New round-3 queries are inserted
 # before the tail so they are gated the round they land.
 _GATE_PRIORITY = [
-    # --- round-7 window: 22 new queries (4 gates + 8 adapted TPC-H
+    # --- round-7 window: 24 new queries (4 gates + 8 adapted TPC-H
     # completions + the 4-query text-canonicalization set + the
-    # 6-query late-round additions: QOI codec, Kneser-Ney, DSIR,
-    # unigram tokenizer, WordPiece tokenizer, Count-Min sketch) + the
-    # stale r3/r4 cohort. The driver samples the FIRST 50
-    # registrations; r6 re-greened the r2/r3 tail, so this round
-    # rotates in the full 22-query r3 cohort plus 6 of the 39
-    # r4-cohort rows (alphabetical; the remaining 33 r4 rows sit
-    # directly below slot 50 and lead the r8 window). New-this-round
-    # queries go first so they are checked the round they land. Every
-    # row of the window — and the whole registry besides — was locally
-    # pre-verified green at sf0.01 this round (SCALE.md "Round-7
-    # full-registry verification"), so the below-slot-50 rows carry
-    # fresh local evidence even before their next driver row.
+    # 8-query late-round additions: QOI codec, Kneser-Ney, DSIR,
+    # unigram tokenizer, WordPiece tokenizer, Count-Min sketch +
+    # its streaming replay, log-bucket quantile sketch) + the stale
+    # r3/r4 cohort. The driver samples the FIRST 50 registrations; r6
+    # re-greened the r2/r3 tail, so this round rotates in the full
+    # 22-query r3 cohort plus 4 of the 39 r4-cohort rows
+    # (alphabetical; the remaining 35 r4 rows sit directly below slot
+    # 50 and lead the r8 window).
+    # New-this-round queries go first so they are checked the round
+    # they land. Every row of the window — and the whole registry
+    # besides — was locally pre-verified green at sf0.01 this round
+    # (SCALE.md "Round-7 full-registry verification"), so the
+    # below-slot-50 rows carry fresh local evidence even before their
+    # next driver row.
+    "logbucket_value_quantiles",
     "wordpiece_encode_fixed",
     "countmin_user_events",
+    "countmin_stream_replay",
     "multimodal_qoi_features",
     "kneser_ney_perplexity",
     "dsir_importance_weights",
@@ -6446,14 +6596,14 @@ _GATE_PRIORITY = [
     "vocabulary_topn",
     "weighted_mixture",
     "yaml_pipeline_e2e",
-    # --- 6 slots: last green r4 (alphabetical) ---
+    # --- 4 slots: last green r4 (alphabetical) ---
     "approx_distinct_report",
     "bm25_search",
     "boilerplate_lines",
     "bpe_token_count",
+    # --- below slot 50: the r4 remainder, heading the r8 window ---
     "char_lm_perplexity",
     "chunk_documents",
-    # --- below slot 50: the r4 remainder, heading the r8 window ---
     "cohort_retention",
     "cube_totals",
     "curation_funnel",

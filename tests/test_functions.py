@@ -4866,3 +4866,99 @@ class TestCountMin:
         # every counter row belongs to 'a' alone: total per depth == 2
         rows = sk.collect()
         assert sum(r.cnt for r in rows) == 4  # 2 occurrences x 2 depths
+
+
+class TestLogBucketQuantiles:
+    """HDR-style log-bucket quantile sketch (sketch.logbucket_*): index/
+    lower-bound inversion invariants, the 12.5% error bound against exact
+    quantiles, and the merge-by-sum property."""
+
+    def test_index_lowerbound_invariants(self, spark):
+        from pyspark.sql import functions as F
+
+        from gohangout_spark.functions.sketch import (
+            logbucket_index,
+            logbucket_lower_bound,
+        )
+
+        # dense small range + every power of two up to 2^45
+        vals = spark.range(1, 5000).union(
+            spark.range(0, 46).select(
+                F.call_function("shiftleft", F.lit(1).cast("long"),
+                                F.col("id").cast("int")).alias("id")
+            )
+        )
+        r = (
+            vals.select(F.col("id").alias("v"),
+                        logbucket_index(F.col("id")).alias("idx"))
+            .withColumn("lb", logbucket_lower_bound(F.col("idx")))
+        )
+        width = F.greatest(
+            F.call_function("shiftright", F.col("lb"), F.lit(3)), F.lit(1)
+        )
+        # lb <= v < lb + width (width = lb/8 past the exact range)
+        assert r.where((F.col("lb") > F.col("v"))
+                       | (F.col("v") >= F.col("lb") + width)).count() == 0
+        # index monotone in v
+        from pyspark.sql import Window
+
+        assert (
+            r.withColumn("p", F.lag("idx").over(Window.orderBy("v")))
+            .where(F.col("p") > F.col("idx"))
+            .count()
+            == 0
+        )
+
+    def test_quantiles_within_bound_and_merge(self, spark):
+        import random
+
+        from pyspark.sql import functions as F
+
+        from gohangout_spark.functions.sketch import (
+            logbucket_quantiles,
+            logbucket_table,
+        )
+
+        rng = random.Random(5)
+        rows = [("a", rng.lognormvariate(3, 1.2)) for _ in range(2000)]
+        rows += [("b", rng.uniform(0.001, 9.0)) for _ in range(500)]
+        df = spark.createDataFrame(rows, "g string, value double")
+        hist = logbucket_table(df, "value", ["g"], scale=1000)
+        est = {r.g: r for r in logbucket_quantiles(hist, ["g"]).collect()}
+
+        import math
+
+        for g in ("a", "b"):
+            vals = sorted(int(math.floor(v * 1000)) for gg, v in rows if gg == g)
+            vals = [v for v in vals if v >= 1]
+            assert est[g].n_rows == len(vals)
+            for q, name in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+                rank = -(-int(q * 100) * len(vals) // 100)  # ceil in ints
+                true = vals[rank - 1]
+                got = est[g][name]
+                # lower bound of true's bucket: got <= true < got*(1+1/8)+1
+                assert got <= true <= got + max(got // 8, 1), (g, name, got, true)
+
+        # merge = elementwise sum of part sketches
+        half1 = spark.createDataFrame(rows[:1000], "g string, value double")
+        half2 = spark.createDataFrame(rows[1000:], "g string, value double")
+        merged = (
+            logbucket_table(half1, "value", ["g"], scale=1000)
+            .union(logbucket_table(half2, "value", ["g"], scale=1000))
+            .groupBy("g", "idx")
+            .agg(F.sum("cnt").alias("cnt"))
+        )
+        as_set = lambda d: {(r.g, r.idx, r.cnt) for r in d.collect()}
+        assert as_set(hist) == as_set(merged)
+
+    def test_nonpositive_and_null_excluded(self, spark):
+        from gohangout_spark.functions.sketch import logbucket_table
+
+        df = spark.createDataFrame(
+            [("a", 5.0), ("a", 0.0), ("a", -3.0), ("a", None), ("a", 0.0001)],
+            "g string, value double",
+        )
+        # 0.0001*1000 = 0.1 -> floor 0 -> excluded; only 5.0 survives
+        hist = logbucket_table(df, "value", ["g"], scale=1000)
+        rows = hist.collect()
+        assert len(rows) == 1 and rows[0].cnt == 1

@@ -865,6 +865,7 @@ class TestDriverWindow:
             "multimodal_qoi_features", "kneser_ney_perplexity",
             "dsir_importance_weights", "unigram_encode_fixed",
             "wordpiece_encode_fixed", "countmin_user_events",
+            "countmin_stream_replay", "logbucket_value_quantiles",
         }
         assert r7_new <= window, r7_new - window
 

@@ -141,3 +141,61 @@ def test_checkpoint_restart_processes_only_new_batches(spark, tmp_path):
     assert [ids for _, ids in new] == [[8]]
     idx_ids = sorted(r["doc_id"] for r in spark.read.parquet(idx).collect())
     assert idx_ids == [1, 2, 8]
+
+
+class TestCountminStream:
+    """Streaming Count-Min store (streaming/sketch_stream.py): drained
+    stream == one-shot sketch, and epoch-partition overwrite makes batch
+    replay idempotent (no double-counting)."""
+
+    def test_stream_equals_oneshot_and_replay_idempotent(self, spark, tmp_path):
+        import os
+
+        from pyspark.sql import functions as F
+
+        from gohangout_spark.functions.sketch import countmin_table
+        from gohangout_spark.streaming.sketch_stream import (
+            load_countmin_sketch,
+            start_countmin_stream,
+        )
+
+        rows = [(i, f"u{i % 7}") for i in range(60)]
+        df = spark.createDataFrame(rows, "event_id long, k string")
+        in_dir = str(tmp_path / "in")
+        os.makedirs(in_dir)
+        for half, name in ((df.where("event_id < 30"), "a"),
+                           (df.where("event_id >= 30"), "b")):
+            half.coalesce(1).write.parquet(str(tmp_path / f"tmp_{name}"))
+            import glob
+            import shutil
+
+            (part,) = glob.glob(str(tmp_path / f"tmp_{name}" / "part-*.parquet"))
+            shutil.move(part, f"{in_dir}/{name}.parquet")
+
+        sk_path = str(tmp_path / "sketch")
+        stream = (
+            spark.readStream.schema("event_id long, k string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = start_countmin_stream(
+            stream, sk_path, "k", depth=3, width=16,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        as_set = lambda d: {(r.depth, r.bucket, r.cnt) for r in d.collect()}
+        oneshot = as_set(countmin_table(df, "k", depth=3, width=16))
+        assert as_set(load_countmin_sketch(spark, sk_path)) == oneshot
+        epochs = sorted(p for p in os.listdir(sk_path) if p.startswith("epoch="))
+        assert len(epochs) == 2
+
+        # replay epoch 0: overwriting its partition with the same partial
+        # (what foreachBatch does on a retried epoch) changes nothing
+        partial0 = countmin_table(
+            df.where("event_id < 30"), "k", depth=3, width=16
+        )
+        partial0.write.mode("overwrite").parquet(f"{sk_path}/{epochs[0]}")
+        assert as_set(load_countmin_sketch(spark, sk_path)) == oneshot

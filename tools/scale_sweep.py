@@ -170,6 +170,15 @@ def ops(spark):
         keys = ev.select("user_id").distinct()
         return countmin_estimate(sk, keys, "user_id", depth=4, width=64)
 
+    def _lbq(ev):
+        from gohangout_spark.functions.sketch import (
+            logbucket_quantiles,
+            logbucket_table,
+        )
+
+        hist = logbucket_table(ev, "value", ["event_type"], scale=1000)
+        return logbucket_quantiles(hist, ["event_type"])
+
     def funnel(d, e):
         # the curation_funnel workload chain verbatim (gopher gate →
         # exact dedup → 4-gram decontamination → char-LM perplexity →
@@ -257,6 +266,7 @@ def ops(spark):
         # (bounded d x w combiner shuffle + broadcast probe join)
         "wordpiece_encode[frozen]": lambda d, e: _wp(d),
         "countmin[d4w64]": lambda d, e: _cm(e),
+        "logbucket_quantiles[hdr3]": lambda d, e: _lbq(e),
     }
 
 
