@@ -16,9 +16,10 @@ table, not per-group session state, and it must survive as a queryable
 store (the batch path reads the same layout). Idempotency under epoch
 replay is structural: each epoch OVERWRITES its own ``epoch=<id>``
 partition directory, so a replayed epoch rewrites identical rows instead
-of double-counting — the at-least-once transport seam the module
-interface documents, solved the same way FileSink's exactly-once parquet
-path solves it (partition-by-epoch + overwrite).
+of double-counting (foreachBatch alone is at-least-once on retry;
+dedup_stream.py documents the same seam and resolves it with
+dedupe-on-read — here the epoch key makes the write itself idempotent,
+pinned by TestCountminStream's replayed-epoch test).
 
 Reference parity note: gohangout counts via windowed LinkMetric
 aggregations; a mergeable any-key frequency sketch has no analogue there
