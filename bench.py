@@ -101,6 +101,10 @@ HEADLINE = [
     # tokenizer-encode shape in the headline set.
     "countmin_user_events",
     "logbucket_value_quantiles",
+    # KMV joins as the distinct-count/set-op sketch representative
+    # (kmv_cohort_setops stays out: its runtime is dominated by the four
+    # exact-cardinality verification columns, a gate artifact).
+    "kmv_distinct_users",
 ]
 
 

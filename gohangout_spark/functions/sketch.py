@@ -1,5 +1,6 @@
-"""Bounded-memory sketch operators: Misra-Gries heavy hitters and
-Count-Min frequency estimation.
+"""Bounded-memory sketch operators: Misra-Gries heavy hitters, Count-Min
+frequency estimation, log-bucket quantiles, and KMV distinct-value
+sketches with set operations.
 
 The HLL validation lives in functions.analytics (approx_distinct_report);
 this module holds the frequency side. The production problem: "top-k most
@@ -263,3 +264,190 @@ def logbucket_quantiles(
         rank = F.expr(f"({num} * n + {den} - 1) div {den}")
         aggs.append(F.min(F.when(F.col("cum") >= rank, lb)).alias(name))
     return h.groupBy(*group_cols).agg(*aggs)
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k theta) distinct-value sketch
+# --------------------------------------------------------------------------
+#
+# Bar-Yossef et al. 2002 ("Counting distinct elements in a data stream")
+# and Beyer et al. 2007 ("On synopses for distinct-value estimation under
+# multiset operations") — the sketch family behind DataSketches' theta
+# sketch. Where HLL (approx_distinct_report) answers only |A|, a KMV
+# sketch is a SET SYNOPSIS: keep the k smallest distinct hash values; the
+# k-th smallest hash h_k estimates the density of distinct hashes, so
+# DV ≈ (k-1) / (h_k / SPAN). Because the synopsis is an actual sample of
+# the hash space below a threshold, sketches COMPOSE: union = k smallest
+# of the combined hash sets, and |A ∩ B| is estimated by counting hashes
+# common to both synopses below θ = min(θ_A, θ_B) — the set-expression
+# cardinalities HLL cannot produce.
+#
+# Everything is integer arithmetic over the repo's house hash (48-bit
+# md5-hex prefix), including the final estimate ((k-1)·SPAN div h_k), so
+# the whole construction replays bit-for-bit in a DuckDB oracle (the
+# kmv_distinct_users / kmv_cohort_setops gates).
+
+KMV_SPAN = 1 << 48  # hash domain: 12 md5 hex chars
+
+
+def kmv_hash(col) -> "F.Column":
+    """48-bit uniform hash of a value: md5-hex-prefix, the house hash
+    (cross-engine replayable: ``('0x' || substring(md5(v), 1, 12))::BIGINT``
+    in DuckDB)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 12), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_table(
+    df: DataFrame, col: str, group_cols: list[str] | tuple = (), *, k: int = 64
+) -> DataFrame:
+    """The KMV synopsis of ``col`` per group: the ≤ ``k`` smallest DISTINCT
+    48-bit hashes, as (group..., h) rows. Scale shape mirrors
+    :func:`heavy_hitters`: a LOCAL mapInPandas pass keeps at most k
+    distinct hashes per (partition, group) — bounded memory, no
+    full-domain shuffle — then a global window over the ≤ k×partitions
+    candidate rows selects the true bottom-k (each globally-smallest hash
+    is also smallest in its own partition, so the result is independent of
+    partitioning). NULLs are not hashed. The synopsis MERGES by
+    :func:`kmv_union`; estimate with :func:`kmv_estimate`."""
+    import heapq
+
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    key = F.col(col).cast("string")
+    src = df.where(key.isNotNull()).select(
+        *gcols, kmv_hash(F.col(col)).alias("h")
+    )
+
+    def local_bottomk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: dict = {}
+        for pdf in batches:
+            if gcols:
+                groups = [
+                    (gk if isinstance(gk, tuple) else (gk,), sub["h"])
+                    for gk, sub in pdf.groupby(gcols, sort=False)
+                ]
+            else:
+                groups = [((), pdf["h"])]
+            for gk, hs in groups:
+                s = best.setdefault(gk, set())
+                s.update(int(v) for v in hs.unique())
+                if len(s) > k:
+                    best[gk] = set(heapq.nsmallest(k, s))
+        rows = [gk + (h,) for gk, hs in best.items() for h in sorted(hs)]
+        out = pd.DataFrame(rows, columns=gcols + ["h"])
+        if out.empty:
+            out = pd.DataFrame(
+                {c: pd.Series(dtype="object") for c in gcols}
+                | {"h": pd.Series(dtype="int64")}
+            )
+        yield out
+
+    cand = src.mapInPandas(local_bottomk, src.schema).dropDuplicates(
+        gcols + ["h"]
+    )
+    w = Window.partitionBy(*(gcols or [F.lit(1)])).orderBy("h")
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_estimate(
+    sketch: DataFrame,
+    group_cols: list[str] | tuple = (),
+    *,
+    k: int = 64,
+    out_col: str = "dv_est",
+) -> DataFrame:
+    """Distinct-value estimate per group from a :func:`kmv_table` synopsis:
+    EXACT (= n_kept) while the synopsis is unsaturated (n_kept < k, i.e.
+    fewer than k distinct hashes exist), else the unbiased KMV estimator
+    (k-1)·SPAN div h_k — pure integer division, so the estimate itself is
+    engine-reproducible. Returns (group..., n_kept, kth, out_col). Runs on
+    the ≤ k-row-per-group synopsis, never the data."""
+    gcols = list(group_cols)
+    agg = sketch.groupBy(*gcols).agg(
+        F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("kth")
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept")).otherwise(
+        F.expr(f"{(k - 1) * KMV_SPAN} div kth")
+    )
+    return agg.withColumn(out_col, est.cast("long"))
+
+
+def kmv_union(
+    a: DataFrame, b: DataFrame, group_cols: list[str] | tuple = (), *, k: int = 64
+) -> DataFrame:
+    """Union of two KMV synopses (same ``k``): the k smallest distinct
+    hashes of the combined sets — again a valid KMV synopsis, so
+    :func:`kmv_estimate` on the result estimates |A ∪ B|. Bounded: runs on
+    ≤ 2k rows per group."""
+    from pyspark.sql import Window
+
+    gcols = list(group_cols)
+    u = a.unionByName(b).dropDuplicates(gcols + ["h"])
+    w = Window.partitionBy(*(gcols or [F.lit(1)])).orderBy("h")
+    return (
+        u.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_intersect_estimate(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: list[str] | tuple = (),
+    *,
+    k: int = 64,
+    out_col: str = "inter_est",
+) -> DataFrame:
+    """|A ∩ B| estimate per group from two KMV synopses (theta-sketch
+    intersection, Beyer et al. 2007 §4): θ_X is the synopsis's k-th hash
+    when saturated else SPAN ("every hash kept"); below θ = min(θ_A, θ_B)
+    both synopses are COMPLETE samples of the hash space, so the count of
+    common hashes under θ scales by SPAN div θ. Returns (group..., common,
+    theta, out_col); groups must appear in BOTH synopses (inner join —
+    an absent group has no sketch to intersect). All joins are equi-joins
+    on the bounded synopses."""
+    gcols = list(group_cols)
+    if not gcols:  # ungrouped: thread a constant key through the joins
+        out = kmv_intersect_estimate(
+            a.withColumn("__g", F.lit(1)),
+            b.withColumn("__g", F.lit(1)),
+            ["__g"],
+            k=k,
+            out_col=out_col,
+        )
+        return out.drop("__g")
+
+    def theta_of(sk: DataFrame, alias: str) -> DataFrame:
+        return sk.groupBy(*gcols).agg(
+            F.when(F.count(F.lit(1)) >= k, F.max("h"))
+            .otherwise(F.lit(KMV_SPAN))
+            .alias(alias)
+        )
+
+    th = theta_of(a, "__ta").join(theta_of(b, "__tb"), gcols).select(
+        *gcols, F.least("__ta", "__tb").alias("theta")
+    )
+    common = (
+        a.join(b, gcols + ["h"], "inner")
+        .join(F.broadcast(th), gcols)
+        .where(F.col("h") < F.col("theta"))
+        .groupBy(*gcols)
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = th.join(common, gcols, "left").select(
+        *gcols,
+        F.coalesce(F.col("common"), F.lit(0)).alias("common"),
+        "theta",
+    )
+    return out.withColumn(
+        out_col,
+        F.expr(f"(common * {KMV_SPAN}) div theta").cast("long"),
+    )

@@ -6131,6 +6131,218 @@ def logbucket_value_quantiles(spark, sf_dir):
 
 
 @q(
+    "kmv_distinct_users",
+    """WITH e AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substring(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM e),
+sk AS (SELECT event_type, count(*) AS n_kept, max(h) AS kth
+       FROM r WHERE rn <= 64 GROUP BY event_type),
+ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_dv
+       FROM events WHERE user_id IS NOT NULL GROUP BY event_type)
+SELECT sk.event_type, sk.n_kept::BIGINT AS n_kept, sk.kth::BIGINT AS kth,
+       (CASE WHEN sk.n_kept < 64 THEN sk.n_kept
+             ELSE (63 * 281474976710656) // sk.kth END)::BIGINT AS dv_est,
+       ex.exact_dv::BIGINT AS exact_dv
+FROM sk JOIN ex USING (event_type)""",
+)
+def kmv_distinct_users_q(spark, sf_dir):
+    """Per-event-type distinct-user estimation via the KMV bottom-k
+    sketch (functions/sketch.py kmv_table/kmv_estimate — Bar-Yossef et
+    al. 2002 / Beyer et al. 2007, the theta-sketch family): keep the 64
+    smallest distinct 48-bit md5 hashes per group; the k-th smallest
+    estimates distinct density as (k-1)·SPAN div h_k — INTEGER division,
+    so the estimate is engine-reproducible and the gate demands full hash
+    equality on a cardinality SKETCH. k=64 is a deliberately saturated
+    operating point at sf ≥ 0.01 (150-1500 distinct users vs 64 kept)
+    so the estimator leg is live, while sf0.001's 15 users exercise the
+    exact unsaturated leg — both paths gated across the shipped sfs.
+    exact_dv rides along as the side-by-side verification column (house
+    style, countmin_user_events). The oracle replays the whole
+    construction: hash, per-group bottom-64 via row_number, saturation
+    CASE, integer estimate. Scale shape: a local mapInPandas bottom-k
+    pass bounds the shuffle at k×partitions rows per group — the
+    distinct-count member of the sketch family, and unlike HLL the
+    synopsis supports set ops (kmv_cohort_setops)."""
+    from gohangout_spark.functions.sketch import kmv_estimate, kmv_table
+    from gohangout_spark.io import rebalance_for_compute
+
+    ev = rebalance_for_compute(_events(spark, sf_dir), spark).where(
+        F.col("user_id").isNotNull()
+    )
+    sk = kmv_table(ev, "user_id", ["event_type"], k=64)
+    est = kmv_estimate(sk, ["event_type"], k=64)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_dv")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.col("kth").cast("long").alias("kth"),
+        F.col("dv_est").cast("long").alias("dv_est"),
+        F.col("exact_dv").cast("long").alias("exact_dv"),
+    )
+
+
+@q(
+    "kmv_cohort_setops",
+    """WITH ev AS (
+  SELECT strftime(ts, '%Y-%m') AS month, event_type, user_id
+  FROM events WHERE value >= 150 AND user_id IS NOT NULL),
+ah AS (SELECT DISTINCT month,
+         ('0x' || substring(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+       FROM ev WHERE event_type = 'purchase'),
+bh AS (SELECT DISTINCT month,
+         ('0x' || substring(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
+       FROM ev WHERE event_type = 'click'),
+ska AS (SELECT month, h FROM (
+          SELECT month, h, row_number() OVER (PARTITION BY month ORDER BY h) rn
+          FROM ah) WHERE rn <= 32),
+skb AS (SELECT month, h FROM (
+          SELECT month, h, row_number() OVER (PARTITION BY month ORDER BY h) rn
+          FROM bh) WHERE rn <= 32),
+sku AS (SELECT month, h FROM (
+          SELECT month, h, row_number() OVER (PARTITION BY month ORDER BY h) rn
+          FROM (SELECT month, h FROM ska UNION SELECT month, h FROM skb))
+        WHERE rn <= 32),
+ea AS (SELECT month, count(*) AS a_kept,
+              CASE WHEN count(*) < 32 THEN count(*)
+                   ELSE (31 * 281474976710656) // max(h) END AS a_est
+       FROM ska GROUP BY month),
+eb AS (SELECT month, count(*) AS b_kept,
+              CASE WHEN count(*) < 32 THEN count(*)
+                   ELSE (31 * 281474976710656) // max(h) END AS b_est
+       FROM skb GROUP BY month),
+eu AS (SELECT month,
+              CASE WHEN count(*) < 32 THEN count(*)
+                   ELSE (31 * 281474976710656) // max(h) END AS union_est
+       FROM sku GROUP BY month),
+ta AS (SELECT month, CASE WHEN count(*) >= 32 THEN max(h)
+                          ELSE 281474976710656 END AS th
+       FROM ska GROUP BY month),
+tb AS (SELECT month, CASE WHEN count(*) >= 32 THEN max(h)
+                          ELSE 281474976710656 END AS th
+       FROM skb GROUP BY month),
+tt AS (SELECT ta.month, least(ta.th, tb.th) AS theta
+       FROM ta JOIN tb USING (month)),
+cm AS (SELECT ska.month, count(*) AS common
+       FROM ska JOIN skb USING (month, h) JOIN tt USING (month)
+       WHERE h < theta GROUP BY ska.month),
+ie AS (SELECT tt.month, coalesce(cm.common, 0) AS common, tt.theta,
+              (coalesce(cm.common, 0) * 281474976710656) // tt.theta
+                AS inter_est
+       FROM tt LEFT JOIN cm ON tt.month = cm.month),
+exi AS (SELECT month, user_id,
+               max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pa,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS pb
+        FROM ev GROUP BY month, user_id),
+exs AS (SELECT month,
+               sum(pa)::BIGINT AS exact_a, sum(pb)::BIGINT AS exact_b,
+               count(CASE WHEN pa = 1 OR pb = 1 THEN 1 END)::BIGINT AS exact_u,
+               count(CASE WHEN pa = 1 AND pb = 1 THEN 1 END)::BIGINT AS exact_i
+        FROM exi GROUP BY month)
+SELECT ea.month,
+       ea.a_kept::BIGINT AS a_kept, ea.a_est::BIGINT AS a_est,
+       eb.b_kept::BIGINT AS b_kept, eb.b_est::BIGINT AS b_est,
+       eu.union_est::BIGINT AS union_est,
+       ie.common::BIGINT AS common, ie.theta::BIGINT AS theta,
+       ie.inter_est::BIGINT AS inter_est,
+       exs.exact_a, exs.exact_b, exs.exact_u, exs.exact_i
+FROM ea JOIN eb USING (month) JOIN eu USING (month)
+        JOIN ie USING (month) JOIN exs USING (month)""",
+)
+def kmv_cohort_setops_q(spark, sf_dir):
+    """SET OPERATIONS on KMV synopses — the capability HLL cannot offer
+    and the reason the sketch family needed a bottom-k member: per month,
+    cohort A = high-value purchasers, cohort B = high-value clickers
+    (value ≥ 150 — a threshold that makes the cohorts genuinely partial:
+    67/75 users with 31 common of 150 at sf0.01); each gets a k=32 KMV
+    synopsis, then |A ∪ B| is estimated from the merged synopsis
+    (kmv_union: 32 smallest of the combined hash sets) and |A ∩ B| by the
+    theta-sketch intersection (kmv_intersect_estimate: common hashes
+    below θ = min(θ_A, θ_B), scaled by SPAN div θ — Beyer et al. 2007
+    §4). k=32 saturates both cohorts at sf ≥ 0.01 (estimator leg live:
+    A=67 > 32) and stays exact at sf0.001 (7-user cohorts). All four
+    exact cardinalities ride along for the honesty comparison. The oracle
+    replays EVERYTHING — both bottom-32 synopses, the union re-sketch,
+    both thetas, the common-below-theta count, and the two integer
+    estimators — so a wrong theta rule (>= vs >), a union that forgets to
+    re-truncate to k, or an intersection that counts common hashes at or
+    above theta all hash-mismatch. Scale shape: every join is a
+    month-keyed equi-join on ≤ 32-row-per-group synopses; the only data
+    scans are the two cohort filters and the exact-count verification
+    column."""
+    from gohangout_spark.functions.sketch import (
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_table,
+        kmv_union,
+    )
+    from gohangout_spark.io import rebalance_for_compute
+
+    k = 32
+    ev = (
+        rebalance_for_compute(_events(spark, sf_dir), spark)
+        .where((F.col("value") >= 150) & F.col("user_id").isNotNull())
+        .withColumn("month", F.date_format("ts", "yyyy-MM"))
+    )
+    a = ev.where(F.col("event_type") == "purchase").select("month", "user_id")
+    b = ev.where(F.col("event_type") == "click").select("month", "user_id")
+    ska = kmv_table(a, "user_id", ["month"], k=k)
+    skb = kmv_table(b, "user_id", ["month"], k=k)
+
+    ea = kmv_estimate(ska, ["month"], k=k, out_col="a_est").select(
+        "month", F.col("n_kept").alias("a_kept"), "a_est"
+    )
+    eb = kmv_estimate(skb, ["month"], k=k, out_col="b_est").select(
+        "month", F.col("n_kept").alias("b_kept"), "b_est"
+    )
+    eu = kmv_estimate(
+        kmv_union(ska, skb, ["month"], k=k), ["month"], k=k, out_col="union_est"
+    ).select("month", "union_est")
+    ie = kmv_intersect_estimate(ska, skb, ["month"], k=k)
+
+    exi = ev.groupBy("month", "user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("pa"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("pb"),
+    )
+    exs = exi.groupBy("month").agg(
+        F.sum("pa").alias("exact_a"),
+        F.sum("pb").alias("exact_b"),
+        F.count(F.when((F.col("pa") == 1) | (F.col("pb") == 1), 1)).alias(
+            "exact_u"
+        ),
+        F.count(F.when((F.col("pa") == 1) & (F.col("pb") == 1), 1)).alias(
+            "exact_i"
+        ),
+    )
+    out = (
+        ea.join(eb, "month")
+        .join(eu, "month")
+        .join(ie, "month")
+        .join(exs, "month")
+    )
+    return out.select(
+        "month",
+        F.col("a_kept").cast("long").alias("a_kept"),
+        F.col("a_est").cast("long").alias("a_est"),
+        F.col("b_kept").cast("long").alias("b_kept"),
+        F.col("b_est").cast("long").alias("b_est"),
+        F.col("union_est").cast("long").alias("union_est"),
+        F.col("common").cast("long").alias("common"),
+        F.col("theta").cast("long").alias("theta"),
+        F.col("inter_est").cast("long").alias("inter_est"),
+        F.col("exact_a").cast("long").alias("exact_a"),
+        F.col("exact_b").cast("long").alias("exact_b"),
+        F.col("exact_u").cast("long").alias("exact_u"),
+        F.col("exact_i").cast("long").alias("exact_i"),
+    )
+
+
+@q(
     "quality_classifier_score",
     """WITH t AS (
   SELECT doc_id,
@@ -6547,6 +6759,8 @@ _GATE_PRIORITY = [
     # (SCALE.md "Round-7 full-registry verification"), so the
     # below-slot-50 rows carry fresh local evidence even before their
     # next driver row.
+    "kmv_distinct_users",
+    "kmv_cohort_setops",
     "logbucket_value_quantiles",
     "wordpiece_encode_fixed",
     "countmin_user_events",

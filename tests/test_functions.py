@@ -4962,3 +4962,106 @@ class TestLogBucketQuantiles:
         hist = logbucket_table(df, "value", ["g"], scale=1000)
         rows = hist.collect()
         assert len(rows) == 1 and rows[0].cnt == 1
+
+
+class TestKmv:
+    """KMV bottom-k distinct sketch (sketch.kmv_*): exactness while
+    unsaturated, bit-for-bit agreement of the saturated estimator with an
+    independent Python replay of the construction, partitioning
+    invariance, the union re-sketch identity, and the theta intersection
+    rule — the properties the kmv_distinct_users / kmv_cohort_setops
+    oracles gate at table scale."""
+
+    @staticmethod
+    def _h48(v) -> int:
+        import hashlib
+
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:12], 16)
+
+    def _df(self, spark, vals, nparts=4):
+        return spark.createDataFrame(
+            [(v,) for v in vals], "k string"
+        ).repartition(nparts)
+
+    def test_exact_when_unsaturated(self, spark):
+        from gohangout_spark.functions.sketch import kmv_estimate, kmv_table
+
+        vals = [f"u{i % 9}" for i in range(50)]
+        sk = kmv_table(self._df(spark, vals), "k", k=32)
+        (row,) = kmv_estimate(sk, k=32).collect()
+        assert row.n_kept == 9 and row.dv_est == 9
+
+    def test_saturated_estimator_matches_python_replay(self, spark):
+        from gohangout_spark.functions.sketch import (
+            KMV_SPAN,
+            kmv_estimate,
+            kmv_table,
+        )
+
+        k = 16
+        vals = [f"user-{i}" for i in range(400)] * 2  # dups must not matter
+        sk = kmv_table(self._df(spark, vals), "k", k=k)
+        got = sorted(r.h for r in sk.collect())
+        want = sorted({self._h48(v) for v in set(vals)})[:k]
+        assert got == want, "sketch must hold the k smallest distinct hashes"
+        (row,) = kmv_estimate(sk, k=k).collect()
+        assert row.kth == want[-1]
+        assert row.dv_est == (k - 1) * KMV_SPAN // want[-1]
+        # unbiasedness sanity at k=16: stderr ~ 1/sqrt(k-2), allow 4 sigma
+        assert abs(row.dv_est - 400) / 400 < 4 / (k - 2) ** 0.5
+
+    def test_partitioning_invariance(self, spark):
+        from gohangout_spark.functions.sketch import kmv_table
+
+        vals = [f"v{i}" for i in range(200)]
+        one = sorted(r.h for r in kmv_table(self._df(spark, vals, 1), "k", k=8).collect())
+        many = sorted(r.h for r in kmv_table(self._df(spark, vals, 13), "k", k=8).collect())
+        assert one == many
+
+    def test_union_equals_sketch_of_union(self, spark):
+        from gohangout_spark.functions.sketch import kmv_table, kmv_union
+
+        a_vals = [f"a{i}" for i in range(60)]
+        b_vals = [f"b{i}" for i in range(60)] + a_vals[:20]
+        a, b = self._df(spark, a_vals), self._df(spark, b_vals)
+        merged = sorted(
+            r.h
+            for r in kmv_union(
+                kmv_table(a, "k", k=12), kmv_table(b, "k", k=12), k=12
+            ).collect()
+        )
+        whole = sorted(r.h for r in kmv_table(a.union(b), "k", k=12).collect())
+        assert merged == whole
+
+    def test_intersection_theta_rule(self, spark):
+        from gohangout_spark.functions.sketch import (
+            KMV_SPAN,
+            kmv_intersect_estimate,
+            kmv_table,
+        )
+
+        k = 8
+        a_vals = [f"x{i}" for i in range(100)]
+        b_vals = [f"x{i}" for i in range(50, 150)]  # true overlap: 50
+        ska = kmv_table(self._df(spark, a_vals), "k", k=k)
+        skb = kmv_table(self._df(spark, b_vals), "k", k=k)
+        (row,) = kmv_intersect_estimate(ska, skb, k=k).collect()
+        # independent replay of theta and common-below-theta
+        ha = sorted({self._h48(v) for v in a_vals})[:k]
+        hb = sorted({self._h48(v) for v in b_vals})[:k]
+        theta = min(ha[-1], hb[-1])
+        common = len({h for h in ha if h < theta} & {h for h in hb if h < theta})
+        assert (row.common, row.theta) == (common, theta)
+        assert row.inter_est == common * KMV_SPAN // theta
+
+    def test_grouped_and_nulls(self, spark):
+        from gohangout_spark.functions.sketch import kmv_estimate, kmv_table
+
+        df = spark.createDataFrame(
+            [("g1", "a"), ("g1", "b"), ("g1", None), ("g2", "a")],
+            "g string, k string",
+        )
+        sk = kmv_table(df, "k", ["g"], k=4)
+        rows = {r.g: r for r in kmv_estimate(sk, ["g"], k=4).collect()}
+        assert rows["g1"].n_kept == 2 and rows["g2"].n_kept == 1
+        assert rows["g1"].dv_est == 2 and rows["g2"].dv_est == 1
