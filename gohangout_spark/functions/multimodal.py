@@ -336,6 +336,51 @@ def make_ppm_media_table(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
 
 
+def dhash_fixture_base(j: int, bx: int, by: int) -> int:
+    """Closed-form 4x4-block base value of dHash fixture image ``j`` at
+    block (bx, by): ``(A·(bx+1) + B·(by+1)·(bx+2) + C) % 254`` with
+    A, B, C = the first three md5 bytes of ``str(j)`` — replayable in SQL
+    as ``('0x' || substring(md5(j), ...))::INT`` (the image_dhash_*
+    oracles)."""
+    dg = hashlib.md5(str(j).encode()).digest()
+    return (dg[0] * (bx + 1) + dg[1] * (by + 1) * (bx + 2) + dg[2]) % 254
+
+
+def make_dhash_media_table(spark, n: int = 48) -> DataFrame:
+    """Deterministic REAL-PPM media table for the perceptual-hash gates
+    (functions/phash.py): n//2 base images plus n//2 NEAR-DUPLICATE twins.
+    Image i < n//2 is a 36x32 gray PPM (r=g=b, so integer luma is the
+    value itself) tiled in 4x4 blocks: block (bx, by) holds
+    ``dhash_fixture_base(i, bx, by) + 2·(x % 2)`` — a within-block
+    checker whose EXACT mean is base+1, so the decode -> luma -> block
+    -mean pipeline has closed-form output. Image i >= n//2 twins
+    j = i - n//2 with ONE block perturbed (+97 mod 254, block chosen from
+    md5 bytes 3/4 of str(j)) — a single changed block affects at most the
+    two dHash bits comparing it to its neighbors, so each (j, j + n//2)
+    pair has Hamming ≤ 2 and MUST surface as a near-dup, while unrelated
+    images differ in ~half their bits."""
+    codec = PpmCodec()
+    half = n // 2
+    rows = []
+    for i in range(n):
+        j, twin = (i, False) if i < half else (i - half, True)
+        dg = hashlib.md5(str(j).encode()).digest()
+        pbx, pby = dg[3] % 9, dg[4] % 8
+        px = np.zeros((32, 36, 3), dtype=np.uint8)
+        for by in range(8):
+            for bx in range(9):
+                base = dhash_fixture_base(j, bx, by)
+                if twin and bx == pbx and by == pby:
+                    base = (base + 97) % 254
+                block = np.full((4, 4), base, dtype=np.int64)
+                block[:, 1::2] += 2
+                px[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4, :] = block[
+                    :, :, None
+                ]
+        rows.append((i, bytearray(codec.encode(px)), (36, 32, 3, "ppm")))
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
 class GifCodec:
     """REAL GIF decode/encode in pure Python — LZW implemented directly
     (GIF's variable-width LSB-first LZW, clear/end codes, 12-bit cap per

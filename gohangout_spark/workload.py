@@ -6130,6 +6130,118 @@ def logbucket_value_quantiles(spark, sf_dir):
     )
 
 
+# Shared by the two perceptual-hash gates: DuckDB replay of the dHash
+# fixture — md5-derived block bases (+97 single-block twin perturbation),
+# the strictly-less horizontal comparison bits, and the 4x16-bit band
+# packing. The fixture's block MEANS are base+1 (the +2·(x%2) checker
+# averages out exactly), so comparing bases == comparing means and the
+# pixel pipeline needs no per-pixel replay.
+_DHASH_BANDS_CTE = """WITH img AS (
+  SELECT i::BIGINT AS i,
+         (CASE WHEN i < 24 THEN i ELSE i - 24 END)::VARCHAR AS j,
+         i >= 24 AS twin
+  FROM range(48) t(i)),
+par AS (SELECT i, twin,
+  ('0x' || substring(md5(j), 1, 2))::INT AS a,
+  ('0x' || substring(md5(j), 3, 2))::INT AS b,
+  ('0x' || substring(md5(j), 5, 2))::INT AS c,
+  ('0x' || substring(md5(j), 7, 2))::INT % 9 AS pbx,
+  ('0x' || substring(md5(j), 9, 2))::INT % 8 AS pby
+  FROM img),
+blk AS (SELECT i, bx, by,
+  ((a*(bx+1) + b*(by+1)*(bx+2) + c) % 254
+   + CASE WHEN twin AND bx = pbx AND by = pby THEN 97 ELSE 0 END) % 254
+    AS base
+  FROM par, range(9) xs(bx), range(8) ys(by)),
+bit AS (SELECT l.i, (l.by*8 + l.bx)::INT AS pos,
+               CASE WHEN l.base < r.base THEN 1::BIGINT
+                    ELSE 0::BIGINT END AS v
+        FROM blk l JOIN blk r ON r.i = l.i AND r.by = l.by
+                             AND r.bx = l.bx + 1
+        WHERE l.bx < 8),
+bands AS (SELECT i,
+  sum(CASE WHEN pos // 16 = 0 THEN v << (pos % 16) ELSE 0 END)::BIGINT AS b0,
+  sum(CASE WHEN pos // 16 = 1 THEN v << (pos % 16) ELSE 0 END)::BIGINT AS b1,
+  sum(CASE WHEN pos // 16 = 2 THEN v << (pos % 16) ELSE 0 END)::BIGINT AS b2,
+  sum(CASE WHEN pos // 16 = 3 THEN v << (pos % 16) ELSE 0 END)::BIGINT AS b3
+  FROM bit GROUP BY i)
+"""
+
+
+@q(
+    "image_dhash_features",
+    _DHASH_BANDS_CTE + "SELECT i AS media_id, b0, b1, b2, b3 FROM bands",
+)
+def image_dhash_features(spark, sf_dir):
+    """Perceptual image hash, oracle-checked end-to-end: 48 real binary
+    PPM payloads (24 base images + 24 single-block-perturbed twins,
+    make_dhash_media_table) are decoded byte-for-byte inside mapInPandas
+    and reduced to the classic 64-bit dHash (Krawetz 2013) —
+    integer luma, exact 4x4 block means, strictly-less horizontal
+    comparison bits, 4x16-bit band packing (functions/phash.py). Every
+    stage is integer arithmetic and the fixture's block means are
+    closed-form (base+1), so the oracle replays the ENTIRE hash from the
+    md5-derived fixture formula — a wrong luma rounding, block
+    addressing, comparison direction, or bit position all hash-mismatch.
+    The image-side twin of simhash_signatures, feeding
+    image_dhash_neardup."""
+    from gohangout_spark.functions.multimodal import (
+        PpmCodec,
+        make_dhash_media_table,
+    )
+    from gohangout_spark.functions.phash import dhash_table
+
+    media = make_dhash_media_table(spark, n=48)
+    ht = dhash_table(media, codec=PpmCodec())
+    return ht.select(
+        "media_id",
+        *[F.col("bands")[i].cast("long").alias(f"b{i}") for i in range(4)],
+    )
+
+
+@q(
+    "image_dhash_neardup",
+    _DHASH_BANDS_CTE
+    + """SELECT x.i AS id_a, y.i AS id_b,
+       (bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)))::BIGINT
+         AS hamming
+FROM bands x JOIN bands y ON y.i > x.i
+WHERE (x.b0 = y.b0 OR x.b1 = y.b1 OR x.b2 = y.b2 OR x.b3 = y.b3)
+  AND bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+      + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3)) <= 3""",
+)
+def image_dhash_neardup(spark, sf_dir):
+    """IMAGE near-duplicate detection — the missing multimodal member of
+    the dedup family (text has MinHash/SimHash/winnowing): dHash each
+    image once, then find Hamming-≤3 pairs via a BANDED EQUI-JOIN on the
+    four 16-bit hash bands (pigeonhole: ≤3 flipped bits leave ≥1 band
+    untouched — perfect recall, never an all-pairs scan; the SimHash
+    banding argument applied image-side). Exact JVM-side Hamming
+    (zip_with XOR + bit_count) verifies the candidates. The fixture's 24
+    perturbed twins differ in at most 2 bits and MUST all surface;
+    unrelated images differ in ~half their bits. The oracle replays hash
+    construction, band-collision candidacy, and the Hamming cut. Scale
+    shape: candidates are O(images per colliding band bucket), the
+    verify runs on candidates only — 100 TB of images needs exactly one
+    decode pass plus a bounded-key shuffle."""
+    from gohangout_spark.functions.multimodal import (
+        PpmCodec,
+        make_dhash_media_table,
+    )
+    from gohangout_spark.functions.phash import (
+        dhash_neardup_pairs,
+        dhash_table,
+    )
+
+    media = make_dhash_media_table(spark, n=48)
+    ht = dhash_table(media, codec=PpmCodec())
+    pairs = dhash_neardup_pairs(ht, max_hamming=3)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 @q(
     "kmv_distinct_users",
     """WITH e AS (
@@ -6761,6 +6873,8 @@ _GATE_PRIORITY = [
     # next driver row.
     "kmv_distinct_users",
     "kmv_cohort_setops",
+    "image_dhash_features",
+    "image_dhash_neardup",
     "logbucket_value_quantiles",
     "wordpiece_encode_fixed",
     "countmin_user_events",
