@@ -360,25 +360,30 @@ def make_dhash_media_table(spark, n: int = 48) -> DataFrame:
     pair has Hamming ≤ 2 and MUST surface as a near-dup, while unrelated
     images differ in ~half their bits."""
     codec = PpmCodec()
-    half = n // 2
-    rows = []
-    for i in range(n):
-        j, twin = (i, False) if i < half else (i - half, True)
-        dg = hashlib.md5(str(j).encode()).digest()
-        pbx, pby = dg[3] % 9, dg[4] % 8
-        px = np.zeros((32, 36, 3), dtype=np.uint8)
-        for by in range(8):
-            for bx in range(9):
-                base = dhash_fixture_base(j, bx, by)
-                if twin and bx == pbx and by == pby:
-                    base = (base + 97) % 254
-                block = np.full((4, 4), base, dtype=np.int64)
-                block[:, 1::2] += 2
-                px[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4, :] = block[
-                    :, :, None
-                ]
-        rows.append((i, bytearray(codec.encode(px)), (36, 32, 3, "ppm")))
+    rows = [
+        (i, bytearray(codec.encode(dhash_fixture_pixels(i, n // 2))), (36, 32, 3, "ppm"))
+        for i in range(n)
+    ]
     return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
+def dhash_fixture_pixels(i: int, half: int) -> np.ndarray:
+    """Pixels of dHash fixture image ``i`` (twin of ``i - half`` when
+    ``i >= half``) — shared by :func:`make_dhash_media_table` and the
+    scale sweep's distributed 100x encode."""
+    j, twin = (i, False) if i < half else (i - half, True)
+    dg = hashlib.md5(str(j).encode()).digest()
+    pbx, pby = dg[3] % 9, dg[4] % 8
+    px = np.zeros((32, 36, 3), dtype=np.uint8)
+    for by in range(8):
+        for bx in range(9):
+            base = dhash_fixture_base(j, bx, by)
+            if twin and bx == pbx and by == pby:
+                base = (base + 97) % 254
+            block = np.full((4, 4), base, dtype=np.int64)
+            block[:, 1::2] += 2
+            px[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4, :] = block[:, :, None]
+    return px
 
 
 class GifCodec:

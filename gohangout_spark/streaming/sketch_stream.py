@@ -75,3 +75,50 @@ def load_countmin_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
         .groupBy("depth", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def start_logbucket_stream(
+    stream: DataFrame,
+    hist_path: str,
+    value_col: str,
+    group_cols: list[str],
+    *,
+    scale: int = 1000,
+    checkpoint: str | None = None,
+    query_name: str = "logbucket_stream",
+):
+    """The quantile member of the streaming sketch store — identical
+    epoch-partition protocol to :func:`start_countmin_stream`, applied to
+    the log-bucket histogram (functions.sketch.logbucket_table): each
+    micro-batch reduces to its bounded (group, idx, cnt) partial (≤ ~8
+    buckets per octave per group, independent of batch size), written as
+    its own ``epoch=<id>`` partition. The histogram merges by cnt-sum on
+    (group, idx) (TestLogBucketQuantiles pins the property), so the
+    queryable sketch is the sum on read, a drained stream's quantile
+    estimates EQUAL the one-shot batch sketch's, and a replayed epoch
+    overwrites itself instead of double-counting — hash-gated end to end
+    by ``logbucket_stream_replay`` against the same DuckDB oracle as the
+    one-shot ``logbucket_value_quantiles``."""
+    from gohangout_spark.functions.sketch import logbucket_table
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        partial = logbucket_table(batch, value_col, group_cols, scale=scale)
+        partial.write.mode("overwrite").parquet(f"{hist_path}/epoch={epoch_id}")
+
+    writer = stream.writeStream.queryName(query_name).foreachBatch(_merge)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def load_logbucket_hist(
+    spark: SparkSession, hist_path: str, group_cols: list[str]
+) -> DataFrame:
+    """The queryable histogram: cnt-sum of every epoch partial on
+    (group, idx) — same schema as :func:`functions.sketch.logbucket_table`,
+    so :func:`functions.sketch.logbucket_quantiles` reads it unchanged."""
+    return (
+        spark.read.parquet(hist_path)
+        .groupBy(*group_cols, "idx")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -6069,9 +6069,12 @@ def countmin_stream_replay(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
-@q(
-    "logbucket_value_quantiles",
-    """WITH e AS (
+# Shared by logbucket_value_quantiles (one-shot) and
+# logbucket_stream_replay (four foreachBatch epoch partials cnt-summed on
+# read): the histogram's merge-by-sum property makes both paths answer to
+# the SAME replay of the sketch construction — the countmin twin-oracle
+# pattern applied to the quantile sketch.
+_LOGBUCKET_ORACLE = """WITH e AS (
   SELECT event_type, (floor(value * 1000))::BIGINT AS v
   FROM events WHERE value IS NOT NULL),
 b AS (
@@ -6097,8 +6100,10 @@ SELECT event_type, max(n)::BIGINT AS n_rows,
        min(CASE WHEN cum >= (1 * n + 1) // 2 THEN lo END)::BIGINT AS p50,
        min(CASE WHEN cum >= (19 * n + 19) // 20 THEN lo END)::BIGINT AS p95,
        min(CASE WHEN cum >= (99 * n + 99) // 100 THEN lo END)::BIGINT AS p99
-FROM lb GROUP BY event_type""",
-)
+FROM lb GROUP BY event_type"""
+
+
+@q("logbucket_value_quantiles", _LOGBUCKET_ORACLE)
 def logbucket_value_quantiles(spark, sf_dir):
     """Per-event-type latency-percentile estimation via the mergeable
     log-bucket histogram (functions/sketch.py logbucket_table/_quantiles
@@ -6128,6 +6133,130 @@ def logbucket_value_quantiles(spark, sf_dir):
         F.col("p95").cast("long").alias("p95"),
         F.col("p99").cast("long").alias("p99"),
     )
+
+
+@q("logbucket_stream_replay", _LOGBUCKET_ORACLE)
+def logbucket_stream_replay(spark, sf_dir):
+    """HASH gate for the STREAMING log-bucket quantile store
+    (streaming/sketch_stream.py start_logbucket_stream — the
+    countmin_stream_replay protocol applied to the quantile sketch):
+    events replay as a real Structured Streaming file source
+    (maxFilesPerTrigger=1, four contiguous-event-id parquet files = four
+    foreachBatch epochs); each epoch reduces to its bounded (group, idx,
+    cnt) partial in its own ``epoch=<id>`` partition. The gate loads the
+    live store (cnt-sum of the partials) and runs the SAME quantile
+    selection as the one-shot logbucket_value_quantiles — because the
+    histogram merges by sum, the drained stream's p50/p95/p99 must EQUAL
+    the batch sketch's, so this answers to the identical DuckDB oracle:
+    a lost/duplicated epoch, a partial built at a different scale, or a
+    load that mis-sums partitions all hash-mismatch. Python-side assert
+    pins epoch-partition count == 4."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from gohangout_spark.functions.sketch import logbucket_quantiles
+    from gohangout_spark.streaming.sketch_stream import (
+        load_logbucket_hist,
+        start_logbucket_stream,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    base = tempfile.mkdtemp(prefix="logbucket_stream_gate_")
+    in_dir, hist_path = f"{base}/in", f"{base}/hist"
+    os.makedirs(in_dir)
+    try:
+        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
+        cuts = [lo + (hi - lo + 1) * k // 4 for k in range(5)]
+        for k in range(4):
+            tmp = f"{base}/tmp_{k}"
+            ev.filter(
+                (F.col("event_id") >= cuts[k]) & (F.col("event_id") < cuts[k + 1])
+            ).coalesce(1).write.parquet(tmp)
+            (part,) = glob.glob(f"{tmp}/part-*.parquet")
+            shutil.move(part, f"{in_dir}/batch_{k}.parquet")
+            os.utime(f"{in_dir}/batch_{k}.parquet", (1_000_000 + k, 1_000_000 + k))
+
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        query = start_logbucket_stream(
+            stream,
+            hist_path,
+            "value",
+            ["event_type"],
+            scale=1000,
+            checkpoint=f"{base}/ckpt",
+            query_name="logbucket_stream_gate",
+        )
+        query.processAllAvailable()
+        query.stop()
+        query.awaitTermination()
+
+        epochs = [p for p in os.listdir(hist_path) if p.startswith("epoch=")]
+        assert len(epochs) == 4, f"expected 4 epoch partials, got {epochs}"
+
+        hist = load_logbucket_hist(spark, hist_path, ["event_type"])
+        out = logbucket_quantiles(hist, ["event_type"]).select(
+            "event_type",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("p50").cast("long").alias("p50"),
+            F.col("p95").cast("long").alias("p95"),
+            F.col("p99").cast("long").alias("p99"),
+        )
+        # detach from the temp parquet before it is removed (small result)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@q(
+    "zorder_key_events",
+    """WITH b AS (SELECT min(user_id) mnu, max(user_id) mxu,
+                  min(value) mnv, max(value) mxv FROM events),
+n AS (SELECT event_id,
+        coalesce(CASE WHEN (mxu - mnu)::DOUBLE > 0
+          THEN round(((user_id::DOUBLE - mnu::DOUBLE)
+                      / (mxu - mnu)::DOUBLE) * 255)::BIGINT
+          ELSE 0 END, 0) AS nu,
+        coalesce(CASE WHEN (mxv - mnv)::DOUBLE > 0
+          THEN round(((value::DOUBLE - mnv::DOUBLE)
+                      / (mxv - mnv)::DOUBLE) * 255)::BIGINT
+          ELSE 0 END, 0) AS nv
+      FROM events, b)
+SELECT event_id,
+       (SELECT sum((((nu >> i) & 1) << (i*2)) + (((nv >> i) & 1) << (i*2+1)))
+        FROM range(8) t(i))::BIGINT AS zkey
+FROM n""",
+)
+def zorder_key_events(spark, sf_dir):
+    """The Z-order (Morton) clustering key, hash-gated per row — the math
+    under functions/layout.py zorder_layout (Delta/Iceberg OPTIMIZE
+    ZORDER's public algorithm), previously [T]-only via test_scale's
+    file-skipping measurements: min-max normalize each column into
+    [0, 2^8), then interleave bit i of column j to position i·ncols+j.
+    The oracle replays normalization (identical IEEE-double expression
+    order, the round-half-up agreement holding for the non-negative
+    normalized range) and the bit interleave, so a flipped interleave
+    order, an off-by-one in the bit spread, or a wrong NULL/constant-
+    column rule all hash-mismatch. The layout wrapper around this key
+    (range partition + in-partition sort) is deterministic Spark
+    machinery measured separately (test_scale: per-file min-max range
+    shrinkage on BOTH zordered columns). Scale shape: one broadcast
+    1-row bounds aggregate, scan-side codegen key — no extra pass."""
+    from gohangout_spark.functions.layout import zorder_key
+    from gohangout_spark.io import rebalance_for_compute
+
+    ev = rebalance_for_compute(_events(spark, sf_dir), spark)
+    aggs, build = zorder_key(["user_id", "value"], bits=8)
+    bounds = ev.agg(*aggs)
+    keyed = ev.crossJoin(F.broadcast(bounds)).withColumn("zkey", build())
+    return keyed.select("event_id", F.col("zkey").cast("long").alias("zkey"))
 
 
 # Shared by the two perceptual-hash gates: DuckDB replay of the dHash
@@ -6875,6 +7004,8 @@ _GATE_PRIORITY = [
     "kmv_cohort_setops",
     "image_dhash_features",
     "image_dhash_neardup",
+    "zorder_key_events",
+    "logbucket_stream_replay",
     "logbucket_value_quantiles",
     "wordpiece_encode_fixed",
     "countmin_user_events",

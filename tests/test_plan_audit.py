@@ -48,6 +48,8 @@ BNLJ_OK = {
     # fuzzy join's short-string block: all-pairs over values shorter than
     # q*(k+1) chars — a universe bounded by construction, broadcast side
     "fuzzy_name_pairs": (256, "short-string block below the q-gram floor"),
+    # z-order key: the min/max bounds aggregate rides a 1-row broadcast
+    "zorder_key_events": (1, "1-row min/max bounds aggregate"),
 }
 
 
@@ -106,7 +108,15 @@ def _bnlj_broadcast_rows(df):
 # Their internal batch plans ARE audited through the one-shot twins built
 # from the same functions (dedup_incremental/_recall -> the minhash band
 # joins; link_metric_count/link_stats_metric -> the metric aggregations).
-STREAMING_GATES = {"dedup_stream_replay", "link_metric_stream_replay"}
+STREAMING_GATES = {
+    "dedup_stream_replay",
+    "link_metric_stream_replay",
+    # sketch-store replays: batch plans audited via the one-shot twins
+    # (countmin_user_events / logbucket_value_quantiles) built from the
+    # same functions; the gates themselves return a localCheckpoint scan
+    "countmin_stream_replay",
+    "logbucket_stream_replay",
+}
 
 
 def test_no_scale_killer_joins(spark):

@@ -199,3 +199,58 @@ class TestCountminStream:
         )
         partial0.write.mode("overwrite").parquet(f"{sk_path}/{epochs[0]}")
         assert as_set(load_countmin_sketch(spark, sk_path)) == oneshot
+
+
+class TestLogbucketStream:
+    """Streaming log-bucket quantile store (streaming/sketch_stream.py):
+    drained stream == one-shot histogram, and epoch-partition overwrite
+    makes batch replay idempotent — the countmin-store protocol applied
+    to the quantile member of the sketch family."""
+
+    def test_stream_equals_oneshot_and_replay_idempotent(self, spark, tmp_path):
+        import glob
+        import os
+        import shutil
+
+        from gohangout_spark.functions.sketch import logbucket_table
+        from gohangout_spark.streaming.sketch_stream import (
+            load_logbucket_hist,
+            start_logbucket_stream,
+        )
+
+        rows = [(i, "g%d" % (i % 2), float(1 + (i * 37) % 900)) for i in range(80)]
+        df = spark.createDataFrame(rows, "event_id long, g string, value double")
+        in_dir = str(tmp_path / "in")
+        os.makedirs(in_dir)
+        for half, name in ((df.where("event_id < 40"), "a"),
+                           (df.where("event_id >= 40"), "b")):
+            half.coalesce(1).write.parquet(str(tmp_path / f"tmp_{name}"))
+            (part,) = glob.glob(str(tmp_path / f"tmp_{name}" / "part-*.parquet"))
+            shutil.move(part, f"{in_dir}/{name}.parquet")
+
+        hist_path = str(tmp_path / "hist")
+        stream = (
+            spark.readStream.schema("event_id long, g string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = start_logbucket_stream(
+            stream, hist_path, "value", ["g"], scale=10,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        as_set = lambda d: {(r.g, r.idx, r.cnt) for r in d.collect()}
+        oneshot = as_set(logbucket_table(df, "value", ["g"], scale=10))
+        assert as_set(load_logbucket_hist(spark, hist_path, ["g"])) == oneshot
+        epochs = sorted(p for p in os.listdir(hist_path) if p.startswith("epoch="))
+        assert len(epochs) == 2
+
+        # replayed epoch overwrites itself: nothing double-counts
+        partial0 = logbucket_table(
+            df.where("event_id < 40"), "value", ["g"], scale=10
+        )
+        partial0.write.mode("overwrite").parquet(f"{hist_path}/{epochs[0]}")
+        assert as_set(load_logbucket_hist(spark, hist_path, ["g"])) == oneshot

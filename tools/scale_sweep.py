@@ -39,7 +39,7 @@ COPIES = 100
 _ALPHA = string.ascii_lowercase + string.ascii_uppercase
 STORED_OP_NAMES = ("ann_q8_stored_scan[int8,k5]", "ann_rp_stored_scan[16d,k5]")
 MEDIA_OP_NAMES = ("media_screenvideo_decode", "media_adpcm_decode",
-                  "media_qoi_decode")
+                  "media_qoi_decode", "image_dhash_neardup")
 TPCH_SWEEP = ("tpch_q9", "tpch_q11", "tpch_q12", "tpch_q21")
 
 
@@ -267,7 +267,54 @@ def ops(spark):
         "wordpiece_encode[frozen]": lambda d, e: _wp(d),
         "countmin[d4w64]": lambda d, e: _cm(e),
         "logbucket_quantiles[hdr3]": lambda d, e: _lbq(e),
+        # r7 fourth session: KMV bottom-k distinct sketch — local
+        # mapInPandas bottom-k + window over k x partitions candidates
+        "kmv_distinct[k64,type]": lambda d, e: _kmv(e),
     }
+
+
+def _kmv(ev):
+    from gohangout_spark.functions.sketch import kmv_estimate, kmv_table
+
+    ev = ev.where(F.col("user_id").isNotNull())
+    sk = kmv_table(ev, "user_id", ["event_type"], k=64)
+    return kmv_estimate(sk, ["event_type"], k=64)
+
+
+def build_derived_dhash(spark, out_dir: str) -> None:
+    """dHash media tables: the gate's 48 images (24 twin pairs) and a
+    100x corpus (4800 images, 2400 twin pairs), PPM-encoded in parallel
+    via the shared closed-form pixel builder."""
+    if os.path.exists(os.path.join(out_dir, "_DONE_DHASH")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    import pandas as pd
+
+    def gen(half):
+        def inner(batches):
+            from gohangout_spark.functions.multimodal import (
+                PpmCodec,
+                dhash_fixture_pixels,
+            )
+
+            codec = PpmCodec()
+            for pdf in batches:
+                rows = [
+                    (int(i), codec.encode(dhash_fixture_pixels(int(i), half)))
+                    for i in pdf["id"]
+                ]
+                yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+        return inner
+
+    schema = "media_id long, content binary"
+    for size, n in (("small", 48), ("big", 4800)):
+        spark.range(n).repartition(32 if size == "big" else 4).mapInPandas(
+            gen(n // 2), schema
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"media_dhash_{size}.parquet")
+        )
+    open(os.path.join(out_dir, "_DONE_DHASH"), "w").write("ok")
 
 
 def build_derived_tpch(spark, src_sf: str, out_dir: str) -> None:
@@ -574,6 +621,30 @@ def main():
         media_ops[MEDIA_OP_NAMES[2]] = (
             lambda: extract_qoi_decode_stats(qoi_media["small"]),
             lambda: extract_qoi_decode_stats(qoi_media["big"]),
+        )
+        # dHash near-dup end-to-end: decode + hash (mapInPandas) then the
+        # banded candidate join + Hamming verify — at 100x images the
+        # candidate count is what's under test (band-bucket occupancy
+        # grows quadratically per bucket; 4800 images / 65536 buckets
+        # keeps it linear in practice)
+        build_derived_dhash(spark, out_dir)
+        from gohangout_spark.functions.multimodal import PpmCodec
+        from gohangout_spark.functions.phash import (
+            dhash_neardup_pairs,
+            dhash_table,
+        )
+
+        dh_media = {
+            t: spark.read.parquet(os.path.join(out_dir, f"media_dhash_{t}.parquet"))
+            for t in ("small", "big")
+        }
+        media_ops[MEDIA_OP_NAMES[3]] = (
+            lambda: dhash_neardup_pairs(
+                dhash_table(dh_media["small"], codec=PpmCodec())
+            ),
+            lambda: dhash_neardup_pairs(
+                dhash_table(dh_media["big"], codec=PpmCodec())
+            ),
         )
         for name, (run_small, run_big) in media_ops.items():
             if only and name not in only:
