@@ -451,3 +451,89 @@ def kmv_intersect_estimate(
         out_col,
         F.expr(f"(common * {KMV_SPAN}) div theta").cast("long"),
     )
+
+
+# --------------------------------------------------------------------------
+# AMS F2 (second frequency moment / self-join size) sketch
+# --------------------------------------------------------------------------
+
+def ams_sign(col, d: int) -> "F.Column":
+    """±1 four-wise-style sign hash of a value for AMS row ``d``: +1 when
+    the first md5 hex digit of ``"<d>:<value>"`` is ≥ 8 (the top bit of
+    the house hash), −1 otherwise — replayable in DuckDB as
+    ``CASE WHEN ('0x' || substring(md5(...), 1, 1))::INT >= 8``."""
+    nib = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(d)), col.cast("string"))), 1, 1),
+        16,
+        10,
+    ).cast("int")
+    return F.when(nib >= 8, F.lit(1)).otherwise(F.lit(-1))
+
+
+def ams_f2_table(df: DataFrame, col: str, *, depth: int = 40) -> DataFrame:
+    """The AMS sketch of ``col`` as a (depth, z) DataFrame (Alon, Matias
+    & Szegedy 1996, "The space complexity of approximating the frequency
+    moments"): row d keeps the signed sum Z_d = Σ_rows σ_d(key), whose
+    SQUARE is an unbiased estimate of F2 = Σ_k n_k² — the self-join size
+    |R ⋈_k R|, the quantity a cost-based optimizer wants before picking a
+    join strategy. The sketch is LINEAR: tables merge by summing z on
+    depth (union of inputs == sum of sketches), the same distribution
+    property as countmin_table. Scale shape: one scan explodes each row
+    into ``depth`` signed contributions and a combiner-reduced groupBy
+    collapses them to ``depth`` rows total — the shuffle is ≤ depth rows
+    per partition regardless of key cardinality. NULLs are not counted."""
+    key = F.col(col)
+    probes = F.array(
+        *[
+            F.struct(F.lit(d).alias("depth"), ams_sign(key, d).alias("s"))
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.where(key.isNotNull())
+        .select(F.explode(probes).alias("p"))
+        .groupBy(F.col("p.depth").alias("depth"))
+        .agg(F.sum(F.col("p.s").cast("long")).alias("z"))
+    )
+
+
+def ams_f2_estimate(
+    sketch: DataFrame,
+    *,
+    depth: int = 40,
+    groups: int = 5,
+    out_col: str = "f2_est",
+) -> DataFrame:
+    """F2 estimate from an :func:`ams_f2_table`: AMS's
+    MEDIAN-OF-MEANS — the ``depth`` rows split into ``groups`` groups of
+    s1 = depth/groups rows, each group contributes the MEAN of its Z_d²
+    (each Z² is individually unbiased for F2; averaging s1 of them cuts
+    the relative std to √(2/s1)), and the estimate is the median group
+    mean (odd ``groups`` so the median is an actual group value). The
+    median must be taken over MEANS, not raw squares: a single Z² is
+    distributed like a scaled χ²₁ whose MEDIAN is ≈ 0.455·F2, so
+    median-of-singletons is biased low by more than 2× — caught
+    empirically when the first cut of this estimator read 0.35× exact on
+    sf0.1 events. Integer throughout (squares, floor-div group mean,
+    rank-picked median); runs on the ``depth``-row sketch, never the
+    data."""
+    from pyspark.sql import Window
+
+    s1 = depth // groups
+    if s1 * groups != depth:
+        raise ValueError(f"depth {depth} must be a multiple of groups {groups}")
+    means = (
+        sketch.groupBy((F.col("depth") % groups).alias("g"))
+        .agg(
+            F.expr("sum(z * z) div " + str(s1)).alias("e"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .where(F.col("__n") == s1)  # guard: a truncated sketch is invalid
+        .drop("__n")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("e")
+    return (
+        means.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == groups // 2 + 1)
+        .select(F.col("e").cast("long").alias(out_col))
+    )

@@ -6216,6 +6216,55 @@ def logbucket_stream_replay(spark, sf_dir):
 
 
 @q(
+    "ams_f2_events",
+    """WITH e AS (SELECT user_id::VARCHAR AS k FROM events
+                  WHERE user_id IS NOT NULL),
+s AS (SELECT d, sum(CASE WHEN ('0x' || substring(
+                     md5(d::VARCHAR || ':' || k), 1, 1))::INT >= 8
+                   THEN 1 ELSE -1 END)::BIGINT AS z
+      FROM e, range(40) AS u(d) GROUP BY d),
+m AS (SELECT d % 5 AS g, sum(z * z) // 8 AS ee FROM s GROUP BY d % 5),
+est AS (SELECT ee, row_number() OVER (ORDER BY ee) AS rn FROM m),
+ex AS (SELECT sum(n * n)::BIGINT AS exact_f2
+       FROM (SELECT count(*) AS n FROM e GROUP BY k))
+SELECT (SELECT ee FROM est WHERE rn = 3)::BIGINT AS f2_est, ex.exact_f2
+FROM ex""",
+)
+def ams_f2_events(spark, sf_dir):
+    """Self-join-size estimation via the AMS F2 sketch
+    (sketch.ams_f2_table/ams_f2_estimate — Alon, Matias & Szegedy 1996,
+    the Gödel-prize frequency-moments paper): 40 ±1 sign hashes, the
+    signed sums Z_d, then the classic MEDIAN-OF-MEANS — 5 groups of 8,
+    each group's mean of Z² (unbiased, relative std √(2/8) = 0.5),
+    median group picked by integer rank — as the F2 = Σ n_k² estimate:
+    the self-join cardinality |events ⋈_user events| a cost-based
+    optimizer consults before choosing broadcast vs shuffle. The
+    grouping is load-bearing and was caught empirically: a first cut
+    took the median of SINGLE squares, and since Z² ~ F2·χ²₁ whose
+    median is 0.455·F2, it read a consistent 0.35× exact at sf0.1 —
+    the estimator-structure bug the exact_f2 side-by-side column exists
+    to surface. Everything integer (squares, floor-div means, ranked
+    median), so the gate demands full hash equality; the oracle replays
+    sign hash, all 40 sums, group means, and the median pick. Scale
+    shape: one scan, combiner-reduced to 40 rows total — the cheapest
+    sketch in the family — and LINEAR (merges by z-sum)."""
+    from gohangout_spark.functions.sketch import ams_f2_estimate, ams_f2_table
+    from gohangout_spark.io import rebalance_for_compute
+
+    ev = rebalance_for_compute(_events(spark, sf_dir), spark).where(
+        F.col("user_id").isNotNull()
+    )
+    sk = ams_f2_table(ev, "user_id", depth=40)
+    est = ams_f2_estimate(sk, depth=40, groups=5)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(F.col("n") * F.col("n")).cast("long").alias("exact_f2"))
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+@q(
     "zorder_key_events",
     """WITH b AS (SELECT min(user_id) mnu, max(user_id) mxu,
                   min(value) mnv, max(value) mxv FROM events),
@@ -7006,6 +7055,7 @@ _GATE_PRIORITY = [
     "image_dhash_neardup",
     "zorder_key_events",
     "logbucket_stream_replay",
+    "ams_f2_events",
     "logbucket_value_quantiles",
     "wordpiece_encode_fixed",
     "countmin_user_events",

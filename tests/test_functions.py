@@ -5065,3 +5065,85 @@ class TestKmv:
         rows = {r.g: r for r in kmv_estimate(sk, ["g"], k=4).collect()}
         assert rows["g1"].n_kept == 2 and rows["g2"].n_kept == 1
         assert rows["g1"].dv_est == 2 and rows["g2"].dv_est == 1
+
+
+class TestAmsF2:
+    """AMS F2 / self-join-size sketch (sketch.ams_f2_table/_estimate):
+    linearity (merge by z-sum), the exact-replay of the signed sums
+    against Python md5, the integer median convention, and null
+    exclusion — the ams_f2_events oracle gates the same construction at
+    table scale."""
+
+    def _df(self, spark, vals, nparts=4):
+        return spark.createDataFrame(
+            [(v,) for v in vals], "k string"
+        ).repartition(nparts)
+
+    @staticmethod
+    def _sign(v, d) -> int:
+        import hashlib
+
+        return 1 if int(hashlib.md5(f"{d}:{v}".encode()).hexdigest()[0], 16) >= 8 else -1
+
+    def test_signed_sums_match_python_replay(self, spark):
+        from gohangout_spark.functions.sketch import ams_f2_estimate, ams_f2_table
+
+        vals = [f"u{i % 11}" for i in range(300)]
+        sk = ams_f2_table(self._df(spark, vals), "k", depth=15)
+        got = {r.depth: r.z for r in sk.collect()}
+        want = {
+            d: sum(self._sign(v, d) for v in vals) for d in range(15)
+        }
+        assert got == want
+        # median-of-means replay: 3 groups of 5 (g = d % 3), floor-div
+        # means, middle-ranked group
+        means = sorted(
+            sum(want[d] ** 2 for d in range(15) if d % 3 == g) // 5
+            for g in range(3)
+        )
+        (row,) = ams_f2_estimate(sk, depth=15, groups=3).collect()
+        assert row.f2_est == means[1]
+
+    def test_median_of_means_unbiased_vs_singleton_bias(self, spark):
+        # the estimator-structure property the sf0.1 drive exposed:
+        # median of SINGLE squares sits near 0.455*F2 (chi-square-1
+        # median), median of 8-means lands near F2
+        from gohangout_spark.functions.sketch import ams_f2_estimate, ams_f2_table
+
+        vals = [f"user-{i}" for i in range(500)]  # flat: F2 = 500
+        sk = ams_f2_table(self._df(spark, vals), "k", depth=40)
+        (mom,) = ams_f2_estimate(sk, depth=40, groups=5).collect()
+        # groups=40 -> s1=1: every "mean" is a single square (the biased
+        # regime); the hash is deterministic so both values are pinned
+        (single,) = ams_f2_estimate(sk, depth=40, groups=40).collect()
+        assert abs(mom.f2_est - 500) / 500 < 0.5
+        assert single.f2_est < mom.f2_est
+
+    def test_merge_is_z_sum(self, spark):
+        from pyspark.sql import functions as F
+
+        from gohangout_spark.functions.sketch import ams_f2_table
+
+        a = self._df(spark, ["x", "y", "x"])
+        b = self._df(spark, ["y", "z"])
+        whole = {(r.depth, r.z) for r in ams_f2_table(a.union(b), "k").collect()}
+        merged = {
+            (r.depth, r.z)
+            for r in (
+                ams_f2_table(a, "k")
+                .union(ams_f2_table(b, "k"))
+                .groupBy("depth")
+                .agg(F.sum("z").alias("z"))
+            ).collect()
+        }
+        assert whole == merged
+
+    def test_nulls_excluded_and_estimator_order(self, spark):
+        from gohangout_spark.functions.sketch import ams_f2_estimate, ams_f2_table
+
+        df = spark.createDataFrame([("a",), (None,), ("a",)], "k string")
+        sk = ams_f2_table(df, "k", depth=3)
+        # both 'a' occurrences share a sign per depth: |z| == 2 everywhere
+        assert all(abs(r.z) == 2 for r in sk.collect())
+        (row,) = ams_f2_estimate(sk, depth=3, groups=3).collect()
+        assert row.f2_est == 4  # exact F2 of {a: 2}

@@ -50,6 +50,9 @@ BNLJ_OK = {
     "fuzzy_name_pairs": (256, "short-string block below the q-gram floor"),
     # z-order key: the min/max bounds aggregate rides a 1-row broadcast
     "zorder_key_events": (1, "1-row min/max bounds aggregate"),
+    # AMS gate: the 1-row exact-F2 verification column joins the 1-row
+    # median estimate
+    "ams_f2_events": (1, "1-row exact-F2 verification column"),
 }
 
 
