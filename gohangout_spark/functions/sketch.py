@@ -457,16 +457,14 @@ def kmv_intersect_estimate(
 # AMS F2 (second frequency moment / self-join size) sketch
 # --------------------------------------------------------------------------
 
-def ams_sign(col, d: int) -> "F.Column":
-    """±1 four-wise-style sign hash of a value for AMS row ``d``: +1 when
-    the first md5 hex digit of ``"<d>:<value>"`` is ≥ 8 (the top bit of
-    the house hash), −1 otherwise — replayable in DuckDB as
-    ``CASE WHEN ('0x' || substring(md5(...), 1, 1))::INT >= 8``."""
-    nib = F.conv(
-        F.substring(F.md5(F.concat_ws(":", F.lit(str(d)), col.cast("string"))), 1, 1),
-        16,
-        10,
-    ).cast("int")
+def ams_sign(hex_col, d: int) -> "F.Column":
+    """±1 sign of AMS row ``d`` from a per-row md5 hex string: +1 when
+    hex digit ``d % 32`` has its top bit set (value ≥ 8), −1 otherwise —
+    one bit per depth out of an md5 computed ONCE per row (40 separate
+    md5("<d>:<key>") calls per row was the dominant cost of the first
+    cut: 12.3 s at sf0.1, 5.7× at 100×). Replayable in DuckDB as
+    ``CASE WHEN ('0x' || substring(md5(...), d+1, 1))::INT >= 8``."""
+    nib = F.conv(F.substring(hex_col, (d % 32) + 1, 1), 16, 10).cast("int")
     return F.when(nib >= 8, F.lit(1)).otherwise(F.lit(-1))
 
 
@@ -478,22 +476,40 @@ def ams_f2_table(df: DataFrame, col: str, *, depth: int = 40) -> DataFrame:
     |R ⋈_k R|, the quantity a cost-based optimizer wants before picking a
     join strategy. The sketch is LINEAR: tables merge by summing z on
     depth (union of inputs == sum of sketches), the same distribution
-    property as countmin_table. Scale shape: one scan explodes each row
-    into ``depth`` signed contributions and a combiner-reduced groupBy
-    collapses them to ``depth`` rows total — the shuffle is ≤ depth rows
-    per partition regardless of key cardinality. NULLs are not counted."""
-    key = F.col(col)
-    probes = F.array(
+    property as countmin_table.
+
+    Scale shape: ``ceil(depth/32)`` md5 digests per row (each supplies 32
+    sign bits from its hex digits — digest i hashes ``"<i>:<key>"``, the
+    house seam), ``depth`` plain SUM aggregates in one whole-stage-codegen
+    pass (a single partial row per partition — no row explosion, no
+    per-depth hashing), then one unpivot of the 1×depth result to the
+    (depth, z) layout. NULLs are not counted."""
+    key = F.col(col).cast("string")
+    src = df.where(key.isNotNull()).select(
         *[
-            F.struct(F.lit(d).alias("depth"), ams_sign(key, d).alias("s"))
+            F.md5(F.concat_ws(":", F.lit(str(i)), key)).alias(f"__h{i}")
+            for i in range((depth + 31) // 32)
+        ]
+    )
+    sums = src.agg(
+        *[
+            F.sum(ams_sign(F.col(f"__h{d // 32}"), d).cast("long")).alias(f"z{d}")
             for d in range(depth)
         ]
     )
-    return (
-        df.where(key.isNotNull())
-        .select(F.explode(probes).alias("p"))
-        .groupBy(F.col("p.depth").alias("depth"))
-        .agg(F.sum(F.col("p.s").cast("long")).alias("z"))
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("depth"),
+                    F.coalesce(F.col(f"z{d}"), F.lit(0)).alias("z"),
+                )
+                for d in range(depth)
+            ]
+        )
+    )
+    return sums.select(rows.alias("p")).select(
+        F.col("p.depth").alias("depth"), F.col("p.z").alias("z")
     )
 
 

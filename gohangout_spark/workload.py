@@ -6220,7 +6220,8 @@ def logbucket_stream_replay(spark, sf_dir):
     """WITH e AS (SELECT user_id::VARCHAR AS k FROM events
                   WHERE user_id IS NOT NULL),
 s AS (SELECT d, sum(CASE WHEN ('0x' || substring(
-                     md5(d::VARCHAR || ':' || k), 1, 1))::INT >= 8
+                     md5((d // 32)::VARCHAR || ':' || k),
+                     (d % 32) + 1, 1))::INT >= 8
                    THEN 1 ELSE -1 END)::BIGINT AS z
       FROM e, range(40) AS u(d) GROUP BY d),
 m AS (SELECT d % 5 AS g, sum(z * z) // 8 AS ee FROM s GROUP BY d % 5),

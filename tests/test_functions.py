@@ -5083,7 +5083,8 @@ class TestAmsF2:
     def _sign(v, d) -> int:
         import hashlib
 
-        return 1 if int(hashlib.md5(f"{d}:{v}".encode()).hexdigest()[0], 16) >= 8 else -1
+        hx = hashlib.md5(f"{d // 32}:{v}".encode()).hexdigest()
+        return 1 if int(hx[d % 32], 16) >= 8 else -1
 
     def test_signed_sums_match_python_replay(self, spark):
         from gohangout_spark.functions.sketch import ams_f2_estimate, ams_f2_table

@@ -268,9 +268,18 @@ def ops(spark):
         "countmin[d4w64]": lambda d, e: _cm(e),
         "logbucket_quantiles[hdr3]": lambda d, e: _lbq(e),
         # r7 fourth session: KMV bottom-k distinct sketch — local
-        # mapInPandas bottom-k + window over k x partitions candidates
+        # mapInPandas bottom-k + window over k x partitions candidates —
+        # and the AMS F2 moment sketch (one scan to 40 rows)
         "kmv_distinct[k64,type]": lambda d, e: _kmv(e),
+        "ams_f2[d40,g5]": lambda d, e: _ams(e),
     }
+
+
+def _ams(ev):
+    from gohangout_spark.functions.sketch import ams_f2_estimate, ams_f2_table
+
+    ev = ev.where(F.col("user_id").isNotNull())
+    return ams_f2_estimate(ams_f2_table(ev, "user_id", depth=40), depth=40, groups=5)
 
 
 def _kmv(ev):
