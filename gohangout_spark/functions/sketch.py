@@ -553,3 +553,50 @@ def ams_f2_estimate(
         .where(F.col("__rn") == groups // 2 + 1)
         .select(F.col("e").cast("long").alias(out_col))
     )
+
+
+def ams_join_size_estimate(
+    sk_a: DataFrame,
+    sk_b: DataFrame,
+    *,
+    depth: int = 40,
+    groups: int = 5,
+    out_col: str = "join_est",
+) -> DataFrame:
+    """JOIN-SIZE estimation between two relations from their AMS sketches
+    (the application AMS was built for — Alon, Gibbons, Matias & Szegedy
+    1999, "Tracking join and self-join sizes in limited storage"): for
+    sketches built over the SAME depth/sign seam, E[Z_a,d · Z_b,d] =
+    Σ_k n_k·m_k = |A ⋈_k B| — the cardinality a cost-based optimizer
+    wants before choosing broadcast vs shuffle, from two 40-row synopses
+    and no data contact. Median-of-means over the per-depth products
+    (same grouping discipline as :func:`ams_f2_estimate`; products can be
+    negative, so the group means and the median are over signed values —
+    floor-div group means, rank-picked median, integer throughout).
+    Bound: Var ≤ 2·F2(A)·F2(B)/s1, so the estimate is informative when
+    the join is not vanishingly selective relative to the moments."""
+    from pyspark.sql import Window
+
+    s1 = depth // groups
+    if s1 * groups != depth:
+        raise ValueError(f"depth {depth} must be a multiple of groups {groups}")
+    prod = (
+        sk_a.select("depth", F.col("z").alias("za"))
+        .join(sk_b.select("depth", F.col("z").alias("zb")), "depth")
+        .select("depth", (F.col("za") * F.col("zb")).alias("p"))
+    )
+    means = (
+        prod.groupBy((F.col("depth") % groups).alias("g"))
+        .agg(
+            F.expr(f"sum(p) div {s1}").alias("e"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .where(F.col("__n") == s1)
+        .drop("__n")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("e")
+    return (
+        means.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == groups // 2 + 1)
+        .select(F.col("e").cast("long").alias(out_col))
+    )

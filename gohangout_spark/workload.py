@@ -6266,6 +6266,70 @@ def ams_f2_events(spark, sf_dir):
 
 
 @q(
+    "ams_join_size",
+    """WITH ea AS (SELECT user_id::VARCHAR AS k FROM events
+                   WHERE user_id IS NOT NULL),
+eb AS (SELECT user_id::VARCHAR AS k FROM events
+       WHERE user_id IS NOT NULL AND event_type = 'purchase'),
+sa AS (SELECT d, sum(CASE WHEN ('0x' || substring(
+                      md5((d // 32)::VARCHAR || ':' || k),
+                      (d % 32) + 1, 1))::INT >= 8
+                    THEN 1 ELSE -1 END)::BIGINT AS z
+       FROM ea, range(40) AS u(d) GROUP BY d),
+sb AS (SELECT d, sum(CASE WHEN ('0x' || substring(
+                      md5((d // 32)::VARCHAR || ':' || k),
+                      (d % 32) + 1, 1))::INT >= 8
+                    THEN 1 ELSE -1 END)::BIGINT AS z
+       FROM eb, range(40) AS u(d) GROUP BY d),
+m AS (SELECT sa.d % 5 AS g, sum(sa.z * sb.z) AS s
+      FROM sa JOIN sb ON sa.d = sb.d GROUP BY sa.d % 5),
+mm AS (SELECT g, CASE WHEN s >= 0 THEN s // 8
+                      ELSE -((-s) // 8) END AS ee FROM m),
+est AS (SELECT ee, row_number() OVER (ORDER BY ee) AS rn FROM mm),
+ex AS (SELECT sum(a.n * b.m)::BIGINT AS exact_join
+       FROM (SELECT k, count(*) AS n FROM ea GROUP BY k) a
+       JOIN (SELECT k, count(*) AS m FROM eb GROUP BY k) b USING (k))
+SELECT (SELECT ee FROM est WHERE rn = 3)::BIGINT AS join_est, ex.exact_join
+FROM ex""",
+)
+def ams_join_size(spark, sf_dir):
+    """JOIN-SIZE estimation from two AMS synopses and no data contact
+    (sketch.ams_join_size_estimate — Alon, Gibbons, Matias & Szegedy
+    1999): sketch all events and purchase events over the SAME sign
+    seam; E[Z_a·Z_b] per depth = |events ⋈_user purchases| = Σ n_k·m_k,
+    estimated by the median of 5 groups' 8-product means — what a
+    cost-based optimizer consults to choose broadcast vs shuffle BEFORE
+    running the join, priced at two 40-row synopses. Signed-value seam:
+    products can be negative, so the group mean must TRUNCATE TOWARD
+    ZERO in both engines (Spark ``div`` truncates; DuckDB ``//`` floors
+    — the oracle spells out sign(s)·(|s| div 8), and a floor-vs-trunc
+    mismatch on any negative group hash-mismatches). Exact join size
+    rides along; the oracle replays both sketches, products, means and
+    the median. Scale shape: each sketch is one codegen scan to 40 rows;
+    the estimate itself runs on 40+40 rows."""
+    from gohangout_spark.functions.sketch import (
+        ams_f2_table,
+        ams_join_size_estimate,
+    )
+    from gohangout_spark.io import rebalance_for_compute
+
+    ev = rebalance_for_compute(_events(spark, sf_dir), spark).where(
+        F.col("user_id").isNotNull()
+    )
+    purchases = ev.where(F.col("event_type") == "purchase")
+    ska = ams_f2_table(ev, "user_id", depth=40)
+    skb = ams_f2_table(purchases, "user_id", depth=40)
+    est = ams_join_size_estimate(ska, skb, depth=40, groups=5)
+    a = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    b = purchases.groupBy("user_id").agg(F.count(F.lit(1)).alias("m"))
+    exact = (
+        a.join(b, "user_id")
+        .agg(F.sum(F.col("n") * F.col("m")).cast("long").alias("exact_join"))
+    )
+    return est.crossJoin(F.broadcast(exact))
+
+
+@q(
     "zorder_key_events",
     """WITH b AS (SELECT min(user_id) mnu, max(user_id) mxu,
                   min(value) mnv, max(value) mxv FROM events),
@@ -7063,6 +7127,7 @@ _GATE_PRIORITY = [
     "zorder_key_events",
     "logbucket_stream_replay",
     "ams_f2_events",
+    "ams_join_size",
     "logbucket_value_quantiles",
     "wordpiece_encode_fixed",
     "countmin_user_events",

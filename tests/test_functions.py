@@ -5148,3 +5148,26 @@ class TestAmsF2:
         assert all(abs(r.z) == 2 for r in sk.collect())
         (row,) = ams_f2_estimate(sk, depth=3, groups=3).collect()
         assert row.f2_est == 4  # exact F2 of {a: 2}
+
+    def test_join_size_matches_python_replay(self, spark):
+        from gohangout_spark.functions.sketch import (
+            ams_f2_table,
+            ams_join_size_estimate,
+        )
+
+        a_vals = [f"u{i % 7}" for i in range(100)]
+        b_vals = [f"u{i % 13}" for i in range(60)]  # overlap on u0..u6
+        ska = ams_f2_table(self._df(spark, a_vals), "k", depth=15)
+        skb = ams_f2_table(self._df(spark, b_vals), "k", depth=15)
+        (row,) = ams_join_size_estimate(ska, skb, depth=15, groups=3).collect()
+        za = {d: sum(self._sign(v, d) for v in a_vals) for d in range(15)}
+        zb = {d: sum(self._sign(v, d) for v in b_vals) for d in range(15)}
+
+        def trunc_div(s, n):  # Spark div: truncation toward zero
+            return -((-s) // n) if s < 0 else s // n
+
+        means = sorted(
+            trunc_div(sum(za[d] * zb[d] for d in range(15) if d % 3 == g), 5)
+            for g in range(3)
+        )
+        assert row.join_est == means[1]

@@ -53,6 +53,7 @@ BNLJ_OK = {
     # AMS gate: the 1-row exact-F2 verification column joins the 1-row
     # median estimate
     "ams_f2_events": (1, "1-row exact-F2 verification column"),
+    "ams_join_size": (1, "1-row exact-join-size verification column"),
 }
 
 
