@@ -7114,11 +7114,11 @@ _GATE_PRIORITY = [
     # (SCALE.md "Round-7 full-registry verification"), so the
     # below-slot-50 rows carry fresh local evidence even before their
     # next driver row.
-    # Fourth-session update: 7 more new gates (kmv x2, dhash x2, zorder,
-    # logbucket stream replay, ams) join the head, pushing the last 7
-    # prior-window rows (vocabulary_topn .. bpe_token_count) just below
-    # slot 50 to lead the r8 window alongside the r4 remainder — all of
-    # them locally re-verified green this session (SCALE.md "Round-7
+    # Fourth-session update: 8 more new gates (kmv x2, dhash x2, zorder,
+    # logbucket stream replay, ams f2 + join-size) join the head, pushing
+    # the last 8 prior-window rows (vocabulary_topn .. bpe_token_count,
+    # char_lm_perplexity) just below slot 50 to lead the r8 window — all
+    # locally re-verified green this round (SCALE.md "Round-7
     # fourth-session window verification").
     "kmv_distinct_users",
     "kmv_cohort_setops",
