@@ -325,9 +325,11 @@ def kmv_table(
         best: dict = {}
         for pdf in batches:
             if gcols:
+                # dropna=False: a NULL group key is a group (Spark groupBy
+                # semantics) — pandas would silently drop it by default
                 groups = [
                     (gk if isinstance(gk, tuple) else (gk,), sub["h"])
-                    for gk, sub in pdf.groupby(gcols, sort=False)
+                    for gk, sub in pdf.groupby(gcols, sort=False, dropna=False)
                 ]
             else:
                 groups = [((), pdf["h"])]
@@ -513,38 +515,31 @@ def ams_f2_table(df: DataFrame, col: str, *, depth: int = 40) -> DataFrame:
     )
 
 
-def ams_f2_estimate(
-    sketch: DataFrame,
-    *,
-    depth: int = 40,
-    groups: int = 5,
-    out_col: str = "f2_est",
+
+def _median_of_means(
+    terms: DataFrame, *, depth: int, groups: int, out_col: str
 ) -> DataFrame:
-    """F2 estimate from an :func:`ams_f2_table`: AMS's
-    MEDIAN-OF-MEANS — the ``depth`` rows split into ``groups`` groups of
-    s1 = depth/groups rows, each group contributes the MEAN of its Z_d²
-    (each Z² is individually unbiased for F2; averaging s1 of them cuts
-    the relative std to √(2/s1)), and the estimate is the median group
-    mean (odd ``groups`` so the median is an actual group value). The
-    median must be taken over MEANS, not raw squares: a single Z² is
-    distributed like a scaled χ²₁ whose MEDIAN is ≈ 0.455·F2, so
-    median-of-singletons is biased low by more than 2× — caught
-    empirically when the first cut of this estimator read 0.35× exact on
-    sf0.1 events. Integer throughout (squares, floor-div group mean,
-    rank-picked median); runs on the ``depth``-row sketch, never the
-    data."""
+    """Shared AMS estimator tail: ``terms`` is a (depth, t) frame of
+    per-depth estimates (Z² for F2, Z_a·Z_b for join size); rows split
+    into ``groups`` groups of s1 = depth/groups, each contributing
+    ``sum(t) div s1`` (Spark ``div`` truncates toward zero — the seam the
+    join-size oracle spells out for signed products; equal to floor on
+    the F2 path's non-negative sums), and the estimate is the
+    median group value picked by integer rank (odd ``groups``). The
+    ``__n == s1`` guard rejects a truncated sketch instead of averaging
+    over missing rows. Integer throughout; runs on ``depth`` rows."""
     from pyspark.sql import Window
 
     s1 = depth // groups
     if s1 * groups != depth:
         raise ValueError(f"depth {depth} must be a multiple of groups {groups}")
     means = (
-        sketch.groupBy((F.col("depth") % groups).alias("g"))
+        terms.groupBy((F.col("depth") % groups).alias("g"))
         .agg(
-            F.expr("sum(z * z) div " + str(s1)).alias("e"),
+            F.expr(f"sum(t) div {s1}").alias("e"),
             F.count(F.lit(1)).alias("__n"),
         )
-        .where(F.col("__n") == s1)  # guard: a truncated sketch is invalid
+        .where(F.col("__n") == s1)
         .drop("__n")
     )
     w = Window.partitionBy(F.lit(1)).orderBy("e")
@@ -553,6 +548,41 @@ def ams_f2_estimate(
         .where(F.col("__rn") == groups // 2 + 1)
         .select(F.col("e").cast("long").alias(out_col))
     )
+
+def ams_f2_estimate(
+    sketch: DataFrame,
+    *,
+    depth: int = 40,
+    groups: int = 5,
+    out_col: str = "f2_est",
+) -> DataFrame:
+    """F2 estimate from an :func:`ams_f2_table`: AMS\'s MEDIAN-OF-MEANS
+    over the per-depth Z² estimates (each Z² is individually unbiased for
+    F2; averaging s1 = depth/groups of them cuts the relative std to
+    √(2/s1), and the median group concentrates). The median must be taken
+    over MEANS, not raw squares: a single Z² is distributed like a scaled
+    χ²₁ whose MEDIAN is ≈ 0.455·F2, so median-of-singletons is biased low
+    by more than 2× — caught empirically when the first cut of this
+    estimator read 0.35× exact on sf0.1 events. Estimator tail shared
+    with :func:`ams_join_size_estimate` (:func:`_median_of_means`).
+
+    Overflow bound (the int64 seam): Z² and the s1-term group sum must
+    fit a long, so |Z| must stay below √((2⁶³−1)/s1) ≈ 1.07e9 at s1=8 —
+    i.e. the sketched relation may hold at most ~10⁹ rows per sketch
+    partition of a merge tree (Z grows at most linearly in rows). At
+    100 TB, sketch per shard/day and MERGE by z-sum rather than sketching
+    the union in one pass; the in-plan assert below fails loudly instead
+    of wrapping silently."""
+    limit = int(((1 << 63) - 1) // max(depth // max(groups, 1), 1)) ** 0.5
+    guard = F.assert_true(
+        F.abs(F.col("z")) < F.lit(int(limit)),
+        F.lit("AMS |Z| exceeds the int64 overflow bound; merge smaller sketches"),
+    )
+    checked = sketch.select(
+        "depth", F.when(guard.isNull(), F.col("z")).otherwise(F.col("z")).alias("z")
+    )
+    terms = checked.select("depth", (F.col("z") * F.col("z")).alias("t"))
+    return _median_of_means(terms, depth=depth, groups=groups, out_col=out_col)
 
 
 def ams_join_size_estimate(
@@ -570,33 +600,28 @@ def ams_join_size_estimate(
     Σ_k n_k·m_k = |A ⋈_k B| — the cardinality a cost-based optimizer
     wants before choosing broadcast vs shuffle, from two 40-row synopses
     and no data contact. Median-of-means over the per-depth products
-    (same grouping discipline as :func:`ams_f2_estimate`; products can be
-    negative, so the group means and the median are over signed values —
-    floor-div group means, rank-picked median, integer throughout).
-    Bound: Var ≤ 2·F2(A)·F2(B)/s1, so the estimate is informative when
-    the join is not vanishingly selective relative to the moments."""
-    from pyspark.sql import Window
+    (estimator tail shared with :func:`ams_f2_estimate`; products can be
+    negative, so the truncate-toward-zero group mean is the exact seam
+    the ``ams_join_size`` oracle replays). Bound: Var ≤ 2·F2(A)·F2(B)/s1,
+    so the estimate is informative when the join is not vanishingly
+    selective relative to the moments. Same |Z| < √((2⁶³−1)/s1) int64
+    bound as the F2 path, asserted in-plan on both sides."""
+    s1 = depth // max(groups, 1)
+    limit = int((((1 << 63) - 1) // max(s1, 1)) ** 0.5)
 
-    s1 = depth // groups
-    if s1 * groups != depth:
-        raise ValueError(f"depth {depth} must be a multiple of groups {groups}")
-    prod = (
-        sk_a.select("depth", F.col("z").alias("za"))
-        .join(sk_b.select("depth", F.col("z").alias("zb")), "depth")
-        .select("depth", (F.col("za") * F.col("zb")).alias("p"))
-    )
-    means = (
-        prod.groupBy((F.col("depth") % groups).alias("g"))
-        .agg(
-            F.expr(f"sum(p) div {s1}").alias("e"),
-            F.count(F.lit(1)).alias("__n"),
+    def checked(sk, side):
+        guard = F.assert_true(
+            F.abs(F.col("z")) < F.lit(limit),
+            F.lit(f"AMS |Z| overflow bound exceeded on {side} sketch"),
         )
-        .where(F.col("__n") == s1)
-        .drop("__n")
+        return sk.select(
+            "depth",
+            F.when(guard.isNull(), F.col("z")).otherwise(F.col("z")).alias(side),
+        )
+
+    terms = (
+        checked(sk_a, "za")
+        .join(checked(sk_b, "zb"), "depth")
+        .select("depth", (F.col("za") * F.col("zb")).alias("t"))
     )
-    w = Window.partitionBy(F.lit(1)).orderBy("e")
-    return (
-        means.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == groups // 2 + 1)
-        .select(F.col("e").cast("long").alias(out_col))
-    )
+    return _median_of_means(terms, depth=depth, groups=groups, out_col=out_col)

@@ -3686,6 +3686,37 @@ def dedup_incremental(spark, sf_dir):
     ).filter(F.col("est_jaccard") >= 0.2)
 
 
+def _write_epoch_files(df, id_col: str, base: str, in_dir: str, n: int = 4):
+    """Shared scaffold of the stream-replay gates (dedup / countmin /
+    logbucket): split ``df`` into ``n`` contiguous-``id_col``-range
+    single-file parquet batches under ``in_dir``, mtime-ordered so a
+    maxFilesPerTrigger=1 file source delivers them as ``n`` foreachBatch
+    epochs in ingest order. The driver pulls only the scalar id bounds,
+    never rows."""
+    import glob
+    import os
+    import shutil
+
+    lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+    cuts = [lo + (hi - lo + 1) * k // n for k in range(n + 1)]
+    for k in range(n):
+        tmp = f"{base}/tmp_{k}"
+        df.filter(
+            (F.col(id_col) >= cuts[k]) & (F.col(id_col) < cuts[k + 1])
+        ).coalesce(1).write.parquet(tmp)
+        (part,) = glob.glob(f"{tmp}/part-*.parquet")
+        shutil.move(part, f"{in_dir}/batch_{k}.parquet")
+        os.utime(f"{in_dir}/batch_{k}.parquet", (1_000_000 + k, 1_000_000 + k))
+
+
+def _drain_stream(query) -> None:
+    """Run a started streaming query until its source is exhausted, then
+    shut it down cleanly (the replay gates' drive sequence)."""
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination()
+
+
 @q("dedup_stream_replay", _INCR_RECALL_SQL)
 def dedup_stream_replay(spark, sf_dir):
     """HASH gate for the STREAMING dedup loop itself (VERDICT r6 #5 —
@@ -3707,7 +3738,6 @@ def dedup_stream_replay(spark, sf_dir):
     _index_exists probe surfaces as missing/extra pairs against the SAME
     DuckDB all-pairs oracle dedup_incremental_recall uses. Python-side
     asserts additionally pin epoch count == 4 and survivors == all docs."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -3729,19 +3759,7 @@ def dedup_stream_replay(spark, sf_dir):
     os.makedirs(in_dir)
     try:
         minhash_index(old, "text", "doc_id", **kw).write.parquet(index_path)
-
-        # four contiguous-id micro-batch files, written in ingest order
-        # (driver pulls only the scalar id bounds, never rows)
-        lo, hi = new.agg(F.min("doc_id"), F.max("doc_id")).first()
-        cuts = [lo + (hi - lo + 1) * k // 4 for k in range(5)]
-        for k in range(4):
-            tmp = f"{base}/tmp_{k}"
-            new.filter(
-                (F.col("doc_id") >= cuts[k]) & (F.col("doc_id") < cuts[k + 1])
-            ).coalesce(1).write.parquet(tmp)
-            (part,) = glob.glob(f"{tmp}/part-*.parquet")
-            shutil.move(part, f"{in_dir}/batch_{k}.parquet")
-            os.utime(f"{in_dir}/batch_{k}.parquet", (1_000_000 + k, 1_000_000 + k))
+        _write_epoch_files(new, "doc_id", base, in_dir)
 
         seen: list[tuple[int, int]] = []
         stream = (
@@ -3758,9 +3776,7 @@ def dedup_stream_replay(spark, sf_dir):
             query_name="dedup_stream_gate",
             **kw,
         )
-        query.processAllAvailable()
-        query.stop()
-        query.awaitTermination()
+        _drain_stream(query)
 
         n_new = new.count()
         assert len(seen) == 4, f"expected 4 foreachBatch epochs, got {seen}"
@@ -6003,7 +6019,6 @@ def countmin_stream_replay(spark, sf_dir):
     epoch, a partial that reduced with different hash parameters, or a
     load that mis-sums the partition partials all hash-mismatch.
     Python-side asserts additionally pin epoch-partition count == 4."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -6023,18 +6038,7 @@ def countmin_stream_replay(spark, sf_dir):
     in_dir, sk_path = f"{base}/in", f"{base}/sketch"
     os.makedirs(in_dir)
     try:
-        # four contiguous-id micro-batch files in ingest order (driver
-        # pulls only the scalar id bounds, never rows)
-        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
-        cuts = [lo + (hi - lo + 1) * k // 4 for k in range(5)]
-        for k in range(4):
-            tmp = f"{base}/tmp_{k}"
-            ev.filter(
-                (F.col("event_id") >= cuts[k]) & (F.col("event_id") < cuts[k + 1])
-            ).coalesce(1).write.parquet(tmp)
-            (part,) = glob.glob(f"{tmp}/part-*.parquet")
-            shutil.move(part, f"{in_dir}/batch_{k}.parquet")
-            os.utime(f"{in_dir}/batch_{k}.parquet", (1_000_000 + k, 1_000_000 + k))
+        _write_epoch_files(ev, "event_id", base, in_dir)
 
         stream = (
             spark.readStream.schema("event_id bigint, user_id bigint")
@@ -6050,9 +6054,7 @@ def countmin_stream_replay(spark, sf_dir):
             checkpoint=f"{base}/ckpt",
             query_name="countmin_stream_gate",
         )
-        query.processAllAvailable()
-        query.stop()
-        query.awaitTermination()
+        _drain_stream(query)
 
         epochs = [p for p in os.listdir(sk_path) if p.startswith("epoch=")]
         assert len(epochs) == 4, f"expected 4 epoch partials, got {epochs}"
@@ -6151,7 +6153,6 @@ def logbucket_stream_replay(spark, sf_dir):
     a lost/duplicated epoch, a partial built at a different scale, or a
     load that mis-sums partitions all hash-mismatch. Python-side assert
     pins epoch-partition count == 4."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -6167,16 +6168,7 @@ def logbucket_stream_replay(spark, sf_dir):
     in_dir, hist_path = f"{base}/in", f"{base}/hist"
     os.makedirs(in_dir)
     try:
-        lo, hi = ev.agg(F.min("event_id"), F.max("event_id")).first()
-        cuts = [lo + (hi - lo + 1) * k // 4 for k in range(5)]
-        for k in range(4):
-            tmp = f"{base}/tmp_{k}"
-            ev.filter(
-                (F.col("event_id") >= cuts[k]) & (F.col("event_id") < cuts[k + 1])
-            ).coalesce(1).write.parquet(tmp)
-            (part,) = glob.glob(f"{tmp}/part-*.parquet")
-            shutil.move(part, f"{in_dir}/batch_{k}.parquet")
-            os.utime(f"{in_dir}/batch_{k}.parquet", (1_000_000 + k, 1_000_000 + k))
+        _write_epoch_files(ev, "event_id", base, in_dir)
 
         stream = (
             spark.readStream.schema(
@@ -6194,9 +6186,7 @@ def logbucket_stream_replay(spark, sf_dir):
             checkpoint=f"{base}/ckpt",
             query_name="logbucket_stream_gate",
         )
-        query.processAllAvailable()
-        query.stop()
-        query.awaitTermination()
+        _drain_stream(query)
 
         epochs = [p for p in os.listdir(hist_path) if p.startswith("epoch=")]
         assert len(epochs) == 4, f"expected 4 epoch partials, got {epochs}"

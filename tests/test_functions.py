@@ -5066,6 +5066,19 @@ class TestKmv:
         assert rows["g1"].n_kept == 2 and rows["g2"].n_kept == 1
         assert rows["g1"].dv_est == 2 and rows["g2"].dv_est == 1
 
+    def test_null_group_key_is_a_group(self, spark):
+        # Spark groupBy semantics: NULL is a group; the local pandas pass
+        # must not drop it (pandas groupby defaults to dropna=True)
+        from gohangout_spark.functions.sketch import kmv_estimate, kmv_table
+
+        df = spark.createDataFrame(
+            [(None, "a"), (None, "b"), ("g1", "a")], "g string, k string"
+        )
+        sk = kmv_table(df, "k", ["g"], k=4)
+        rows = {r.g: r for r in kmv_estimate(sk, ["g"], k=4).collect()}
+        assert rows[None].n_kept == 2 and rows[None].dv_est == 2
+        assert rows["g1"].n_kept == 1
+
 
 class TestAmsF2:
     """AMS F2 / self-join-size sketch (sketch.ams_f2_table/_estimate):

@@ -117,3 +117,15 @@ class TestNeardupJoin:
         assert dhash_fixture_base(5, 2, 3) == (
             dg[0] * 3 + dg[1] * 4 * 4 + dg[2]
         ) % 254
+
+
+class TestDefaults:
+    def test_default_codec_decodes_real_payloads(self, spark):
+        # dhash_table() with no codec must work on the repo's real media
+        # payloads (AutoCodec magic dispatch) — the fake codec's 4-7 px
+        # images cannot tile the 9x8 grid, so it would be a dead default
+        from gohangout_spark.functions.multimodal import make_dhash_media_table
+
+        media = make_dhash_media_table(spark, n=4)
+        rows = dhash_table(media).collect()
+        assert len(rows) == 4 and all(len(r.bands) == 4 for r in rows)
