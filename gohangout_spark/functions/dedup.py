@@ -1097,3 +1097,93 @@ def winnow_neardup_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+# --------------------------------------------------------------------------
+# b-bit minwise hashing (Li & König 2010)
+# --------------------------------------------------------------------------
+
+def bbit_minwise_fingerprint(
+    shingles_col, num_hashes: int = 31, b: int = 2
+) -> "F.Column":
+    """The b-bit minwise fingerprint (Li & König 2010, "b-bit minwise
+    hashing"): a full minhash signature keeps 64 bits per slot; storing
+    only the lowest ``b`` bits per slot compresses the signature
+    ``64/b``× (31 slots × 2 bits = ONE long per document here — 62 bits,
+    NOT 64: the top slot must stay clear of the sign bit so the packed
+    value is non-negative in Spark AND survives DuckDB's checked BIGINT
+    sum in the oracle replay) while
+    Jaccard similarity stays estimable — for a matched fraction m of
+    slots, E[m] = C + (1−C)·J with collision floor C = 2^−b, so
+    Ĵ = (m − C)/(1 − C). At 100 TB that is the difference between
+    shipping a 256-byte signature column and an 8-byte one through every
+    shuffle and index.
+
+    Hash seam: slot j's hash is the 48-bit md5-hex prefix of
+    ``"<j>:<shingle>"`` — the house cross-engine seam, so the
+    ``bbit_minwise_jaccard`` gate replays fingerprint construction AND
+    estimator in DuckDB (swap :func:`minhash_signature`'s xxhash64 seam
+    in production where replayability is not needed). One pass over the
+    shingle array (the minhash_signature aggregate shape), then the b-bit
+    pack: Σ_j (sig_j mod 2^b) << (b·j)."""
+    if num_hashes * b > 62:
+        raise ValueError(
+            f"{num_hashes} slots x {b} bits exceeds the sign-safe 62-bit pack"
+        )
+    init = F.array_repeat(F.lit(_LONG_MAX).cast("long"), num_hashes)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+
+    def h48(j, s):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", j.cast("string"), s)), 1, 12
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    sig = F.aggregate(
+        shingles_col,
+        init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds, lambda j: h48(j, s)),
+            lambda a, bb: F.least(a, bb),
+        ),
+    )
+    mask = (1 << b) - 1
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        F.lit(0).cast("long"),
+        # call_function: the shift amount is a per-slot COLUMN (j*b);
+        # the python F.shiftleft wrapper only takes a literal int
+        lambda acc, j: acc
+        + F.call_function(
+            "shiftleft",
+            F.element_at(sig, j + 1) % (mask + 1),
+            (j * b).cast("int"),
+        ),
+    )
+
+
+def bbit_matched_slots(fp_a, fp_b, num_hashes: int = 31, b: int = 2) -> "F.Column":
+    """Count of EQUAL b-bit slots between two packed fingerprints, pure
+    integer bit math (b=2: fold each slot's XOR into one bit with
+    ``(x | x>>1) & 0b0101...``, popcount the differing slots)."""
+    if b != 2:
+        raise NotImplementedError("slot fold implemented for b=2")
+    mask = ((1 << (2 * num_hashes)) - 1) // 3  # 01 repeated per slot
+    x = fp_a.bitwiseXOR(fp_b)
+    folded = (x.bitwiseOR(F.shiftright(x, 1))).bitwiseAND(F.lit(mask))
+    return F.lit(num_hashes) - F.bit_count(folded)
+
+
+def bbit_jaccard_estimate(
+    matched, num_hashes: int = 31, b: int = 2
+) -> "F.Column":
+    """Ĵ = (m − C)/(1 − C) with m = matched/num_hashes, C = 2^−b —
+    clamped at 0 (sampling noise can push the raw estimator below the
+    collision floor on dissimilar pairs)."""
+    c = 1.0 / (1 << b)
+    m = matched.cast("double") / num_hashes
+    return F.greatest((m - F.lit(c)) / F.lit(1.0 - c), F.lit(0.0))

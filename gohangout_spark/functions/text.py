@@ -271,3 +271,62 @@ def flesch_reading_ease(col: Column) -> Column:
         - F.lit(84.6) * (n_syl / n_words)
     )
     return F.when(n_words > 0, round_half_up(score, 2))
+
+
+def charset_profile(col: Column) -> list[Column]:
+    """Character-class composition of a document — the script/charset
+    signal multilingual curation pipelines gate on before language-ID
+    (a doc that is 40% digits or 30% punctuation is telemetry, not
+    prose). Five disjoint ASCII-safe classes counted scan-side as
+    ``length(text) - length(regexp_replace(text, class, ''))`` so every
+    count is an exact integer and the same regexes run verbatim in a SQL
+    oracle (the ``charset_entropy_profile`` gate). Returns the five
+    columns [n_lower, n_upper, n_digit, n_space, n_other] — n_other is
+    everything else including non-ASCII, so the five sum to length."""
+
+    def cnt(cls: str) -> Column:
+        return (
+            F.length(col) - F.length(F.regexp_replace(col, cls, ""))
+        ).cast("long")
+
+    n_lower, n_upper = cnt("[a-z]"), cnt("[A-Z]")
+    n_digit, n_space = cnt("[0-9]"), cnt(r"[ \t\n\r]")
+    n_other = (
+        F.length(col).cast("long") - n_lower - n_upper - n_digit - n_space
+    )
+    return [
+        n_lower.alias("n_lower"),
+        n_upper.alias("n_upper"),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+        n_other.alias("n_other"),
+    ]
+
+
+def char_entropy(col: Column) -> Column:
+    """Shannon entropy (bits/char) of the document's character
+    distribution — the compressibility proxy curation pipelines use to
+    drop degenerate text (repeated-char spam scores near 0, natural
+    English ~4.1, uniform noise higher). Computed entirely in JVM
+    higher-order functions — split to chars, per-distinct-char counts
+    via ``filter``/``size``, then ``aggregate`` sums −p·log2(p) — so the
+    hot path is one codegen'd scan with NO shuffle and no Python.
+    Rounded half-up to 4 decimals (house float-gate convention,
+    flesch_reading_ease) so the log2 seam is engine-portable. NULL for
+    empty/NULL text."""
+    from gohangout_spark.functions.num import round_half_up
+
+    # drop the empty-string element some Spark versions append to a
+    # per-char split — the oracle's generate_series walk sees exactly
+    # length(text) chars, and a stray "" would add a 0*log(0)=NaN term
+    chars = F.filter(F.split(col, ""), lambda x: x != F.lit(""))
+    n = F.size(chars).cast("double")
+    distinct = F.array_distinct(chars)
+    ent = F.aggregate(
+        distinct,
+        F.lit(0.0),
+        lambda acc, c: acc
+        - (F.size(F.filter(chars, lambda x: x == c)).cast("double") / n)
+        * F.log2(F.size(F.filter(chars, lambda x: x == c)).cast("double") / n),
+    )
+    return F.when(F.length(col) > 0, round_half_up(ent, 4))

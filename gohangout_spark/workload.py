@@ -6206,6 +6206,148 @@ def logbucket_stream_replay(spark, sf_dir):
 
 
 @q(
+    "bbit_minwise_jaccard",
+    """WITH t AS (
+  SELECT doc_id,
+         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(toks) - 2),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t WHERE len(toks) >= 3),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         floor(len(list_intersect(a.sh, b.sh))::DOUBLE
+           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
+           * 1e4 + 0.5) / 1e4 AS jaccard
+  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+mins AS (
+  SELECT doc_id, j,
+         min(('0x' || substring(md5(j::VARCHAR || ':' || u.sh), 1, 12))::BIGINT)
+           AS mn
+  FROM s, unnest(s.sh) AS u(sh), range(31) AS r(j)
+  GROUP BY doc_id, j),
+fp AS (SELECT doc_id, sum((mn % 4) << (2 * j::INT))::BIGINT AS f
+       FROM mins GROUP BY doc_id),
+est AS (
+  SELECT p.id_a, p.id_b, p.jaccard,
+         (31 - bit_count((xor(fa.f, fb.f) | (xor(fa.f, fb.f) >> 1))
+                         & 1537228672809129301))::BIGINT AS matched
+  FROM pairs p JOIN fp fa ON fa.doc_id = p.id_a
+               JOIN fp fb ON fb.doc_id = p.id_b
+  WHERE p.jaccard >= 0.5)
+SELECT id_a, id_b, jaccard, matched,
+       floor(greatest((matched / 31.0 - 0.25) / 0.75, 0.0) * 1e4 + 0.5) / 1e4
+         AS bbit_est
+FROM est""",
+)
+def bbit_minwise_jaccard(spark, sf_dir):
+    """b-bit minwise hashing end-to-end (functions/dedup.py
+    bbit_minwise_fingerprint — Li & König 2010): each document's 32-slot
+    minhash signature compressed to ONE long (2 bits/slot, 32× smaller
+    than the 64-bit-slot signature), Jaccard re-estimated from the
+    matched-slot fraction with the collision-floor correction
+    Ĵ = (m − 1/4)/(3/4). The pair set is the proven recall-1 LSH point
+    (64×32 banding + exact-jaccard ≥ 0.5 filter — the
+    minhash_lsh_recall containment argument), so the gate's rows are the
+    true near-dup pairs and the fingerprint estimate sits next to the
+    exact jaccard for honesty. The oracle replays EVERYTHING: 3-token
+    shingles, all 32 md5-seam minima, the 2-bit pack, the XOR-fold
+    matched-slot popcount, and the clamped estimator — a wrong slot
+    fold, pack order, or collision floor all hash-mismatch. Scale: the
+    fingerprint is one aggregate pass per doc and pair scoring is pure
+    integer bit math on two longs — the compressed-signature economics
+    the operator exists for."""
+    from gohangout_spark.functions.dedup import (
+        bbit_jaccard_estimate,
+        bbit_matched_slots,
+        bbit_minwise_fingerprint,
+        minhash_lsh_candidates,
+        word_shingles,
+    )
+    from gohangout_spark.functions.num import round_half_up
+
+    docs = _docs(spark, sf_dir)
+    pairs = minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=64, bands=32, shingle_n=3
+    ).filter(F.col("jaccard") >= 0.5)
+    fp = docs.select(
+        "doc_id",
+        bbit_minwise_fingerprint(word_shingles(F.col("text"), 3)).alias("f"),
+    )
+    matched = bbit_matched_slots(F.col("fa.f"), F.col("fb.f"))
+    out = (
+        pairs.join(fp.alias("fa"), F.col("fa.doc_id") == F.col("id_a"))
+        .join(fp.alias("fb"), F.col("fb.doc_id") == F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            matched.cast("long").alias("matched"),
+            round_half_up(
+                bbit_jaccard_estimate(matched), 4
+            ).alias("bbit_est"),
+        )
+    )
+    return out
+
+
+@q(
+    "charset_entropy_profile",
+    r"""WITH ch AS (
+  SELECT doc_id, substring(text, i, 1) AS c
+  FROM documents, unnest(generate_series(1, length(text))) AS u(i)),
+cnts AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(k)::DOUBLE AS n FROM cnts GROUP BY doc_id),
+e AS (SELECT cnts.doc_id, -sum((k / n) * log2(k / n)) AS ent
+      FROM cnts JOIN tot USING (doc_id) GROUP BY cnts.doc_id),
+p AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
+        (length(text)
+         - length(regexp_replace(text, '[a-z]', '', 'g')))::BIGINT AS n_lower,
+        (length(text)
+         - length(regexp_replace(text, '[A-Z]', '', 'g')))::BIGINT AS n_upper,
+        (length(text)
+         - length(regexp_replace(text, '[0-9]', '', 'g')))::BIGINT AS n_digit,
+        (length(text)
+         - length(regexp_replace(text, '[ \t\n\r]', '', 'g')))::BIGINT
+          AS n_space
+      FROM documents)
+SELECT p.doc_id, n_chars, n_lower, n_upper, n_digit, n_space,
+       (n_chars - n_lower - n_upper - n_digit - n_space)::BIGINT AS n_other,
+       CASE WHEN n_chars > 0
+            THEN floor(e.ent * 1e4 + 0.5) / 1e4 END AS entropy
+FROM p LEFT JOIN e ON p.doc_id = e.doc_id""",
+)
+def charset_entropy_profile(spark, sf_dir):
+    """Per-document charset composition + Shannon character entropy
+    (functions/text.py charset_profile / char_entropy) — the two
+    pre-language-ID curation signals: script mix (five disjoint exact
+    integer class counts summing to length) and compressibility
+    (entropy in bits/char — repeated-char spam ≈ 0, English prose ≈ 4).
+    The entropy is computed ENTIRELY in JVM higher-order functions
+    (split → array_distinct → filter/size counts → aggregate of
+    −p·log2 p): one codegen scan, NO shuffle, no Python — the Spark-first
+    shape for a per-row set statistic. The oracle recomputes the
+    distribution via a generate_series character walk and the identical
+    −Σ p·log2 p, with the house 4-decimal half-up rounding making the
+    log2 seam engine-portable; the five class counts replay the same
+    regexes exactly. Scale: embarrassingly row-parallel, cost O(len ×
+    distinct-chars) per doc."""
+    from gohangout_spark.functions.text import char_entropy, charset_profile
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        *charset_profile(F.col("text")),
+        char_entropy(F.col("text")).alias("entropy"),
+    )
+
+
+@q(
     "ams_f2_events",
     """WITH e AS (SELECT user_id::VARCHAR AS k FROM events
                   WHERE user_id IS NOT NULL),
@@ -7118,6 +7260,8 @@ _GATE_PRIORITY = [
     "logbucket_stream_replay",
     "ams_f2_events",
     "ams_join_size",
+    "charset_entropy_profile",
+    "bbit_minwise_jaccard",
     "logbucket_value_quantiles",
     "wordpiece_encode_fixed",
     "countmin_user_events",

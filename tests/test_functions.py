@@ -5184,3 +5184,115 @@ class TestAmsF2:
             for g in range(3)
         )
         assert row.join_est == means[1]
+
+
+class TestCharsetEntropy:
+    """charset_profile / char_entropy (functions/text.py): exact class
+    counts summing to length, entropy on hand-computable distributions,
+    empty/NULL handling — the charset_entropy_profile oracle gates the
+    same math at corpus scale."""
+
+    def _one(self, spark, text):
+        from pyspark.sql import functions as F
+
+        from gohangout_spark.functions.text import char_entropy, charset_profile
+
+        df = spark.createDataFrame([(text,)], "text string")
+        return df.select(
+            F.length("text").alias("n"),
+            *charset_profile(F.col("text")),
+            char_entropy(F.col("text")).alias("ent"),
+        ).first()
+
+    def test_counts_partition_the_length(self, spark):
+        r = self._one(spark, "Ab1 ;\nXy")
+        assert (r.n_lower, r.n_upper, r.n_digit, r.n_space, r.n_other) == (
+            2, 2, 1, 2, 1
+        )
+        assert r.n_lower + r.n_upper + r.n_digit + r.n_space + r.n_other == r.n
+
+    def test_entropy_known_values(self, spark):
+        assert self._one(spark, "aaaa").ent == 0.0  # degenerate: 0 bits
+        assert self._one(spark, "abab").ent == 1.0  # uniform over 2 chars
+        assert self._one(spark, "abcd").ent == 2.0  # uniform over 4 chars
+        # 3/4 - 1/4 split: -(3/4)log2(3/4) - (1/4)log2(1/4) = 0.8113
+        assert self._one(spark, "aaab").ent == 0.8113
+
+    def test_empty_and_null(self, spark):
+        assert self._one(spark, "").ent is None
+        assert self._one(spark, None).ent is None
+
+
+class TestBbitMinwise:
+    """b-bit minwise hashing (dedup.bbit_*): fingerprint replay against
+    Python md5, identical-doc and disjoint-doc limiting cases, the
+    matched-slot bit fold, and the estimator's collision-floor clamp."""
+
+    @staticmethod
+    def _py_fp(shingles, num_hashes=31, b=2):
+        import hashlib
+
+        fp = 0
+        for j in range(num_hashes):
+            mn = min(
+                int(hashlib.md5(f"{j}:{s}".encode()).hexdigest()[:12], 16)
+                for s in shingles
+            )
+            fp |= (mn % (1 << b)) << (b * j)
+        return fp
+
+    def _fp(self, spark, text):
+        from pyspark.sql import functions as F
+
+        from gohangout_spark.functions.dedup import (
+            bbit_minwise_fingerprint,
+            word_shingles,
+        )
+
+        df = spark.createDataFrame([(text,)], "text string")
+        return df.select(
+            bbit_minwise_fingerprint(word_shingles(F.col("text"), 3)).alias("f")
+        ).first().f
+
+    def test_fingerprint_matches_python_replay(self, spark):
+        text = "the quick brown fox jumps over the lazy dog again and again"
+        toks = text.split()
+        shingles = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        assert self._fp(spark, text) == self._py_fp(shingles)
+
+    def test_matched_slots_and_estimator(self, spark):
+        from pyspark.sql import functions as F
+
+        from gohangout_spark.functions.dedup import (
+            bbit_jaccard_estimate,
+            bbit_matched_slots,
+        )
+
+        df = spark.createDataFrame([(5, 5), (0b1111, 0b0000)], "a long, b long")
+        out = df.select(
+            bbit_matched_slots(F.col("a"), F.col("b")).alias("m"),
+            bbit_jaccard_estimate(
+                bbit_matched_slots(F.col("a"), F.col("b"))
+            ).alias("j"),
+        ).collect()
+        assert (out[0].m, out[0].j) == (31, 1.0)  # identical -> J=1
+        # two differing slots out of 31: m=29, est=(29/31-0.25)/0.75
+        assert out[1].m == 29
+        assert abs(out[1].j - (29 / 31 - 0.25) / 0.75) < 1e-12
+
+    def test_estimator_clamps_at_zero(self, spark):
+        from pyspark.sql import functions as F
+
+        from gohangout_spark.functions.dedup import bbit_jaccard_estimate
+
+        df = spark.createDataFrame([(3,)], "m long")
+        (r,) = df.select(bbit_jaccard_estimate(F.col("m")).alias("j")).collect()
+        assert r.j == 0.0  # 3/32 < collision floor 1/4
+
+    def test_pack_width_guard(self):
+        import pytest
+
+        from gohangout_spark.functions.dedup import bbit_minwise_fingerprint
+
+        with pytest.raises(ValueError, match="62-bit pack"):
+            bbit_minwise_fingerprint(None, num_hashes=32, b=2)

@@ -272,7 +272,33 @@ def ops(spark):
         # and the AMS F2 moment sketch (one scan to 40 rows)
         "kmv_distinct[k64,type]": lambda d, e: _kmv(e),
         "ams_f2[d40,g5]": lambda d, e: _ams(e),
+        # charset/entropy: per-row HOF scan, zero shuffle; b-bit minwise:
+        # one aggregate pass to an 8-byte fingerprint per doc
+        "charset_entropy": lambda d, e: _charset(d),
+        "bbit_fingerprint[31x2]": lambda d, e: _bbit(d),
     }
+
+
+def _charset(d):
+    from gohangout_spark.functions.text import char_entropy, charset_profile
+
+    return d.select(
+        "doc_id",
+        *charset_profile(F.col("text")),
+        char_entropy(F.col("text")).alias("entropy"),
+    )
+
+
+def _bbit(d):
+    from gohangout_spark.functions.dedup import (
+        bbit_minwise_fingerprint,
+        word_shingles,
+    )
+
+    return d.select(
+        "doc_id",
+        bbit_minwise_fingerprint(word_shingles(F.col("text"), 3)).alias("f"),
+    )
 
 
 def _ams(ev):
