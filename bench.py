@@ -105,6 +105,10 @@ HEADLINE = [
     # (kmv_cohort_setops stays out: its runtime is dominated by the four
     # exact-cardinality verification columns, a gate artifact).
     "kmv_distinct_users",
+    # charset/entropy is a production curation-scan shape; the AMS and
+    # bbit GATES stay out (their runtime is dominated by exact-count /
+    # exact-jaccard verification columns and all-pairs oracle pair sets)
+    "charset_entropy_profile",
 ]
 
 

@@ -1104,7 +1104,7 @@ def winnow_neardup_pairs(
 # --------------------------------------------------------------------------
 
 def bbit_minwise_fingerprint(
-    shingles_col, num_hashes: int = 31, b: int = 2
+    shingles_col, num_hashes: int = 31, b: int = 2, seam: str = "md5"
 ) -> "F.Column":
     """The b-bit minwise fingerprint (Li & König 2010, "b-bit minwise
     hashing"): a full minhash signature keeps 64 bits per slot; storing
@@ -1119,13 +1119,16 @@ def bbit_minwise_fingerprint(
     shipping a 256-byte signature column and an 8-byte one through every
     shuffle and index.
 
-    Hash seam: slot j's hash is the 48-bit md5-hex prefix of
-    ``"<j>:<shingle>"`` — the house cross-engine seam, so the
-    ``bbit_minwise_jaccard`` gate replays fingerprint construction AND
-    estimator in DuckDB (swap :func:`minhash_signature`'s xxhash64 seam
-    in production where replayability is not needed). One pass over the
-    shingle array (the minhash_signature aggregate shape), then the b-bit
-    pack: Σ_j (sig_j mod 2^b) << (b·j)."""
+    Hash seam (``seam``): ``"md5"`` (default) is the 48-bit md5-hex
+    prefix of ``"<j>:<shingle>"`` — the house cross-engine seam the
+    ``bbit_minwise_jaccard`` gate replays in DuckDB; ``"xxhash64"`` is
+    the PRODUCTION seam (the minhash_signature hash): per-slot md5 cost
+    dominates the 100× sweep (the same lesson the AMS sketch learned —
+    one JVM xxhash per (shingle, slot) is an order of magnitude cheaper
+    than an md5 digest), estimator math identical, replayability traded
+    away. One pass over the shingle array (the minhash_signature
+    aggregate shape), then the b-bit pack: Σ_j (sig_j mod 2^b) << (b·j)
+    — pmod, so the xxhash seam's negative hashes pack correctly."""
     if num_hashes * b > 62:
         raise ValueError(
             f"{num_hashes} slots x {b} bits exceeds the sign-safe 62-bit pack"
@@ -1142,28 +1145,35 @@ def bbit_minwise_fingerprint(
             10,
         ).cast("long")
 
+    slot_hash = h48 if seam == "md5" else (lambda j, s: F.xxhash64(s, j))
+    if seam not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown seam {seam!r}")
+
     sig = F.aggregate(
         shingles_col,
         init,
         lambda acc, s: F.zip_with(
             acc,
-            F.transform(seeds, lambda j: h48(j, s)),
+            F.transform(seeds, lambda j: slot_hash(j, s)),
             lambda a, bb: F.least(a, bb),
         ),
     )
     mask = (1 << b) - 1
-    return F.aggregate(
+    # pack via zip_with so ``sig`` is referenced EXACTLY ONCE: the first
+    # cut aggregated over a slot-index sequence with element_at(sig, j)
+    # inside the lambda, and Catalyst re-evaluated the whole minhash
+    # aggregate per slot — 31x the signature cost, caught by the 100x
+    # sweep (34 s -> ~1 s at sf0.1). call_function: the shift amount is
+    # a per-slot COLUMN; the python F.shiftleft wrapper only takes a
+    # literal int. pmod, not %: the xxhash64 seam produces negatives.
+    contrib = F.zip_with(
+        sig,
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        F.lit(0).cast("long"),
-        # call_function: the shift amount is a per-slot COLUMN (j*b);
-        # the python F.shiftleft wrapper only takes a literal int
-        lambda acc, j: acc
-        + F.call_function(
-            "shiftleft",
-            F.element_at(sig, j + 1) % (mask + 1),
-            (j * b).cast("int"),
+        lambda v, j: F.call_function(
+            "shiftleft", F.pmod(v, F.lit(mask + 1)), (j * b).cast("int")
         ),
     )
+    return F.aggregate(contrib, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
 
 def bbit_matched_slots(fp_a, fp_b, num_hashes: int = 31, b: int = 2) -> "F.Column":

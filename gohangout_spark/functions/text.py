@@ -321,12 +321,16 @@ def char_entropy(col: Column) -> Column:
     # length(text) chars, and a stray "" would add a 0*log(0)=NaN term
     chars = F.filter(F.split(col, ""), lambda x: x != F.lit(""))
     n = F.size(chars).cast("double")
-    distinct = F.array_distinct(chars)
+    # count each distinct char ONCE (transform), then fold the counts —
+    # the first cut re-ran the filter inside the log argument too and
+    # read 2x slower in the 100x sweep
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double"),
+    )
     ent = F.aggregate(
-        distinct,
+        counts,
         F.lit(0.0),
-        lambda acc, c: acc
-        - (F.size(F.filter(chars, lambda x: x == c)).cast("double") / n)
-        * F.log2(F.size(F.filter(chars, lambda x: x == c)).cast("double") / n),
+        lambda acc, k: acc - (k / n) * F.log2(k / n),
     )
     return F.when(F.length(col) > 0, round_half_up(ent, 4))

@@ -6218,12 +6218,24 @@ s AS (
            generate_series(1, len(toks) - 2),
            i -> array_to_string(toks[i:i+2], ' '))) AS sh
   FROM t WHERE len(toks) >= 3),
+sz AS (SELECT doc_id, len(sh) AS n FROM s),
+inter AS (
+  -- exact intersections via a shingle EQUI-JOIN, not O(n^2)
+  -- list_intersects: pairs sharing zero shingles have J = 0 and are
+  -- excluded by the >= 0.5 cut anyway, so this is exact AND the same
+  -- join discipline the engine itself uses
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM (SELECT doc_id, u.sh FROM s, unnest(s.sh) AS u(sh)) a
+  JOIN (SELECT doc_id, u.sh FROM s, unnest(s.sh) AS u(sh)) b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
 pairs AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         floor(len(list_intersect(a.sh, b.sh))::DOUBLE
-           / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE
-           * 1e4 + 0.5) / 1e4 AS jaccard
-  FROM s a JOIN s b ON a.doc_id < b.doc_id),
+  SELECT id_a, id_b,
+         floor(c::DOUBLE / (na.n + nb.n - c)::DOUBLE * 1e4 + 0.5) / 1e4
+           AS jaccard
+  FROM inter
+  JOIN sz na ON na.doc_id = id_a
+  JOIN sz nb ON nb.doc_id = id_b),
 mins AS (
   SELECT doc_id, j,
          min(('0x' || substring(md5(j::VARCHAR || ':' || u.sh), 1, 12))::BIGINT)

@@ -275,7 +275,7 @@ def ops(spark):
         # charset/entropy: per-row HOF scan, zero shuffle; b-bit minwise:
         # one aggregate pass to an 8-byte fingerprint per doc
         "charset_entropy": lambda d, e: _charset(d),
-        "bbit_fingerprint[31x2]": lambda d, e: _bbit(d),
+        "bbit_fingerprint[31x2,xx]": lambda d, e: _bbit(d),
     }
 
 
@@ -290,14 +290,20 @@ def _charset(d):
 
 
 def _bbit(d):
+    # production shape: slot-hash the PRE-HASHED shingles (array<long>,
+    # one xxhash of the string per shingle) — per-slot string hashing
+    # read 38 s at sf0.1 in the first sweep cut; hashing longs is the
+    # same discipline minhash_signature's callers use
     from gohangout_spark.functions.dedup import (
         bbit_minwise_fingerprint,
-        word_shingles,
+        shingle_hashes,
     )
 
     return d.select(
         "doc_id",
-        bbit_minwise_fingerprint(word_shingles(F.col("text"), 3)).alias("f"),
+        bbit_minwise_fingerprint(
+            shingle_hashes(F.col("text"), 3), seam="xxhash64"
+        ).alias("f"),
     )
 
 
