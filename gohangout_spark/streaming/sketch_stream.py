@@ -122,3 +122,61 @@ def load_logbucket_hist(
         .groupBy(*group_cols, "idx")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def start_kmv_stream(
+    stream: DataFrame,
+    sketch_path: str,
+    col: str,
+    group_cols: list[str],
+    *,
+    k: int = 64,
+    checkpoint: str | None = None,
+    query_name: str = "kmv_stream",
+):
+    """The distinct-count member of the streaming sketch store — and the
+    proof the epoch-partition protocol generalizes beyond sum-merge:
+    Count-Min and the log-bucket histogram merge by ADDING counters, but
+    a KMV synopsis merges by RE-SKETCHING (k smallest distinct hashes of
+    the union), so the queryable store is ``kmv_union`` folded over the
+    epoch partials on read (:func:`load_kmv_sketch`) rather than a
+    cnt-sum. Idempotency is identical: each epoch's bounded ≤ k-row
+    partial overwrites its own ``epoch=<id>`` partition, and because
+    bottom-k is idempotent under duplicate inputs (min of a multiset
+    ignores multiplicity) a replayed epoch changes nothing — hash-gated
+    end to end by ``kmv_stream_replay`` against the same DuckDB oracle
+    as the one-shot ``kmv_distinct_users``."""
+    from gohangout_spark.functions.sketch import kmv_table
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        partial = kmv_table(batch, col, group_cols, k=k)
+        partial.write.mode("overwrite").parquet(f"{sketch_path}/epoch={epoch_id}")
+
+    writer = stream.writeStream.queryName(query_name).foreachBatch(_merge)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def load_kmv_sketch(
+    spark: SparkSession, sketch_path: str, group_cols: list[str], *, k: int = 64
+) -> DataFrame:
+    """The queryable KMV synopsis: bottom-k of the UNION of every epoch
+    partial — same (group..., h) schema as
+    :func:`functions.sketch.kmv_table`, so
+    :func:`functions.sketch.kmv_estimate` reads it unchanged. The union
+    of valid bottom-k synopses re-sketched to k is itself the valid
+    synopsis of the union (each globally-smallest hash is smallest in
+    its own epoch), so a drained stream's estimates EQUAL the one-shot
+    batch sketch's."""
+    from pyspark.sql import Window
+
+    all_parts = spark.read.parquet(sketch_path).dropDuplicates(
+        group_cols + ["h"]
+    )
+    w = Window.partitionBy(*(group_cols or [F.lit(1)])).orderBy("h")
+    return (
+        all_parts.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )

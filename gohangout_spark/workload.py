@@ -6629,9 +6629,12 @@ def image_dhash_neardup(spark, sf_dir):
     )
 
 
-@q(
-    "kmv_distinct_users",
-    """WITH e AS (
+# Shared by kmv_distinct_users (one-shot) and kmv_stream_replay (four
+# foreachBatch epoch partials re-sketched on read): KMV merges by
+# bottom-k of the union, so both paths answer to the SAME replay of the
+# synopsis construction — the third merge discipline in the streaming
+# sketch store family (CM/logbucket sum, KMV re-sketch).
+_KMV_ORACLE = """WITH e AS (
   SELECT DISTINCT event_type,
          ('0x' || substring(md5(user_id::VARCHAR), 1, 12))::BIGINT AS h
   FROM events WHERE user_id IS NOT NULL),
@@ -6646,8 +6649,10 @@ SELECT sk.event_type, sk.n_kept::BIGINT AS n_kept, sk.kth::BIGINT AS kth,
        (CASE WHEN sk.n_kept < 64 THEN sk.n_kept
              ELSE (63 * 281474976710656) // sk.kth END)::BIGINT AS dv_est,
        ex.exact_dv::BIGINT AS exact_dv
-FROM sk JOIN ex USING (event_type)""",
-)
+FROM sk JOIN ex USING (event_type)"""
+
+
+@q("kmv_distinct_users", _KMV_ORACLE)
 def kmv_distinct_users_q(spark, sf_dir):
     """Per-event-type distinct-user estimation via the KMV bottom-k
     sketch (functions/sketch.py kmv_table/kmv_estimate — Bar-Yossef et
@@ -6684,6 +6689,84 @@ def kmv_distinct_users_q(spark, sf_dir):
         F.col("dv_est").cast("long").alias("dv_est"),
         F.col("exact_dv").cast("long").alias("exact_dv"),
     )
+
+
+@q("kmv_stream_replay", _KMV_ORACLE)
+def kmv_stream_replay(spark, sf_dir):
+    """HASH gate for the STREAMING KMV store (streaming/sketch_stream.py
+    start_kmv_stream) — the epoch-partition protocol's third merge
+    discipline: Count-Min and log-bucket partials merge by SUM, a KMV
+    synopsis merges by RE-SKETCHING (bottom-k of the union), and this
+    gate proves the store stays correct under that law too. Events
+    replay as a real Structured Streaming file source
+    (maxFilesPerTrigger=1, four contiguous-event-id files = four
+    foreachBatch epochs); each epoch writes its bounded ≤ k-row synopsis
+    partial to its own ``epoch=<id>`` partition; the gate loads the live
+    store (bottom-k of the union of partials — valid because each
+    globally-smallest hash is smallest in its own epoch) and estimates —
+    the result must EQUAL the one-shot sketch, so this answers to the
+    SAME DuckDB oracle as kmv_distinct_users: a lost epoch (missing
+    hashes inflate h_k), a partial built at different k, or a load that
+    forgets to re-truncate to k all hash-mismatch. Python-side assert
+    pins epoch-partition count == 4."""
+    import os
+    import shutil
+    import tempfile
+
+    from gohangout_spark.functions.sketch import kmv_estimate
+    from gohangout_spark.streaming.sketch_stream import (
+        load_kmv_sketch,
+        start_kmv_stream,
+    )
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id").isNotNull())
+        .select("event_id", "event_type", "user_id")
+    )
+    base = tempfile.mkdtemp(prefix="kmv_stream_gate_")
+    in_dir, sk_path = f"{base}/in", f"{base}/sketch"
+    os.makedirs(in_dir)
+    try:
+        _write_epoch_files(ev, "event_id", base, in_dir)
+
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, event_type string, user_id bigint"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        query = start_kmv_stream(
+            stream,
+            sk_path,
+            "user_id",
+            ["event_type"],
+            k=64,
+            checkpoint=f"{base}/ckpt",
+            query_name="kmv_stream_gate",
+        )
+        _drain_stream(query)
+
+        epochs = [p for p in os.listdir(sk_path) if p.startswith("epoch=")]
+        assert len(epochs) == 4, f"expected 4 epoch partials, got {epochs}"
+
+        sk = load_kmv_sketch(spark, sk_path, ["event_type"], k=64)
+        est = kmv_estimate(sk, ["event_type"], k=64)
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_dv")
+        )
+        out = est.join(exact, "event_type").select(
+            "event_type",
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.col("kth").cast("long").alias("kth"),
+            F.col("dv_est").cast("long").alias("dv_est"),
+            F.col("exact_dv").cast("long").alias("exact_dv"),
+        )
+        # detach from the temp parquet before it is removed (small result)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @q(
@@ -7274,6 +7357,7 @@ _GATE_PRIORITY = [
     "ams_join_size",
     "charset_entropy_profile",
     "bbit_minwise_jaccard",
+    "kmv_stream_replay",
     "logbucket_value_quantiles",
     "wordpiece_encode_fixed",
     "countmin_user_events",

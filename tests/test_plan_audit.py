@@ -120,6 +120,7 @@ STREAMING_GATES = {
     # same functions; the gates themselves return a localCheckpoint scan
     "countmin_stream_replay",
     "logbucket_stream_replay",
+    "kmv_stream_replay",
 }
 
 

@@ -254,3 +254,57 @@ class TestLogbucketStream:
         )
         partial0.write.mode("overwrite").parquet(f"{hist_path}/{epochs[0]}")
         assert as_set(load_logbucket_hist(spark, hist_path, ["g"])) == oneshot
+
+
+class TestKmvStream:
+    """Streaming KMV store (streaming/sketch_stream.py): the third merge
+    discipline — partials combine by RE-SKETCHING (bottom-k of the
+    union), not cnt-sum. Drained stream == one-shot synopsis, and a
+    replayed epoch is idempotent because bottom-k ignores multiplicity."""
+
+    def test_stream_equals_oneshot_and_replay_idempotent(self, spark, tmp_path):
+        import glob
+        import os
+        import shutil
+
+        from gohangout_spark.functions.sketch import kmv_table
+        from gohangout_spark.streaming.sketch_stream import (
+            load_kmv_sketch,
+            start_kmv_stream,
+        )
+
+        rows = [(i, "g%d" % (i % 2), "u%d" % (i % 23)) for i in range(80)]
+        df = spark.createDataFrame(rows, "event_id long, g string, k string")
+        in_dir = str(tmp_path / "in")
+        os.makedirs(in_dir)
+        for half, name in ((df.where("event_id < 40"), "a"),
+                           (df.where("event_id >= 40"), "b")):
+            half.coalesce(1).write.parquet(str(tmp_path / f"tmp_{name}"))
+            (part,) = glob.glob(str(tmp_path / f"tmp_{name}" / "part-*.parquet"))
+            shutil.move(part, f"{in_dir}/{name}.parquet")
+
+        sk_path = str(tmp_path / "sketch")
+        stream = (
+            spark.readStream.schema("event_id long, g string, k string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = start_kmv_stream(
+            stream, sk_path, "k", ["g"], k=8,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        as_set = lambda d: {(r.g, r.h) for r in d.collect()}
+        oneshot = as_set(kmv_table(df, "k", ["g"], k=8))
+        assert as_set(load_kmv_sketch(spark, sk_path, ["g"], k=8)) == oneshot
+        epochs = sorted(p for p in os.listdir(sk_path) if p.startswith("epoch="))
+        assert len(epochs) == 2
+
+        # replayed epoch overwrites itself with the same bottom-k partial:
+        # the loaded union re-sketch is unchanged
+        partial0 = kmv_table(df.where("event_id < 40"), "k", ["g"], k=8)
+        partial0.write.mode("overwrite").parquet(f"{sk_path}/{epochs[0]}")
+        assert as_set(load_kmv_sketch(spark, sk_path, ["g"], k=8)) == oneshot
