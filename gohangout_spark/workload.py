@@ -6339,23 +6339,27 @@ def charset_entropy_profile(spark, sf_dir):
     pre-language-ID curation signals: script mix (five disjoint exact
     integer class counts summing to length) and compressibility
     (entropy in bits/char — repeated-char spam ≈ 0, English prose ≈ 4).
-    The entropy is computed ENTIRELY in JVM higher-order functions
-    (split → array_distinct → filter/size counts → aggregate of
-    −p·log2 p): one codegen scan, NO shuffle, no Python — the Spark-first
-    shape for a per-row set statistic. The oracle recomputes the
-    distribution via a generate_series character walk and the identical
-    −Σ p·log2 p, with the house 4-decimal half-up rounding making the
-    log2 seam engine-portable; the five class counts replay the same
-    regexes exactly. Scale: embarrassingly row-parallel, cost O(len ×
-    distinct-chars) per doc."""
-    from gohangout_spark.functions.text import char_entropy, charset_profile
+    The entropy runs on the Arrow path (char_entropy_pandas:
+    numpy unique/bincount per batch) — the pure-JVM HOF twin
+    (char_entropy, identical math, pytest-pinned equal) spends ~5× the
+    wall materializing a per-codepoint string array per row at 100×
+    corpus scale, the same measured trade perplexity_pandas documents
+    for char-level work. The oracle recomputes the distribution via a
+    generate_series character walk and the identical −Σ p·log2 p, with
+    the house 4-decimal half-up rounding making the log2 seam
+    engine-portable; the five class counts replay the same regexes
+    exactly. Scale: embarrassingly row-parallel."""
+    from gohangout_spark.functions.text import (
+        char_entropy_pandas,
+        charset_profile,
+    )
 
     docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         *charset_profile(F.col("text")),
-        char_entropy(F.col("text")).alias("entropy"),
+        char_entropy_pandas(F.col("text")).alias("entropy"),
     )
 
 

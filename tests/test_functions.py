@@ -5222,6 +5222,25 @@ class TestCharsetEntropy:
         assert self._one(spark, "").ent is None
         assert self._one(spark, None).ent is None
 
+    def test_pandas_variant_equals_jvm(self, spark):
+        # the Arrow-path char_entropy_pandas must agree with the JVM HOF
+        # on every document (same math, same rounding) — the gate runs
+        # the pandas variant, the JVM twin stays the no-Python option
+        from pyspark.sql import functions as F
+
+        from gohangout_spark.functions.text import (
+            char_entropy,
+            char_entropy_pandas,
+        )
+        from gohangout_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        diff = docs.select(
+            char_entropy(F.col("text")).alias("a"),
+            char_entropy_pandas(F.col("text")).alias("b"),
+        ).where("a IS DISTINCT FROM b")
+        assert diff.count() == 0
+
 
 class TestBbitMinwise:
     """b-bit minwise hashing (dedup.bbit_*): fingerprint replay against

@@ -280,12 +280,17 @@ def ops(spark):
 
 
 def _charset(d):
-    from gohangout_spark.functions.text import char_entropy, charset_profile
+    # Arrow-path entropy (the gate's variant); the JVM HOF twin measured
+    # ~5x slower at 100x (per-codepoint string arrays)
+    from gohangout_spark.functions.text import (
+        char_entropy_pandas,
+        charset_profile,
+    )
 
     return d.select(
         "doc_id",
         *charset_profile(F.col("text")),
-        char_entropy(F.col("text")).alias("entropy"),
+        char_entropy_pandas(F.col("text")).alias("entropy"),
     )
 
 
