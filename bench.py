@@ -101,6 +101,9 @@ HEADLINE = [
     # tokenizer-encode shape in the headline set.
     "countmin_user_events",
     "logbucket_value_quantiles",
+    # the fourth-session composition pipeline (charset -> entropy ->
+    # dedup -> bbit near-dup), production-shaped like curation_funnel
+    "curation_funnel_v2",
     # KMV joins as the distinct-count/set-op sketch representative
     # (kmv_cohort_setops stays out: its runtime is dominated by the four
     # exact-cardinality verification columns, a gate artifact).

@@ -6206,6 +6206,196 @@ def logbucket_stream_replay(spark, sf_dir):
 
 
 @q(
+    "curation_funnel_v2",
+    r"""WITH p AS (
+  SELECT doc_id, text, length(text)::BIGINT AS n_chars,
+         (length(text)
+          - length(regexp_replace(text, '[ \t\n\r]', '', 'g')))::BIGINT
+           AS n_space
+  FROM documents),
+ch AS (
+  SELECT doc_id, substring(text, i, 1) AS c
+  FROM documents, unnest(generate_series(1, length(text))) AS u(i)),
+cnts AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+tot AS (SELECT doc_id, sum(k)::DOUBLE AS n FROM cnts GROUP BY doc_id),
+ee AS (SELECT cnts.doc_id,
+              floor(-sum((k / n) * log2(k / n)) * 1e4 + 0.5) / 1e4 AS ent
+       FROM cnts JOIN tot USING (doc_id) GROUP BY cnts.doc_id),
+flags AS (
+  SELECT p.doc_id, p.text, ee.ent,
+         CASE WHEN 100 * p.n_space >= 16 * p.n_chars THEN 1 ELSE 0 END
+           AS charset_ok,
+         CASE WHEN ee.ent >= 4.0 THEN 1 ELSE 0 END AS entropy_ok
+  FROM p JOIN ee ON ee.doc_id = p.doc_id),
+s12 AS (SELECT doc_id, text FROM flags
+        WHERE charset_ok = 1 AND entropy_ok = 1),
+canon AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+              THEN 1 ELSE 0 END AS canonical
+  FROM s12),
+s123 AS (SELECT s12.doc_id, s12.text FROM s12
+         JOIN canon ON canon.doc_id = s12.doc_id WHERE canonical = 1),
+t AS (SELECT doc_id,
+             list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '') AS toks
+      FROM s123),
+s AS (SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, len(toks) - 2),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t WHERE len(toks) >= 3),
+sz AS (SELECT doc_id, len(sh) AS n FROM s),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM (SELECT doc_id, u.sh FROM s, unnest(s.sh) AS u(sh)) a
+  JOIN (SELECT doc_id, u.sh FROM s, unnest(s.sh) AS u(sh)) b
+    ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id),
+jp AS (SELECT id_a, id_b
+       FROM inter JOIN sz na ON na.doc_id = id_a
+                  JOIN sz nb ON nb.doc_id = id_b
+       WHERE floor(c::DOUBLE / (na.n + nb.n - c)::DOUBLE * 1e4 + 0.5) / 1e4
+             >= 0.5),
+mins AS (
+  SELECT doc_id, j,
+         min(('0x' || substring(md5(j::VARCHAR || ':' || u.sh), 1, 12))::BIGINT)
+           AS mn
+  FROM s, unnest(s.sh) AS u(sh), range(31) AS r(j)
+  GROUP BY doc_id, j),
+fp AS (SELECT doc_id, sum((mn % 4) << (2 * j::INT))::BIGINT AS f
+       FROM mins GROUP BY doc_id),
+dropped AS (
+  SELECT DISTINCT jp.id_b AS doc_id
+  FROM jp JOIN fp fa ON fa.doc_id = jp.id_a
+          JOIN fp fb ON fb.doc_id = jp.id_b
+  WHERE greatest(((31 - bit_count((xor(fa.f, fb.f) | (xor(fa.f, fb.f) >> 1))
+                                  & 1537228672809129301)) / 31.0 - 0.25)
+                 / 0.75, 0.0) >= 0.25)
+SELECT f.doc_id, f.ent AS entropy,
+       f.charset_ok::BIGINT AS charset_ok,
+       f.entropy_ok::BIGINT AS entropy_ok,
+       coalesce(canon.canonical, 0)::BIGINT AS canonical,
+       (CASE WHEN dropped.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS dropped_neardup,
+       (CASE WHEN f.charset_ok = 1 AND f.entropy_ok = 1
+              AND coalesce(canon.canonical, 0) = 1
+              AND dropped.doc_id IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS survives
+FROM flags f
+LEFT JOIN canon ON canon.doc_id = f.doc_id
+LEFT JOIN dropped ON dropped.doc_id = f.doc_id""",
+)
+def curation_funnel_v2(spark, sf_dir):
+    """The fourth-session signals COMPOSED into one curation pipeline —
+    the integration gate proving the new operators chain the way a real
+    100 TB curation job would: (1) charset word-structure sanity
+    (integer rule 100·n_space ≥ 16·n_chars — drops the wall-of-text
+    tail), (2) entropy band (Arrow-path Shannon entropy ≥ 4.0 bits/char
+    on the 4-decimal-rounded value — drops degenerate text, ~10% at
+    sf0.01), (3) exact dedup (keep the min doc_id per md5(text) among
+    stage-1/2 survivors), (4) b-bit minwise near-dup drop among the
+    canonical survivors (recall-1 exact-jaccard ≥ 0.5 pair base, drop
+    the higher id when the 8-byte fingerprint estimate ≥ 0.25). One row
+    per INPUT document with every stage flag, so the oracle checks not
+    just the survivor set but each stage's individual verdict — the
+    whole five-CTE pipeline (class counts, entropy walk, canonical
+    window, shingle equi-join intersections, 31-slot md5 fingerprints,
+    XOR-fold estimator) replays in DuckDB. Stage liveness at sf0.01:
+    charset drops 9, entropy 49, near-dup 20 (425/500 survive); the
+    exact-dedup stage passes everything here — the corpus has near-dups
+    but no byte-identical survivors of stages 1-2 — and its machinery is
+    hash-gated on its own fixtures by dedup_exact. Scale shape: stages
+    1-2 are one
+    scan, stage 3 one hash groupBy, stage 4 the banded-LSH + broadcast
+    fingerprint join — no all-pairs anywhere in the ENGINE (the
+    oracle's equi-join intersection is the independent replay)."""
+    from gohangout_spark.functions.dedup import (
+        bbit_jaccard_estimate,
+        bbit_matched_slots,
+        bbit_minwise_fingerprint,
+        minhash_lsh_candidates,
+        word_shingles,
+    )
+    from gohangout_spark.functions.text import (
+        char_entropy_pandas,
+        charset_profile,
+    )
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    base = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").cast("long").alias("n_chars"),
+        *charset_profile(F.col("text")),
+        char_entropy_pandas(F.col("text")).alias("entropy"),
+    ).select(
+        "doc_id",
+        "text",
+        "entropy",
+        (F.lit(100) * F.col("n_space") >= F.lit(16) * F.col("n_chars"))
+        .cast("int")
+        .alias("charset_ok"),
+        (F.col("entropy") >= 4.0).cast("int").alias("entropy_ok"),
+    )
+    s12 = base.where("charset_ok = 1 AND entropy_ok = 1").select(
+        "doc_id", "text"
+    )
+    w = Window.partitionBy(F.md5("text"))
+    canon = s12.withColumn(
+        "canonical",
+        (F.col("doc_id") == F.min("doc_id").over(w)).cast("int"),
+    ).select("doc_id", "canonical")
+    s123 = s12.join(canon, "doc_id").where("canonical = 1").select(
+        "doc_id", "text"
+    )
+
+    pairs = minhash_lsh_candidates(
+        s123, "text", "doc_id", num_hashes=64, bands=32, shingle_n=3
+    ).filter(F.col("jaccard") >= 0.5)
+    fp = s123.select(
+        "doc_id",
+        bbit_minwise_fingerprint(word_shingles(F.col("text"), 3)).alias("f"),
+    )
+    matched = bbit_matched_slots(F.col("fa.f"), F.col("fb.f"))
+    dropped = (
+        pairs.join(fp.alias("fa"), F.col("fa.doc_id") == F.col("id_a"))
+        .join(fp.alias("fb"), F.col("fb.doc_id") == F.col("id_b"))
+        .where(bbit_jaccard_estimate(matched) >= 0.25)
+        .select(F.col("id_b").alias("doc_id"))
+        .dropDuplicates(["doc_id"])
+        .withColumn("dropped_neardup", F.lit(1))
+    )
+
+    out = (
+        base.join(canon, "doc_id", "left")
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "entropy",
+            F.col("charset_ok").cast("long").alias("charset_ok"),
+            F.col("entropy_ok").cast("long").alias("entropy_ok"),
+            F.coalesce(F.col("canonical"), F.lit(0))
+            .cast("long")
+            .alias("canonical"),
+            F.coalesce(F.col("dropped_neardup"), F.lit(0))
+            .cast("long")
+            .alias("dropped_neardup"),
+            (
+                (F.col("charset_ok") == 1)
+                & (F.col("entropy_ok") == 1)
+                & (F.coalesce(F.col("canonical"), F.lit(0)) == 1)
+                & F.col("dropped_neardup").isNull()
+            )
+            .cast("long")
+            .alias("survives"),
+        )
+    )
+    return out
+
+
+@q(
     "bbit_minwise_jaccard",
     """WITH t AS (
   SELECT doc_id,
@@ -7362,6 +7552,7 @@ _GATE_PRIORITY = [
     "charset_entropy_profile",
     "bbit_minwise_jaccard",
     "kmv_stream_replay",
+    "curation_funnel_v2",
     "logbucket_value_quantiles",
     "wordpiece_encode_fixed",
     "countmin_user_events",
