@@ -101,9 +101,12 @@ HEADLINE = [
     # tokenizer-encode shape in the headline set.
     "countmin_user_events",
     "logbucket_value_quantiles",
-    # the fourth-session composition pipeline (charset -> entropy ->
-    # dedup -> bbit near-dup), production-shaped like curation_funnel
-    "curation_funnel_v2",
+    # curation_funnel_v2 stays OUT by the r5 recall-1 precedent: its
+    # near-dup stage must run the 64x32 recall-1 banding + exact-jaccard
+    # verify so the oracle's pair set is provably identical (13.9 s at
+    # sf0.1, 4x the next heaviest row — a gate configuration, not the
+    # production point; curation_funnel above stays the composition
+    # representative)
     # KMV joins as the distinct-count/set-op sketch representative
     # (kmv_cohort_setops stays out: its runtime is dominated by the four
     # exact-cardinality verification columns, a gate artifact).
