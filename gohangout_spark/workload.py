@@ -7535,12 +7535,13 @@ _GATE_PRIORITY = [
     # (SCALE.md "Round-7 full-registry verification"), so the
     # below-slot-50 rows carry fresh local evidence even before their
     # next driver row.
-    # Fourth-session update: 8 more new gates (kmv x2, dhash x2, zorder,
-    # logbucket stream replay, ams f2 + join-size) join the head, pushing
-    # the last 8 prior-window rows (vocabulary_topn .. bpe_token_count,
-    # char_lm_perplexity) just below slot 50 to lead the r8 window — all
-    # locally re-verified green this round (SCALE.md "Round-7
-    # fourth-session window verification").
+    # Fourth-session update: 12 new gates (kmv x2 + kmv stream, dhash x2,
+    # zorder, logbucket stream replay, ams f2 + join-size,
+    # charset/entropy, bbit minwise, curation_funnel_v2) join the head,
+    # pushing the last 12 prior-window rows just below slot 50 to lead
+    # the r8 window — every displaced row was verified green this round
+    # (SCALE.md round-7 window verification + full-registry sweep), and
+    # every new gate individually at sf0.001 + 0.01 + 0.1.
     "kmv_distinct_users",
     "kmv_cohort_setops",
     "image_dhash_features",
