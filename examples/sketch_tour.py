@@ -29,8 +29,6 @@ from __future__ import annotations
 
 import sys
 
-sys.path.insert(0, ".")
-
 from pyspark.sql import functions as F
 
 from gohangout_spark import get_spark

@@ -290,6 +290,23 @@ def logbucket_quantiles(
 KMV_SPAN = 1 << 48  # hash domain: 12 md5 hex chars
 
 
+def _bottom_k(df: DataFrame, gcols: list[str], k: int) -> DataFrame:
+    """The bottom-k re-sketch shared by kmv_table / kmv_union (and the
+    streaming store's load): distinct hashes per group, k smallest kept.
+    One definition so the synopsis-validity invariant cannot drift
+    between the three call sites."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*(gcols or [F.lit(1)])).orderBy("h")
+    return (
+        df.select(*gcols, "h")
+        .dropDuplicates(gcols + ["h"])
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def kmv_hash(col) -> "F.Column":
     """48-bit uniform hash of a value: md5-hex-prefix, the house hash
     (cross-engine replayable: ``('0x' || substring(md5(v), 1, 12))::BIGINT``
@@ -347,15 +364,7 @@ def kmv_table(
             )
         yield out
 
-    cand = src.mapInPandas(local_bottomk, src.schema).dropDuplicates(
-        gcols + ["h"]
-    )
-    w = Window.partitionBy(*(gcols or [F.lit(1)])).orderBy("h")
-    return (
-        cand.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _bottom_k(src.mapInPandas(local_bottomk, src.schema), gcols, k)
 
 
 def kmv_estimate(
@@ -388,16 +397,8 @@ def kmv_union(
     hashes of the combined sets — again a valid KMV synopsis, so
     :func:`kmv_estimate` on the result estimates |A ∪ B|. Bounded: runs on
     ≤ 2k rows per group."""
-    from pyspark.sql import Window
-
     gcols = list(group_cols)
-    u = a.unionByName(b).dropDuplicates(gcols + ["h"])
-    w = Window.partitionBy(*(gcols or [F.lit(1)])).orderBy("h")
-    return (
-        u.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    return _bottom_k(a.unionByName(b), gcols, k)
 
 
 def kmv_intersect_estimate(

@@ -169,14 +169,9 @@ def load_kmv_sketch(
     synopsis of the union (each globally-smallest hash is smallest in
     its own epoch), so a drained stream's estimates EQUAL the one-shot
     batch sketch's."""
-    from pyspark.sql import Window
+    from gohangout_spark.functions.sketch import _bottom_k
 
-    all_parts = spark.read.parquet(sketch_path).dropDuplicates(
-        group_cols + ["h"]
-    )
-    w = Window.partitionBy(*(group_cols or [F.lit(1)])).orderBy("h")
-    return (
-        all_parts.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .drop("__rn")
-    )
+    # _bottom_k selects (group..., h) only — dropping the nondeterministic
+    # `epoch` partition column the parquet read adds, so the loaded
+    # synopsis really has kmv_table's schema and composes with kmv_union
+    return _bottom_k(spark.read.parquet(sketch_path), group_cols, k)

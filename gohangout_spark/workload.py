@@ -6205,41 +6205,31 @@ def logbucket_stream_replay(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
-@q(
-    "curation_funnel_v2",
-    r"""WITH p AS (
-  SELECT doc_id, text, length(text)::BIGINT AS n_chars,
-         (length(text)
-          - length(regexp_replace(text, '[ \t\n\r]', '', 'g')))::BIGINT
-           AS n_space
-  FROM documents),
-ch AS (
+# Shared oracle fragments (the _KMV_ORACLE pattern, applied to the two
+# blocks that would otherwise live in two oracles each): the per-document
+# character-entropy walk (charset_entropy_profile + curation_funnel_v2)
+# and the 3-token-shingle / b-bit-fingerprint pipeline
+# (bbit_minwise_jaccard + curation_funnel_v2, parameterized by the source
+# relation). A tokenization / slot-seam / rounding change now edits ONE
+# string.
+_ENTROPY_WALK_CTES = """ch AS (
   SELECT doc_id, substring(text, i, 1) AS c
   FROM documents, unnest(generate_series(1, length(text))) AS u(i)),
 cnts AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
 tot AS (SELECT doc_id, sum(k)::DOUBLE AS n FROM cnts GROUP BY doc_id),
 ee AS (SELECT cnts.doc_id,
               floor(-sum((k / n) * log2(k / n)) * 1e4 + 0.5) / 1e4 AS ent
-       FROM cnts JOIN tot USING (doc_id) GROUP BY cnts.doc_id),
-flags AS (
-  SELECT p.doc_id, p.text, ee.ent,
-         CASE WHEN 100 * p.n_space >= 16 * p.n_chars THEN 1 ELSE 0 END
-           AS charset_ok,
-         CASE WHEN ee.ent >= 4.0 THEN 1 ELSE 0 END AS entropy_ok
-  FROM p JOIN ee ON ee.doc_id = p.doc_id),
-s12 AS (SELECT doc_id, text FROM flags
-        WHERE charset_ok = 1 AND entropy_ok = 1),
-canon AS (
-  SELECT doc_id,
-         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
-              THEN 1 ELSE 0 END AS canonical
-  FROM s12),
-s123 AS (SELECT s12.doc_id, s12.text FROM s12
-         JOIN canon ON canon.doc_id = s12.doc_id WHERE canonical = 1),
-t AS (SELECT doc_id,
+       FROM cnts JOIN tot USING (doc_id) GROUP BY cnts.doc_id)"""
+
+
+def _shingle_fp_ctes(src: str) -> str:
+    """t/s/sz/inter/mins/fp CTE chain over ``src``(doc_id, text): distinct
+    3-token shingles, exact pair intersections via the shingle equi-join,
+    and the 31-slot md5-seam b-bit fingerprints."""
+    return f"""t AS (SELECT doc_id,
              list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
                          x -> x <> '') AS toks
-      FROM s123),
+      FROM {src}),
 s AS (SELECT doc_id,
              list_distinct(list_transform(
                generate_series(1, len(toks) - 2),
@@ -6252,11 +6242,6 @@ inter AS (
   JOIN (SELECT doc_id, u.sh FROM s, unnest(s.sh) AS u(sh)) b
     ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id),
-jp AS (SELECT id_a, id_b
-       FROM inter JOIN sz na ON na.doc_id = id_a
-                  JOIN sz nb ON nb.doc_id = id_b
-       WHERE floor(c::DOUBLE / (na.n + nb.n - c)::DOUBLE * 1e4 + 0.5) / 1e4
-             >= 0.5),
 mins AS (
   SELECT doc_id, j,
          min(('0x' || substring(md5(j::VARCHAR || ':' || u.sh), 1, 12))::BIGINT)
@@ -6264,7 +6249,42 @@ mins AS (
   FROM s, unnest(s.sh) AS u(sh), range(31) AS r(j)
   GROUP BY doc_id, j),
 fp AS (SELECT doc_id, sum((mn % 4) << (2 * j::INT))::BIGINT AS f
-       FROM mins GROUP BY doc_id),
+       FROM mins GROUP BY doc_id)"""
+
+
+@q(
+    "curation_funnel_v2",
+    r"""WITH p AS (
+  SELECT doc_id, text, length(text)::BIGINT AS n_chars,
+         (length(text)
+          - length(regexp_replace(text, '[ \t\n\r]', '', 'g')))::BIGINT
+           AS n_space
+  FROM documents),
+""" + _ENTROPY_WALK_CTES + r""",
+flags AS (
+  -- LEFT join: an empty/NULL-text doc has no entropy rows but must
+  -- still get its verdict row (entropy NULL -> entropy_ok 0), matching
+  -- the engine side one-row-per-input contract
+  SELECT p.doc_id, p.text, ee.ent,
+         CASE WHEN 100 * p.n_space >= 16 * p.n_chars THEN 1 ELSE 0 END
+           AS charset_ok,
+         CASE WHEN ee.ent >= 4.0 THEN 1 ELSE 0 END AS entropy_ok
+  FROM p LEFT JOIN ee ON ee.doc_id = p.doc_id),
+s12 AS (SELECT doc_id, text FROM flags
+        WHERE charset_ok = 1 AND entropy_ok = 1),
+canon AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY md5(text))
+              THEN 1 ELSE 0 END AS canonical
+  FROM s12),
+s123 AS (SELECT s12.doc_id, s12.text FROM s12
+         JOIN canon ON canon.doc_id = s12.doc_id WHERE canonical = 1),
+""" + _shingle_fp_ctes("s123") + r""",
+jp AS (SELECT id_a, id_b
+       FROM inter JOIN sz na ON na.doc_id = id_a
+                  JOIN sz nb ON nb.doc_id = id_b
+       WHERE floor(c::DOUBLE / (na.n + nb.n - c)::DOUBLE * 1e4 + 0.5) / 1e4
+             >= 0.5),
 dropped AS (
   SELECT DISTINCT jp.id_b AS doc_id
   FROM jp JOIN fp fa ON fa.doc_id = jp.id_a
@@ -6337,8 +6357,14 @@ def curation_funnel_v2(spark, sf_dir):
         (F.lit(100) * F.col("n_space") >= F.lit(16) * F.col("n_chars"))
         .cast("int")
         .alias("charset_ok"),
-        (F.col("entropy") >= 4.0).cast("int").alias("entropy_ok"),
+        F.when(F.col("entropy") >= 4.0, 1).otherwise(0).alias("entropy_ok"),
     )
+    # localCheckpoint: `base` feeds four plan branches (s12 -> canon ->
+    # s123 -> pairs/fp, plus the final output join); without it Catalyst
+    # re-runs the documents scan AND the Arrow entropy UDF per branch —
+    # ~4x the gate's dominant cost (review finding; the frame is
+    # corpus-row-count small)
+    base = base.localCheckpoint(eager=True)
     s12 = base.where("charset_ok = 1 AND entropy_ok = 1").select(
         "doc_id", "text"
     )
@@ -6397,28 +6423,7 @@ def curation_funnel_v2(spark, sf_dir):
 
 @q(
     "bbit_minwise_jaccard",
-    """WITH t AS (
-  SELECT doc_id,
-         list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
-                     x -> x <> '') AS toks
-  FROM documents),
-s AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           generate_series(1, len(toks) - 2),
-           i -> array_to_string(toks[i:i+2], ' '))) AS sh
-  FROM t WHERE len(toks) >= 3),
-sz AS (SELECT doc_id, len(sh) AS n FROM s),
-inter AS (
-  -- exact intersections via a shingle EQUI-JOIN, not O(n^2)
-  -- list_intersects: pairs sharing zero shingles have J = 0 and are
-  -- excluded by the >= 0.5 cut anyway, so this is exact AND the same
-  -- join discipline the engine itself uses
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
-  FROM (SELECT doc_id, u.sh FROM s, unnest(s.sh) AS u(sh)) a
-  JOIN (SELECT doc_id, u.sh FROM s, unnest(s.sh) AS u(sh)) b
-    ON a.sh = b.sh AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id),
+    """WITH """ + _shingle_fp_ctes("documents") + """,
 pairs AS (
   SELECT id_a, id_b,
          floor(c::DOUBLE / (na.n + nb.n - c)::DOUBLE * 1e4 + 0.5) / 1e4
@@ -6426,14 +6431,6 @@ pairs AS (
   FROM inter
   JOIN sz na ON na.doc_id = id_a
   JOIN sz nb ON nb.doc_id = id_b),
-mins AS (
-  SELECT doc_id, j,
-         min(('0x' || substring(md5(j::VARCHAR || ':' || u.sh), 1, 12))::BIGINT)
-           AS mn
-  FROM s, unnest(s.sh) AS u(sh), range(31) AS r(j)
-  GROUP BY doc_id, j),
-fp AS (SELECT doc_id, sum((mn % 4) << (2 * j::INT))::BIGINT AS f
-       FROM mins GROUP BY doc_id),
 est AS (
   SELECT p.id_a, p.id_b, p.jaccard,
          (31 - bit_count((xor(fa.f, fb.f) | (xor(fa.f, fb.f) >> 1))
@@ -6448,16 +6445,18 @@ FROM est""",
 )
 def bbit_minwise_jaccard(spark, sf_dir):
     """b-bit minwise hashing end-to-end (functions/dedup.py
-    bbit_minwise_fingerprint — Li & König 2010): each document's 32-slot
-    minhash signature compressed to ONE long (2 bits/slot, 32× smaller
-    than the 64-bit-slot signature), Jaccard re-estimated from the
+    bbit_minwise_fingerprint — Li & König 2010): each document's 31-slot
+    minhash signature compressed to ONE long (2 bits/slot — 62 bits,
+    deliberately one slot short of 32 to stay clear of the sign bit and
+    DuckDB's checked BIGINT sum; 32× smaller per slot than the
+    64-bit-slot signature), Jaccard re-estimated from the
     matched-slot fraction with the collision-floor correction
     Ĵ = (m − 1/4)/(3/4). The pair set is the proven recall-1 LSH point
     (64×32 banding + exact-jaccard ≥ 0.5 filter — the
     minhash_lsh_recall containment argument), so the gate's rows are the
     true near-dup pairs and the fingerprint estimate sits next to the
     exact jaccard for honesty. The oracle replays EVERYTHING: 3-token
-    shingles, all 32 md5-seam minima, the 2-bit pack, the XOR-fold
+    shingles, all 31 md5-seam minima, the 2-bit pack, the XOR-fold
     matched-slot popcount, and the clamped estimator — a wrong slot
     fold, pack order, or collision floor all hash-mismatch. Scale: the
     fingerprint is one aggregate pass per doc and pair scoring is pure
@@ -6499,13 +6498,7 @@ def bbit_minwise_jaccard(spark, sf_dir):
 
 @q(
     "charset_entropy_profile",
-    r"""WITH ch AS (
-  SELECT doc_id, substring(text, i, 1) AS c
-  FROM documents, unnest(generate_series(1, length(text))) AS u(i)),
-cnts AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
-tot AS (SELECT doc_id, sum(k)::DOUBLE AS n FROM cnts GROUP BY doc_id),
-e AS (SELECT cnts.doc_id, -sum((k / n) * log2(k / n)) AS ent
-      FROM cnts JOIN tot USING (doc_id) GROUP BY cnts.doc_id),
+    r"""WITH """ + _ENTROPY_WALK_CTES + r""",
 p AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
         (length(text)
          - length(regexp_replace(text, '[a-z]', '', 'g')))::BIGINT AS n_lower,
@@ -6519,9 +6512,8 @@ p AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
       FROM documents)
 SELECT p.doc_id, n_chars, n_lower, n_upper, n_digit, n_space,
        (n_chars - n_lower - n_upper - n_digit - n_space)::BIGINT AS n_other,
-       CASE WHEN n_chars > 0
-            THEN floor(e.ent * 1e4 + 0.5) / 1e4 END AS entropy
-FROM p LEFT JOIN e ON p.doc_id = e.doc_id""",
+       CASE WHEN n_chars > 0 THEN ee.ent END AS entropy
+FROM p LEFT JOIN ee ON p.doc_id = ee.doc_id""",
 )
 def charset_entropy_profile(spark, sf_dir):
     """Per-document charset composition + Shannon character entropy

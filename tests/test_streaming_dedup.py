@@ -299,7 +299,12 @@ class TestKmvStream:
 
         as_set = lambda d: {(r.g, r.h) for r in d.collect()}
         oneshot = as_set(kmv_table(df, "k", ["g"], k=8))
-        assert as_set(load_kmv_sketch(spark, sk_path, ["g"], k=8)) == oneshot
+        loaded = load_kmv_sketch(spark, sk_path, ["g"], k=8)
+        # schema contract: exactly (group..., h) — the parquet read's
+        # nondeterministic `epoch` partition column must NOT leak (it
+        # breaks kmv_union composition; review finding)
+        assert loaded.columns == ["g", "h"]
+        assert as_set(loaded) == oneshot
         epochs = sorted(p for p in os.listdir(sk_path) if p.startswith("epoch="))
         assert len(epochs) == 2
 
