@@ -6225,16 +6225,29 @@ ee AS (SELECT cnts.doc_id,
 def _shingle_fp_ctes(src: str) -> str:
     """t/s/sz/inter/mins/fp CTE chain over ``src``(doc_id, text): distinct
     3-token shingles, exact pair intersections via the shingle equi-join,
-    and the 31-slot md5-seam b-bit fingerprints."""
+    and the 31-slot md5-seam b-bit fingerprints.
+
+    Short-doc seam (ADVICE r7): the engine's zipped_shingles applies a
+    greatest(len-2, 1) length floor, so a 1-2-token doc yields ONE
+    partial shingle (all its tokens space-joined — concat_ws skips the
+    null-padded slots) rather than being dropped. The CASE below
+    replays that floor so the seam is pinned by the oracle instead of
+    masked by the fixture corpus. 0-token docs keep zero shingles on
+    both sides: engine-side their all-sentinel minhash signatures do
+    band-collide with each other, but the exact-jaccard >= 0.5 re-check
+    is 0/0 = NULL for them, so no pair survives — WHERE len(toks) >= 1
+    is the matching oracle-side statement of the same fact."""
     return f"""t AS (SELECT doc_id,
              list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
                          x -> x <> '') AS toks
       FROM {src}),
 s AS (SELECT doc_id,
-             list_distinct(list_transform(
-               generate_series(1, len(toks) - 2),
-               i -> array_to_string(toks[i:i+2], ' '))) AS sh
-      FROM t WHERE len(toks) >= 3),
+             CASE WHEN len(toks) >= 3 THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(toks) - 2),
+                 i -> array_to_string(toks[i:i+2], ' ')))
+             ELSE [array_to_string(toks, ' ')] END AS sh
+      FROM t WHERE len(toks) >= 1),
 sz AS (SELECT doc_id, len(sh) AS n FROM s),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
@@ -6325,8 +6338,21 @@ def curation_funnel_v2(spark, sf_dir):
     charset drops 9, entropy 49, near-dup 20 (425/500 survive); the
     exact-dedup stage passes everything here — the corpus has near-dups
     but no byte-identical survivors of stages 1-2 — and its machinery is
-    hash-gated on its own fixtures by dedup_exact. Scale shape: stages
-    1-2 are one
+    hash-gated on its own fixtures by dedup_exact.
+
+    Recall bound (ADVICE r7): stage 4's pair base is LSH-derived
+    (64 hashes × 32 bands of r=2) then exact-jaccard-filtered, while the
+    oracle computes the all-pairs exact-jaccard ≥ 0.5 base directly — so
+    "recall 1" here is probabilistic, not structural: a pair at exactly
+    j = 0.5 misses every band with probability (1 − 0.5²)^32 ≈ 1.0e-4,
+    and pairs above 0.5 are exponentially safer ((1 − j²)^32). A hash
+    mismatch on this gate whose missing rows are near-dup flags should
+    therefore first be triaged as a band miss —
+    tests/test_dedup.py::test_funnel_v2_lsh_pairs_contain_oracle_pairs
+    re-derives both pair sets and reports the exact missing pair, so the
+    failure is diagnosable rather than a bare hash delta (the same
+    doctrine minhash_lsh_recall documents for its own operating point).
+    Scale shape: stages 1-2 are one
     scan, stage 3 one hash groupBy, stage 4 the banded-LSH + broadcast
     fingerprint join — no all-pairs anywhere in the ENGINE (the
     oracle's equi-join intersection is the independent replay)."""
@@ -7511,82 +7537,21 @@ def multimodal_flac_features(spark, sf_dir):
 # first couple of them is harmless).  New round-3 queries are inserted
 # before the tail so they are gated the round they land.
 _GATE_PRIORITY = [
-    # --- round-7 window: 24 new queries (4 gates + 8 adapted TPC-H
-    # completions + the 4-query text-canonicalization set + the
-    # 8-query late-round additions: QOI codec, Kneser-Ney, DSIR,
-    # unigram tokenizer, WordPiece tokenizer, Count-Min sketch +
-    # its streaming replay, log-bucket quantile sketch) + the stale
-    # r3/r4 cohort. The driver samples the FIRST 50 registrations; r6
-    # re-greened the r2/r3 tail, so this round rotates in the full
-    # 22-query r3 cohort plus 4 of the 39 r4-cohort rows
-    # (alphabetical; the remaining 35 r4 rows sit directly below slot
-    # 50 and lead the r8 window).
+    # --- round-8 window (slot counts verified against the raw
+    # CORRECTNESS_r0*.json union by tools — see TestDriverWindow):
+    # the r7 driver row sampled slots 1-50 of the r7 list, which cut
+    # the r3 cohort at tpch_q15; the 8 r3-cohort rows after it
+    # (tpch_q17..yaml_pipeline_e2e, last driver row r3) and the 39
+    # r4-cohort rows (approx_distinct_report..zscore_anomalies, last
+    # driver row r4) are the stalest queries in the registry and fill
+    # this window: 3 new-r8 gates + 8 r3-stale + 39 r4-stale = 50.
     # New-this-round queries go first so they are checked the round
-    # they land. Every row of the window — and the whole registry
-    # besides — was locally pre-verified green at sf0.01 this round
-    # (SCALE.md "Round-7 full-registry verification"), so the
-    # below-slot-50 rows carry fresh local evidence even before their
-    # next driver row.
-    # Fourth-session update: 12 new gates (kmv x2 + kmv stream, dhash x2,
-    # zorder, logbucket stream replay, ams f2 + join-size,
-    # charset/entropy, bbit minwise, curation_funnel_v2) join the head,
-    # pushing the last 12 prior-window rows just below slot 50 to lead
-    # the r8 window — every displaced row was verified green this round
-    # (SCALE.md round-7 window verification + full-registry sweep), and
-    # every new gate individually at sf0.001 + 0.01 + 0.1.
-    "kmv_distinct_users",
-    "kmv_cohort_setops",
-    "image_dhash_features",
-    "image_dhash_neardup",
-    "zorder_key_events",
-    "logbucket_stream_replay",
-    "ams_f2_events",
-    "ams_join_size",
-    "charset_entropy_profile",
-    "bbit_minwise_jaccard",
-    "kmv_stream_replay",
-    "curation_funnel_v2",
-    "logbucket_value_quantiles",
-    "wordpiece_encode_fixed",
-    "countmin_user_events",
-    "countmin_stream_replay",
-    "multimodal_qoi_features",
-    "kneser_ney_perplexity",
-    "dsir_importance_weights",
-    "unigram_encode_fixed",
-    "dedup_stream_replay",
-    "link_metric_stream_replay",
-    "multimodal_g711_decode",
-    "multimodal_screenvideo_frames",
-    # --- 8 slots: the adapted TPC-H completions (new r7) ---
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
-    # --- 3 slots: the text-canonicalization trio (new r7) ---
-    "unicode_nfc_normalize",
-    "strip_control_chars",
-    "html_strip_entities",
-    "fix_mojibake",
-    # --- 22 slots: last green r3 ---
-    "redact_pii",
-    "rollup_totals",
-    "semantic_dedup_by_label",
-    "signup_error_window",
-    "sliding_window_counts",
-    "stratified_sample",
-    "template_condition",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
+    # they land.  Every row displaced below slot 50 is green in r7's
+    # driver row (CORRECTNESS_r07) — nothing stale sits below the
+    # window.
+    # --- 3 slots: new r8 gates (added as each lands; until then the
+    # window's tail pulls 3 green-r7 rows up from below, harmlessly) ---
+    # --- 8 slots: last driver row r3 (r7 window cut them at slot 50) ---
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
@@ -7595,12 +7560,11 @@ _GATE_PRIORITY = [
     "vocabulary_topn",
     "weighted_mixture",
     "yaml_pipeline_e2e",
-    # --- 4 slots: last green r4 (alphabetical) ---
+    # --- 39 slots: last driver row r4 (alphabetical) ---
     "approx_distinct_report",
     "bm25_search",
     "boilerplate_lines",
     "bpe_token_count",
-    # --- below slot 50: the r4 remainder, heading the r8 window ---
     "char_lm_perplexity",
     "chunk_documents",
     "cohort_retention",
@@ -7636,6 +7600,58 @@ _GATE_PRIORITY = [
     "weighted_sample_topk",
     "winnow_fingerprints",
     "zscore_anomalies",
+    # --- below slot 50: the r7 window (all green in CORRECTNESS_r07),
+    # stalest-first so any window growth picks up r5 rows next ---
+    "kmv_distinct_users",
+    "kmv_cohort_setops",
+    "image_dhash_features",
+    "image_dhash_neardup",
+    "zorder_key_events",
+    "logbucket_stream_replay",
+    "ams_f2_events",
+    "ams_join_size",
+    "charset_entropy_profile",
+    "bbit_minwise_jaccard",
+    "kmv_stream_replay",
+    "curation_funnel_v2",
+    "logbucket_value_quantiles",
+    "wordpiece_encode_fixed",
+    "countmin_user_events",
+    "countmin_stream_replay",
+    "multimodal_qoi_features",
+    "kneser_ney_perplexity",
+    "dsir_importance_weights",
+    "unigram_encode_fixed",
+    "dedup_stream_replay",
+    "link_metric_stream_replay",
+    "multimodal_g711_decode",
+    "multimodal_screenvideo_frames",
+    "tpch_q2",
+    "tpch_q4",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
+    "unicode_nfc_normalize",
+    "strip_control_chars",
+    "html_strip_entities",
+    "fix_mojibake",
+    "redact_pii",
+    "rollup_totals",
+    "semantic_dedup_by_label",
+    "signup_error_window",
+    "sliding_window_counts",
+    "stratified_sample",
+    "template_condition",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
 ]
 
 QUERIES = {

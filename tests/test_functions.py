@@ -202,6 +202,101 @@ class TestDedup:
         near = pairs.get((0, 1))
         assert near is None or near < 1.0
 
+    def test_funnel_v2_lsh_pairs_contain_oracle_pairs(self, spark):
+        """curation_funnel_v2's recall-1 claim is probabilistic (ADVICE r7):
+        a pair at exactly j=0.5 misses all 32 bands with p≈1e-4. This test
+        re-derives both sides at the gate's operating point (64×32, 3-token
+        shingles) over the sf0.001 corpus and asserts the LSH-candidate
+        pair set CONTAINS the exact all-pairs jaccard≥0.5 set, printing any
+        missing pair — so a future band miss fails here with the offending
+        (id_a, id_b, jaccard) named instead of as a bare gate hash delta."""
+        from gohangout_spark.io import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        lsh = {
+            (r["id_a"], r["id_b"])
+            for r in dedup.minhash_lsh_candidates(
+                docs, "text", "doc_id", num_hashes=64, bands=32, shingle_n=3
+            )
+            .filter(F.col("jaccard") >= 0.5)
+            .collect()
+        }
+        # exact all-pairs base via the shingle equi-join (same tokenizer,
+        # same partial-shingle floor as the engine)
+        sh = docs.select(
+            "doc_id", dedup.word_shingles(F.col("text"), 3).alias("sh")
+        ).where(F.size("sh") > 0)
+        ex = sh.select("doc_id", F.explode("sh").alias("s"))
+        sz = sh.select("doc_id", F.size("sh").alias("n"))
+        inter = (
+            ex.alias("a")
+            .join(ex.alias("b"), ["s"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+            )
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        exact = {
+            (r["id_a"], r["id_b"]): r["j"]
+            for r in inter.join(sz.alias("na"), F.col("na.doc_id") == F.col("id_a"))
+            .join(sz.alias("nb"), F.col("nb.doc_id") == F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("c").cast("double")
+                    / (F.col("na.n") + F.col("nb.n") - F.col("c"))
+                ).alias("j"),
+            )
+            .where(F.col("j") >= 0.5)
+            .collect()
+        }
+        missing = {p: j for p, j in exact.items() if p not in lsh}
+        assert not missing, (
+            f"LSH band miss at the 64x32 operating point: {missing} — "
+            "if a pair sits at j≈0.5 this is the documented ~1e-4 band-miss "
+            "probability materializing; rotate the fixture or raise bands."
+        )
+
+    def test_shingle_oracle_partial_floor_seam(self, spark, tmp_path):
+        """ADVICE r7 seam pin: the engine's greatest(len-2, 1) shingle
+        floor gives 1-2-token docs ONE partial shingle; the shared oracle
+        CTE (_shingle_fp_ctes) must reproduce that floor, not filter the
+        docs out. Runs bbit_minwise_jaccard — engine AND DuckDB oracle —
+        on a corpus that contains 1-token, 2-token, empty and normal docs
+        (including a pair of identical 2-token docs that ONLY match via
+        the partial shingle) and requires identical pair sets."""
+        import duckdb
+
+        from gohangout_spark import workload
+
+        rows = [
+            (0, "alpha beta", "en", "s", 10),
+            (1, "alpha beta", "en", "s", 10),  # partial-shingle twin of 0
+            (2, "gamma", "en", "s", 5),
+            (3, "", "en", "s", 0),
+            (4, "the quick brown fox jumps over the dog", "en", "s", 38),
+            (5, "the quick brown fox jumps over the cat", "en", "s", 38),
+        ]
+        sdf = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        sf = str(tmp_path / "sf")
+        sdf.coalesce(1).write.parquet(f"{sf}/documents.parquet")
+
+        _, oracle = workload.QUERIES["bbit_minwise_jaccard"]
+        eng = workload.bbit_minwise_jaccard(spark, sf).collect()
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+        )
+        ora = con.execute(oracle).fetchall()
+        key = lambda r: (r[0], r[1], round(r[2], 4), r[3], round(r[4], 4))
+        assert sorted(key(r) for r in eng) == sorted(key(r) for r in ora)
+        # the partial-shingle twins must be IN the pair set on both sides
+        assert any(r[0] == 0 and r[1] == 1 for r in eng)
+
     def test_minhash_lazy_by_default(self, spark, docs):
         """VERDICT/ADVICE r2: building candidates must neither trigger a job
         nor leave persisted frames behind; the lazy plan stays replayable and

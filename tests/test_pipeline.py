@@ -852,22 +852,33 @@ class TestDriverWindow:
         from gohangout_spark.workload import QUERIES
 
         window = set(list(QUERIES)[:50])
-        r7_new = {
-            "dedup_stream_replay",
-            "link_metric_stream_replay",
-            "multimodal_g711_decode",
-            "multimodal_screenvideo_frames",
-            "tpch_q2", "tpch_q4", "tpch_q9", "tpch_q11",
-            "tpch_q12", "tpch_q16", "tpch_q20", "tpch_q21",
-            "unicode_nfc_normalize", "strip_control_chars",
-            "html_strip_entities", "fix_mojibake",
-            # late-round additions (same round, second/third session)
-            "multimodal_qoi_features", "kneser_ney_perplexity",
-            "dsir_importance_weights", "unigram_encode_fixed",
-            "wordpiece_encode_fixed", "countmin_user_events",
-            "countmin_stream_replay", "logbucket_value_quantiles",
+        # r8 rotation: the stalest rows in the registry — 8 whose last
+        # driver row is r3 (the r7 window cut its r3 cohort at slot 50)
+        # and 39 whose last driver row is r4 — must all sit inside the
+        # 50-slot window (CORRECTNESS_r03/r04 union; VERDICT r7 #1).
+        r8_stale = {
+            "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
+            "user_rolling_avg", "vocabulary_topn", "weighted_mixture",
+            "yaml_pipeline_e2e",
+            "approx_distinct_report", "bm25_search", "boilerplate_lines",
+            "bpe_token_count", "char_lm_perplexity", "chunk_documents",
+            "cohort_retention", "cube_totals", "curation_funnel",
+            "deterministic_shuffle", "dup_span_stats",
+            "event_sequences_topk", "flesch_reading_ease",
+            "funnel_conversion", "fuzzy_name_pairs", "gopher_rules",
+            "hashed_embedding_vectors", "inverted_index",
+            "label_centroids", "markov_transitions",
+            "multimodal_audio_spectrum", "multimodal_ppm_features",
+            "multimodal_video_frames", "multimodal_wav_features",
+            "near_dedup_keep", "ngram_repetition",
+            "pack_documents_bestfit", "quality_classifier_score",
+            "remove_dup_spans", "rfm_segments", "semantic_dedup_kmeans",
+            "tfidf_search", "token_budget_mixture", "top_phrases",
+            "udtf_paragraphs", "url_curation", "weighted_sample_topk",
+            "winnow_fingerprints", "zscore_anomalies",
         }
-        assert r7_new <= window, r7_new - window
+        assert len(r8_stale) == 47
+        assert r8_stale <= window, r8_stale - window
 
     def test_every_window_query_is_oracle_backed(self):
         """The window exists to produce hash rows; a rows-only query in it
