@@ -135,7 +135,43 @@ class FileSink(Sink):
 
 class KafkaSink(Sink):
     """Encode event as JSON (or format template), optional rendered key
-    (kafka_output.go:69-81)."""
+    (kafka_output.go:69-81).
+
+    Tiers: production writes through Spark's `format("kafka")`. With
+    ``dev_wire: true`` the encoded payload is produced through the
+    in-repo v0 wire-protocol client (sources/kafka_wire.py) instead —
+    keyed rows partitioned by Kafka's public murmur2 default-partitioner
+    hash, keyless rows round-robin, matching the classic producer.
+    Driver-side and bounded by contract: dev tier only (same doctrine as
+    the Stdout/TCP dev sinks)."""
+
+    def _write_dev_wire(self, payload: DataFrame) -> None:
+        import time as _time
+
+        from gohangout_spark.sources.kafka_wire import (
+            KafkaWireClient,
+            partition_for_key,
+        )
+
+        topic = self.conf["topic"]
+        now_ms = int(_time.time() * 1000)
+        rows = payload.collect()  # dev tier: bounded by contract
+        with KafkaWireClient(self.conf["brokers"]) as client:
+            parts = client.metadata([topic]).get(topic) or [0]
+            by_part: dict[int, list] = {}
+            rr = 0
+            for row in rows:
+                key = row["key"].encode() if "key" in row.__fields__ and row["key"] is not None else None
+                if key is None:
+                    part = parts[rr % len(parts)]
+                    rr += 1
+                else:
+                    part = parts[partition_for_key(key, len(parts))]
+                by_part.setdefault(part, []).append(
+                    (key, row["value"].encode(), now_ms)
+                )
+            for part, msgs in sorted(by_part.items()):
+                client.produce(topic, part, msgs)
 
     def payload(self, df: DataFrame) -> DataFrame:
         fmt = self.conf.get("format")
@@ -150,6 +186,9 @@ class KafkaSink(Sink):
         return df.select(*cols)
 
     def write_batch(self, df: DataFrame) -> None:
+        if self.conf.get("dev_wire"):
+            self._write_dev_wire(self.payload(df))
+            return
         (
             self.payload(df)
             .write.format("kafka")

@@ -306,7 +306,16 @@ class KafkaSource(Source):
     """subscribe (topic map) XOR assign (partition map), mirroring
     input/kafka_input.go:54-123; decorate_events adds the
     [@metadata][kafka]{topic,partition,offset} struct from the Kafka source's
-    metadata columns (:127-146)."""
+    metadata columns (:127-146).
+
+    Tiers: production is Spark's `format("kafka")` (connector jar + real
+    broker). With ``dev_wire: true`` the batch path instead drains the
+    topic through the in-repo v0 wire-protocol client
+    (sources/kafka_wire.py) and builds a DataFrame with the SAME
+    key/value/topic/partition/offset/timestamp columns the connector
+    emits, so `_finish` (codec + decorate_events) is byte-identical
+    across tiers. Dev tier is driver-side and bounded (it drains to the
+    high watermark once) — same doctrine as the Stdin/TCP dev tiers."""
 
     def _options(self) -> dict[str, str]:
         conf = self.conf
@@ -346,7 +355,53 @@ class KafkaSource(Source):
             )
         return out.drop("key", "topic", "partition", "offset", "timestamp", "timestampType")
 
+    def _topics_and_assignments(self, opts: dict[str, str], client):
+        """-> list of (topic, partition) to drain, from subscribe (all
+        partitions via Metadata) or assign (explicit map)."""
+        if "subscribe" in opts:
+            topics = opts["subscribe"].split(",")
+            meta = client.metadata(topics)
+            return [(t, p) for t in topics for p in meta.get(t, [])]
+        import json as _json
+
+        assign = _json.loads(opts["assign"])
+        return [(t, p) for t, parts in assign.items() for p in parts]
+
+    def _batch_dev_wire(self, spark):
+        from gohangout_spark.sources.kafka_wire import KafkaWireClient
+
+        opts = self._options()
+        rows = []
+        with KafkaWireClient(opts["kafka.bootstrap.servers"]) as client:
+            for topic, part in self._topics_and_assignments(opts, client):
+                # batch semantics = earliest -> high watermark (the
+                # connector's default startingOffsets for batch reads,
+                # regardless of from.beginning, which only moves the
+                # STREAMING start point)
+                for offset, ts, key, value in client.fetch_all(topic, part, 0):
+                    rows.append(
+                        (
+                            key,
+                            value,
+                            topic,
+                            part,
+                            offset,
+                            ts,
+                            1,  # CreateTime, what magic-1 carries
+                        )
+                    )
+        df = spark.createDataFrame(
+            rows,
+            "key binary, value binary, topic string, partition int, "
+            "offset long, timestamp_ms long, timestampType int",
+        ).withColumn("timestamp", F.timestamp_millis(F.col("timestamp_ms"))).drop(
+            "timestamp_ms"
+        )
+        return self._finish(df)
+
     def batch(self, spark):
+        if self.conf.get("dev_wire"):
+            return self._batch_dev_wire(spark)
         r = spark.read.format("kafka")
         for k, v in self._options().items():
             r = r.option(k, v)

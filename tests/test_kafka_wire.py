@@ -1,0 +1,240 @@
+"""Kafka end-to-end over the in-repo v0 wire protocol (VERDICT r7 #4).
+
+The container has neither the Spark Kafka connector jar nor a broker, so
+live `format("kafka")` is environment-blocked. These tests close the
+executable gap underneath that waiver: real records flow through REAL
+Kafka wire bytes (framing, Metadata/Produce/Fetch/ListOffsets v0,
+magic-1 MessageSet with validated CRC32) between the in-process broker
+fake and the dev-tier KafkaSource/KafkaSink, exercising subscribe /
+assign / decorate_events (input/kafka_input.go:54-146) and the sink's
+encode + key-partitioning path (output/kafka_output.go:69-81) at the
+package boundary. What remains waived is only real-broker behavior
+(auth, rebalance, broker failure) — docs/COVERAGE.md."""
+
+import json
+
+import pytest
+
+from gohangout_spark.sources.kafka_wire import (
+    FakeKafkaBroker,
+    KafkaWireClient,
+    decode_message_set,
+    encode_message_set,
+    murmur2,
+    partition_for_key,
+)
+
+
+@pytest.fixture()
+def broker():
+    with FakeKafkaBroker(num_partitions=2) as b:
+        yield b
+
+
+class TestWireFormat:
+    def test_message_set_roundtrip_with_crc(self):
+        entries = [
+            (0, b"k0", b"v0", 1700000000000),
+            (1, None, b"v1", 1700000000001),
+            (2, b"k2", None, 1700000000002),
+        ]
+        data = encode_message_set(entries)
+        out = decode_message_set(data)
+        assert out == [
+            (0, 1700000000000, b"k0", b"v0"),
+            (1, 1700000000001, None, b"v1"),
+            (2, 1700000000002, b"k2", None),
+        ]
+
+    def test_crc_validation_catches_corruption(self):
+        data = bytearray(encode_message_set([(0, b"k", b"hello", 1)]))
+        data[-1] ^= 0xFF  # flip a payload byte; the CRC no longer matches
+        with pytest.raises(ValueError, match="CRC"):
+            decode_message_set(bytes(data))
+
+    def test_truncated_tail_is_dropped(self):
+        """Brokers may cut a message set at max_bytes mid-message; v0
+        clients must drop the partial tail, not error."""
+        data = encode_message_set([(0, None, b"a" * 10, 1), (1, None, b"b" * 10, 2)])
+        out = decode_message_set(data[:-5])
+        assert [o for o, *_ in out] == [0]
+
+    def test_murmur2_partitioner(self):
+        # deterministic, 32-bit, and the positive mask spreads keys
+        assert murmur2(b"user-1") == murmur2(b"user-1")
+        assert 0 <= murmur2(b"x") <= 0xFFFFFFFF
+        parts = {partition_for_key(f"user-{i}".encode(), 4) for i in range(64)}
+        assert parts == {0, 1, 2, 3}
+        for i in range(16):
+            assert 0 <= partition_for_key(f"k{i}".encode(), 3) < 3
+
+
+class TestBrokerClient:
+    def test_produce_fetch_roundtrip(self, broker):
+        with KafkaWireClient(broker.bootstrap) as c:
+            base = c.produce(
+                "logs", 0, [(b"k1", b"v1", 100), (None, b"v2", 200)]
+            )
+            assert base == 0
+            assert c.produce("logs", 0, [(b"k3", b"v3", 300)]) == 2
+            hw, records = c.fetch("logs", 0, 0)
+            assert hw == 3
+            assert records == [
+                (0, 100, b"k1", b"v1"),
+                (1, 200, None, b"v2"),
+                (2, 300, b"k3", b"v3"),
+            ]
+
+    def test_metadata_autocreates_and_lists_partitions(self, broker):
+        with KafkaWireClient(broker.bootstrap) as c:
+            assert c.metadata(["t1"]) == {"t1": [0, 1]}
+            c.produce("t2", 1, [(None, b"x", 1)])
+            # empty topic list = all topics
+            assert c.metadata() == {"t1": [0, 1], "t2": [0, 1]}
+
+    def test_list_offsets_sentinels(self, broker):
+        with KafkaWireClient(broker.bootstrap) as c:
+            c.produce("t", 0, [(None, b"a", 1), (None, b"b", 2)])
+            assert c.list_offset("t", 0, -2) == 0  # earliest
+            assert c.list_offset("t", 0, -1) == 2  # latest
+
+    def test_fetch_paginates_at_max_bytes(self, broker):
+        with KafkaWireClient(broker.bootstrap) as c:
+            c.produce("big", 0, [(None, bytes([i]) * 100, i) for i in range(40)])
+            hw, first_page = c.fetch("big", 0, 0, max_bytes=500)
+            assert hw == 40 and 0 < len(first_page) < 40
+            assert [o for o, *_ in c.fetch_all("big", 0)] == list(range(40))
+
+    def test_fetch_unknown_topic_errors(self, broker):
+        with KafkaWireClient(broker.bootstrap) as c:
+            with pytest.raises(ValueError, match="error 3"):
+                c.fetch("nope", 0, 0)
+
+    def test_fetch_beyond_watermark_is_out_of_range(self, broker):
+        with KafkaWireClient(broker.bootstrap) as c:
+            c.produce("t", 0, [(None, b"a", 1)])
+            with pytest.raises(ValueError, match="out of range"):
+                c.fetch("t", 0, 5)
+
+
+class TestKafkaSourceEndToEnd:
+    def _produce_events(self, broker, topic, events_by_partition):
+        with KafkaWireClient(broker.bootstrap) as c:
+            for part, events in events_by_partition.items():
+                c.produce(
+                    topic,
+                    part,
+                    [(None, json.dumps(e).encode(), 1700000000000 + i)
+                     for i, e in enumerate(events)],
+                )
+
+    def test_subscribe_decorate_events_offsets(self, spark, broker):
+        """The VERDICT r7 'done' bar: real records through KafkaSource,
+        @metadata.kafka offsets asserted."""
+        from gohangout_spark.sources.sources import KafkaSource
+
+        self._produce_events(
+            broker,
+            "web",
+            {
+                0: [{"user": "a", "n": 1}, {"user": "b", "n": 2}],
+                1: [{"user": "c", "n": 3}],
+            },
+        )
+        src = KafkaSource(
+            {
+                "topic": {"web": 1},
+                "consumer_settings": {
+                    "bootstrap.servers": broker.bootstrap,
+                    "from.beginning": "true",
+                },
+                "decorate_events": True,
+                "dev_wire": True,
+                "codec": "json",
+                "schema": "user string, n long",
+            }
+        )
+        rows = src.batch(spark).collect()
+        assert len(rows) == 3
+        meta = {
+            (r["@metadata"]["kafka"]["partition"], r["@metadata"]["kafka"]["offset"]): r
+            for r in rows
+        }
+        assert set(meta) == {(0, 0), (0, 1), (1, 0)}
+        assert all(r["@metadata"]["kafka"]["topic"] == "web" for r in rows)
+        assert meta[(0, 1)]["user"] == "b" and meta[(0, 1)]["n"] == 2
+        assert meta[(1, 0)]["user"] == "c"
+        # the decode ran through the shared codec path: @timestamp present
+        assert all(r["@timestamp"] is not None for r in rows)
+
+    def test_assign_mode_reads_only_assigned_partition(self, spark, broker):
+        from gohangout_spark.sources.sources import KafkaSource
+
+        self._produce_events(
+            broker, "t", {0: [{"x": 1}], 1: [{"x": 2}, {"x": 3}]}
+        )
+        src = KafkaSource(
+            {
+                "assign": {"t": [1]},
+                "consumer_settings": {"bootstrap.servers": broker.bootstrap},
+                "decorate_events": True,
+                "dev_wire": True,
+                "codec": "json",
+                "schema": "x long",
+            }
+        )
+        rows = src.batch(spark).collect()
+        assert sorted(r["x"] for r in rows) == [2, 3]
+        assert {r["@metadata"]["kafka"]["partition"] for r in rows} == {1}
+
+    def test_sink_source_roundtrip_with_keyed_partitioning(self, spark, broker):
+        """Sink encodes + murmur2-partitions by rendered key; source reads
+        the bytes back; same key always lands on the same partition."""
+        from gohangout_spark.sinks.sinks import KafkaSink
+        from gohangout_spark.sources.sources import KafkaSource
+
+        df = spark.createDataFrame(
+            [("u1", 10), ("u2", 20), ("u1", 30), ("u3", 40)],
+            "user string, amount long",
+        )
+        KafkaSink(
+            {
+                "topic": "out",
+                "brokers": broker.bootstrap,
+                "key": "%{user}",
+                "dev_wire": True,
+            }
+        ).write_batch(df)
+
+        src = KafkaSource(
+            {
+                "topic": {"out": 1},
+                "consumer_settings": {"bootstrap.servers": broker.bootstrap},
+                "decorate_events": True,
+                "dev_wire": True,
+                "codec": "json",
+                "schema": "user string, amount long",
+            }
+        )
+        rows = src.batch(spark).collect()
+        assert sorted((r["user"], r["amount"]) for r in rows) == [
+            ("u1", 10), ("u1", 30), ("u2", 20), ("u3", 40)
+        ]
+        # keyed consistency: both u1 rows on one partition, and it is the
+        # murmur2 partition
+        u1_parts = {
+            r["@metadata"]["kafka"]["partition"] for r in rows if r["user"] == "u1"
+        }
+        assert u1_parts == {partition_for_key(b"u1", 2)}
+
+    def test_sink_keyless_round_robins(self, spark, broker):
+        from gohangout_spark.sinks.sinks import KafkaSink
+
+        df = spark.createDataFrame([(i,) for i in range(6)], "n long")
+        KafkaSink(
+            {"topic": "rr", "brokers": broker.bootstrap, "dev_wire": True}
+        ).write_batch(df)
+        with KafkaWireClient(broker.bootstrap) as c:
+            n0 = len(c.fetch_all("rr", 0))
+            n1 = len(c.fetch_all("rr", 1))
+        assert n0 == n1 == 3

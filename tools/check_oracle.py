@@ -10,12 +10,20 @@ cells before hashing, so an int64-vs-float64 dtype skew renders `5` vs
 pandas too, (b) renders floats at full precision, and (c) separately
 flags any int-vs-float / numeric-vs-object dtype-kind skew per column.
 
-Usage: python tools/check_oracle.py [sf_dir] [query ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query ...]
+
+With --json, per-query verdicts are written in the driver's
+CORRECTNESS_r*.json shape ({name: {rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err}}) so a full-registry run produces a
+machine-readable artifact (FULLREG_r*.json — VERDICT r7 #2) instead of
+prose evidence; rows-only queries carry hash_match=null and
+"err": "no_oracle" exactly as the driver records them.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 import time
 
@@ -89,8 +97,14 @@ def dtype_skew(pdf_s: pd.DataFrame, pdf_d: pd.DataFrame) -> list[str]:
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    report: dict[str, dict] = {}
 
     import __spark_entry__ as entrymod
 
@@ -128,6 +142,12 @@ def main():
                 if nonscalar:
                     print(f"FAIL {name}: non-scalar oracle-checked columns {nonscalar}")
                     failures.append(name)
+                    report[name] = {
+                        "rows_match": False, "schema_match": False,
+                        "hash_match": False, "spark_rows": None,
+                        "oracle_rows": None,
+                        "err": f"non-scalar columns {nonscalar}",
+                    }
                     continue
                 pdf_s = sdf.toPandas()
             else:
@@ -135,22 +155,42 @@ def main():
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark: {e}"[:500],
+            }
             continue
         took = time.time() - t0
         if name not in oracles:
             print(f"ok   {name}: rows-only rows={n_rows} ({took:.1f}s)")
+            report[name] = {
+                "rows_match": True, "schema_match": True,
+                "hash_match": None, "spark_rows": n_rows,
+                "oracle_rows": None, "err": "no_oracle",
+            }
             continue
         try:
             pdf_d = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(pdf_s),
+                "oracle_rows": None, "err": f"duckdb: {e}"[:500],
+            }
             continue
         ok_rows = len(pdf_s) == len(pdf_d)
         ok_cols = sorted(pdf_s.columns) == sorted(pdf_d.columns)
         skew = dtype_skew(pdf_s, pdf_d) if ok_cols else []
         sh, dh = pdf_hash(pdf_s), pdf_hash(pdf_d)
         ok_hash = sh == dh and not skew
+        report[name] = {
+            "rows_match": ok_rows, "schema_match": ok_cols,
+            "hash_match": ok_hash, "spark_rows": len(pdf_s),
+            "oracle_rows": len(pdf_d), "err": None,
+        }
         status = "ok  " if (ok_rows and ok_cols and ok_hash) else "FAIL"
         print(
             f"{status} {name}: rows {len(pdf_s)}/{len(pdf_d)} cols_match={ok_cols} "
@@ -179,6 +219,10 @@ def main():
                     if a != b:
                         print(f"      spark: {a}\n      duck:  {b}")
                         break
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {json_out} ({len(report)} queries)")
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL GREEN")
     return 1 if failures else 0
 
