@@ -544,40 +544,25 @@ _URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]+)(?::([0-9]+))?([^?#]*)\??([^
 
 _TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|msclkid|ref)="
 
-# multi-label suffixes where the registrable domain needs THREE labels
-# (heuristic subset of the Public Suffix List — the full PSL is a data file,
-# not an algorithm; this covers the common cc-SLDs and is documented as an
-# approximation)
-_CC_SLDS = [
-    "co", "com", "net", "org", "gov", "ac", "edu", "or", "ne", "go",
-]
-
-
 def url_parts(df: DataFrame, url_col: str = "url", prefix: str = "") -> DataFrame:
     """Decompose a URL column into (scheme, host, port, path, query,
     fragment, registrable_domain) — all scan-side regexp/HOF codegen, no
     UDF: the web-corpus curation primitive behind per-domain caps, domain
     mixture weighting, and URL dedup.
 
-    registrable_domain strips a leading ``www.`` and keeps the last two
-    host labels — or three when the penultimate label is a common cc-SLD
-    (co.uk, com.au, ...). This is the standard PSL-free approximation;
-    swap in a broadcast-joined Public Suffix List table when exactness
-    matters (the PSL is data, not logic).
+    registrable_domain runs the full Public Suffix List algorithm
+    (functions/psl.py — longest match, wildcards, exceptions, private
+    section) over the vendored snapshot; NULL when the host is itself a
+    public suffix. The rule sets compile to InSet predicates inside
+    whole-stage codegen, so this stays a zero-shuffle scan-side
+    projection at corpus scale.
     """
+    from gohangout_spark.functions.psl import registrable_domain
+
     u = F.col(url_col)
     part = lambda i: F.regexp_extract(u, _URL_RE, i)
     host = F.lower(part(2))
-    bare = F.regexp_replace(host, r"^www\.", "")
-    labels = F.split(bare, r"\.")
-    n = F.size(labels)
-    penult = F.element_at(labels, -2)
-    take3 = (n >= 3) & penult.isin(*_CC_SLDS)
-    domain = F.when(n <= 2, bare).otherwise(
-        F.concat_ws(
-            ".", F.slice(labels, n - F.when(take3, 2).otherwise(1), F.lit(3))
-        )
-    )
+    domain = registrable_domain(host)
     p = prefix
     return df.withColumns(
         {

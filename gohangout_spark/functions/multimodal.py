@@ -921,6 +921,76 @@ def extract_g711_decode_stats(df: DataFrame) -> DataFrame:
     return _extract_pcm_decode_stats(df, decode)
 
 
+MP3_FEATURE_SCHEMA = (
+    "media_id long, n_frames int, sample_rate int, bitrate_kbps int, "
+    "active_subband int, peak_level double"
+)
+
+
+def make_mp3_media_table(spark, n: int = 32) -> DataFrame:
+    """MPEG-1 Layer I media table (functions/mp3.py): clip ``i`` carries a
+    CONSTANT subband signal — amplitude a = ((i % 20) - 10)/16 in subband
+    i % 32 over 12·(1 + i % 3) granules, everything else silent (the
+    alloc-0 path; a == 0 at i % 20 == 10 makes the whole clip silent).
+    Constant-per-subband is the closed-form fixture: the decoded value is
+    exactly scalefactor · requantize(quantize(a / scalefactor)) — one
+    arithmetic chain the multimodal_mp3_features oracle replays verbatim
+    in SQL, so a wrong scalefactor pick, quantizer rounding, or
+    requantization constant all hash-mismatch."""
+    from gohangout_spark.functions.mp3 import Mp3LayerICodec
+
+    codec = Mp3LayerICodec(sample_rate=32000, nb=10)
+    rows = []
+    for i in range(n):
+        a = ((i % 20) - 10) / 16.0
+        sb = np.zeros((12 * (1 + i % 3), 32))
+        sb[:, i % 32] = a
+        rows.append((i, bytearray(codec.encode_subbands(sb)), (0, 0, 1, "mp3")))
+    return spark.createDataFrame(rows, IMAGE_TABLE_SCHEMA)
+
+
+def extract_mp3_features(df: DataFrame) -> DataFrame:
+    """Parse + requantize Layer I frames inside mapInPandas and emit
+    header facts plus the dominant subband and its peak |sample| (NULL
+    subband / 0.0 level for all-silent clips). Peak rather than RMS so
+    the oracle's replay is an identical float chain with no
+    summation-order seam (max over equal values is exact). Media bytes
+    never leave the scan task — the same clip-parallel shape as every
+    other extractor here."""
+    from gohangout_spark.functions.mp3 import Mp3LayerICodec
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                sb, info = Mp3LayerICodec.decode_subbands(bytes(content))
+                amax = np.abs(sb).max(axis=0)
+                if amax.max() > 0.0:
+                    k = int(np.argmax(amax))
+                    level = float(amax[k])
+                else:
+                    k, level = None, 0.0
+                out.append(
+                    (
+                        int(mid),
+                        info["n_frames"],
+                        info["sample_rate"],
+                        info["bitrate_kbps"],
+                        k,
+                        level,
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "n_frames", "sample_rate", "bitrate_kbps",
+                    "active_subband", "peak_level",
+                ],
+            )
+
+    return df.mapInPandas(feats, MP3_FEATURE_SCHEMA)
+
+
 def qoi_fixture_pixel(i: int, x: int, y: int) -> tuple[int, int, int]:
     """Closed-form fixture pixel for image ``i`` at ``(x, y)`` — the
     row pattern cycles through the five 3-channel QOI op families

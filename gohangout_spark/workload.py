@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from gohangout_spark.functions import psl as _psl
 from gohangout_spark.functions.num import round_half_up
 
 from gohangout_spark.expr.conditions import compile_condition
@@ -3436,17 +3437,10 @@ parts AS (
          regexp_extract(url, '{RE}', 4) AS path,
          regexp_extract(url, '{RE}', 5) AS query
   FROM u),
-dom AS (
-  SELECT *,
-         string_split(regexp_replace(host, '^www\.', ''), '.') AS labels
-  FROM parts)
+dom AS (SELECT * FROM parts)
 SELECT doc_id, scheme, host,
        CAST(nullif(port_s, '') AS INT) AS port,
-       CASE WHEN len(labels) <= 2 THEN array_to_string(labels, '.')
-            WHEN labels[-2] IN ('co','com','net','org','gov','ac','edu','or','ne','go')
-              THEN array_to_string(labels[-3:], '.')
-            ELSE array_to_string(labels[-2:], '.')
-       END AS registrable_domain,
+       {RD} AS registrable_domain,
        scheme || '://' || host ||
        CASE WHEN port_s = '' OR (scheme='http' AND port_s='80')
                  OR (scheme='https' AND port_s='443')
@@ -3458,15 +3452,20 @@ SELECT doc_id, scheme, host,
             ELSE '?' || array_to_string(list_sort(list_filter(string_split(query, '&'),
                  kv -> kv <> '' AND NOT regexp_matches(kv, '^(utm_[^=]*|gclid|fbclid|msclkid|ref)='))), '&')
        END AS url_norm
-FROM dom""".replace("{RE}", r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]+)(?::([0-9]+))?([^?#]*)\??([^#]*)#?(.*)$"),
+FROM dom""".replace("{RE}", r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/?#:]+)(?::([0-9]+))?([^?#]*)\??([^#]*)#?(.*)$")
+    .replace("{RD}", _psl.registrable_domain_sql("host")),
 )
 def url_curation_q(spark, sf_dir):
-    """Web-corpus URL curation: parse scheme/host/port + PSL-free
-    registrable domain, and produce the canonical URL (tracking params
+    """Web-corpus URL curation: parse scheme/host/port + the full-PSL
+    registrable domain (functions/psl.py — the oracle replays the same
+    algorithm over the same snapshot as independently generated DuckDB
+    CASE logic), and produce the canonical URL (tracking params
     stripped, params sorted, default ports dropped, fragment removed) —
     the dedup/cap/mixture key for crawl corpora. URLs are synthesized
     deterministically from doc fields (the testdata has no URL column)
-    across four shape variants to exercise every normalization branch."""
+    across four shape variants to exercise every normalization branch;
+    the PSL-specific branches (wildcard, exception, private section,
+    bare-suffix NULL) get their own gate, url_registrable_domain."""
     from gohangout_spark.functions.curation import normalize_url, url_parts
 
     docs = _docs(spark, sf_dir)
@@ -3488,6 +3487,67 @@ def url_curation_q(spark, sf_dir):
         normalize_url("url").alias("url_norm"),
     )
 
+
+@q(
+    "url_registrable_domain",
+    r"""WITH h AS (
+  SELECT doc_id,
+         CASE doc_id % 8
+           WHEN 0 THEN 'www.' || source || '.example.com'
+           WHEN 1 THEN source || '.blog.co.uk'
+           WHEN 2 THEN source || '.com.au'
+           WHEN 3 THEN source || '.github.io'
+           WHEN 4 THEN 'a.' || source || '.ck'
+           WHEN 5 THEN 'www.ck'
+           WHEN 6 THEN 'city.kobe.jp'
+           ELSE 'co.uk'
+         END AS host
+  FROM documents)
+SELECT doc_id, host,
+       CAST({PS} AS BIGINT) AS ps_labels,
+       {RD} AS registrable_domain
+FROM h"""
+    .replace("{PS}", _psl.public_suffix_labels_sql("host"))
+    .replace("{RD}", _psl.registrable_domain_sql("host")),
+)
+def url_registrable_domain_q(spark, sf_dir):
+    """The PSL algorithm's hard branches as a dedicated gate
+    (functions/psl.py over the vendored snapshot): normal 2-label
+    (example.com), cc-SLD (blog.co.uk), direct-SLD registration
+    (com.au), PRIVATE-section suffix (github.io), full-wildcard TLD
+    (*.ck makes a.{src}.ck's public suffix {src}.ck), wildcard
+    EXCEPTION (!www.ck — registrable is www.ck itself), the Japanese
+    city exception (!city.kobe.jp), and a bare public suffix (co.uk →
+    NULL registrable). The oracle replays the whole decision as
+    generated DuckDB CASE logic over the same snapshot, so a precedence
+    bug (exception vs longest-match), a wildcard off-by-one-label, or a
+    NULL-on-suffix miss all hash-mismatch. Engine side is pure InSet
+    codegen — zero shuffle, zero UDF (the 100 TB per-domain-cap
+    shape)."""
+    from gohangout_spark.functions.psl import (
+        public_suffix_labels,
+        registrable_domain,
+    )
+
+    docs = _docs(spark, sf_dir)
+    d = F.col("doc_id")
+    host = (
+        F.when(d % 8 == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".example.com")))
+        .when(d % 8 == 1, F.concat(F.col("source"), F.lit(".blog.co.uk")))
+        .when(d % 8 == 2, F.concat(F.col("source"), F.lit(".com.au")))
+        .when(d % 8 == 3, F.concat(F.col("source"), F.lit(".github.io")))
+        .when(d % 8 == 4, F.concat(F.lit("a."), F.col("source"), F.lit(".ck")))
+        .when(d % 8 == 5, F.lit("www.ck"))
+        .when(d % 8 == 6, F.lit("city.kobe.jp"))
+        .otherwise(F.lit("co.uk"))
+    )
+    withhost = docs.select("doc_id", "source").withColumn("host", host)
+    return withhost.select(
+        "doc_id",
+        "host",
+        public_suffix_labels(F.col("host")).cast("long").alias("ps_labels"),
+        registrable_domain(F.col("host")).alias("registrable_domain"),
+    )
 
 
 @q(
@@ -4353,6 +4413,77 @@ def multimodal_g711_decode(spark, sf_dir):
 
     media = make_g711_media_table(spark, n=32, n_samples=400)
     return extract_g711_decode_stats(media)
+
+
+@q(
+    "multimodal_mp3_features",
+    r"""WITH p AS (
+  SELECT CAST(i AS BIGINT) AS media_id,
+         ((i % 20) - 10) / 16.0 AS a,
+         CAST(1 + i % 3 AS INT) AS n_frames,
+         CAST(i % 32 AS INT) AS sb
+  FROM range(32) c(i)),
+sf AS (
+  SELECT media_id, a, n_frames, sb,
+         CASE WHEN a <> 0 THEN
+           (SELECT max(j) FROM range(63) r(j)
+            WHERE 2 * pow(2.0, -(j / 3.0)) >= abs(a))
+         END AS sfi
+  FROM p),
+qr AS (
+  SELECT media_id, a, n_frames, sb, sfi,
+         2 * pow(2.0, -(sfi / 3.0)) AS sfv
+  FROM sf WHERE sfi IS NOT NULL),
+code AS (
+  SELECT media_id, sfv,
+         greatest(0, least(1023, CAST(floor(
+           (a / sfv * 1023 / 1024 - pow(2.0, -9)) * 512 + 512 + 0.5
+         ) AS BIGINT))) AS c
+  FROM qr),
+v AS (
+  SELECT media_id,
+         sfv * (((c - 512) / 512.0 + pow(2.0, -9)) * 1024 / 1023) AS vhat
+  FROM code)
+SELECT p.media_id, p.n_frames,
+       CAST(32000 AS INT) AS sample_rate,
+       CAST(32 AS INT) AS bitrate_kbps,
+       CASE WHEN p.a <> 0 THEN p.sb END AS active_subband,
+       COALESCE(floor(abs(v.vhat) * 1e6 + 0.5) / 1e6, 0.0) AS peak_level
+FROM p LEFT JOIN v ON v.media_id = p.media_id""",
+)
+def multimodal_mp3_features(spark, sf_dir):
+    """MPEG-1 Audio Layer I from spec, oracle-checked end-to-end (new
+    r8, closing the VERDICT r7 #6 lossy-codec tier): functions/mp3.py
+    parses real Layer I frames — 0xFFF sync header, 4-bit subband
+    allocation, 6-bit scalefactor indices, 12 granules of nb-bit codes —
+    and requantizes per ISO 11172-3 §2.4.3.3, all closed-form (zero
+    literal tables; Layer II/III stop at their tabulated allocation /
+    Huffman data, documented in docs/COVERAGE.md). The fixture encodes a
+    constant amplitude a(i) = ((i%20)-10)/16 into subband i%32 (two
+    clips are fully silent — the alloc-0 path), so the decoded value is
+    exactly scalefactor(a) * requantize(quantize(a/scalefactor)) and the
+    oracle replays the ENTIRE chain in SQL: the max-index scalefactor
+    search over 2*2^(-j/3), the round-half-up quantizer, the
+    requantization constants, and the header-derived n_frames /
+    sample_rate / bitrate. A wrong sync parse, allocation read,
+    scalefactor pick, or quantizer constant all hash-mismatch. Scale
+    shape: clip-parallel mapInPandas, bytes never leave the scan task."""
+    from gohangout_spark.functions.multimodal import (
+        extract_mp3_features,
+        make_mp3_media_table,
+    )
+    from gohangout_spark.functions.num import round_half_up
+
+    media = make_mp3_media_table(spark, n=32)
+    out = extract_mp3_features(media)
+    return out.select(
+        "media_id",
+        "n_frames",
+        "sample_rate",
+        "bitrate_kbps",
+        "active_subband",
+        round_half_up(F.col("peak_level"), 6).alias("peak_level"),
+    )
 
 
 @q(
@@ -7550,7 +7681,9 @@ _GATE_PRIORITY = [
     # driver row (CORRECTNESS_r07) — nothing stale sits below the
     # window.
     # --- 3 slots: new r8 gates (added as each lands; until then the
-    # window's tail pulls 3 green-r7 rows up from below, harmlessly) ---
+    # window's tail pulls green-r7 rows up from below, harmlessly) ---
+    "url_registrable_domain",
+    "multimodal_mp3_features",
     # --- 8 slots: last driver row r3 (r7 window cut them at slot 50) ---
     "tpch_q17",
     "tpch_q18",

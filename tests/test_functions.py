@@ -432,6 +432,82 @@ class TestDedup:
         assert "BroadcastNestedLoopJoin" not in plan
 
 
+class TestPSL:
+    """Public-Suffix-List registrable domains (functions/psl.py): the
+    full algorithm over the vendored snapshot — longest match wins,
+    wildcards, exceptions, private section, default rule."""
+
+    EXPECTED = {
+        "www.example.com": "example.com",
+        "example.co.uk": "example.co.uk",
+        "a.b.example.co.uk": "example.co.uk",
+        "foo.com.au": "foo.com.au",
+        "user.github.io": "user.github.io",       # private section
+        "deep.user.github.io": "user.github.io",
+        "x.weird.ck": "x.weird.ck",               # *.ck wildcard
+        "www.ck": "www.ck",                       # !www.ck exception
+        "a.www.ck": "www.ck",
+        "city.kobe.jp": "city.kobe.jp",           # !city.kobe.jp
+        "x.city.kobe.jp": "city.kobe.jp",
+        "other.kobe.jp": None,                    # *.kobe.jp: IS a suffix
+        "school.k12.ca.us": "school.k12.ca.us",   # 3-label rule
+        "localhost": None,
+        "com": None,
+        "co.uk": None,                            # bare suffix -> NULL
+        "b.blogspot.com": "b.blogspot.com",
+        "s3.amazonaws.com": None,                 # private 3-label suffix
+        "bucket.s3.amazonaws.com": "bucket.s3.amazonaws.com",
+        "example.tokyo.jp": "example.tokyo.jp",
+        "UPPER.Example.COM": "example.com",       # lowercased first
+    }
+
+    def test_engine_matches_expected(self, spark):
+        from gohangout_spark.functions.psl import registrable_domain
+
+        df = spark.createDataFrame(
+            [(h,) for h in self.EXPECTED], "host string"
+        ).select("host", registrable_domain("host").alias("rd"))
+        got = {r["host"]: r["rd"] for r in df.collect()}
+        assert got == self.EXPECTED
+
+    def test_sql_generator_matches_engine(self):
+        import duckdb
+
+        from gohangout_spark.functions.psl import registrable_domain_sql
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE hosts(host VARCHAR)")
+        con.executemany(
+            "INSERT INTO hosts VALUES (?)", [(h.lower(),) for h in self.EXPECTED]
+        )
+        sql = f"SELECT host, {registrable_domain_sql('host')} AS rd FROM hosts"
+        got = dict(con.execute(sql).fetchall())
+        want = {h.lower(): rd for h, rd in self.EXPECTED.items()}
+        assert got == want
+
+    def test_parse_psl_shapes(self):
+        from gohangout_spark.functions.psl import parse_psl
+
+        rules, wild, exc = parse_psl()
+        assert "co.uk" in rules[2] and "k12.ca.us" in rules[3]
+        assert "ck" in wild[1] and "kobe.jp" in wild[2] and "sch.uk" in wild[2]
+        assert "www.ck" in exc[2] and "city.kobe.jp" in exc[3]
+        # icann_only drops the private section
+        icann_rules, _, _ = parse_psl(icann_only=True)
+        assert "github.io" in rules[2] and "github.io" not in icann_rules[2]
+
+    def test_icann_only_changes_private_hosts(self, spark):
+        from gohangout_spark.functions.psl import registrable_domain
+
+        df = spark.createDataFrame([("user.github.io",)], "host string")
+        both = df.select(registrable_domain("host").alias("rd")).first()["rd"]
+        icann = df.select(
+            registrable_domain("host", icann_only=True).alias("rd")
+        ).first()["rd"]
+        assert both == "user.github.io"  # github.io is the suffix
+        assert icann == "github.io"      # io is the suffix
+
+
 class TestSimilarity:
     @pytest.fixture(scope="class")
     def emb(self, spark):

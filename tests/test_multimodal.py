@@ -427,3 +427,118 @@ class TestScreenVideo:
                 total += 1
                 pos += 2 + size
             assert zeros >= 1 and zeros < total
+
+
+class TestMp3LayerI:
+    """MPEG-1 Audio Layer I (functions/mp3.py): ISO 11172-3 bitstream
+    layer — header, allocation, scalefactors, §2.4.3.3 requantization —
+    plus the documented closed-form DCT-IV PR pair for the PCM tier."""
+
+    def test_quantize_requantize_within_one_step(self):
+        from gohangout_spark.functions.mp3 import _quantize, _requantize
+
+        rng = np.random.default_rng(3)
+        for nb in (2, 3, 8, 10, 15):
+            step = 2.0 / ((1 << nb) - 1)
+            for s in rng.uniform(-0.999, 0.999, 500):
+                err = abs(_requantize(_quantize(s, nb), nb) - s)
+                assert err <= step, (nb, s, err)
+
+    def test_subband_bitstream_roundtrip(self):
+        from gohangout_spark.functions.mp3 import Mp3LayerICodec
+
+        rng = np.random.default_rng(5)
+        c = Mp3LayerICodec(sample_rate=32000, nb=12)
+        S = rng.uniform(-1.5, 1.5, (36, 32))
+        S[:, 7] = 0.0  # silent subband -> alloc 0
+        S2, info = c.decode_subbands(c.encode_subbands(S))
+        # 31 active subbands at nb=12: 32+128+186+4464 = 4810 bits = 602
+        # bytes -> smallest fitting Layer I rate is 416 kbps (624 bytes)
+        assert info == {"sample_rate": 32000, "bitrate_kbps": 416, "n_frames": 3}
+        assert S2.shape == (36, 32)
+        assert np.all(S2[:, 7] == 0.0)
+        # error bounded by scalefactor * quantization step per subband
+        step = 2.0 / ((1 << 12) - 1)
+        peaks = np.abs(S).max(axis=0)
+        for s in range(32):
+            sf = next(x for x in __import__(
+                "gohangout_spark.functions.mp3", fromlist=["SCALEFACTORS"]
+            ).SCALEFACTORS if x >= peaks[s]) if peaks[s] > 0 else 0.0
+        assert np.abs(S2 - S).max() <= 2.0 * step  # sf <= 2
+
+    def test_header_fields_independent_read(self):
+        from gohangout_spark.functions.mp3 import Mp3LayerICodec
+
+        data = Mp3LayerICodec(sample_rate=44100, nb=6).encode_subbands(
+            np.ones((12, 32)) * 0.25
+        )
+        b = data[:4]
+        assert (b[0] << 4) | (b[1] >> 4) == 0xFFF        # sync
+        assert (b[1] >> 3) & 1 == 1                      # ID: MPEG-1
+        assert (b[1] >> 1) & 0b11 == 0b11                # Layer I
+        assert b[1] & 1 == 1                             # no CRC
+        assert (b[2] >> 2) & 0b11 == 0                   # 44.1 kHz index
+        assert (b[3] >> 6) & 0b11 == 0b11                # single_channel
+        bitrate_index = (b[2] >> 4) & 0xF
+        nslots = int(12 * bitrate_index * 32 * 1000 / 44100)
+        assert len(data) == 4 * nslots                   # §2.4.2.3 length
+
+    def test_pcm_dct4_pair_reconstructs(self):
+        from gohangout_spark.functions.mp3 import Mp3LayerICodec
+
+        rng = np.random.default_rng(11)
+        c = Mp3LayerICodec(sample_rate=48000, nb=8)
+        pcm = rng.uniform(-0.5, 0.5, 384 * 2)
+        out, sr = c.decode(c.encode(pcm))
+        assert sr == 48000 and len(out) == 384 * 2
+        assert np.abs(out - pcm).max() < 0.05  # bounded by quantization only
+
+    def test_corrupt_sync_and_truncation(self):
+        from gohangout_spark.functions.mp3 import Mp3LayerICodec
+
+        with pytest.raises(ValueError, match="sync"):
+            Mp3LayerICodec.decode_subbands(b"\x00" * 64)
+        with pytest.raises(ValueError, match="no frames"):
+            Mp3LayerICodec.decode_subbands(b"\xff")
+
+    def test_forbidden_parameters_rejected(self):
+        from gohangout_spark.functions.mp3 import Mp3LayerICodec
+
+        with pytest.raises(ValueError, match="sample_rate"):
+            Mp3LayerICodec(sample_rate=22050)
+        with pytest.raises(ValueError, match="nb"):
+            Mp3LayerICodec(nb=16)
+        with pytest.raises(ValueError, match="nb"):
+            Mp3LayerICodec(nb=1)
+
+    def test_bit_budget_picks_smallest_fitting_bitrate(self):
+        from gohangout_spark.functions.mp3 import Mp3LayerICodec
+
+        c = Mp3LayerICodec(sample_rate=32000, nb=10)
+        # one active subband: 32+128+6+120 = 286 bits = 36 bytes -> the
+        # 32 kbps frame (48 bytes) holds it
+        one = np.zeros((12, 32)); one[:, 3] = 0.5
+        _, info = c.decode_subbands(c.encode_subbands(one))
+        assert info["bitrate_kbps"] == 32
+        # all 32 active at nb=10: 32+128+192+3840 = 4192 bits = 524 bytes
+        # -> needs >= 352 kbps (528 bytes)
+        full = np.full((12, 32), 0.5)
+        _, info = c.decode_subbands(c.encode_subbands(full))
+        assert info["bitrate_kbps"] == 352
+
+    def test_fixture_table_and_extractor(self, spark):
+        from gohangout_spark.functions.multimodal import (
+            extract_mp3_features,
+            make_mp3_media_table,
+        )
+
+        out = {
+            r["media_id"]: r
+            for r in extract_mp3_features(make_mp3_media_table(spark, n=8)).collect()
+        }
+        assert len(out) == 8
+        assert out[1]["active_subband"] == 1
+        assert out[1]["n_frames"] == 2 and out[1]["sample_rate"] == 32000
+        # amplitude for clip 1 is (1-10)/16 = -0.5625; decoded |value|
+        # within one quantization step of it
+        assert abs(out[1]["peak_level"] - 0.5625) < 2.0 / 1023 * 2
