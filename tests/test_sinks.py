@@ -846,3 +846,135 @@ outputs:
         back = spark.read.parquet(out)
         assert back.count() == 30
         assert back.select("src").distinct().count() == 2
+
+
+class FakeClickHouseHTTP:
+    """In-process HTTP server speaking the ClickHouse HTTP interface's
+    wire shape (VERDICT r7 #7): serves ``DESC TABLE <t> FORMAT JSON``
+    responses and accepts ``INSERT INTO <t> FORMAT JSONEachRow`` bodies
+    (gunzipping when Content-Encoding: gzip), recording every request so
+    tests assert the rendered coercion byte-for-byte. Real sockets, the
+    sink's REAL default urllib transport — no transport fake."""
+
+    def __init__(self, desc_body: str, insert_status: int = 200):
+        import http.server
+        import threading
+
+        server = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def _handle(self):
+                from urllib.parse import parse_qs, urlparse
+
+                q = parse_qs(urlparse(self.path).query).get("query", [""])[0]
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n) if n else b""
+                if self.headers.get("Content-Encoding") == "gzip":
+                    import gzip
+
+                    body = gzip.decompress(body)
+                    gz = True
+                else:
+                    gz = False
+                server.requests.append(
+                    {"path": self.path, "query": q, "body": body, "gzip": gz}
+                )
+                if q.startswith("DESC TABLE"):
+                    out, status = server.desc_body.encode(), 200
+                elif q.startswith("INSERT INTO"):
+                    out, status = b"", server.insert_status
+                else:
+                    out, status = b"unknown query", 400
+                self.send_response(status)
+                self.send_header("Content-Length", str(len(out)))
+                self.end_headers()
+                self.wfile.write(out)
+
+            do_GET = _handle
+            do_POST = _handle
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self.desc_body = desc_body
+        self.insert_status = insert_status
+        self.requests: list[dict] = []
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+
+    def __enter__(self):
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+class TestClickHouseLiveHTTP:
+    """The recorded-DESC tests above prove the parsing; these prove the
+    WIRE — live DESC over real HTTP through the default urllib
+    transport, and the INSERT body's exact rendered bytes. Remaining
+    waiver (docs/COVERAGE.md): real-server auth and server-side
+    semantics only."""
+
+    _DESC = """{"data": [
+        {"name": "appid", "type": "String", "default_type": "", "default_expression": ""},
+        {"name": "n", "type": "Int64", "default_type": "DEFAULT", "default_expression": "42"},
+        {"name": "score", "type": "Nullable(Float64)", "default_type": "", "default_expression": ""}
+    ]}"""
+
+    def test_live_desc_and_insert_bytes(self, spark):
+        with FakeClickHouseHTTP(self._DESC) as srv:
+            sink = ClickHouseSink({"table": "weblog", "hosts": [srv.url]})
+            assert sink.table_schema == {
+                "appid": "String", "n": "Int64", "score": "Nullable(Float64)",
+            }
+            assert sink.column_defaults["n"] == 42
+
+            df = spark.createDataFrame(
+                [("web", None, 1.5), ("api", 7, None)],
+                schema="appid string, n bigint, score double",
+            )
+            sink.write_batch(df.coalesce(1))
+
+        descs = [r for r in srv.requests if r["query"].startswith("DESC")]
+        inserts = [r for r in srv.requests if r["query"].startswith("INSERT")]
+        assert len(descs) == 1 and len(inserts) == 1
+        ins = inserts[0]
+        # endpoint shape: INSERT INTO <table> FORMAT JSONEachRow with the
+        # best_effort datetime knob on the query string
+        assert ins["query"] == "INSERT INTO weblog FORMAT JSONEachRow"
+        assert "date_time_input_format=best_effort" in ins["path"]
+        assert ins["gzip"]  # default compress=True actually compressed
+        # the rendered coercion, byte-for-byte: DESC column order, the
+        # server DEFAULT (42) filling the null non-nullable, the Nullable
+        # column emitted as null (to_json drops null keys)
+        assert ins["body"] == (
+            b'{"appid":"web","n":42,"score":1.5}\n'
+            b'{"appid":"api","n":7}\n'
+        )
+
+    def test_insert_failover_and_retry_on_5xx(self, spark):
+        """First host 500s the INSERT: the bulk engine must retry the SAME
+        bytes against the second host (host RR + per-bulk retry)."""
+        with FakeClickHouseHTTP(self._DESC, insert_status=500) as bad, \
+             FakeClickHouseHTTP(self._DESC) as good:
+            sink = ClickHouseSink(
+                {"table": "weblog", "hosts": [bad.url, good.url], "retry": 3},
+            )
+            df = spark.createDataFrame([("web", 1, 2.0)],
+                                       "appid string, n bigint, score double")
+            sink.write_batch(df.coalesce(1))
+            ok = [r for r in good.requests if r["query"].startswith("INSERT")]
+            assert len(ok) == 1
+            assert ok[0]["body"] == b'{"appid":"web","n":1,"score":2.0}\n'
+
+    def test_materialized_column_rejected_over_live_wire(self):
+        desc = """{"data": [
+            {"name": "a", "type": "Int64", "default_type": "MATERIALIZED", "default_expression": "b * 2"}
+        ]}"""
+        with FakeClickHouseHTTP(desc) as srv:
+            with pytest.raises(ValueError, match="MATERIALIZED"):
+                ClickHouseSink({"table": "t", "hosts": [srv.url]})
