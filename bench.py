@@ -115,6 +115,11 @@ HEADLINE = [
     # bbit GATES stay out (their runtime is dominated by exact-count /
     # exact-jaccard verification columns and all-pairs oracle pair sets)
     "charset_entropy_profile",
+    # round 8: the full-PSL registrable-domain scan is the per-domain-cap
+    # production shape (InSet codegen, zero shuffle); the mp3 fixture
+    # gate and the ticker replay stay out per the multimodal/gate
+    # precedent.
+    "url_registrable_domain",
 ]
 
 

@@ -978,3 +978,162 @@ class TestClickHouseLiveHTTP:
         with FakeClickHouseHTTP(desc) as srv:
             with pytest.raises(ValueError, match="MATERIALIZED"):
                 ClickHouseSink({"table": "t", "hosts": [srv.url]})
+
+
+class FakeElasticsearchHTTP:
+    """In-process HTTP server speaking the two ES endpoints the sink
+    uses: GET /_nodes/_all/http (sniff) and POST /_bulk (NDJSON with
+    per-item verdicts), gunzipping request bodies like the real server.
+    ``item_scripts`` is a queue of per-request item-status lists; when
+    exhausted every doc succeeds."""
+
+    def __init__(self, nodes: dict | None = None, item_scripts=None,
+                 bulk_status: int = 200):
+        import http.server
+        import threading
+
+        server = self
+
+        class Handler(http.server.BaseHTTPRequestHandler):
+            def _respond(self, status, payload: bytes):
+                self.send_response(status)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def _handle(self):
+                import gzip
+                import json
+
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n) if n else b""
+                gz = self.headers.get("Content-Encoding") == "gzip"
+                if gz:
+                    body = gzip.decompress(body)
+                server.requests.append(
+                    {"path": self.path, "body": body, "gzip": gz}
+                )
+                if self.path.startswith("/_nodes"):
+                    self._respond(200, json.dumps({"nodes": server.nodes}).encode())
+                    return
+                if self.path == "/_bulk":
+                    ndocs = len(body.decode().strip().split("\n")) // 2
+                    statuses = (
+                        server.item_scripts.pop(0)
+                        if server.item_scripts
+                        else [200] * ndocs
+                    )
+                    items = [{"index": {"status": s}} for s in statuses]
+                    errors = any(s >= 300 for s in statuses)
+                    self._respond(
+                        server.bulk_status,
+                        json.dumps({"errors": errors, "items": items}).encode(),
+                    )
+                    return
+                self._respond(400, b"unknown endpoint")
+
+            do_GET = _handle
+            do_POST = _handle
+
+            def log_message(self, *a):
+                pass
+
+        self.nodes = nodes or {}
+        self.item_scripts = list(item_scripts or [])
+        self.bulk_status = bulk_status
+        self.requests: list[dict] = []
+        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
+        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+
+    def __enter__(self):
+        self.thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self.httpd.shutdown()
+        self.httpd.server_close()
+
+
+class TestElasticsearchLiveHTTP:
+    """The transport-faked tests above prove encoding/retry logic; these
+    prove the WIRE through the sink's REAL default urllib transport —
+    live sniff discovery, the exact NDJSON bulk bytes (gzipped), per-item
+    429 re-bulk, and transport-level failover. Remaining waiver:
+    real-cluster auth/mappings only (docs/COVERAGE.md)."""
+
+    def test_live_bulk_bytes_and_gzip(self, spark):
+        with FakeElasticsearchHTTP() as srv:
+            sink = ElasticsearchSink(
+                {
+                    "hosts": [srv.url],
+                    "index": "web-%{appid}",
+                    "id": "%{doc}",
+                }
+            )
+            df = spark.createDataFrame(
+                [("a1", "d1", 5), ("a2", "d2", 6)], "appid string, doc string, n long"
+            )
+            sink.write_batch(df.coalesce(1))
+        bulks = [r for r in srv.requests if r["path"] == "/_bulk"]
+        assert len(bulks) == 1 and bulks[0]["gzip"]
+        assert bulks[0]["body"] == (
+            b'{"index":{"_index":"web-a1","_id":"d1"}}\n'
+            b'{"appid":"a1","doc":"d1","n":5}\n'
+            b'{"index":{"_index":"web-a2","_id":"d2"}}\n'
+            b'{"appid":"a2","doc":"d2","n":6}\n'
+        )
+
+    def test_live_sniff_discovers_and_filters_nodes(self, spark):
+        with FakeElasticsearchHTTP() as srv:
+            port = srv.url.rsplit(":", 1)[1]
+            srv.nodes = {
+                "n1": {
+                    "http": {"publish_address": f"es1/127.0.0.1:{port}"},
+                    "roles": ["data"],
+                },
+                "n2": {
+                    "http": {"publish_address": "other/10.9.9.9:9200"},
+                    "roles": ["master"],
+                },
+            }
+            sink = ElasticsearchSink(
+                {
+                    "hosts": [srv.url],
+                    "index": "t",
+                    "sniff": {"match": 'IN($.roles,"data")'},
+                }
+            )
+            # only the data node passing the match survives, and its
+            # publish_address host:port replaces the seed
+            assert sink.hosts == [f"http://127.0.0.1:{port}"]
+            sink.write_batch(
+                spark.createDataFrame([("x",)], "appid string").coalesce(1)
+            )
+            assert any(r["path"] == "/_bulk" for r in srv.requests)
+
+    def test_per_item_429_rebulks_only_that_doc(self, spark):
+        with FakeElasticsearchHTTP(item_scripts=[[429, 200]]) as srv:
+            sink = ElasticsearchSink(
+                {"hosts": [srv.url], "index": "t", "id": "%{doc}", "retry": 3}
+            )
+            df = spark.createDataFrame([("d1",), ("d2",)], "doc string")
+            sink.write_batch(df.coalesce(1))
+        bulks = [r for r in srv.requests if r["path"] == "/_bulk"]
+        assert len(bulks) == 2
+        # second bulk carries ONLY the 429'd action+source pair
+        assert bulks[1]["body"] == (
+            b'{"index":{"_index":"t","_id":"d1"}}\n{"doc":"d1"}\n'
+        )
+
+    def test_transport_level_failure_fails_over(self, spark):
+        with FakeElasticsearchHTTP(bulk_status=503) as bad, \
+             FakeElasticsearchHTTP() as good:
+            sink = ElasticsearchSink(
+                {"hosts": [bad.url, good.url], "index": "t", "retry": 4,
+                 "no_host_wait": 0.01}
+            )
+            sink.write_batch(
+                spark.createDataFrame([("d1",)], "doc string").coalesce(1)
+            )
+            assert any(r["path"] == "/_bulk" for r in good.requests)

@@ -39,7 +39,8 @@ COPIES = 100
 _ALPHA = string.ascii_lowercase + string.ascii_uppercase
 STORED_OP_NAMES = ("ann_q8_stored_scan[int8,k5]", "ann_rp_stored_scan[16d,k5]")
 MEDIA_OP_NAMES = ("media_screenvideo_decode", "media_adpcm_decode",
-                  "media_qoi_decode", "image_dhash_neardup")
+                  "media_qoi_decode", "image_dhash_neardup",
+                  "media_mp3_decode")
 TPCH_SWEEP = ("tpch_q9", "tpch_q11", "tpch_q12", "tpch_q21")
 
 
@@ -276,6 +277,9 @@ def ops(spark):
         # one aggregate pass to an 8-byte fingerprint per doc
         "charset_entropy": lambda d, e: _charset(d),
         "bbit_fingerprint[31x2,xx]": lambda d, e: _bbit(d),
+        # r8: full-PSL registrable domain — InSet membership inside
+        # whole-stage codegen, zero shuffle (the per-domain-cap scan)
+        "psl_registrable[inset]": lambda d, e: _psl_scan(d),
     }
 
 
@@ -312,6 +316,31 @@ def _bbit(d):
     )
 
 
+def _psl_scan(d):
+    # hosts synthesized scan-side from doc fields across the PSL branch
+    # families (normal / cc-SLD / private / wildcard / bare suffix), then
+    # the full algorithm as InSet predicates — no UDF, no shuffle
+    from gohangout_spark.functions.psl import (
+        public_suffix_labels,
+        registrable_domain,
+    )
+
+    i = F.col("doc_id")
+    host = (
+        F.when(i % 5 == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".example.com")))
+        .when(i % 5 == 1, F.concat(F.col("source"), F.lit(".blog.co.uk")))
+        .when(i % 5 == 2, F.concat(F.col("source"), F.lit(".github.io")))
+        .when(i % 5 == 3, F.concat(F.lit("a."), F.col("source"), F.lit(".ck")))
+        .otherwise(F.lit("co.uk"))
+    )
+    withhost = d.select("doc_id", "source").withColumn("host", host)
+    return withhost.select(
+        "doc_id",
+        public_suffix_labels(F.col("host")).alias("ps"),
+        registrable_domain(F.col("host")).alias("rd"),
+    )
+
+
 def _ams(ev):
     from gohangout_spark.functions.sketch import ams_f2_estimate, ams_f2_table
 
@@ -325,6 +354,40 @@ def _kmv(ev):
     ev = ev.where(F.col("user_id").isNotNull())
     sk = kmv_table(ev, "user_id", ["event_type"], k=64)
     return kmv_estimate(sk, ["event_type"], k=64)
+
+
+def build_derived_media_mp3(spark, out_dir: str) -> None:
+    """MPEG-1 Layer I media tables: the gate's 32 fixture clips at 1x and
+    100x (each clip one constant subband over 12-36 granules), encoded in
+    parallel like the other media derivations."""
+    if os.path.exists(os.path.join(out_dir, "_DONE_MEDIA_MP3")):
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    import numpy as np
+    import pandas as pd
+
+    def gen_mp3(batches):
+        from gohangout_spark.functions.mp3 import Mp3LayerICodec
+
+        codec = Mp3LayerICodec(sample_rate=32000, nb=10)
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                a = ((i % 20) - 10) / 16.0
+                sb = np.zeros((12 * (1 + i % 3), 32))
+                sb[:, i % 32] = a
+                rows.append((i, codec.encode_subbands(sb)))
+            yield pd.DataFrame(rows, columns=["media_id", "content"])
+
+    schema = "media_id long, content binary"
+    for size, n in (("small", 32), ("big", 3200)):
+        spark.range(n).repartition(32 if size == "big" else 4).mapInPandas(
+            gen_mp3, schema
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"media_mp3_{size}.parquet")
+        )
+    open(os.path.join(out_dir, "_DONE_MEDIA_MP3"), "w").close()
 
 
 def build_derived_dhash(spark, out_dir: str) -> None:
@@ -691,6 +754,17 @@ def main():
             lambda: dhash_neardup_pairs(
                 dhash_table(dh_media["big"], codec=PpmCodec())
             ),
+        )
+        build_derived_media_mp3(spark, out_dir)
+        from gohangout_spark.functions.multimodal import extract_mp3_features
+
+        mp3_media = {
+            t: spark.read.parquet(os.path.join(out_dir, f"media_mp3_{t}.parquet"))
+            for t in ("small", "big")
+        }
+        media_ops[MEDIA_OP_NAMES[4]] = (
+            lambda: extract_mp3_features(mp3_media["small"]),
+            lambda: extract_mp3_features(mp3_media["big"]),
         )
         for name, (run_small, run_big) in media_ops.items():
             if only and name not in only:
