@@ -520,6 +520,117 @@ def dedup_keep_cluster_representative(
     )
 
 
+def with_cluster_labels(
+    df: DataFrame, pairs: DataFrame, id_col: str, max_iter: int = 10
+) -> DataFrame:
+    """Attach a ``cluster_id`` column: the connected-component label from
+    the near-dup pair graph for clustered docs, the doc's own id for
+    singletons (every doc belongs to exactly one cluster).
+
+    Scale shape: the label frame covers ONLY pair-graph nodes (the
+    duplicates — typically a few percent of a crawl corpus), so the
+    attach is one equi-join of the corpus against a small frame; AQE
+    broadcasts it when it fits. Singletons never shuffle for labeling —
+    their cluster_id is computed scan-side by the coalesce."""
+    labels = cluster_duplicates(pairs, max_iter).select(
+        F.col("doc_id").alias("__node"), F.col("cluster_id").alias("__cl")
+    )
+    return (
+        df.join(labels, df[id_col] == F.col("__node"), "left")
+        .withColumn("cluster_id", F.coalesce(F.col("__cl"), F.col(id_col)))
+        .drop("__node", "__cl")
+    )
+
+
+def cluster_aware_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    seed: int = 42,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: the near-dup CLUSTER is the
+    split unit, so no two near-duplicates ever straddle a holdout
+    boundary (doc-level random splits leak eval answers into training
+    whenever the corpus has near-dups — which at crawl scale it always
+    does). Adds ``cluster_id`` and ``split`` columns.
+
+    Every cluster draws one deterministic uniform from the md5
+    nibble-fraction of (cluster_id, seed) — the same cross-engine-
+    replayable draw as sampling._uniform01, so oracles can verify the
+    assignment — and lands in the first split whose cumulative fraction
+    exceeds it. Members inherit the cluster's draw by construction.
+
+    Scale shape: one small-frame equi-join to attach labels
+    (with_cluster_labels), then a pure scan-side projection (md5 +
+    when-chain in whole-stage codegen) — no extra shuffle, no UDF, and
+    the assignment is independent of partition layout or cluster size.
+    """
+    from .sampling import _uniform01
+
+    fracs = [f for _, f in splits]
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {sum(fracs)}")
+    labeled = with_cluster_labels(df, pairs, id_col, max_iter).withColumn(
+        "__ckey", F.col("cluster_id").cast("long")
+    )
+    u = _uniform01("__ckey", seed)
+    # when-chain in declaration order: first split whose cumulative upper
+    # bound exceeds u wins; the last split is the otherwise-arm
+    cum = 0.0
+    chain = None
+    for name, frac in splits[:-1]:
+        cum += frac
+        cond = u < F.lit(cum)
+        chain = F.when(cond, F.lit(name)) if chain is None else chain.when(cond, F.lit(name))
+    expr = F.lit(splits[-1][0]) if chain is None else chain.otherwise(F.lit(splits[-1][0]))
+    return labeled.withColumn("split", expr).drop("__ckey")
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Quality-aware near-dup resolution: keep the HIGHEST-``score_col``
+    doc of each duplicate cluster (ties break to the smallest id) instead
+    of the arbitrary minimum-id member — in a training corpus the cluster
+    representative should be the best-quality copy, not the first-crawled
+    one. Returns the surviving rows with their ``cluster_id``.
+
+    Scale shape: the corpus splits on membership in the (small) label
+    frame — non-members pass through with NO window and their own id as
+    cluster_id; only the clustered minority (the label frame bounds it)
+    pays the per-cluster window shuffle. Both branches are one scan each
+    and union by name, so the whole corpus is never shuffled on
+    cluster_id."""
+    labels = cluster_duplicates(pairs, max_iter).select(
+        F.col("doc_id").alias("__node"), F.col("cluster_id").alias("__cl")
+    )
+    from pyspark.sql.window import Window
+
+    clustered = (
+        df.join(labels, df[id_col] == F.col("__node"), "inner")
+        .withColumn("cluster_id", F.col("__cl"))
+        .drop("__node", "__cl")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    winners = (
+        clustered.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    singletons = df.join(
+        labels, df[id_col] == F.col("__node"), "left_anti"
+    ).withColumn("cluster_id", F.col(id_col))
+    return winners.unionByName(singletons)
+
+
 # -------------------------------------------------- content-defined chunks
 
 def chunk_dedup_stats(

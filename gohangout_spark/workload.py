@@ -2754,9 +2754,12 @@ def quality_filter_pipeline(spark, sf_dir):
 # connected-components result with a recursive CTE); the same
 # cluster_duplicates runs over minhash_lsh_candidates pairs in production
 # (dedup_minhash_lsh covers that pair source rows-only).
-@q(
-    "dedup_clusters",
-    f"""WITH RECURSIVE t AS (
+#
+# The pair CTEs + recursive reach + per-node min label are shared by the
+# three cluster-resolution gates (dedup_clusters, cluster_aware_split,
+# dedup_best_per_cluster) so the oracles stay in lockstep with the one
+# engine-side pair builder below.
+_CC_LABELS_CTE = f"""WITH RECURSIVE t AS (
          SELECT doc_id, list_distinct({_TOK_SQL}) AS toks FROM documents),
        pairs AS (
          SELECT id_a, id_b FROM (
@@ -2772,21 +2775,22 @@ def quality_filter_pipeline(spark, sf_dir):
        reach(node, r) AS (
          SELECT src, src FROM edges
          UNION
-         SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst)
-       SELECT CAST(node AS BIGINT) AS doc_id,
-              CAST(min(r) AS BIGINT) AS cluster_id
-       FROM reach GROUP BY node""",
-)
-def dedup_clusters(spark, sf_dir):
-    from gohangout_spark.functions.dedup import cluster_duplicates
+         SELECT e.src, reach.r FROM edges e JOIN reach ON reach.node = e.dst),
+       labels AS (
+         SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)"""
+
+
+def _adjacent_jaccard_pairs(docs):
+    """Engine-side twin of the oracle's `pairs` CTE: adjacent-id
+    token-jaccard >= 0.5 (SQL-expressible so recursive CTEs can verify
+    everything built on top)."""
     from gohangout_spark.functions.text import tokens
 
-    docs = _docs(spark, sf_dir)
     t = docs.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("toks"))
     a, b = t.alias("a"), t.alias("b")
     inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double")
     union = (F.size(F.col("a.toks")) + F.size(F.col("b.toks"))).cast("double") - inter
-    pairs = (
+    return (
         a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
         .select(
             F.col("a.doc_id").alias("id_a"),
@@ -2795,9 +2799,104 @@ def dedup_clusters(spark, sf_dir):
         )
         .where(F.col("j") >= 0.5)
     )
+
+
+@q(
+    "dedup_clusters",
+    f"""{_CC_LABELS_CTE}
+       SELECT CAST(node AS BIGINT) AS doc_id,
+              CAST(cluster_id AS BIGINT) AS cluster_id
+       FROM labels""",
+)
+def dedup_clusters(spark, sf_dir):
+    from gohangout_spark.functions.dedup import cluster_duplicates
+
+    docs = _docs(spark, sf_dir)
+    pairs = _adjacent_jaccard_pairs(docs)
     return cluster_duplicates(pairs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
+_U01_SQL = (
+    "list_sum(list_transform(generate_series(1, 15), "
+    "i -> (strpos('0123456789abcdef', "
+    "substring(md5(cluster_id::VARCHAR || '-42'), i, 1)) - 1) "
+    "* power(16.0, -i)))"
+)
+
+
+@q(
+    "cluster_aware_split",
+    f"""{_CC_LABELS_CTE},
+       d AS (
+         SELECT doc_id, coalesce(l.cluster_id, doc_id) AS cluster_id
+         FROM documents LEFT JOIN labels l ON l.node = doc_id),
+       u AS (SELECT doc_id, cluster_id, {_U01_SQL} AS u FROM d)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(cluster_id AS BIGINT) AS cluster_id,
+              CASE WHEN u < 0.8 THEN 'train'
+                   WHEN u < 0.9 THEN 'val'
+                   ELSE 'test' END AS split
+       FROM u""",
+)
+def cluster_aware_split_q(spark, sf_dir):
+    """Leakage-free holdout assignment: near-dup clusters (connected
+    components of the pair graph) are the split unit, every member
+    inherits its cluster's deterministic md5-nibble draw — the oracle
+    replays components (recursive CTE), the coalesce to singleton
+    clusters, and the identical nibble-fraction uniform."""
+    from gohangout_spark.functions.dedup import cluster_aware_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = _adjacent_jaccard_pairs(docs)
+    return cluster_aware_split(
+        docs.select("doc_id"), pairs, id_col="doc_id", seed=42
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "split",
+    )
+
+
+@q(
+    "dedup_best_per_cluster",
+    f"""{_CC_LABELS_CTE},
+       d AS (
+         SELECT doc_id, coalesce(l.cluster_id, doc_id) AS cluster_id,
+                length(text)::BIGINT AS score
+         FROM documents LEFT JOIN labels l ON l.node = doc_id),
+       r AS (
+         SELECT doc_id, cluster_id, score,
+                row_number() OVER (
+                  PARTITION BY cluster_id
+                  ORDER BY score DESC, doc_id) AS rk
+         FROM d)
+       SELECT CAST(doc_id AS BIGINT) AS doc_id,
+              CAST(cluster_id AS BIGINT) AS cluster_id,
+              score
+       FROM r WHERE rk = 1""",
+)
+def dedup_best_per_cluster(spark, sf_dir):
+    """Quality-aware cluster resolution: keep the longest (score =
+    char length) doc per near-dup cluster, ties to the smallest id —
+    the 'keep the best copy, not the first copy' production policy.
+    Singletons pass through without touching the per-cluster window
+    (keep_best_per_cluster splits the corpus on label membership)."""
+    from gohangout_spark.functions.dedup import keep_best_per_cluster
+
+    docs = _docs(spark, sf_dir)
+    pairs = _adjacent_jaccard_pairs(docs)
+    scored = docs.select(
+        "doc_id", F.length("text").cast("long").alias("score")
+    )
+    return keep_best_per_cluster(
+        scored, pairs, id_col="doc_id", score_col="score"
+    ).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        "score",
     )
 
 

@@ -1450,6 +1450,64 @@ class TestClusterDuplicates:
         )
         assert kept == [1, 4, 5]  # representatives + untouched doc 4
 
+    def test_cluster_aware_split_no_leakage(self, spark):
+        from gohangout_spark.functions.dedup import cluster_aware_split
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+        )
+        docs = spark.createDataFrame(
+            [(i,) for i in range(1, 9)], "doc_id long"
+        )
+        rows = cluster_aware_split(docs, pairs, id_col="doc_id").collect()
+        assert len(rows) == 8
+        by_id = {r["doc_id"]: r for r in rows}
+        # every near-dup pair lands in the SAME split (the whole point)
+        for a, b in [(1, 2), (2, 3), (5, 6)]:
+            assert by_id[a]["split"] == by_id[b]["split"]
+            assert by_id[a]["cluster_id"] == by_id[b]["cluster_id"]
+        # singletons are their own cluster
+        for i in (4, 7, 8):
+            assert by_id[i]["cluster_id"] == i
+        # deterministic across invocations
+        again = {r["doc_id"]: r["split"]
+                 for r in cluster_aware_split(docs, pairs, id_col="doc_id").collect()}
+        assert again == {i: r["split"] for i, r in by_id.items()}
+        # custom fractions must sum to 1
+        with pytest.raises(ValueError, match="sum to 1"):
+            cluster_aware_split(docs, pairs, splits=(("a", 0.5), ("b", 0.4)))
+
+    def test_cluster_aware_split_fractions_roughly_hold(self, spark):
+        from gohangout_spark.functions.dedup import cluster_aware_split
+
+        # 400 singleton docs: the 80/10/10 draw should be loosely
+        # respected (deterministic, so the assertion can be tight-ish)
+        docs = spark.range(400).withColumnRenamed("id", "doc_id")
+        pairs = spark.createDataFrame([], "id_a long, id_b long")
+        counts = {
+            r["split"]: r["n"]
+            for r in cluster_aware_split(docs, pairs, id_col="doc_id")
+            .groupBy("split").agg(F.count("*").alias("n")).collect()
+        }
+        assert sum(counts.values()) == 400
+        assert counts["train"] > 280 and counts["val"] < 80 and counts["test"] < 80
+
+    def test_keep_best_per_cluster_picks_max_score(self, spark):
+        from gohangout_spark.functions.dedup import keep_best_per_cluster
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+        )
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 20), (4, 99), (5, 7), (6, 7)],
+            "doc_id long, score long",
+        )
+        rows = keep_best_per_cluster(docs, pairs, id_col="doc_id").collect()
+        got = {r["doc_id"]: r["cluster_id"] for r in rows}
+        # cluster {1,2,3}: doc 2 wins on score; cluster {5,6}: tie -> min id;
+        # singleton 4 passes through as its own cluster
+        assert got == {2: 1, 4: 4, 5: 5}
+
     def test_audio_features(self, spark):
         media = multimodal.make_fake_media_table(spark, n=6)
         rows = multimodal.extract_audio_features(media).collect()
