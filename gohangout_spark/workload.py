@@ -3845,13 +3845,17 @@ def dedup_incremental(spark, sf_dir):
     ).filter(F.col("est_jaccard") >= 0.2)
 
 
-def _write_epoch_files(df, id_col: str, base: str, in_dir: str, n: int = 4):
+def _write_epoch_files(
+    df, id_col: str, base: str, in_dir: str, n: int = 4, assign: str = "range"
+):
     """Shared scaffold of the stream-replay gates (dedup / countmin /
-    logbucket): split ``df`` into ``n`` contiguous-``id_col``-range
-    single-file parquet batches under ``in_dir``, mtime-ordered so a
-    maxFilesPerTrigger=1 file source delivers them as ``n`` foreachBatch
-    epochs in ingest order. The driver pulls only the scalar id bounds,
-    never rows."""
+    logbucket / watermark): split ``df`` into ``n`` single-file parquet
+    batches under ``in_dir``, mtime-ordered so a maxFilesPerTrigger=1
+    file source delivers them as ``n`` foreachBatch epochs in ingest
+    order. ``assign="range"`` cuts contiguous ``id_col`` ranges (batches
+    arrive roughly in id order); ``assign="mod"`` assigns ``id % n``
+    (every batch spans the full id/time range — the late-data scenario).
+    The driver pulls only the scalar id bounds, never rows."""
     import glob
     import os
     import shutil
@@ -3860,9 +3864,14 @@ def _write_epoch_files(df, id_col: str, base: str, in_dir: str, n: int = 4):
     cuts = [lo + (hi - lo + 1) * k // n for k in range(n + 1)]
     for k in range(n):
         tmp = f"{base}/tmp_{k}"
-        df.filter(
-            (F.col(id_col) >= cuts[k]) & (F.col(id_col) < cuts[k + 1])
-        ).coalesce(1).write.parquet(tmp)
+        batch = (
+            df.filter(F.pmod(F.col(id_col), F.lit(n)) == k)
+            if assign == "mod"
+            else df.filter(
+                (F.col(id_col) >= cuts[k]) & (F.col(id_col) < cuts[k + 1])
+            )
+        )
+        batch.coalesce(1).write.parquet(tmp)
         (part,) = glob.glob(f"{tmp}/part-*.parquet")
         shutil.move(part, f"{in_dir}/batch_{k}.parquet")
         os.utime(f"{in_dir}/batch_{k}.parquet", (1_000_000 + k, 1_000_000 + k))
@@ -6557,6 +6566,111 @@ def logbucket_stream_replay(spark, sf_dir):
         )
         # detach from the temp parquet before it is removed (small result)
         return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# Append-mode watermark semantics, pinned end-to-end. Empirical model
+# (test_append_mode_late_filter_lags_eviction_by_one_batch): with
+# W_b = watermark computed from batches < b, Spark 4 microbatch FILTERS
+# batch b's input with W_{b-1} (one-batch lag, window-END rule) and
+# EVICTS+EMITS with W_b; W monotonic => no window ever re-emits, so the
+# final append output is exactly the groupBy of the rows surviving the
+# lagged filter. The oracle below replays that model in SQL: running-max
+# batch watermarks, filter joined at b-2 (W_{b-1} is computed from
+# batches <= b-2), flush-closed emission.
+_WM_DELAY_H = 4
+
+@q(
+    "watermark_late_drop_replay",
+    f"""WITH e AS (
+         SELECT event_id, ts, event_type, event_id % 4 AS b,
+                (floor(epoch(ts))::BIGINT // 3600) * 3600 AS ws
+         FROM events),
+       bmax AS (SELECT b, max(ts) AS mx FROM e GROUP BY b),
+       wm AS (
+         SELECT b, max(mx) OVER (ORDER BY b)
+                  - INTERVAL {_WM_DELAY_H} HOUR AS w_next
+         FROM bmax),
+       kept AS (
+         SELECT e.ws, e.event_type FROM e
+         LEFT JOIN wm ON wm.b = e.b - 2
+         WHERE wm.w_next IS NULL
+            OR make_timestamp((e.ws + 3600) * 1000000) > wm.w_next)
+       SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S')
+                AS window_start,
+              event_type, n
+       FROM (SELECT ws, event_type, count(*) AS n
+             FROM kept GROUP BY ws, event_type)""",
+)
+def watermark_late_drop_replay(spark, sf_dir):
+    """HASH gate for append-mode event-time windowing with LATE DATA — the
+    watermark path every production streaming agg rides (metrics.py wires
+    the same withWatermark for LinkMetric separate mode), previously
+    pytest-only. Events are replayed as a real file stream in four
+    id-mod-4 batches (each spans the full time range, so later batches
+    carry genuinely late rows), aggregated into 1-hour tumbling windows
+    under a {_WM_DELAY_H}-hour watermark in append mode, and flushed
+    closed by a far-future marker row. The memory-sink emission set must
+    hash-match the SQL replay of the empirically pinned microbatch model
+    (lagged filter / current-batch eviction) — any drift in Spark's late
+    semantics, the file-order epoch protocol, or the flush discipline
+    surfaces as missing/extra windows or counts."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from gohangout_spark.io import ensure_event_time
+
+    ev = ensure_event_time(_events(spark, sf_dir), "ts").select(
+        "event_id", "ts", "event_type"
+    )
+    base = tempfile.mkdtemp(prefix="wm_late_gate_")
+    in_dir = f"{base}/in"
+    os.makedirs(in_dir)
+    try:
+        _write_epoch_files(ev, "event_id", base, in_dir, assign="mod")
+        # flush batch: one far-future marker closes every real window (its
+        # own window stays > the final watermark, so it never emits)
+        flush_ts = ev.agg(
+            (F.max("ts") + F.expr("INTERVAL 90 DAYS")).alias("t")
+        ).first()["t"]
+        flush = spark.createDataFrame(
+            [(10**12, flush_ts, "zz_flush")], "event_id long, ts timestamp, event_type string"
+        )
+        flush.coalesce(1).write.parquet(f"{base}/tmp_flush")
+        import glob
+
+        (part,) = glob.glob(f"{base}/tmp_flush/part-*.parquet")
+        shutil.move(part, f"{in_dir}/batch_4.parquet")
+        os.utime(f"{in_dir}/batch_4.parquet", (1_000_004, 1_000_004))
+
+        stream = (
+            spark.readStream.schema("event_id bigint, ts timestamp, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        agg = (
+            stream.withWatermark("ts", f"{_WM_DELAY_H} hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+                "event_type",
+                "n",
+            )
+        )
+        name = f"wm_late_{uuid.uuid4().hex[:8]}"
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        _drain_stream(query)
+        # detach from the memory sink (small result: windows x event types)
+        return spark.table(name).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
 

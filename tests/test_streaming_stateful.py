@@ -305,6 +305,74 @@ outputs:
     assert firsts == [20], emitted
 
 
+def test_append_mode_late_filter_lags_eviction_by_one_batch(spark, tmp_path):
+    """Pin the EXACT late-data rule for append-mode windowed aggs — the
+    semantics the watermark_late_drop_replay gate's oracle encodes.
+    Empirically (Spark 4 microbatch), with W_b = watermark computed from
+    batches < b (what StreamingQueryProgress displays for batch b):
+
+      * batch b FILTERS input with the PREVIOUS batch's value: a row is
+        dropped iff its window end <= W_{b-1} (one-batch lag), and the
+        rule is on WINDOW END, not row ts — a row behind the watermark
+        still counts while its window is open;
+      * batch b EVICTS+EMITS with W_b (windows with end <= W_b).
+
+    Monotonicity of W makes re-emission impossible: a late row passing
+    the filter can never target an already-evicted window. 60s windows,
+    10s delay:
+
+      batch0: ts=1000s                    -> W_1 = 990
+      batch1: ts=50s   (end 60 <= W_0=-inf? no -> KEPT: filter lags;
+                        evicted+emitted THIS batch by W_1=990)
+              ts=965s  (row ts < 990 but end 1020 > W_0: KEPT)
+              ts=2000s                    -> W_2 = 1990
+      batch2: ts=55s   (end 60 <= W_1=990: DROPPED — filter caught up)
+              ts=1985s (row ts < W_2 but end 2040 > W_1: KEPT)
+              ts=3000s                    -> W_3 = 2990
+      batch3: ts=10000s flush; the trailing zero-input batch evicts the
+              rest with W = 9990.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "wm_src")
+    for offs in ([1000], [50, 965, 2000], [55, 1985, 3000], [10000]):
+        rows = [Row(k="x", ts=BASE + datetime.timedelta(seconds=o)) for o in offs]
+        spark.createDataFrame(rows).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(0.05)  # distinct mtimes -> deterministic file order
+
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "60 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("long").alias("start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_drop_rule")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted = sorted(
+            (r["start"] - int(BASE.timestamp()), r["n"])
+            for r in spark.sql("SELECT * FROM wm_drop_rule").collect()
+        )
+    finally:
+        q.stop()
+    # [0,60): batch1's ts=50 got through (lagged filter), batch2's ts=55
+    # did not — exactly one emission, count 1. [960,1020): 1000+965.
+    # [1980,2040): 2000+1985 (late-but-open kept under the end rule).
+    assert emitted == [(0, 1), (960, 2), (1980, 2), (3000, 1)], emitted
+
+
 def test_streaming_session_window_matches_batch(spark, tmp_path):
     """Gap-based sessions in STREAMING: F.session_window merges events into
     sessions across micro-batches; a session finalizes (append mode) when
