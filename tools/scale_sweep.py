@@ -280,6 +280,10 @@ def ops(spark):
         # r8: full-PSL registrable domain — InSet membership inside
         # whole-stage codegen, zero shuffle (the per-domain-cap scan)
         "psl_registrable[inset]": lambda d, e: _psl_scan(d),
+        # r8: connected components -> leakage-free split over the
+        # adjacent-jaccard pair graph; pointer-jump iterations + one
+        # small-frame label join + scan-side split draw
+        "cluster_split[cc]": lambda d, e: _cluster_split(d),
     }
 
 
@@ -339,6 +343,14 @@ def _psl_scan(d):
         public_suffix_labels(F.col("host")).alias("ps"),
         registrable_domain(F.col("host")).alias("rd"),
     )
+
+
+def _cluster_split(d):
+    from gohangout_spark.functions.dedup import cluster_aware_split
+    from gohangout_spark.workload import _adjacent_jaccard_pairs
+
+    pairs = _adjacent_jaccard_pairs(d)
+    return cluster_aware_split(d.select("doc_id"), pairs, id_col="doc_id")
 
 
 def _ams(ev):
