@@ -6675,6 +6675,89 @@ def watermark_late_drop_replay(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+@q(
+    "stream_stream_join_replay",
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+       FROM events p JOIN events c
+         ON c.user_id = p.user_id
+        AND p.event_type = 'purchase' AND c.event_type = 'click'
+        AND c.ts >= p.ts - INTERVAL 6 HOUR AND c.ts <= p.ts""",
+)
+def stream_stream_join_replay(spark, sf_dir):
+    """HASH gate for the watermarked STREAM-STREAM interval join — both
+    sides unbounded, state wiring + interval condition + append emission
+    end-to-end (pytest-only until r8). Purchases and clicks are replayed
+    as two independent file streams (two mod-id epochs each, so pairs
+    routinely straddle micro-batches and must meet through buffered
+    state), joined per user within the preceding six hours.
+
+    Operating point — the recall-1 twin precedent: the watermark delay
+    (90 days) exceeds the corpus's whole time span, so state eviction
+    can remove nothing and the streamed inner-join emission set must
+    EQUAL the batch interval join the oracle runs; any state-buffering
+    loss, double emission, or condition drift hash-mismatches.
+    Production uses tight delays where eviction bounds state — that
+    trade is the documented semantics
+    (test_stream_stream_interval_join covers the condition-window
+    behavior row by row)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from gohangout_spark.io import ensure_event_time
+
+    ev = ensure_event_time(_events(spark, sf_dir), "ts")
+    base = tempfile.mkdtemp(prefix="ss_join_gate_")
+    dirs = {}
+    try:
+        for kind in ("purchase", "click"):
+            d = f"{base}/in_{kind}"
+            os.makedirs(d)
+            _write_epoch_files(
+                ev.where(F.col("event_type") == kind).select("event_id", "user_id", "ts"),
+                "event_id", f"{base}/tmp_{kind}", d, n=2, assign="mod",
+            )
+            dirs[kind] = d
+        schema = "event_id bigint, user_id bigint, ts timestamp"
+        purch = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(dirs["purchase"])
+            .withWatermark("ts", "90 days")
+        )
+        clicks = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(dirs["click"])
+            .withColumnRenamed("ts", "cts")
+            .withColumnRenamed("event_id", "click_id")
+            .withColumnRenamed("user_id", "cuser")
+            .withWatermark("cts", "90 days")
+        )
+        joined = purch.join(
+            clicks,
+            (purch["user_id"] == clicks["cuser"])
+            & (clicks["cts"] >= purch["ts"] - F.expr("INTERVAL 6 HOURS"))
+            & (clicks["cts"] <= purch["ts"]),
+        ).select(
+            F.col("event_id").alias("purchase_id"),
+            "click_id",
+        )
+        name = f"ss_join_{uuid.uuid4().hex[:8]}"
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        _drain_stream(query)
+        # detach from the memory sink (pairs only: two long columns)
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # Shared oracle fragments (the _KMV_ORACLE pattern, applied to the two
 # blocks that would otherwise live in two oracles each): the per-document
 # character-entropy walk (charset_entropy_profile + curation_funnel_v2)
