@@ -6758,6 +6758,96 @@ def stream_stream_join_replay(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+@q(
+    "session_window_stream_replay",
+    """WITH s AS (
+         SELECT user_id, ts,
+           sum(CASE WHEN prev_ts IS NULL
+                      OR epoch(ts) - epoch(prev_ts) > 1800
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sidx
+         FROM (SELECT user_id, ts,
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        AS prev_ts
+               FROM events))
+       SELECT user_id,
+              strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+              count(*) AS n
+       FROM s GROUP BY user_id, sidx""",
+)
+def session_window_stream_replay(spark, sf_dir):
+    """HASH gate for STREAMING gap-based session windows — the state
+    machine that MERGES growing/adjacent sessions across micro-batches
+    (F.session_window + watermark), previously pytest-only. Events
+    arrive as four mod-id epochs, so a user's timeline is delivered OUT
+    OF ORDER across batches and Spark's session state must merge
+    partial sessions into exactly the islands a batch pass would
+    produce. Run at the no-late-drop operating point (delay 40 days >
+    the 30-day corpus span, so the lagged filter never removes a row)
+    and flush-closed by a far-future marker (its own session stays open
+    and never emits). The append emission set — one row per (user,
+    session) with the session's exact first-event start and size — must
+    hash-equal the batch islands replay (the same lag + running-sum
+    technique sessionize_events uses)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from gohangout_spark.io import ensure_event_time
+
+    ev = ensure_event_time(_events(spark, sf_dir), "ts").select(
+        "event_id", "user_id", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="sess_stream_gate_")
+    in_dir = f"{base}/in"
+    os.makedirs(in_dir)
+    try:
+        _write_epoch_files(ev, "event_id", base, in_dir, assign="mod")
+        flush_ts = ev.agg(
+            (F.max("ts") + F.expr("INTERVAL 90 DAYS")).alias("t")
+        ).first()["t"]
+        spark.createDataFrame(
+            [(10**12, 10**9, flush_ts)], "event_id long, user_id long, ts timestamp"
+        ).coalesce(1).write.parquet(f"{base}/tmp_flush")
+        import glob
+
+        (part,) = glob.glob(f"{base}/tmp_flush/part-*.parquet")
+        shutil.move(part, f"{in_dir}/batch_4.parquet")
+        os.utime(f"{in_dir}/batch_4.parquet", (1_000_004, 1_000_004))
+
+        stream = (
+            spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        agg = (
+            stream.withWatermark("ts", "40 days")
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "session_start"
+                ),
+                "n",
+            )
+        )
+        name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        _drain_stream(query)
+        # detach from the memory sink (one row per session)
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # Shared oracle fragments (the _KMV_ORACLE pattern, applied to the two
 # blocks that would otherwise live in two oracles each): the per-document
 # character-entropy walk (charset_entropy_profile + curation_funnel_v2)
@@ -8156,7 +8246,19 @@ _GATE_PRIORITY = [
     "weighted_sample_topk",
     "winnow_fingerprints",
     "zscore_anomalies",
-    # --- below slot 50: the r7 window (all green in CORRECTNESS_r07),
+    # --- below slot 50: first the four gates added MID-round-8 after the
+    # window was frozen (cluster split/resolution, the two streaming
+    # semantics replays). The 50-slot window is exactly 3 early-r8 gates
+    # + the 47 stale r3/r4 rows, which must keep their driver slots
+    # (VERDICT r7 #1), so late additions wait here — each carries
+    # two-sf check_oracle hash evidence + FULLREG_r8.json — and lead the
+    # r9 window. ---
+    "cluster_aware_split",
+    "dedup_best_per_cluster",
+    "watermark_late_drop_replay",
+    "stream_stream_join_replay",
+    "session_window_stream_replay",
+    # --- then the r7 window (all green in CORRECTNESS_r07),
     # stalest-first so any window growth picks up r5 rows next ---
     "kmv_distinct_users",
     "kmv_cohort_setops",
