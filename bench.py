@@ -120,6 +120,14 @@ HEADLINE = [
     # gate and the ticker replay stay out per the multimodal/gate
     # precedent.
     "url_registrable_domain",
+    # round 8 late additions stay OUT by existing precedents:
+    # cluster_aware_split / dedup_best_per_cluster run the SQL-expressible
+    # adjacent-jaccard pair source so recursive CTEs can verify them (the
+    # dedup_clusters precedent — production runs the same resolution over
+    # LSH pairs, whose cost dedup_minhash_lsh above already represents;
+    # scale evidence lives in the cluster_split[cc] 100x sweep), and the
+    # three streaming *_replay gates are epoch-protocol fixtures like
+    # every other stream replay.
 ]
 
 
