@@ -567,25 +567,32 @@ def cluster_aware_split(
     when-chain in whole-stage codegen) — no extra shuffle, no UDF, and
     the assignment is independent of partition layout or cluster size.
     """
+    import math
+
     from .sampling import _uniform01
 
     fracs = [f for _, f in splits]
-    if abs(sum(fracs) - 1.0) > 1e-9:
-        raise ValueError(f"split fractions must sum to 1, got {sum(fracs)}")
-    labeled = with_cluster_labels(df, pairs, id_col, max_iter).withColumn(
-        "__ckey", F.col("cluster_id").cast("long")
-    )
-    u = _uniform01("__ckey", seed)
+    if any(f <= 0 for f in fracs):
+        raise ValueError(f"split fractions must be positive, got {fracs}")
+    if abs(math.fsum(fracs) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1, got {math.fsum(fracs)}")
+    # cluster_id keeps id_col's type; _uniform01 stringifies it, so string
+    # ids work and numeric ids hash identically to their SQL ::VARCHAR
+    # rendering (no cast here — a long cast would crash string-id corpora
+    # under ANSI mode)
+    labeled = with_cluster_labels(df, pairs, id_col, max_iter)
+    u = _uniform01("cluster_id", seed)
     # when-chain in declaration order: first split whose cumulative upper
-    # bound exceeds u wins; the last split is the otherwise-arm
-    cum = 0.0
+    # bound exceeds u wins; the last split is the otherwise-arm. fsum
+    # gives the correctly-rounded cumulative (0.8 + 0.1 -> the double
+    # 0.9 exactly), so the engine boundary is byte-identical to an
+    # oracle's plain literal
     chain = None
-    for name, frac in splits[:-1]:
-        cum += frac
-        cond = u < F.lit(cum)
+    for i, (name, _) in enumerate(splits[:-1]):
+        cond = u < F.lit(math.fsum(fracs[: i + 1]))
         chain = F.when(cond, F.lit(name)) if chain is None else chain.when(cond, F.lit(name))
     expr = F.lit(splits[-1][0]) if chain is None else chain.otherwise(F.lit(splits[-1][0]))
-    return labeled.withColumn("split", expr).drop("__ckey")
+    return labeled.withColumn("split", expr)
 
 
 def keep_best_per_cluster(

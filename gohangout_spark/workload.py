@@ -2819,12 +2819,17 @@ def dedup_clusters(spark, sf_dir):
     )
 
 
-_U01_SQL = (
-    "list_sum(list_transform(generate_series(1, 15), "
-    "i -> (strpos('0123456789abcdef', "
-    "substring(md5(cluster_id::VARCHAR || '-42'), i, 1)) - 1) "
-    "* power(16.0, -i)))"
-)
+def _u01_sql(col: str, seed: int = 42) -> str:
+    """The DuckDB replay of sampling._uniform01's md5 nibble-fraction
+    draw — ONE source of truth for every oracle that renders it
+    (cluster_aware_split here, weighted_sample_topk below), so a future
+    tweak to the draw cannot desynchronize one copy."""
+    return (
+        "list_sum(list_transform(generate_series(1, 15), "
+        "i -> (strpos('0123456789abcdef', "
+        f"substring(md5({col}::VARCHAR || '-{seed}'), i, 1)) - 1) "
+        "* power(16.0, -i)))"
+    )
 
 
 @q(
@@ -2833,7 +2838,7 @@ _U01_SQL = (
        d AS (
          SELECT doc_id, coalesce(l.cluster_id, doc_id) AS cluster_id
          FROM documents LEFT JOIN labels l ON l.node = doc_id),
-       u AS (SELECT doc_id, cluster_id, {_U01_SQL} AS u FROM d)
+       u AS (SELECT doc_id, cluster_id, {_u01_sql('cluster_id')} AS u FROM d)
        SELECT CAST(doc_id AS BIGINT) AS doc_id,
               CAST(cluster_id AS BIGINT) AS cluster_id,
               CASE WHEN u < 0.8 THEN 'train'
@@ -3860,8 +3865,10 @@ def _write_epoch_files(
     import os
     import shutil
 
-    lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
-    cuts = [lo + (hi - lo + 1) * k // n for k in range(n + 1)]
+    if assign != "mod":
+        # id bounds (one scan) are only needed for the range cuts
+        lo, hi = df.agg(F.min(id_col), F.max(id_col)).first()
+        cuts = [lo + (hi - lo + 1) * k // n for k in range(n + 1)]
     for k in range(n):
         tmp = f"{base}/tmp_{k}"
         batch = (
@@ -5665,12 +5672,9 @@ def deterministic_shuffle_q(spark, sf_dir):
 
 @q(
     "weighted_sample_topk",
-    """WITH t AS (
+    f"""WITH t AS (
   SELECT doc_id,
-         list_sum(list_transform(generate_series(1, 15),
-           i -> (strpos('0123456789abcdef',
-                        substring(md5(doc_id::VARCHAR || '-42'), i, 1)) - 1)
-                * power(16.0, -i))) AS u,
+         {_u01_sql('doc_id')} AS u,
          length(text)::DOUBLE AS w
   FROM documents)
 SELECT doc_id FROM t WHERE w > 0

@@ -1473,9 +1473,31 @@ class TestClusterDuplicates:
         again = {r["doc_id"]: r["split"]
                  for r in cluster_aware_split(docs, pairs, id_col="doc_id").collect()}
         assert again == {i: r["split"] for i, r in by_id.items()}
-        # custom fractions must sum to 1
+        # custom fractions must sum to 1 and be positive
         with pytest.raises(ValueError, match="sum to 1"):
             cluster_aware_split(docs, pairs, splits=(("a", 0.5), ("b", 0.4)))
+        with pytest.raises(ValueError, match="positive"):
+            cluster_aware_split(docs, pairs, splits=(("a", 1.2), ("b", -0.2)))
+
+    def test_cluster_aware_split_string_ids(self, spark):
+        # non-numeric ids must work (regression: a long cast crashed
+        # ANSI mode / silently collapsed the split with ANSI off)
+        from gohangout_spark.functions.dedup import cluster_aware_split
+
+        docs = spark.createDataFrame(
+            [(f"doc-{i}",) for i in range(6)], "doc_id string"
+        )
+        pairs = spark.createDataFrame(
+            [("doc-0", "doc-1")], "id_a string, id_b string"
+        )
+        rows = {r["doc_id"]: r for r in
+                cluster_aware_split(docs, pairs, id_col="doc_id").collect()}
+        assert len(rows) == 6
+        assert rows["doc-0"]["split"] == rows["doc-1"]["split"]
+        assert rows["doc-0"]["cluster_id"] == rows["doc-1"]["cluster_id"]
+        # different singleton clusters draw independently (not all equal
+        # unless by astronomically unlucky hash agreement of 4 draws)
+        assert len({r["cluster_id"] for r in rows.values()}) == 5
 
     def test_cluster_aware_split_fractions_roughly_hold(self, spark):
         from gohangout_spark.functions.dedup import cluster_aware_split
