@@ -8,15 +8,20 @@ stage a library call from this repo, with the funnel printed at each step:
   1. line-wise boilerplate removal       (curation.remove_boilerplate_lines)
   2. Gopher quality gate                 (curation.gopher_rules)
   3. exact dedup, min-id winner          (dedup.exact_dedup)
-  4. MinHash+LSH near-dedup, keep rep    (dedup.minhash_lsh_candidates
-                                          + dedup_keep_cluster_representative)
+  4. MinHash+LSH near-dedup, keep the
+     BEST-quality copy per cluster       (dedup.minhash_lsh_candidates
+                                          + keep_best_per_cluster)
   5. duplicated-span removal             (dedup.remove_dup_spans)
   6. n-gram decontamination              (curation.decontaminate_ngrams)
   7. LM perplexity gate                  (lm.fit_char_bigram_lm
                                           + perplexity_pandas)
-  8. token-budget mixture per language   (sampling.token_budget_sample)
-  9. sequence packing (FFD)              (packing.pack_documents_bestfit)
- 10. sharded parquet write               (partitionBy pack shard)
+  8. leakage-free train/val/test split   (dedup.cluster_aware_split —
+                                          near-dup clusters are the split
+                                          unit, so no duplicate straddles
+                                          a holdout boundary)
+  9. token-budget mixture per language   (sampling.token_budget_sample)
+ 10. sequence packing (FFD)              (packing.pack_documents_bestfit)
+ 11. sharded parquet write               (partitionBy split, pack shard)
 
 The composed semantics of stages 2+3+6+7 are ORACLE-CHECKED end-to-end as
 workload query `curation_funnel`; this script is the wide, runnable
@@ -36,8 +41,9 @@ from gohangout_spark.functions.curation import (
     remove_boilerplate_lines,
 )
 from gohangout_spark.functions.dedup import (
-    dedup_keep_cluster_representative,
+    cluster_aware_split,
     exact_dedup,
+    keep_best_per_cluster,
     minhash_lsh_candidates,
     remove_dup_spans,
 )
@@ -72,12 +78,16 @@ def main() -> None:
     docs3 = exact_dedup(docs2, "text", "doc_id")
     print(f"after exact dedup:    {docs3.count()}")
 
-    # 4. MinHash near-dedup: candidate pairs above 0.8 Jaccard, keep the
-    #    min-id representative of each duplicate cluster
+    # 4. MinHash near-dedup: candidate pairs above 0.8 Jaccard; keep the
+    #    LONGEST copy of each duplicate cluster (the best-quality member,
+    #    not the first-crawled one)
     pairs = minhash_lsh_candidates(docs3, text_col="text", id_col="doc_id").where(
         F.col("jaccard") >= 0.8
     )
-    docs4 = dedup_keep_cluster_representative(docs3, pairs, id_col="doc_id")
+    docs4 = keep_best_per_cluster(
+        docs3.withColumn("score", F.length("text")),
+        pairs, id_col="doc_id", score_col="score",
+    ).drop("score", "cluster_id")
     print(f"after near-dedup:     {docs4.count()}")
 
     # 5. duplicated-span removal (both copies of any 5-token dup window)
@@ -107,8 +117,18 @@ def main() -> None:
     docs7 = scored.where(F.col("ppl") <= hi).select("doc_id", "lang", "text")
     print(f"after ppl gate:       {docs7.count()}  (cutoff {hi:.3f})")
 
-    # 8. token-budget mixture: BPE-ish token costs, per-language budgets
-    with_tokens = docs7.withColumn("n_bpe", bpe_token_count(F.col("text")))
+    # 8. leakage-free holdout split at the near-dup-cluster level: the
+    #    SAME pair graph that drove dedup decides the split unit, so even
+    #    the near-duplicates that survived thresholding can never put one
+    #    copy in train and its twin in test
+    split = cluster_aware_split(docs7, pairs, id_col="doc_id")
+    print("split sizes:")
+    for r in split.groupBy("split").count().orderBy("split").collect():
+        print(f"    {r['split']}: {r['count']}")
+    docs8 = split.where(F.col("split") == "train").select("doc_id", "lang", "text")
+
+    # 9. token-budget mixture: BPE-ish token costs, per-language budgets
+    with_tokens = docs8.withColumn("n_bpe", bpe_token_count(F.col("text")))
     budgets = {"en": 12_000, "de": 4_000, "fr": 4_000, "es": 4_000, "zh": 2_000}
     budgeted = token_budget_sample(
         with_tokens, budgets, token_col="n_bpe", source_col="lang"
@@ -118,14 +138,14 @@ def main() -> None:
     for r in kept_tokens.orderBy("lang").collect():
         print(f"    {r.lang}: {r.tokens} tokens")
 
-    # 9. sequence packing (FFD into 512-token sequences)
+    # 10. sequence packing (FFD into 512-token sequences)
     packed = pack_documents_bestfit(budgeted, max_tokens=512)
     util = pack_stats(packed, max_tokens=512).agg(
         F.count(F.lit(1)).alias("packs"), F.round(F.avg("utilization"), 4).alias("util")
     ).first()
     print(f"packed:               {util.packs} sequences, mean fill {util.util}")
 
-    # 10. sharded write: reproducible pack-shard layout
+    # 11. sharded write: reproducible pack-shard layout
     out = packed.join(budgeted.select("doc_id", "lang", "text"), "doc_id")
     out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
     print(f"wrote shards to:      {out_dir}")
