@@ -6852,6 +6852,66 @@ def session_window_stream_replay(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+@q(
+    "dedup_filter_stream_replay",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def dedup_filter_stream_replay(spark, sf_dir):
+    """HASH gate for the STREAMING Dedup filter — the YAML-configurable
+    exactly-once identity path (operators/dedup_filter.py riding
+    dropDuplicatesWithinWatermark), previously pytest-only. Events
+    stream in four mod-id epochs, so every (user, event_type) identity
+    key recurs across batches and suppression must hold through state;
+    keep_within exceeds the corpus span, so within-horizon semantics
+    are total exactly-once. The emission set projected to the identity
+    keys must equal SELECT DISTINCT — an extra row means suppression
+    state lost a key, a missing row means an emission was swallowed.
+    Keys only (the survivor's other columns are whichever copy arrived
+    first within its batch — Spark keeps an arbitrary same-batch copy,
+    so non-key columns are not layout-deterministic)."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from gohangout_spark.operators import Dedup, FilterBox
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type", "ts")
+    base = tempfile.mkdtemp(prefix="dedup_filter_gate_")
+    in_dir = f"{base}/in"
+    os.makedirs(in_dir)
+    try:
+        _write_epoch_files(ev, "event_id", base, in_dir, assign="mod")
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, user_id bigint, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        out = FilterBox(
+            Dedup(
+                fields=["user_id", "event_type"],
+                timestamp="ts",
+                keep_within="90 days",
+            ),
+            ts_field="ts",
+        ).apply(stream)
+        name = f"dedup_filter_{uuid.uuid4().hex[:8]}"
+        query = (
+            out.select("user_id", "event_type")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        _drain_stream(query)
+        # detach from the memory sink (one row per identity key)
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # Shared oracle fragments (the _KMV_ORACLE pattern, applied to the two
 # blocks that would otherwise live in two oracles each): the per-document
 # character-entropy walk (charset_entropy_profile + curation_funnel_v2)
@@ -8262,6 +8322,7 @@ _GATE_PRIORITY = [
     "watermark_late_drop_replay",
     "stream_stream_join_replay",
     "session_window_stream_replay",
+    "dedup_filter_stream_replay",
     # --- then the r7 window (all green in CORRECTNESS_r07),
     # stalest-first so any window growth picks up r5 rows next ---
     "kmv_distinct_users",
