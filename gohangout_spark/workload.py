@@ -6912,6 +6912,57 @@ def dedup_filter_stream_replay(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+@q(
+    "stream_static_join_replay",
+    """SELECT e.event_id, e.user_id, c.c_nationkey, c.c_mktsegment
+       FROM events e JOIN customer c ON c.c_custkey = e.user_id""",
+)
+def stream_static_join_replay(spark, sf_dir):
+    """HASH gate for STREAM-STATIC dim enrichment — the most common
+    production streaming join (a fact stream decorated from a broadcast
+    dimension; stateless, re-planned per micro-batch). Events stream in
+    four mod-id epochs and join the static customer table on
+    user_id = c_custkey (every user has a dim row, so the inner join is
+    total); the append emission across batches must equal the batch
+    join — a dropped batch, a partial dim scan, or duplicate emission
+    all hash-mismatch. Completes the streaming-join family next to
+    stream_stream_join_replay's buffered-state leg."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    base = tempfile.mkdtemp(prefix="ss_static_gate_")
+    in_dir = f"{base}/in"
+    os.makedirs(in_dir)
+    try:
+        _write_epoch_files(ev, "event_id", base, in_dir, assign="mod")
+        stream = (
+            spark.readStream.schema("event_id bigint, user_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        joined = stream.join(
+            F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+        ).select("event_id", "user_id", "c_nationkey", "c_mktsegment")
+        name = f"ss_static_{uuid.uuid4().hex[:8]}"
+        query = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        _drain_stream(query)
+        # detach from the memory sink before the temp dir is removed
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # Shared oracle fragments (the _KMV_ORACLE pattern, applied to the two
 # blocks that would otherwise live in two oracles each): the per-document
 # character-entropy walk (charset_entropy_profile + curation_funnel_v2)
@@ -8323,6 +8374,7 @@ _GATE_PRIORITY = [
     "stream_stream_join_replay",
     "session_window_stream_replay",
     "dedup_filter_stream_replay",
+    "stream_static_join_replay",
     # --- then the r7 window (all green in CORRECTNESS_r07),
     # stalest-first so any window growth picks up r5 rows next ---
     "kmv_distinct_users",
