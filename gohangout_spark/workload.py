@@ -6913,6 +6913,80 @@ def dedup_filter_stream_replay(spark, sf_dir):
 
 
 @q(
+    "update_mode_stream_replay",
+    """WITH e AS (
+         SELECT event_type, event_id % 4 AS b,
+                (floor(epoch(ts))::BIGINT // 3600) * 3600 AS ws
+         FROM events),
+       per AS (
+         SELECT ws, event_type, b, count(*) AS cnt
+         FROM e GROUP BY ws, event_type, b)
+       SELECT strftime(make_timestamp(ws * 1000000), '%Y-%m-%d %H:%M:%S')
+                AS window_start,
+              event_type,
+              (sum(cnt) OVER (PARTITION BY ws, event_type ORDER BY b))::BIGINT
+                AS n
+       FROM per""",
+)
+def update_mode_stream_replay(spark, sf_dir):
+    """HASH gate for UPDATE output mode — the third and last output-mode
+    semantics (append is pinned by watermark_late_drop_replay, complete
+    is a memory-table snapshot): each micro-batch re-emits the NEW
+    cumulative value of every group it touched. Events stream in four
+    mod-id epochs with NO watermark (update mode permits unbounded
+    state; the gate documents that trade), so a (window, event_type)
+    group touched in k batches must appear k times in the emission log
+    with strictly increasing counts. The oracle replays the emission
+    log exactly: per-(group, batch) contributions running-summed in
+    batch order — a swallowed update, an emission for an untouched
+    group, or a cumulative total computed from the wrong batch prefix
+    all hash-mismatch."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from gohangout_spark.io import ensure_event_time
+
+    ev = ensure_event_time(_events(spark, sf_dir), "ts").select(
+        "event_id", "event_type", "ts"
+    )
+    base = tempfile.mkdtemp(prefix="update_mode_gate_")
+    in_dir = f"{base}/in"
+    os.makedirs(in_dir)
+    try:
+        _write_epoch_files(ev, "event_id", base, in_dir, assign="mod")
+        stream = (
+            spark.readStream.schema("event_id bigint, event_type string, ts timestamp")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n",
+            )
+        )
+        name = f"update_mode_{uuid.uuid4().hex[:8]}"
+        query = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .start()
+        )
+        _drain_stream(query)
+        # the memory table accumulates every per-batch update row
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@q(
     "stream_static_join_replay",
     """SELECT e.event_id, e.user_id, c.c_nationkey, c.c_mktsegment
        FROM events e JOIN customer c ON c.c_custkey = e.user_id""",
@@ -8375,6 +8449,7 @@ _GATE_PRIORITY = [
     "session_window_stream_replay",
     "dedup_filter_stream_replay",
     "stream_static_join_replay",
+    "update_mode_stream_replay",
     # --- then the r7 window (all green in CORRECTNESS_r07),
     # stalest-first so any window growth picks up r5 rows next ---
     "kmv_distinct_users",
