@@ -15,10 +15,12 @@ stage a library call from this repo, with the funnel printed at each step:
   6. n-gram decontamination              (curation.decontaminate_ngrams)
   7. LM perplexity gate                  (lm.fit_char_bigram_lm
                                           + perplexity_pandas)
-  8. leakage-free train/val/test split   (dedup.cluster_aware_split —
-                                          near-dup clusters are the split
-                                          unit, so no duplicate straddles
-                                          a holdout boundary)
+  8. leakage-free train/val/test split   (dedup.cluster_aware_split over
+                                          a LOWER-threshold cut of the
+                                          same LSH candidates — sub-dedup-
+                                          threshold near-dups are the ones
+                                          still alive to straddle a
+                                          holdout boundary)
   9. token-budget mixture per language   (sampling.token_budget_sample)
  10. sequence packing (FFD)              (packing.pack_documents_bestfit)
  11. sharded parquet write               (partitionBy split, pack shard)
@@ -78,15 +80,18 @@ def main() -> None:
     docs3 = exact_dedup(docs2, "text", "doc_id")
     print(f"after exact dedup:    {docs3.count()}")
 
-    # 4. MinHash near-dedup: candidate pairs above 0.8 Jaccard; keep the
-    #    LONGEST copy of each duplicate cluster (the best-quality member,
-    #    not the first-crawled one)
-    pairs = minhash_lsh_candidates(docs3, text_col="text", id_col="doc_id").where(
-        F.col("jaccard") >= 0.8
+    # 4. MinHash near-dedup: one LSH candidate pass feeds TWO thresholds —
+    #    materialized because both the dedup cut here and the split cut in
+    #    stage 8 (plus their downstream actions) consume it. Dedup at
+    #    jaccard >= 0.8: keep the LONGEST copy of each duplicate cluster
+    #    (the best-quality member, not the first-crawled one).
+    cand = minhash_lsh_candidates(
+        docs3, text_col="text", id_col="doc_id", materialize=True
     )
     docs4 = keep_best_per_cluster(
         docs3.withColumn("score", F.length("text")),
-        pairs, id_col="doc_id", score_col="score",
+        cand.where(F.col("jaccard") >= 0.8),
+        id_col="doc_id", score_col="score",
     ).drop("score", "cluster_id")
     print(f"after near-dedup:     {docs4.count()}")
 
@@ -117,11 +122,15 @@ def main() -> None:
     docs7 = scored.where(F.col("ppl") <= hi).select("doc_id", "lang", "text")
     print(f"after ppl gate:       {docs7.count()}  (cutoff {hi:.3f})")
 
-    # 8. leakage-free holdout split at the near-dup-cluster level: the
-    #    SAME pair graph that drove dedup decides the split unit, so even
-    #    the near-duplicates that survived thresholding can never put one
-    #    copy in train and its twin in test
-    split = cluster_aware_split(docs7, pairs, id_col="doc_id")
+    # 8. leakage-free holdout split at the near-dup-cluster level — at a
+    #    LOWER threshold than dedup (0.5 vs 0.8): the >= 0.8 clusters were
+    #    already collapsed to one survivor in stage 4, so the pairs that
+    #    still matter here are precisely the 0.5-0.8 near-duplicates that
+    #    survived dedup; clustering those keeps one from landing in train
+    #    while its twin lands in test
+    split = cluster_aware_split(
+        docs7, cand.where(F.col("jaccard") >= 0.5), id_col="doc_id"
+    )
     print("split sizes:")
     for r in split.groupBy("split").count().orderBy("split").collect():
         print(f"    {r['split']}: {r['count']}")
