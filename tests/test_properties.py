@@ -560,3 +560,88 @@ class TestRound4Properties:
             .collect()
         ]
         assert got == want
+
+
+class TestClusterSplitProperties:
+    """Randomized pair graphs: cluster_aware_split must keep every edge's
+    endpoints in one split, and keep_best_per_cluster must pick exactly
+    the union-find argmax — both compared to a pure-Python model."""
+
+    @staticmethod
+    def _components(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for v in range(n_nodes):
+            comp.setdefault(find(v), []).append(v)
+        return comp
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n_nodes=st.integers(min_value=2, max_value=12),
+        raw_edges=st.lists(
+            st.tuples(st.integers(0, 11), st.integers(0, 11)),
+            min_size=0, max_size=10,
+        ),
+    )
+    def test_split_respects_components(self, spark, n_nodes, raw_edges):
+        from gohangout_spark.functions.dedup import cluster_aware_split
+
+        edges = [(a % n_nodes, b % n_nodes) for a, b in raw_edges]
+        edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+        docs = spark.createDataFrame([(i,) for i in range(n_nodes)], "doc_id long")
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], "id_a long, id_b long"
+        ).where(F.col("id_a") != F.col("id_b"))
+        out = {r["doc_id"]: r for r in
+               cluster_aware_split(docs, pairs, id_col="doc_id").collect()}
+        assert len(out) == n_nodes
+        assert all(r["split"] in ("train", "val", "test") for r in out.values())
+        for comp in self._components(n_nodes, edges).values():
+            splits = {out[v]["split"] for v in comp}
+            clusters = {out[v]["cluster_id"] for v in comp}
+            assert len(splits) == 1 and clusters == {min(comp)}, (edges, comp)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        n_nodes=st.integers(min_value=2, max_value=12),
+        raw_edges=st.lists(
+            st.tuples(st.integers(0, 11), st.integers(0, 11)),
+            min_size=0, max_size=10,
+        ),
+        scores=st.lists(st.integers(0, 5), min_size=12, max_size=12),
+    )
+    def test_best_per_cluster_matches_python_model(
+        self, spark, n_nodes, raw_edges, scores
+    ):
+        from gohangout_spark.functions.dedup import keep_best_per_cluster
+
+        edges = [(a % n_nodes, b % n_nodes) for a, b in raw_edges]
+        edges = [(min(a, b), max(a, b)) for a, b in edges if a != b]
+        docs = spark.createDataFrame(
+            [(i, scores[i]) for i in range(n_nodes)], "doc_id long, score long"
+        )
+        pairs = spark.createDataFrame(
+            edges or [(0, 0)], "id_a long, id_b long"
+        ).where(F.col("id_a") != F.col("id_b"))
+        got = sorted(
+            r["doc_id"]
+            for r in keep_best_per_cluster(
+                docs, pairs, id_col="doc_id", score_col="score"
+            ).collect()
+        )
+        want = sorted(
+            min(comp, key=lambda v: (-scores[v], v))
+            for comp in self._components(n_nodes, edges).values()
+        )
+        assert got == want, (edges, scores)
