@@ -6913,6 +6913,53 @@ def dedup_filter_stream_replay(spark, sf_dir):
 
 
 @q(
+    "file_sink_stream_replay",
+    "SELECT event_id, user_id, event_type FROM events",
+)
+def file_sink_stream_replay(spark, sf_dir):
+    """HASH gate for the NATIVE streaming file sink — the engine's
+    durable output (exactly-once via the _spark_metadata commit log,
+    sinks.FileSink.stream_writer), previously pytest-only. Events
+    stream in four mod-id epochs through a real writeStream into
+    hive-partitioned parquet (partitionBy event_type); the batch
+    read-back — which honors the commit log, so uncommitted or
+    duplicated files would surface — must hash-equal the source rows.
+    A lost epoch, a double-committed micro-batch, or partition-column
+    corruption through the directory encoding all mismatch."""
+    import os
+    import shutil
+    import tempfile
+
+    from gohangout_spark.sinks.sinks import FileSink
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    base = tempfile.mkdtemp(prefix="file_sink_gate_")
+    in_dir, out_dir = f"{base}/in", f"{base}/out"
+    os.makedirs(in_dir)
+    try:
+        _write_epoch_files(ev, "event_id", base, in_dir, assign="mod")
+        stream = (
+            spark.readStream.schema("event_id bigint, user_id bigint, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        sink = FileSink({"path": out_dir, "partition_by": "event_type"})
+        query = (
+            sink.stream_writer(stream)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        _drain_stream(query)
+        back = spark.read.parquet(out_dir).select(
+            "event_id", "user_id", "event_type"
+        )
+        # detach from the temp parquet before it is removed
+        return back.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@q(
     "update_mode_stream_replay",
     """WITH e AS (
          SELECT event_type, event_id % 4 AS b,
@@ -8450,6 +8497,7 @@ _GATE_PRIORITY = [
     "dedup_filter_stream_replay",
     "stream_static_join_replay",
     "update_mode_stream_replay",
+    "file_sink_stream_replay",
     # --- then the r7 window (all green in CORRECTNESS_r07),
     # stalest-first so any window growth picks up r5 rows next ---
     "kmv_distinct_users",
