@@ -6913,6 +6913,57 @@ def dedup_filter_stream_replay(spark, sf_dir):
 
 
 @q(
+    "kafka_wire_roundtrip_replay",
+    "SELECT event_id, user_id, event_type FROM events WHERE event_id < 500",
+)
+def kafka_wire_roundtrip_replay(spark, sf_dir):
+    """HASH gate for the Kafka path over REAL WIRE BYTES — the
+    reference's primary transport (input/kafka_input.go:54-146,
+    output/kafka_output.go:69-81), driver-graded without a broker
+    binary: KafkaSink (dev_wire tier) renders the %{user_id} key,
+    murmur2-partitions, and PRODUCES v0 Kafka protocol bytes over TCP
+    to the in-repo broker fake; KafkaSource (dev_wire) fetches them
+    back (CRC-validated MessageSets), runs the SAME decorate_events +
+    json codec path as the connector tier, and the decoded rows must
+    hash-equal the source slice. A corrupted frame, a lost partition,
+    an encode/decode drift, or a key-render change that drops rows all
+    mismatch; partitioner math itself is pinned bit-for-bit in
+    test_kafka_wire."""
+    from gohangout_spark.sinks.sinks import KafkaSink
+    from gohangout_spark.sources.kafka_wire import FakeKafkaBroker
+    from gohangout_spark.sources.sources import KafkaSource
+
+    ev = _events(spark, sf_dir).where(F.col("event_id") < 500).select(
+        "event_id", "user_id", "event_type"
+    )
+    with FakeKafkaBroker(num_partitions=4) as broker:
+        KafkaSink(
+            {
+                "topic": "gate",
+                "brokers": broker.bootstrap,
+                "key": "%{user_id}",
+                "dev_wire": True,
+            }
+        ).write_batch(ev)
+        src = KafkaSource(
+            {
+                "topic": {"gate": 1},
+                "consumer_settings": {
+                    "bootstrap.servers": broker.bootstrap,
+                    "from.beginning": "true",
+                },
+                "decorate_events": True,
+                "dev_wire": True,
+                "codec": "json",
+                "schema": "event_id bigint, user_id bigint, event_type string",
+            }
+        )
+        out = src.batch(spark).select("event_id", "user_id", "event_type")
+        # detach before the broker socket closes (small fixed slice)
+        return out.localCheckpoint(eager=True)
+
+
+@q(
     "file_sink_stream_replay",
     "SELECT event_id, user_id, event_type FROM events",
 )
@@ -8498,6 +8549,7 @@ _GATE_PRIORITY = [
     "stream_static_join_replay",
     "update_mode_stream_replay",
     "file_sink_stream_replay",
+    "kafka_wire_roundtrip_replay",
     # --- then the r7 window (all green in CORRECTNESS_r07),
     # stalest-first so any window growth picks up r5 rows next ---
     "kmv_distinct_users",
