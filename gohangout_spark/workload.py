@@ -6958,9 +6958,10 @@ def kafka_wire_roundtrip_replay(spark, sf_dir):
                 "schema": "event_id bigint, user_id bigint, event_type string",
             }
         )
-        out = src.batch(spark).select("event_id", "user_id", "event_type")
-        # detach before the broker socket closes (small fixed slice)
-        return out.localCheckpoint(eager=True)
+        # _batch_dev_wire drains the topic into a driver-side list while
+        # the broker is up; the frame it builds (createDataFrame) has no
+        # dependency on the socket, so no checkpoint is needed here
+        return src.batch(spark).select("event_id", "user_id", "event_type")
 
 
 @q(
