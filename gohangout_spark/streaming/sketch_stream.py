@@ -175,3 +175,53 @@ def load_kmv_sketch(
     # `epoch` partition column the parquet read adds, so the loaded
     # synopsis really has kmv_table's schema and composes with kmv_union
     return _bottom_k(spark.read.parquet(sketch_path), group_cols, k)
+
+
+def start_hll_stream(
+    stream: DataFrame,
+    sketch_path: str,
+    col: str,
+    group_cols: list[str],
+    *,
+    lg_k: int = 12,
+    checkpoint: str | None = None,
+    query_name: str = "hll_stream",
+):
+    """The register-merge member of the streaming sketch store — the
+    fourth merge discipline after sum (Count-Min / log-bucket) and
+    re-sketch (KMV): DataSketches HLL partials merge by per-register
+    MAX (``hll_union_agg``), which is idempotent and commutative, so
+    union-of-epoch-partials equals the one-shot sketch of the whole
+    stream EXACTLY (pinned by hll_stream_replay and TestHllStream).
+    Each micro-batch reduces to one ≤ 2^lg_k-byte binary sketch per
+    group and overwrites its own ``epoch=<id>`` partition — the same
+    replay-idempotent protocol as the other three stores."""
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        partial = batch.groupBy(*group_cols).agg(
+            F.hll_sketch_agg(col, F.lit(lg_k)).alias("sk")
+        )
+        partial.write.mode("overwrite").parquet(f"{sketch_path}/epoch={epoch_id}")
+
+    writer = stream.writeStream.queryName(query_name).foreachBatch(_merge)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def load_hll_estimates(
+    spark: SparkSession, sketch_path: str, group_cols: list[str]
+) -> DataFrame:
+    """The queryable distinct-count estimates: per-group
+    ``hll_union_agg`` over every epoch partial, then the estimate.
+    Register-max merging makes the result identical to sketching the
+    drained stream in one shot."""
+    return (
+        spark.read.parquet(sketch_path)
+        .groupBy(*group_cols)
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sk", F.lit(False))
+            ).alias("approx_distinct")
+        )
+    )

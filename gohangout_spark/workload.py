@@ -6913,6 +6913,81 @@ def dedup_filter_stream_replay(spark, sf_dir):
 
 
 @q(
+    "hll_stream_replay",
+    """SELECT event_type, count(DISTINCT user_id) AS exact_distinct,
+              true AS stream_matches_oneshot, true AS hll_ok
+       FROM events GROUP BY event_type""",
+)
+def hll_stream_replay(spark, sf_dir):
+    """HASH gate for the streaming HLL store — the register-merge
+    member of the epoch-partition sketch family (sum: Count-Min /
+    log-bucket; re-sketch: KMV; register-max: this). Events stream in
+    four mod-id epochs; each batch's per-group DataSketches HLL partial
+    overwrites its epoch partition, and the drained store's
+    union-on-read estimate must EQUAL the one-shot sketch of the whole
+    corpus (register-max merging is exact under partitioning —
+    stream_matches_oneshot) and land within 5% of the exact distinct
+    count (hll_ok). The oracle states both analytically next to the
+    exact counts, the approx_distinct_report precedent: raw HLL sketch
+    bytes are deliberately never compared across engines."""
+    import os
+    import shutil
+    import tempfile
+
+    from gohangout_spark.streaming.sketch_stream import (
+        load_hll_estimates,
+        start_hll_stream,
+    )
+
+    lg_k = 12
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    base = tempfile.mkdtemp(prefix="hll_stream_gate_")
+    in_dir, store = f"{base}/in", f"{base}/store"
+    os.makedirs(in_dir)
+    try:
+        _write_epoch_files(ev, "event_id", base, in_dir, assign="mod")
+        stream = (
+            spark.readStream.schema("event_id bigint, user_id bigint, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        query = start_hll_stream(
+            stream, store, "user_id", ["event_type"],
+            lg_k=lg_k, checkpoint=f"{base}/ckpt",
+            query_name="hll_stream_gate",
+        )
+        _drain_stream(query)
+        est = load_hll_estimates(spark, store, ["event_type"])
+        one = ev.groupBy("event_type").agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(lg_k))
+            ).alias("one_shot")
+        )
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_distinct")
+        )
+        out = (
+            exact.join(est, "event_type")
+            .join(one, "event_type")
+            .select(
+                "event_type",
+                "exact_distinct",
+                (F.col("approx_distinct") == F.col("one_shot")).alias(
+                    "stream_matches_oneshot"
+                ),
+                (
+                    F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                    <= 0.05 * F.col("exact_distinct")
+                ).alias("hll_ok"),
+            )
+        )
+        # detach from the temp store before it is removed (5 rows)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@q(
     "kafka_wire_roundtrip_replay",
     "SELECT event_id, user_id, event_type FROM events WHERE event_id < 500",
 )
@@ -8551,6 +8626,7 @@ _GATE_PRIORITY = [
     "update_mode_stream_replay",
     "file_sink_stream_replay",
     "kafka_wire_roundtrip_replay",
+    "hll_stream_replay",
     # --- then the r7 window (all green in CORRECTNESS_r07),
     # stalest-first so any window growth picks up r5 rows next ---
     "kmv_distinct_users",

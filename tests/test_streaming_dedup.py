@@ -313,3 +313,74 @@ class TestKmvStream:
         partial0 = kmv_table(df.where("event_id < 40"), "k", ["g"], k=8)
         partial0.write.mode("overwrite").parquet(f"{sk_path}/{epochs[0]}")
         assert as_set(load_kmv_sketch(spark, sk_path, ["g"], k=8)) == oneshot
+
+
+class TestHllStream:
+    """Streaming HLL store (streaming/sketch_stream.py): register-max
+    merging makes union-of-epoch-partials EXACTLY equal the one-shot
+    sketch, and epoch-partition overwrite makes batch replay idempotent."""
+
+    def test_stream_equals_oneshot_and_replay_idempotent(self, spark, tmp_path):
+        import glob
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        from gohangout_spark.streaming.sketch_stream import (
+            load_hll_estimates,
+            start_hll_stream,
+        )
+
+        rows = [(i, f"g{i % 3}", i % 17) for i in range(90)]
+        df = spark.createDataFrame(rows, "event_id long, g string, v long")
+        in_dir = str(tmp_path / "in")
+        os.makedirs(in_dir)
+        for half, name in ((df.where("event_id < 45"), "a"),
+                           (df.where("event_id >= 45"), "b")):
+            half.coalesce(1).write.parquet(str(tmp_path / f"tmp_{name}"))
+            (part,) = glob.glob(str(tmp_path / f"tmp_{name}" / "part-*.parquet"))
+            shutil.move(part, f"{in_dir}/{name}.parquet")
+
+        sk_path = str(tmp_path / "sketch")
+        stream = (
+            spark.readStream.schema("event_id long, g string, v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = start_hll_stream(
+            stream, sk_path, "v", ["g"], lg_k=12,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+        got = {
+            r["g"]: r["approx_distinct"]
+            for r in load_hll_estimates(spark, sk_path, ["g"]).collect()
+        }
+        oneshot = {
+            r["g"]: r["one"]
+            for r in df.groupBy("g")
+            .agg(F.hll_sketch_estimate(F.hll_sketch_agg("v", F.lit(12))).alias("one"))
+            .collect()
+        }
+        assert got == oneshot
+        # 17 distinct values per group, lg_k=12: sketch is exact here
+        assert all(v == 17 for v in got.values()), got
+        epochs = sorted(p for p in os.listdir(sk_path) if p.startswith("epoch="))
+        assert len(epochs) == 2
+
+        # replayed epoch: rewriting epoch 0 with the same partial (what a
+        # retried foreachBatch does) changes nothing — register max is
+        # idempotent
+        partial0 = df.where("event_id < 45").groupBy("g").agg(
+            F.hll_sketch_agg("v", F.lit(12)).alias("sk")
+        )
+        partial0.write.mode("overwrite").parquet(f"{sk_path}/{epochs[0]}")
+        got2 = {
+            r["g"]: r["approx_distinct"]
+            for r in load_hll_estimates(spark, sk_path, ["g"]).collect()
+        }
+        assert got2 == oneshot
