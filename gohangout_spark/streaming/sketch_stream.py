@@ -52,17 +52,11 @@ def start_countmin_stream(
     batch sketch the moment the stream drains (hash-gated end to end by
     ``countmin_stream_replay``)."""
 
-    def _merge(batch: DataFrame, epoch_id: int) -> None:
-        partial = countmin_table(batch, col, depth=depth, width=width)
-        # static partition overwrite: a replayed epoch rewrites itself
-        partial.write.mode("overwrite").parquet(
-            f"{sketch_path}/epoch={epoch_id}"
-        )
-
-    writer = stream.writeStream.queryName(query_name).foreachBatch(_merge)
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    return _start_epoch_store(
+        stream, sketch_path,
+        lambda batch: countmin_table(batch, col, depth=depth, width=width),
+        checkpoint=checkpoint, query_name=query_name,
+    )
 
 
 def load_countmin_sketch(spark: SparkSession, sketch_path: str) -> DataFrame:
@@ -101,14 +95,11 @@ def start_logbucket_stream(
     one-shot ``logbucket_value_quantiles``."""
     from gohangout_spark.functions.sketch import logbucket_table
 
-    def _merge(batch: DataFrame, epoch_id: int) -> None:
-        partial = logbucket_table(batch, value_col, group_cols, scale=scale)
-        partial.write.mode("overwrite").parquet(f"{hist_path}/epoch={epoch_id}")
-
-    writer = stream.writeStream.queryName(query_name).foreachBatch(_merge)
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    return _start_epoch_store(
+        stream, hist_path,
+        lambda batch: logbucket_table(batch, value_col, group_cols, scale=scale),
+        checkpoint=checkpoint, query_name=query_name,
+    )
 
 
 def load_logbucket_hist(
@@ -148,14 +139,11 @@ def start_kmv_stream(
     as the one-shot ``kmv_distinct_users``."""
     from gohangout_spark.functions.sketch import kmv_table
 
-    def _merge(batch: DataFrame, epoch_id: int) -> None:
-        partial = kmv_table(batch, col, group_cols, k=k)
-        partial.write.mode("overwrite").parquet(f"{sketch_path}/epoch={epoch_id}")
-
-    writer = stream.writeStream.queryName(query_name).foreachBatch(_merge)
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    return _start_epoch_store(
+        stream, sketch_path,
+        lambda batch: kmv_table(batch, col, group_cols, k=k),
+        checkpoint=checkpoint, query_name=query_name,
+    )
 
 
 def load_kmv_sketch(
@@ -177,6 +165,24 @@ def load_kmv_sketch(
     return _bottom_k(spark.read.parquet(sketch_path), group_cols, k)
 
 
+def _start_epoch_store(stream: DataFrame, sketch_path: str, make_partial,
+                       *, checkpoint: str | None, query_name: str):
+    """Shared writer of the epoch-partition protocol (all four stores):
+    each micro-batch's bounded partial OVERWRITES its own ``epoch=<id>``
+    partition, so a replayed epoch rewrites identical rows instead of
+    double-counting."""
+
+    def _merge(batch: DataFrame, epoch_id: int) -> None:
+        make_partial(batch).write.mode("overwrite").parquet(
+            f"{sketch_path}/epoch={epoch_id}"
+        )
+
+    writer = stream.writeStream.queryName(query_name).foreachBatch(_merge)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
 def start_hll_stream(
     stream: DataFrame,
     sketch_path: str,
@@ -188,34 +194,41 @@ def start_hll_stream(
     query_name: str = "hll_stream",
 ):
     """The register-merge member of the streaming sketch store — the
-    fourth merge discipline after sum (Count-Min / log-bucket) and
-    re-sketch (KMV): DataSketches HLL partials merge by per-register
-    MAX (``hll_union_agg``), which is idempotent and commutative, so
-    union-of-epoch-partials equals the one-shot sketch of the whole
-    stream EXACTLY (pinned by hll_stream_replay and TestHllStream).
-    Each micro-batch reduces to one ≤ 2^lg_k-byte binary sketch per
-    group and overwrites its own ``epoch=<id>`` partition — the same
-    replay-idempotent protocol as the other three stores."""
+    third merge DISCIPLINE (sum: Count-Min / log-bucket; re-sketch:
+    KMV; per-register max: this) and fourth store member. DataSketches
+    HLL partials merge by register max (``hll_union_agg``), which is
+    idempotent and commutative, so the drained store's merged REGISTER
+    STATE is exactly the register state of the whole stream's sketch,
+    independent of how epochs partitioned it.
 
-    def _merge(batch: DataFrame, epoch_id: int) -> None:
-        partial = batch.groupBy(*group_cols).agg(
+    Estimator caveat (why callers must not compare against a
+    directly-built sketch's estimate): DataSketches reports a
+    directly-aggregated sketch through the HIP estimator but a UNION
+    result through the composite estimator, so two sketches with
+    IDENTICAL registers can print slightly different estimates once
+    past exact coupon mode. Union-built estimates are a pure function
+    of the merged registers — compare the store against another
+    union-built estimate (any split), as hll_stream_replay does, or
+    against exact counts with an error bound."""
+
+    def make_partial(batch: DataFrame) -> DataFrame:
+        return batch.groupBy(*group_cols).agg(
             F.hll_sketch_agg(col, F.lit(lg_k)).alias("sk")
         )
-        partial.write.mode("overwrite").parquet(f"{sketch_path}/epoch={epoch_id}")
 
-    writer = stream.writeStream.queryName(query_name).foreachBatch(_merge)
-    if checkpoint:
-        writer = writer.option("checkpointLocation", checkpoint)
-    return writer.start()
+    return _start_epoch_store(
+        stream, sketch_path, make_partial,
+        checkpoint=checkpoint, query_name=query_name,
+    )
 
 
 def load_hll_estimates(
     spark: SparkSession, sketch_path: str, group_cols: list[str]
 ) -> DataFrame:
     """The queryable distinct-count estimates: per-group
-    ``hll_union_agg`` over every epoch partial, then the estimate.
-    Register-max merging makes the result identical to sketching the
-    drained stream in one shot."""
+    ``hll_union_agg`` over every epoch partial, then the composite
+    estimate — a pure function of the merged registers (see
+    start_hll_stream's estimator caveat)."""
     return (
         spark.read.parquet(sketch_path)
         .groupBy(*group_cols)

@@ -6924,12 +6924,20 @@ def hll_stream_replay(spark, sf_dir):
     log-bucket; re-sketch: KMV; register-max: this). Events stream in
     four mod-id epochs; each batch's per-group DataSketches HLL partial
     overwrites its epoch partition, and the drained store's
-    union-on-read estimate must EQUAL the one-shot sketch of the whole
-    corpus (register-max merging is exact under partitioning —
-    stream_matches_oneshot) and land within 5% of the exact distinct
-    count (hll_ok). The oracle states both analytically next to the
-    exact counts, the approx_distinct_report precedent: raw HLL sketch
-    bytes are deliberately never compared across engines."""
+    union-on-read estimate must EQUAL a union-built reference over a
+    DIFFERENT split of the same data (id mod 2): register max makes
+    the merged register state a pure function of the input SET, and a
+    union result always reports through the composite estimator, so
+    the equality is layout-independent. (A directly-aggregated sketch
+    would NOT be a valid reference — DataSketches reports those through
+    the HIP estimator, which can differ on identical registers once
+    past exact coupon mode; see start_hll_stream.) The estimate must
+    also land within 5% of the exact distinct count (hll_ok). The
+    oracle states both analytically next to the exact counts, the
+    approx_distinct_report precedent: raw HLL sketch bytes are never
+    compared across engines. The epoch-count assert guards the store
+    protocol itself — max-merge over overlapping mod-id epochs would
+    otherwise mask a silently lost epoch."""
     import os
     import shutil
     import tempfile
@@ -6957,11 +6965,17 @@ def hll_stream_replay(spark, sf_dir):
             query_name="hll_stream_gate",
         )
         _drain_stream(query)
+        epochs = [p for p in os.listdir(store) if p.startswith("epoch=")]
+        assert len(epochs) == 4, f"expected 4 epoch partitions, got {epochs}"
         est = load_hll_estimates(spark, store, ["event_type"])
-        one = ev.groupBy("event_type").agg(
+        # union-built reference over an id-mod-2 split (see docstring)
+        halves = ev.groupBy(
+            "event_type", F.pmod("event_id", F.lit(2)).alias("__h")
+        ).agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sk"))
+        one = halves.groupBy("event_type").agg(
             F.hll_sketch_estimate(
-                F.hll_sketch_agg("user_id", F.lit(lg_k))
-            ).alias("one_shot")
+                F.hll_union_agg("sk", F.lit(False))
+            ).alias("ref_estimate")
         )
         exact = ev.groupBy("event_type").agg(
             F.countDistinct("user_id").alias("exact_distinct")
@@ -6972,7 +6986,7 @@ def hll_stream_replay(spark, sf_dir):
             .select(
                 "event_type",
                 "exact_distinct",
-                (F.col("approx_distinct") == F.col("one_shot")).alias(
+                (F.col("approx_distinct") == F.col("ref_estimate")).alias(
                     "stream_matches_oneshot"
                 ),
                 (

@@ -336,11 +336,14 @@ class TestHllStream:
         df = spark.createDataFrame(rows, "event_id long, g string, v long")
         in_dir = str(tmp_path / "in")
         os.makedirs(in_dir)
-        for half, name in ((df.where("event_id < 45"), "a"),
-                           (df.where("event_id >= 45"), "b")):
+        for i, (half, name) in enumerate(((df.where("event_id < 45"), "a"),
+                                          (df.where("event_id >= 45"), "b"))):
             half.coalesce(1).write.parquet(str(tmp_path / f"tmp_{name}"))
             (part,) = glob.glob(str(tmp_path / f"tmp_{name}" / "part-*.parquet"))
             shutil.move(part, f"{in_dir}/{name}.parquet")
+            # pin mtimes so epoch=0 is deterministically file a (the
+            # replay step below overwrites epoch 0 with a's partial)
+            os.utime(f"{in_dir}/{name}.parquet", (1_000_000 + i, 1_000_000 + i))
 
         sk_path = str(tmp_path / "sketch")
         stream = (
@@ -360,6 +363,10 @@ class TestHllStream:
             r["g"]: r["approx_distinct"]
             for r in load_hll_estimates(spark, sk_path, ["g"]).collect()
         }
+        # direct sketch is a valid reference HERE because 17 distinct
+        # values stays in exact coupon mode (HIP == composite); past
+        # coupon mode compare union-built references only — see
+        # start_hll_stream's estimator caveat and hll_stream_replay
         oneshot = {
             r["g"]: r["one"]
             for r in df.groupBy("g")
