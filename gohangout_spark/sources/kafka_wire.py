@@ -35,11 +35,19 @@ round-robin, matching the classic producer behavior.
 
 from __future__ import annotations
 
+import logging
 import socket
 import socketserver
 import struct
 import threading
 import zlib
+
+logger = logging.getLogger(__name__)
+
+
+class UnsupportedRequestError(Exception):
+    """Request api_key/api_version the dev broker does not speak."""
+
 
 # ----------------------------------------------------------- primitives
 
@@ -222,7 +230,14 @@ class FakeKafkaBroker:
                         frame = self._recv_exact(size)
                         if frame is None:
                             return
-                        resp = broker._dispatch(frame)
+                        try:
+                            resp = broker._dispatch(frame)
+                        except UnsupportedRequestError as exc:
+                            # A real v0-era broker closes the socket on a
+                            # request it cannot parse; do the same but leave
+                            # a diagnostic instead of a silent hang-up.
+                            logger.warning("dev broker closing connection: %s", exc)
+                            return
                         self.request.sendall(struct.pack(">i", len(resp)) + resp)
                 except (ConnectionResetError, BrokenPipeError):
                     return
@@ -275,14 +290,20 @@ class FakeKafkaBroker:
         r = _Reader(frame)
         api_key, api_version, corr_id = r.i16(), r.i16(), r.i32()
         r.string()  # client_id
-        if api_version != 0:
-            raise ValueError(f"dev broker speaks v0 only, got v{api_version}")
-        body = {
+        handlers = {
             API_METADATA: self._metadata,
             API_PRODUCE: self._produce,
             API_FETCH: self._fetch,
             API_LIST_OFFSETS: self._list_offsets,
-        }[api_key](r)
+        }
+        if api_key not in handlers:
+            raise UnsupportedRequestError(f"unknown api_key {api_key} (corr {corr_id})")
+        if api_version != 0:
+            raise UnsupportedRequestError(
+                f"dev broker speaks v0 only, got api_key {api_key} v{api_version}"
+                f" (corr {corr_id})"
+            )
+        body = handlers[api_key](r)
         return struct.pack(">i", corr_id) + body
 
     def _metadata(self, r: _Reader) -> bytes:
@@ -359,7 +380,10 @@ class FakeKafkaBroker:
                     for off in range(fetch_offset, hw):
                         key, value, ts = plog[off]
                         entries.append((off, key, value, ts))
-                        size += 26 + len(key or b"") + len(value or b"")
+                        # MessageSet entry: 8B offset + 4B size + message
+                        # (4 crc + 1 magic + 1 attrs + 8 ts + 4 key-len +
+                        # 4 value-len = 22) + key/value bytes → 34 fixed.
+                        size += 34 + len(key or b"") + len(value or b"")
                         if size >= max_bytes:
                             break
                     mset = encode_message_set(entries)

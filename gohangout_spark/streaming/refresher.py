@@ -89,11 +89,14 @@ class LinkMetricTickRefresher:
         t = int(now if now is not None else time.time())
         t -= t % self.batch_window
         line = t - self.batch_window * self.window_offset
+        # None-safe group ordering: update-mode emissions can carry NULL
+        # group fields, and None < str comparisons raise TypeError.
+        none_safe = lambda kv: tuple((v is None, v) for v in kv[0])  # noqa: E731
         out = [
             dict(row)
             for k in sorted(self.retained)
             if k <= line
-            for _, row in sorted(self.retained[k].items())
+            for _, row in sorted(self.retained[k].items(), key=none_safe)
         ]
         if self.accumulate_mode == "separate":
             # the reference rebuilds the whole map (link_metric.go:169)

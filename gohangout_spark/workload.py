@@ -1033,7 +1033,7 @@ def translate_broadcast_join(spark, sf_dir):
     "session_window",
     """WITH d AS (SELECT user_id, ts,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-              >= INTERVAL 1 HOUR OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              > INTERVAL 1 HOUR OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
          THEN 1 ELSE 0 END AS new_s FROM events)
        SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions FROM d GROUP BY user_id""",
 )

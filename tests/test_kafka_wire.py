@@ -116,6 +116,46 @@ class TestBrokerClient:
             with pytest.raises(ValueError, match="out of range"):
                 c.fetch("t", 0, 5)
 
+    def test_fetch_max_bytes_bounds_response(self, broker):
+        """ADVICE r8: the per-message overhead is 34 bytes (8 offset +
+        4 size + 22 header incl. key/value length fields), so a page is
+        allowed to exceed max_bytes by at most ONE message's true wire
+        size — the v0 contract (the bound the old 26-byte accounting
+        broke)."""
+        with KafkaWireClient(broker.bootstrap) as c:
+            msgs = [(None, bytes([i]) * 100, i) for i in range(40)]
+            c.produce("bounded", 0, msgs)
+            per_msg = 34 + 100  # exact wire size of each entry
+            for max_bytes in (1, per_msg, 3 * per_msg, 10 * per_msg):
+                _, page = c.fetch("bounded", 0, 0, max_bytes=max_bytes)
+                wire = len(page) * per_msg
+                assert wire < max_bytes + per_msg, (max_bytes, len(page))
+                assert len(page) >= 1  # always makes progress
+
+    def test_unknown_api_key_closes_connection_with_diagnostic(self, broker, caplog):
+        """ADVICE r8: an unsupported api_key/api_version must not strand
+        the client on a silent socket timeout — the broker logs a clear
+        diagnostic and closes, so the client sees EOF immediately."""
+        import logging
+        import socket
+        import struct
+
+        from gohangout_spark.sources.kafka_wire import _enc_str
+
+        host, port = broker.bootstrap.split(":")
+        for api_key, api_version in ((99, 0), (1, 3)):
+            with socket.create_connection((host, int(port)), timeout=5) as s:
+                frame = (
+                    struct.pack(">hhi", api_key, api_version, 7)
+                    + _enc_str("probe")
+                )
+                with caplog.at_level(logging.WARNING,
+                                     logger="gohangout_spark.sources.kafka_wire"):
+                    s.sendall(struct.pack(">i", len(frame)) + frame)
+                    assert s.recv(4) == b""  # clean close, not a hang
+            assert any("closing connection" in r.message for r in caplog.records)
+            caplog.clear()
+
 
 class TestKafkaSourceEndToEnd:
     def _produce_events(self, broker, topic, events_by_partition):

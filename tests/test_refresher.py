@@ -191,6 +191,23 @@ class TestTickerParity:
                 assert new_log == ref_log, (mode, off)
 
 
+class TestNoneSafeGroupOrdering:
+    def test_tick_with_null_group_field(self):
+        """ADVICE r8: update-mode emissions can carry NULL group fields;
+        ticking must not raise TypeError on None-vs-str comparison, and
+        None groups sort after real values (deterministic order)."""
+        refr = LinkMetricTickRefresher(
+            60, ["g"], reserve_window=600, accumulate_mode="cumulative"
+        )
+        refr.observe([
+            {"window_start": 960, "g": None, "count": 1},
+            {"window_start": 960, "g": "a", "count": 2},
+            {"window_start": 960, "g": "b", "count": 3},
+        ])
+        rows = refr.tick(1060)
+        assert [r["g"] for r in rows] == ["a", "b", None]
+
+
 class TestForeachBatchWiring:
     def test_refreshing_foreach_batch(self, spark):
         """Driver-side wiring over real DataFrames: two micro-batches,

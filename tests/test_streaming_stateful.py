@@ -436,6 +436,82 @@ def test_streaming_session_window_matches_batch(spark, tmp_path):
     assert per_user == [("u1", 1), ("u1", 2), ("u2", 1), ("u2", 1)]
 
 
+def test_session_gate_oracle_exact_gap_seam(spark, tmp_path):
+    """ADVICE r8 exact-gap seam — resolved EMPIRICALLY the other way:
+    Spark MERGES an event at exactly prev_ts+gap into the running
+    session (adjacent [t, t+gap) / [t+gap, t+2gap) ranges coalesce; a
+    new session starts only when gap is strictly greater), verified
+    directly on F.session_window in both batch and streaming. So the
+    streaming oracle's `> 1800` was already right, and the BATCH
+    session_window gate's old `>= INTERVAL 1 HOUR` was the wrong side
+    of the seam. This test pins the convention with a corpus that
+    CONTAINS the exact gaps both gates' fixtures lack: engine and
+    DuckDB oracle must agree, exact-gap merges, gap+1s splits."""
+    import duckdb
+
+    from gohangout_spark import workload
+
+    rows = []
+    eid = 0
+    # user 1: exact 1800 s gap → ONE merged session (Spark convention)
+    for off in (0, 600, 600 + 1800):
+        rows.append((eid, BASE + datetime.timedelta(seconds=off), 1, "c", 0.0, "{}"))
+        eid += 1
+    # user 2: 1801 s gap → two sessions
+    for off in (0, 1801):
+        rows.append((eid, BASE + datetime.timedelta(seconds=off), 2, "c", 0.0, "{}"))
+        eid += 1
+    sdf = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    sdf.coalesce(1).write.parquet(f"{sf}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet/*.parquet'"
+    )
+
+    # streaming gate: emission set == oracle islands, exact gap merged
+    eng = sorted(
+        (r["user_id"], r["session_start"], r["n"])
+        for r in workload.session_window_stream_replay(spark, sf).collect()
+    )
+    _, oracle = workload.QUERIES["session_window_stream_replay"]
+    ora = sorted(tuple(r) for r in con.execute(oracle).fetchall())
+    assert eng == ora
+    assert sum(1 for u, _, _ in eng if u == 1) == 1  # exact gap merged
+    assert sum(1 for u, _, _ in eng if u == 2) == 2  # gap+1s split
+
+    # batch gate (1-hour gap): stretch user 1 to an exact 3600 s gap via a
+    # fresh corpus so the batch oracle's > (not >=) convention is exercised
+    rows2 = [
+        (0, BASE, 1, "c", 0.0, "{}"),
+        (1, BASE + datetime.timedelta(seconds=3600), 1, "c", 0.0, "{}"),
+        (2, BASE, 2, "c", 0.0, "{}"),
+        (3, BASE + datetime.timedelta(seconds=3601), 2, "c", 0.0, "{}"),
+    ]
+    sf2 = str(tmp_path / "sf2")
+    spark.createDataFrame(
+        rows2,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(f"{sf2}/events.parquet")
+    eng2 = sorted(
+        (r["user_id"], r["n_sessions"])
+        for r in workload.session_window(spark, sf2).collect()
+    )
+    _, oracle2 = workload.QUERIES["session_window"]
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf2}/events.parquet/*.parquet'"
+    )
+    ora2 = sorted(tuple(r) for r in con2.execute(oracle2).fetchall())
+    assert eng2 == ora2 == [(1, 1), (2, 2)]
+
+
 def test_prometheus_counter_and_endpoint(spark, tmp_path):
     """Per-filter prometheus_counter (topology/prom_counter.go) counted via
     df.observe, served on /metrics (gohangout --prometheus)."""
