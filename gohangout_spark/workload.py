@@ -8549,41 +8549,179 @@ def multimodal_flac_features(spark, sf_dir):
 # Driver-gate registration order
 # ========================================================================
 # The correctness driver samples the FIRST 50 entries of QUERIES in
-# registration (insertion) order.  Rounds 1-2 verified the first 50
-# registrations; the 48 queries registered after `embedding_pq_topk` had
-# never been driver-checked (VERDICT r2 "What's missing" #1).  Rebuild the
-# dict so the unverified set occupies the gate window this round; the
-# already-hash-matched round-1/2 queries follow (the gate re-confirming the
-# first couple of them is harmless).  New round-3 queries are inserted
-# before the tail so they are gated the round they land.
+# registration (insertion) order; _GATE_PRIORITY reorders the registry so
+# the window always holds the queries with the WEAKEST driver evidence.
+# r9 rotation (VERDICT r8 #1): the 11 gates added mid-round-8 (driver row
+# pending) lead, followed by the 43 oracle-backed rows whose last driver
+# row is r5 — slots 12-50 take the first 39 alphabetically; the 4 leftover
+# r5 rows sit directly below the line and lead the r10 window.  Every row
+# displaced below slot 50 is green in CORRECTNESS_r06/r07/r08; nothing
+# stale sits below the window.  The staleness table is recomputed from the
+# raw CORRECTNESS artifacts (TestDriverWindow pins containment).
 _GATE_PRIORITY = [
-    # --- round-8 window (slot counts verified against the raw
-    # CORRECTNESS_r0*.json union by tools — see TestDriverWindow):
-    # the r7 driver row sampled slots 1-50 of the r7 list, which cut
-    # the r3 cohort at tpch_q15; the 8 r3-cohort rows after it
-    # (tpch_q17..yaml_pipeline_e2e, last driver row r3) and the 39
-    # r4-cohort rows (approx_distinct_report..zscore_anomalies, last
-    # driver row r4) are the stalest queries in the registry and fill
-    # this window: 3 new-r8 gates + 8 r3-stale + 39 r4-stale = 50.
-    # New-this-round queries go first so they are checked the round
-    # they land.  Every row displaced below slot 50 is green in r7's
-    # driver row (CORRECTNESS_r07) — nothing stale sits below the
-    # window.
-    # --- 3 slots: new r8 gates (added as each lands; until then the
-    # window's tail pulls green-r7 rows up from below, harmlessly) ---
-    "url_registrable_domain",
-    "multimodal_mp3_features",
-    "link_metric_tick_replay",
-    # --- 8 slots: last driver row r3 (r7 window cut them at slot 50) ---
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "user_rolling_avg",
-    "vocabulary_topn",
-    "weighted_mixture",
-    "yaml_pipeline_e2e",
-    # --- 39 slots: last driver row r4 (alphabetical) ---
+    # --- new r9 gates go here (inserted as each lands; until then the
+    # window tail pulls r5 rows up, which only adds coverage) ---
+    # --- 11 slots: the mid-round-r8 gates (two-sf check_oracle + FULLREG
+    # evidence, no driver row yet — VERDICT r8 #1 says they LEAD) ---
+    "cluster_aware_split",
+    "dedup_best_per_cluster",
+    "watermark_late_drop_replay",
+    "stream_stream_join_replay",
+    "session_window_stream_replay",
+    "dedup_filter_stream_replay",
+    "stream_static_join_replay",
+    "update_mode_stream_replay",
+    "file_sink_stream_replay",
+    "kafka_wire_roundtrip_replay",
+    "hll_stream_replay",
+    # --- 43 oracle-backed rows whose last driver row is r5 (alphabetical);
+    # slots 12-50 take the first 39, the last 4 lead the r10 window ---
+    "add_fields",
+    "condition_dsl",
+    "convert_array",
+    "convert_types",
+    "date_location",
+    "date_parse",
+    "dedup_exact",
+    "doc_fingerprint",
+    "drop_filter",
+    "embedding_ivf_full_probe",
+    "embedding_neardup_exact",
+    "embedding_topk",
+    "event_type_median",
+    "failtag_contract",
+    "filters_nested",
+    "grok_extract",
+    "grok_target",
+    "gsub",
+    "heavy_hitter_users",
+    "ipip_geo",
+    "json_parse",
+    "kv_parse",
+    "lang_id",
+    "lexical_diversity",
+    "link_metric_count",
+    "link_stats_metric",
+    "lowercase",
+    "metric_reduce",
+    "minhash_lsh_recall",
+    "multimodal_flac_features",
+    "multimodal_gif_features",
+    "multimodal_jpeg_features",
+    "multimodal_mjpeg_frames",
+    "multimodal_png_features",
+    "ngram_jaccard_adjacent",
+    "profile_documents",
+    "repetition_stats",
+    "salted_heavy_hitters",
+    "sessionize_events",
+    "simhash_md5_neardup",
+    "udaf_geomean",
+    "webdataset_export",
+    "winnow_neardup_pairs",
+    # --- below slot 50: r6 cohort (green in CORRECTNESS_r06) ---
+    "bloom_md5_decontaminate",
+    "bpe_encode_fixed",
+    "cap_per_source",
+    "chunk_dedup_stats",
+    "customers_without_orders",
+    "decontaminate_docs",
+    "dedup_clusters",
+    "dedup_filter_events",
+    "dedup_incremental_recall",
+    "dedup_paragraphs",
+    "deterministic_sample",
+    "distinct_users",
+    "embedding_lsh_topk",
+    "embedding_neardup_lsh",
+    "embedding_pq_exact_rerank",
+    "embedding_q8_topk",
+    "embedding_rp_topk",
+    "etl_pipeline_chain",
+    "event_type_pivot",
+    "event_value_geomean",
+    "intersect_buyers_clickers",
+    "multimodal_adpcm_decode",
+    "multimodal_audio_features",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_webp_features",
+    "ngram_decontaminate",
+    "order_priority_semijoin",
+    "orders_left_outer",
+    "pack_documents",
+    "paragraph_dedup_stats",
+    "purchase_attribution",
+    "quality_filter_pipeline",
+    "quality_score",
+    "quantile_buckets_lang",
+    "remove_fields",
+    "rename_field",
+    "replace_literal",
+    "segment_topk_rank",
+    "session_window",
+    "split_maxsplit",
+    "split_parse",
+    "token_count",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "translate_broadcast_join",
+    "translate_dict",
+    "uppercase",
+    "urldecode",
+    # --- r7 cohort ---
+    "ams_f2_events",
+    "ams_join_size",
+    "bbit_minwise_jaccard",
+    "charset_entropy_profile",
+    "countmin_stream_replay",
+    "countmin_user_events",
+    "curation_funnel_v2",
+    "dedup_stream_replay",
+    "dsir_importance_weights",
+    "fix_mojibake",
+    "html_strip_entities",
+    "image_dhash_features",
+    "image_dhash_neardup",
+    "kmv_cohort_setops",
+    "kmv_distinct_users",
+    "kmv_stream_replay",
+    "kneser_ney_perplexity",
+    "link_metric_stream_replay",
+    "logbucket_stream_replay",
+    "logbucket_value_quantiles",
+    "multimodal_g711_decode",
+    "multimodal_qoi_features",
+    "multimodal_screenvideo_frames",
+    "redact_pii",
+    "rollup_totals",
+    "semantic_dedup_by_label",
+    "signup_error_window",
+    "sliding_window_counts",
+    "stratified_sample",
+    "strip_control_chars",
+    "template_condition",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q2",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "unicode_nfc_normalize",
+    "unigram_encode_fixed",
+    "wordpiece_encode_fixed",
+    "zorder_key_events",
+    # --- r8 cohort (green in CORRECTNESS_r08) ---
     "approx_distinct_report",
     "bm25_search",
     "boilerplate_lines",
@@ -8603,8 +8741,10 @@ _GATE_PRIORITY = [
     "hashed_embedding_vectors",
     "inverted_index",
     "label_centroids",
+    "link_metric_tick_replay",
     "markov_transitions",
     "multimodal_audio_spectrum",
+    "multimodal_mp3_features",
     "multimodal_ppm_features",
     "multimodal_video_frames",
     "multimodal_wav_features",
@@ -8618,81 +8758,31 @@ _GATE_PRIORITY = [
     "tfidf_search",
     "token_budget_mixture",
     "top_phrases",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
     "udtf_paragraphs",
     "url_curation",
+    "url_registrable_domain",
+    "user_rolling_avg",
+    "vocabulary_topn",
+    "weighted_mixture",
     "weighted_sample_topk",
     "winnow_fingerprints",
+    "yaml_pipeline_e2e",
     "zscore_anomalies",
-    # --- below slot 50: first the four gates added MID-round-8 after the
-    # window was frozen (cluster split/resolution, the two streaming
-    # semantics replays). The 50-slot window is exactly 3 early-r8 gates
-    # + the 47 stale r3/r4 rows, which must keep their driver slots
-    # (VERDICT r7 #1), so late additions wait here — each carries
-    # two-sf check_oracle hash evidence + FULLREG_r8.json — and lead the
-    # r9 window. ---
-    "cluster_aware_split",
-    "dedup_best_per_cluster",
-    "watermark_late_drop_replay",
-    "stream_stream_join_replay",
-    "session_window_stream_replay",
-    "dedup_filter_stream_replay",
-    "stream_static_join_replay",
-    "update_mode_stream_replay",
-    "file_sink_stream_replay",
-    "kafka_wire_roundtrip_replay",
-    "hll_stream_replay",
-    # --- then the r7 window (all green in CORRECTNESS_r07),
-    # stalest-first so any window growth picks up r5 rows next ---
-    "kmv_distinct_users",
-    "kmv_cohort_setops",
-    "image_dhash_features",
-    "image_dhash_neardup",
-    "zorder_key_events",
-    "logbucket_stream_replay",
-    "ams_f2_events",
-    "ams_join_size",
-    "charset_entropy_profile",
-    "bbit_minwise_jaccard",
-    "kmv_stream_replay",
-    "curation_funnel_v2",
-    "logbucket_value_quantiles",
-    "wordpiece_encode_fixed",
-    "countmin_user_events",
-    "countmin_stream_replay",
-    "multimodal_qoi_features",
-    "kneser_ney_perplexity",
-    "dsir_importance_weights",
-    "unigram_encode_fixed",
-    "dedup_stream_replay",
-    "link_metric_stream_replay",
-    "multimodal_g711_decode",
-    "multimodal_screenvideo_frames",
-    "tpch_q2",
-    "tpch_q4",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
-    "unicode_nfc_normalize",
-    "strip_control_chars",
-    "html_strip_entities",
-    "fix_mojibake",
-    "redact_pii",
-    "rollup_totals",
-    "semantic_dedup_by_label",
-    "signup_error_window",
-    "sliding_window_counts",
-    "stratified_sample",
-    "template_condition",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
+    # --- frozen rows-only operating points (no oracle; never window-
+    # slotted — each has a hash-green recall/limiting twin above) ---
+    "dedup_minhash_lsh",
+    "simhash_signatures",
+    "embedding_ivf_topk",
+    "embedding_pq_topk",
+    "embedding_ivf_pq_topk",
+    "simhash_neardup",
+    "dedup_incremental",
+    "bloom_decontaminate",
+    "bpe_tokenize",
 ]
 
 QUERIES = {

@@ -852,33 +852,53 @@ class TestDriverWindow:
         from gohangout_spark.workload import QUERIES
 
         window = set(list(QUERIES)[:50])
-        # r8 rotation: the stalest rows in the registry — 8 whose last
-        # driver row is r3 (the r7 window cut its r3 cohort at slot 50)
-        # and 39 whose last driver row is r4 — must all sit inside the
-        # 50-slot window (CORRECTNESS_r03/r04 union; VERDICT r7 #1).
-        r8_stale = {
-            "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
-            "user_rolling_avg", "vocabulary_topn", "weighted_mixture",
-            "yaml_pipeline_e2e",
-            "approx_distinct_report", "bm25_search", "boilerplate_lines",
-            "bpe_token_count", "char_lm_perplexity", "chunk_documents",
-            "cohort_retention", "cube_totals", "curation_funnel",
-            "deterministic_shuffle", "dup_span_stats",
-            "event_sequences_topk", "flesch_reading_ease",
-            "funnel_conversion", "fuzzy_name_pairs", "gopher_rules",
-            "hashed_embedding_vectors", "inverted_index",
-            "label_centroids", "markov_transitions",
-            "multimodal_audio_spectrum", "multimodal_ppm_features",
-            "multimodal_video_frames", "multimodal_wav_features",
-            "near_dedup_keep", "ngram_repetition",
-            "pack_documents_bestfit", "quality_classifier_score",
-            "remove_dup_spans", "rfm_segments", "semantic_dedup_kmeans",
-            "tfidf_search", "token_budget_mixture", "top_phrases",
-            "udtf_paragraphs", "url_curation", "weighted_sample_topk",
-            "winnow_fingerprints", "zscore_anomalies",
+        # r9 rotation (VERDICT r8 #1): the 11 gates added mid-round-8 —
+        # two-sf check_oracle + FULLREG evidence, driver row pending —
+        # must all sit inside the 50-slot window so CORRECTNESS_r09
+        # completes their evidence chain.
+        mid_r8 = {
+            "cluster_aware_split", "dedup_best_per_cluster",
+            "watermark_late_drop_replay", "stream_stream_join_replay",
+            "session_window_stream_replay", "dedup_filter_stream_replay",
+            "stream_static_join_replay", "update_mode_stream_replay",
+            "file_sink_stream_replay", "kafka_wire_roundtrip_replay",
+            "hll_stream_replay",
         }
-        assert len(r8_stale) == 47
-        assert r8_stale <= window, r8_stale - window
+        assert len(mid_r8) == 11
+        assert mid_r8 <= window, mid_r8 - window
+
+    def test_window_fill_is_the_stalest_cohort(self):
+        """The non-new window slots must hold the queries with the OLDEST
+        driver evidence: recompute staleness from the raw CORRECTNESS
+        artifacts and require that no query outside the window is staler
+        than one inside it (oracle-backed rows only — rows-only points
+        are frozen and never slotted)."""
+        import glob
+        import json
+
+        import __spark_entry__ as entrymod
+        from gohangout_spark.workload import QUERIES
+
+        last = {}
+        for f in sorted(glob.glob("/root/repo/CORRECTNESS_r0*.json")):
+            rnd = int(f.rsplit("_r0", 1)[1].split(".")[0])
+            for k in json.load(open(f)):
+                last[k] = max(last.get(k, 0), rnd)
+        oracles = entrymod.oracle_sql()
+        names = list(QUERIES)
+        window, below = set(names[:50]), names[50:]
+        # the window's fill rows are the ones WITH driver history (new
+        # gates have none and earn their first row this round); no row
+        # below the line may be staler than the freshest fill row
+        fill_rounds = [last[n] for n in window if n in oracles and n in last]
+        window_max = max(fill_rounds) if fill_rounds else 0
+        too_stale_below = [
+            n for n in below
+            if n in oracles and n in last and last[n] < window_max
+        ]
+        assert not too_stale_below, (
+            f"stale oracle-backed rows below the window: {too_stale_below}"
+        )
 
     def test_every_window_query_is_oracle_backed(self):
         """The window exists to produce hash rows; a rows-only query in it
