@@ -156,7 +156,10 @@ class KafkaSink(Sink):
         topic = self.conf["topic"]
         now_ms = int(_time.time() * 1000)
         rows = payload.collect()  # dev tier: bounded by contract
-        with KafkaWireClient(self.conf["brokers"]) as client:
+        with KafkaWireClient(
+            self.conf["brokers"],
+            message_format=self.conf.get("wire_format", "v0"),
+        ) as client:
             parts = client.metadata([topic]).get(topic) or [0]
             by_part: dict[int, list] = {}
             rr = 0

@@ -372,7 +372,10 @@ class KafkaSource(Source):
 
         opts = self._options()
         rows = []
-        with KafkaWireClient(opts["kafka.bootstrap.servers"]) as client:
+        with KafkaWireClient(
+            opts["kafka.bootstrap.servers"],
+            message_format=self.conf.get("wire_format", "v0"),
+        ) as client:
             for topic, part in self._topics_and_assignments(opts, client):
                 # batch semantics = earliest -> high watermark (the
                 # connector's default startingOffsets for batch reads,

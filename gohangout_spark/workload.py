@@ -7054,6 +7054,59 @@ def kafka_wire_roundtrip_replay(spark, sf_dir):
 
 
 @q(
+    "kafka_wire_v2_roundtrip_replay",
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE event_id % 2 = 0 AND event_id < 1000",
+)
+def kafka_wire_v2_roundtrip_replay(spark, sf_dir):
+    """HASH gate for the MODERN Kafka framing (VERDICT r8 #5) — the
+    magic-2 RecordBatch format every >= 0.11 broker uses and the
+    reference's consumer rides in production (input/kafka_input.go:
+    97-119): KafkaSink (dev_wire, wire_format v2) produces over Produce
+    v3 — zigzag-varint records inside a CRC32C-stamped RecordBatch —
+    and KafkaSource fetches over Fetch v4, validating the CRC32C on
+    every page before the shared decorate_events + json codec path.
+    The decoded rows must hash-equal the source slice; a varint drift,
+    a CRC miscompute, a batch-header layout error, or an offset-delta
+    bug all mismatch. Batch/varint math is pinned bit-level in
+    test_kafka_wire (RFC 3720 CRC-32C check values)."""
+    from gohangout_spark.sinks.sinks import KafkaSink
+    from gohangout_spark.sources.kafka_wire import FakeKafkaBroker
+    from gohangout_spark.sources.sources import KafkaSource
+
+    ev = (
+        _events(spark, sf_dir)
+        .where((F.col("event_id") % 2 == 0) & (F.col("event_id") < 1000))
+        .select("event_id", "user_id", "event_type")
+    )
+    with FakeKafkaBroker(num_partitions=4) as broker:
+        KafkaSink(
+            {
+                "topic": "gate2",
+                "brokers": broker.bootstrap,
+                "key": "%{user_id}",
+                "dev_wire": True,
+                "wire_format": "v2",
+            }
+        ).write_batch(ev)
+        src = KafkaSource(
+            {
+                "topic": {"gate2": 1},
+                "consumer_settings": {
+                    "bootstrap.servers": broker.bootstrap,
+                    "from.beginning": "true",
+                },
+                "decorate_events": True,
+                "dev_wire": True,
+                "wire_format": "v2",
+                "codec": "json",
+                "schema": "event_id bigint, user_id bigint, event_type string",
+            }
+        )
+        return src.batch(spark).select("event_id", "user_id", "event_type")
+
+
+@q(
     "file_sink_stream_replay",
     "SELECT event_id, user_id, event_type FROM events",
 )
@@ -8561,6 +8614,7 @@ def multimodal_flac_features(spark, sf_dir):
 _GATE_PRIORITY = [
     # --- new r9 gates go here (inserted as each lands; until then the
     # window tail pulls r5 rows up, which only adds coverage) ---
+    "kafka_wire_v2_roundtrip_replay",
     # --- 11 slots: the mid-round-r8 gates (two-sf check_oracle + FULLREG
     # evidence, no driver row yet — VERDICT r8 #1 says they LEAD) ---
     "cluster_aware_split",

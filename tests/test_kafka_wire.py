@@ -69,6 +69,110 @@ class TestWireFormat:
             assert 0 <= partition_for_key(f"k{i}".encode(), 3) < 3
 
 
+class TestRecordBatchV2:
+    """The modern magic-2 framing (VERDICT r8 #5): zigzag varints,
+    CRC32C, RecordBatch encode/decode, Produce v3 / Fetch v4."""
+
+    def test_crc32c_known_answers(self):
+        from gohangout_spark.sources.kafka_wire import crc32c
+
+        # the canonical CRC-32C check value (RFC 3720 B.4 test pattern)
+        assert crc32c(b"123456789") == 0xE3069283
+        assert crc32c(b"") == 0
+        assert crc32c(bytes(32)) == 0x8A9136AA  # 32 zero bytes
+
+    def test_varint_zigzag_roundtrip(self):
+        from gohangout_spark.sources.kafka_wire import (
+            _Reader,
+            read_varint,
+            write_varint,
+        )
+
+        for n in (0, 1, -1, 2, -2, 63, 64, -64, -65, 300, -300,
+                  2**31 - 1, -(2**31), 2**62, -(2**62)):
+            assert read_varint(_Reader(write_varint(n))) == n, n
+        # zigzag property: small magnitudes encode in one byte
+        assert len(write_varint(0)) == 1
+        assert len(write_varint(-1)) == 1
+        assert len(write_varint(63)) == 1
+        assert len(write_varint(64)) == 2
+
+    def test_batch_roundtrip_with_crc32c(self):
+        from gohangout_spark.sources.kafka_wire import (
+            decode_record_batches,
+            encode_record_batch,
+        )
+
+        entries = [
+            (100, b"k1", b"v1", 1700000000000),
+            (101, None, b"v2", 1700000000123),
+            (102, b"k3", None, 1699999999999),  # ts below the first record's
+        ]
+        data = encode_record_batch(entries)
+        got = decode_record_batches(data)
+        assert got == [(o, ts, k, v) for o, k, v, ts in entries]
+
+    def test_batch_crc_corruption_detected(self):
+        from gohangout_spark.sources.kafka_wire import (
+            decode_record_batches,
+            encode_record_batch,
+        )
+
+        data = bytearray(encode_record_batch([(0, b"k", b"v", 1)]))
+        data[-1] ^= 0x01  # flip a record byte; CRC32C must catch it
+        with pytest.raises(ValueError, match="CRC32C"):
+            decode_record_batches(bytes(data))
+
+    def test_headers_roundtrip_structurally(self):
+        from gohangout_spark.sources.kafka_wire import (
+            decode_record_batches,
+            encode_record_batch,
+        )
+
+        data = encode_record_batch(
+            [(5, b"k", b"v", 42)], headers=[("trace", b"abc"), ("null", None)]
+        )
+        # decode skips headers but must parse past them correctly
+        assert decode_record_batches(data) == [(5, 42, b"k", b"v")]
+
+    def test_truncated_trailing_batch_dropped(self):
+        from gohangout_spark.sources.kafka_wire import (
+            decode_record_batches,
+            encode_record_batch,
+        )
+
+        full = encode_record_batch([(0, b"a", b"1", 1)])
+        partial = encode_record_batch([(1, b"b", b"2", 2)])[:-3]
+        assert decode_record_batches(full + partial) == [(0, 1, b"a", b"1")]
+
+    def test_produce_fetch_v2_over_tcp(self, broker):
+        with KafkaWireClient(broker.bootstrap, message_format="v2") as c:
+            base = c.produce("t2", 0, [(b"k", b"hello", 10), (None, b"world", 20)])
+            assert base == 0
+            hw, recs = c.fetch("t2", 0, 0)
+            assert hw == 2
+            assert recs == [(0, 10, b"k", b"hello"), (1, 20, None, b"world")]
+
+    def test_v2_pages_at_max_bytes(self, broker):
+        with KafkaWireClient(broker.bootstrap, message_format="v2") as c:
+            c.produce("t2big", 0, [(None, bytes([i]) * 100, i) for i in range(40)])
+            hw, first = c.fetch("t2big", 0, 0, max_bytes=500)
+            assert hw == 40 and 0 < len(first) < 40
+            assert [o for o, *_ in c.fetch_all("t2big", 0)] == list(range(40))
+
+    def test_cross_format_interop(self, broker):
+        """The broker re-frames on fetch like a real broker's up/down
+        conversion: v0-produced records fetch as v2 batches and vice
+        versa, byte-validated by the respective CRCs."""
+        with KafkaWireClient(broker.bootstrap, message_format="v0") as v0, \
+             KafkaWireClient(broker.bootstrap, message_format="v2") as v2:
+            v0.produce("x", 0, [(b"a", b"from-v0", 1)])
+            v2.produce("x", 0, [(b"b", b"from-v2", 2)])
+            want = [(0, 1, b"a", b"from-v0"), (1, 2, b"b", b"from-v2")]
+            assert v0.fetch("x", 0, 0)[1] == want
+            assert v2.fetch("x", 0, 0)[1] == want
+
+
 class TestBrokerClient:
     def test_produce_fetch_roundtrip(self, broker):
         with KafkaWireClient(broker.bootstrap) as c:
