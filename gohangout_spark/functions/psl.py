@@ -335,6 +335,7 @@ githubusercontent.com
 gitlab.io
 blogspot.com
 appspot.com
+*.r.appspot.com
 herokuapp.com
 netlify.app
 vercel.app
@@ -347,6 +348,19 @@ azurewebsites.net
 readthedocs.io
 wordpress.com
 s3.amazonaws.com
+// amazon, multi-level wildcards (per-customer compute hostnames)
+*.compute.amazonaws.com
+*.compute-1.amazonaws.com
+*.elb.amazonaws.com
+// centralnic pseudo-cc second-levels
+uk.com
+us.com
+de.com
+eu.com
+jpn.com
+za.com
+gb.net
+se.net
 // ===END PRIVATE DOMAINS===
 """
 

@@ -3596,7 +3596,7 @@ def url_curation_q(spark, sf_dir):
     "url_registrable_domain",
     r"""WITH h AS (
   SELECT doc_id,
-         CASE doc_id % 8
+         CASE doc_id % 12
            WHEN 0 THEN 'www.' || source || '.example.com'
            WHEN 1 THEN source || '.blog.co.uk'
            WHEN 2 THEN source || '.com.au'
@@ -3604,6 +3604,10 @@ def url_curation_q(spark, sf_dir):
            WHEN 4 THEN 'a.' || source || '.ck'
            WHEN 5 THEN 'www.ck'
            WHEN 6 THEN 'city.kobe.jp'
+           WHEN 7 THEN 'ec2-52-0-1-2.' || source || '.compute.amazonaws.com'
+           WHEN 8 THEN 'api.' || source || '.r.appspot.com'
+           WHEN 9 THEN source || '.uk.com'
+           WHEN 10 THEN 'x.y.' || source || '.elb.amazonaws.com'
            ELSE 'co.uk'
          END AS host
   FROM documents)
@@ -3621,8 +3625,14 @@ def url_registrable_domain_q(spark, sf_dir):
     (com.au), PRIVATE-section suffix (github.io), full-wildcard TLD
     (*.ck makes a.{src}.ck's public suffix {src}.ck), wildcard
     EXCEPTION (!www.ck — registrable is www.ck itself), the Japanese
-    city exception (!city.kobe.jp), and a bare public suffix (co.uk →
-    NULL registrable). The oracle replays the whole decision as
+    city exception (!city.kobe.jp), a bare public suffix (co.uk →
+    NULL registrable), and — VERDICT r8 #4 — the MULTI-LEVEL private
+    families: per-customer amazon wildcards (*.compute.amazonaws.com,
+    *.elb.amazonaws.com → 4-label public suffixes), *.r.appspot.com,
+    and a CentralNic pseudo-cc (uk.com). The full upstream list itself
+    is unfetchable in this container (no network); the snapshot stays
+    the documented one-constant swap-in. The oracle replays the whole
+    decision as
     generated DuckDB CASE logic over the same snapshot, so a precedence
     bug (exception vs longest-match), a wildcard off-by-one-label, or a
     NULL-on-suffix miss all hash-mismatch. Engine side is pure InSet
@@ -3636,13 +3646,20 @@ def url_registrable_domain_q(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     d = F.col("doc_id")
     host = (
-        F.when(d % 8 == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".example.com")))
-        .when(d % 8 == 1, F.concat(F.col("source"), F.lit(".blog.co.uk")))
-        .when(d % 8 == 2, F.concat(F.col("source"), F.lit(".com.au")))
-        .when(d % 8 == 3, F.concat(F.col("source"), F.lit(".github.io")))
-        .when(d % 8 == 4, F.concat(F.lit("a."), F.col("source"), F.lit(".ck")))
-        .when(d % 8 == 5, F.lit("www.ck"))
-        .when(d % 8 == 6, F.lit("city.kobe.jp"))
+        F.when(d % 12 == 0, F.concat(F.lit("www."), F.col("source"), F.lit(".example.com")))
+        .when(d % 12 == 1, F.concat(F.col("source"), F.lit(".blog.co.uk")))
+        .when(d % 12 == 2, F.concat(F.col("source"), F.lit(".com.au")))
+        .when(d % 12 == 3, F.concat(F.col("source"), F.lit(".github.io")))
+        .when(d % 12 == 4, F.concat(F.lit("a."), F.col("source"), F.lit(".ck")))
+        .when(d % 12 == 5, F.lit("www.ck"))
+        .when(d % 12 == 6, F.lit("city.kobe.jp"))
+        .when(d % 12 == 7, F.concat(F.lit("ec2-52-0-1-2."), F.col("source"),
+                                    F.lit(".compute.amazonaws.com")))
+        .when(d % 12 == 8, F.concat(F.lit("api."), F.col("source"),
+                                    F.lit(".r.appspot.com")))
+        .when(d % 12 == 9, F.concat(F.col("source"), F.lit(".uk.com")))
+        .when(d % 12 == 10, F.concat(F.lit("x.y."), F.col("source"),
+                                     F.lit(".elb.amazonaws.com")))
         .otherwise(F.lit("co.uk"))
     )
     withhost = docs.select("doc_id", "source").withColumn("host", host)

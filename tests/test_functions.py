@@ -459,6 +459,18 @@ class TestPSL:
         "bucket.s3.amazonaws.com": "bucket.s3.amazonaws.com",
         "example.tokyo.jp": "example.tokyo.jp",
         "UPPER.Example.COM": "example.com",       # lowercased first
+        # multi-level private wildcards (VERDICT r8 #4)
+        "cust1.compute.amazonaws.com": None,      # *.compute...: IS a suffix
+        "ec2-1-2-3-4.cust1.compute.amazonaws.com":
+            "ec2-1-2-3-4.cust1.compute.amazonaws.com",
+        "deep.host.cust1.compute.amazonaws.com":
+            "host.cust1.compute.amazonaws.com",
+        "lb.us-east-1.elb.amazonaws.com": "lb.us-east-1.elb.amazonaws.com",
+        "api.myapp.r.appspot.com": "api.myapp.r.appspot.com",
+        "myapp.r.appspot.com": None,              # bare wildcard suffix
+        "myapp.appspot.com": "myapp.appspot.com", # plain appspot rule still wins
+        "brand.uk.com": "brand.uk.com",           # CentralNic pseudo-cc
+        "www.brand.uk.com": "brand.uk.com",
     }
 
     def test_engine_matches_expected(self, spark):
