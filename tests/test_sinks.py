@@ -980,79 +980,10 @@ class TestClickHouseLiveHTTP:
                 ClickHouseSink({"table": "t", "hosts": [srv.url]})
 
 
-class FakeElasticsearchHTTP:
-    """In-process HTTP server speaking the two ES endpoints the sink
-    uses: GET /_nodes/_all/http (sniff) and POST /_bulk (NDJSON with
-    per-item verdicts), gunzipping request bodies like the real server.
-    ``item_scripts`` is a queue of per-request item-status lists; when
-    exhausted every doc succeeds."""
-
-    def __init__(self, nodes: dict | None = None, item_scripts=None,
-                 bulk_status: int = 200):
-        import http.server
-        import threading
-
-        server = self
-
-        class Handler(http.server.BaseHTTPRequestHandler):
-            def _respond(self, status, payload: bytes):
-                self.send_response(status)
-                self.send_header("Content-Length", str(len(payload)))
-                self.end_headers()
-                self.wfile.write(payload)
-
-            def _handle(self):
-                import gzip
-                import json
-
-                n = int(self.headers.get("Content-Length") or 0)
-                body = self.rfile.read(n) if n else b""
-                gz = self.headers.get("Content-Encoding") == "gzip"
-                if gz:
-                    body = gzip.decompress(body)
-                server.requests.append(
-                    {"path": self.path, "body": body, "gzip": gz}
-                )
-                if self.path.startswith("/_nodes"):
-                    self._respond(200, json.dumps({"nodes": server.nodes}).encode())
-                    return
-                if self.path == "/_bulk":
-                    ndocs = len(body.decode().strip().split("\n")) // 2
-                    statuses = (
-                        server.item_scripts.pop(0)
-                        if server.item_scripts
-                        else [200] * ndocs
-                    )
-                    items = [{"index": {"status": s}} for s in statuses]
-                    errors = any(s >= 300 for s in statuses)
-                    self._respond(
-                        server.bulk_status,
-                        json.dumps({"errors": errors, "items": items}).encode(),
-                    )
-                    return
-                self._respond(400, b"unknown endpoint")
-
-            do_GET = _handle
-            do_POST = _handle
-
-            def log_message(self, *a):
-                pass
-
-        self.nodes = nodes or {}
-        self.item_scripts = list(item_scripts or [])
-        self.bulk_status = bulk_status
-        self.requests: list[dict] = []
-        self.httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-        self.url = f"http://127.0.0.1:{self.httpd.server_address[1]}"
-        self.thread = threading.Thread(target=self.httpd.serve_forever, daemon=True)
-
-    def __enter__(self):
-        self.thread.start()
-        return self
-
-    def __exit__(self, *exc):
-        self.httpd.shutdown()
-        self.httpd.server_close()
+# The in-process ES HTTP fake moved into the package (sinks/es_dev.py)
+# so runnable examples can compose it with the Kafka wire tier — same
+# doctrine as FakeKafkaBroker living in sources/kafka_wire.py.
+from gohangout_spark.sinks.es_dev import FakeElasticsearchHTTP  # noqa: E402
 
 
 class TestElasticsearchLiveHTTP:
