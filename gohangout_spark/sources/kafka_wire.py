@@ -15,6 +15,16 @@ protocol guide) —
                      BYTES (INT32 len, -1 null), ARRAY (INT32 count)
 - Metadata    v0 (api 3), Produce v0 (api 0), Fetch v0 (api 1),
   ListOffsets v0 (api 2)
+- the classic GROUP MEMBERSHIP protocol (the surface the reference's
+  healer GroupConsumer rides, input/kafka_input.go:87-95): OffsetCommit
+  v0 (api 8), OffsetFetch v0 (api 9), FindCoordinator v0 (api 10),
+  JoinGroup v0 (api 11), Heartbeat v0 (api 12), LeaveGroup v0 (api 13),
+  SyncGroup v0 (api 14) — a full Empty -> PreparingRebalance ->
+  CompletingRebalance -> Stable coordinator with leader election,
+  session-timeout eviction, and generation fencing, plus the public
+  ConsumerProtocol subscription/assignment blobs and the classic
+  RangeAssignor, so eager rebalances and committed-offset handoffs run
+  over real wire bytes (`GroupConsumer` below is the matching client).
 - MessageSet with magic-1 messages (CRC32 | magic | attributes |
   timestamp INT64 ms | key BYTES | value BYTES), CRC computed from the
   magic byte to the end — the client VALIDATES it on every fetch.
@@ -48,6 +58,7 @@ import socket
 import socketserver
 import struct
 import threading
+import time
 import zlib
 
 logger = logging.getLogger(__name__)
@@ -63,10 +74,20 @@ API_PRODUCE = 0
 API_FETCH = 1
 API_LIST_OFFSETS = 2
 API_METADATA = 3
+API_OFFSET_COMMIT = 8
+API_OFFSET_FETCH = 9
+API_FIND_COORDINATOR = 10
+API_JOIN_GROUP = 11
+API_HEARTBEAT = 12
+API_LEAVE_GROUP = 13
+API_SYNC_GROUP = 14
 
 ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+ERR_ILLEGAL_GENERATION = 22
+ERR_UNKNOWN_MEMBER_ID = 25
+ERR_REBALANCE_IN_PROGRESS = 27
 
 
 def _enc_str(s: str | None) -> bytes:
@@ -378,6 +399,107 @@ def partition_for_key(key: bytes, num_partitions: int) -> int:
 # ------------------------------------------------------------ the broker
 
 
+# ------------------------------------------- consumer group protocol
+#
+# The classic ("eager") group-membership protocol the reference's
+# consumer rides via healer's GroupConsumer (input/kafka_input.go:87-95,
+# 150-156): FindCoordinator -> JoinGroup (leader election + subscription
+# exchange) -> SyncGroup (leader ships per-member assignments) ->
+# Heartbeat / OffsetCommit loop -> LeaveGroup. The embedded
+# "consumer"-type metadata blobs are the public ConsumerProtocol
+# encoding: Subscription = version:INT16 topics:[STRING] userdata:BYTES,
+# Assignment = version:INT16 [topic:STRING partitions:[INT32]]
+# userdata:BYTES.
+
+
+def encode_subscription(topics: list[str]) -> bytes:
+    out = struct.pack(">hi", 0, len(topics))
+    for t in topics:
+        out += _enc_str(t)
+    return out + _enc_bytes(b"")
+
+
+def decode_subscription(data: bytes) -> list[str]:
+    r = _Reader(data)
+    r.i16()  # version
+    return [r.string() for _ in range(r.i32())]
+
+
+def encode_assignment(tps: list[tuple[str, int]]) -> bytes:
+    by_topic: dict[str, list[int]] = {}
+    for t, p in tps:
+        by_topic.setdefault(t, []).append(p)
+    out = struct.pack(">hi", 0, len(by_topic))
+    for t in sorted(by_topic):
+        out += _enc_str(t) + struct.pack(">i", len(by_topic[t]))
+        for p in sorted(by_topic[t]):
+            out += struct.pack(">i", p)
+    return out + _enc_bytes(b"")
+
+
+def decode_assignment(data: bytes) -> list[tuple[str, int]]:
+    r = _Reader(data)
+    r.i16()  # version
+    tps = []
+    for _ in range(r.i32()):
+        t = r.string()
+        for _ in range(r.i32()):
+            tps.append((t, r.i32()))
+    return tps
+
+
+def range_assignment(
+    subscriptions: list[tuple[str, list[str]]],
+    partitions_by_topic: dict[str, list[int]],
+) -> dict[str, list[tuple[str, int]]]:
+    """The classic RangeAssignor: per topic, subscribers sorted by
+    member id each take a contiguous range of the sorted partition
+    list; the first (n_partitions % n_subscribers) members take one
+    extra. Deterministic, so the dev-tier gates can hash-pin the
+    resulting consumption split."""
+    out: dict[str, list[tuple[str, int]]] = {m: [] for m, _ in subscriptions}
+    topics = sorted({t for _, ts in subscriptions for t in ts})
+    for topic in topics:
+        subs = sorted(m for m, ts in subscriptions if topic in ts)
+        parts = sorted(partitions_by_topic.get(topic, []))
+        if not subs or not parts:
+            continue
+        q, rem = divmod(len(parts), len(subs))
+        start = 0
+        for i, m in enumerate(subs):
+            n = q + (1 if i < rem else 0)
+            out[m].extend((topic, p) for p in parts[start : start + n])
+            start += n
+    return out
+
+
+class _GroupMember:
+    def __init__(self, member_id: str, session_timeout_ms: int,
+                 protocols: list[tuple[str, bytes]]):
+        self.member_id = member_id
+        self.session_timeout_ms = session_timeout_ms
+        self.protocols = protocols
+        self.last_seen = time.monotonic()
+        self.assignment: bytes = b""
+
+
+class _Group:
+    """Coordinator state for one consumer group: the Empty ->
+    PreparingRebalance -> CompletingRebalance -> Stable machine."""
+
+    def __init__(self, cond: threading.Condition):
+        self.cond = cond
+        self.state = "Empty"
+        self.generation = 0
+        self.members: dict[str, _GroupMember] = {}  # insertion-ordered
+        self.leader_id: str | None = None
+        self.protocol: str | None = None
+        self.rejoined: set[str] = set()
+        self.member_seq = 0
+        # (topic, partition) -> (offset, metadata)
+        self.offsets: dict[tuple[str, int], tuple[int, str]] = {}
+
+
 class _TopicLog:
     def __init__(self, num_partitions: int):
         # partition -> list of (key, value, timestamp_ms)
@@ -393,10 +515,17 @@ class FakeKafkaBroker:
     auto-create defaults.
     """
 
-    def __init__(self, host: str = "127.0.0.1", port: int = 0, num_partitions: int = 2):
+    def __init__(self, host: str = "127.0.0.1", port: int = 0, num_partitions: int = 2,
+                 rebalance_timeout_s: float = 30.0):
         self.num_partitions = num_partitions
         self.topics: dict[str, _TopicLog] = {}
         self.lock = threading.Lock()
+        # group coordinator state: its own lock/condition so a JoinGroup
+        # blocking for the rest of the group never holds the topic lock
+        self.group_lock = threading.Lock()
+        self.group_cond = threading.Condition(self.group_lock)
+        self.groups: dict[str, _Group] = {}
+        self.rebalance_timeout_s = rebalance_timeout_s
         broker = self
 
         class Handler(socketserver.BaseRequestHandler):
@@ -480,6 +609,13 @@ class FakeKafkaBroker:
             (API_LIST_OFFSETS, 0): self._list_offsets,
             (API_PRODUCE, 3): self._produce_v3,
             (API_FETCH, 4): self._fetch_v4,
+            (API_FIND_COORDINATOR, 0): self._find_coordinator,
+            (API_JOIN_GROUP, 0): self._join_group,
+            (API_SYNC_GROUP, 0): self._sync_group,
+            (API_HEARTBEAT, 0): self._heartbeat,
+            (API_LEAVE_GROUP, 0): self._leave_group,
+            (API_OFFSET_COMMIT, 0): self._offset_commit,
+            (API_OFFSET_FETCH, 0): self._offset_fetch,
         }
         if not any(k == api_key for k, _ in handlers):
             raise UnsupportedRequestError(f"unknown api_key {api_key} (corr {corr_id})")
@@ -684,6 +820,207 @@ class FakeKafkaBroker:
                     out += struct.pack(">i", 1) + struct.pack(">q", offset)
         return out
 
+    # -- group coordinator (caller must NOT hold self.lock) --------------
+
+    def _group(self, group_id: str) -> _Group:
+        if group_id not in self.groups:
+            self.groups[group_id] = _Group(self.group_cond)
+        return self.groups[group_id]
+
+    def _evict_expired(self, g: _Group) -> bool:
+        """Drop members whose session expired without a rejoin; True if
+        anyone left the group."""
+        now = time.monotonic()
+        dead = [
+            m.member_id
+            for m in g.members.values()
+            if m.member_id not in g.rejoined
+            and now - m.last_seen > m.session_timeout_ms / 1000.0
+        ]
+        for mid in dead:
+            del g.members[mid]
+        return bool(dead)
+
+    def _complete_join_locked(self, g: _Group) -> None:
+        """All current members have rejoined: bump the generation, pick
+        leader + protocol, move to CompletingRebalance (AwaitingSync)."""
+        g.generation += 1
+        ids = list(g.members)  # insertion order
+        g.leader_id = g.leader_id if g.leader_id in g.members else ids[0]
+        g.protocol = next(iter(g.members.values())).protocols[0][0]
+        g.state = "CompletingRebalance"
+        g.cond.notify_all()
+
+    def _join_group(self, r: _Reader) -> bytes:
+        group_id = r.string()
+        session_timeout = r.i32()
+        member_id = r.string() or ""
+        r.string()  # protocol_type ("consumer")
+        protocols = [(r.string(), r.bytes_() or b"") for _ in range(r.i32())]
+
+        def fail(err: int) -> bytes:
+            return (struct.pack(">hi", err, -1) + _enc_str("") + _enc_str("")
+                    + _enc_str(member_id) + struct.pack(">i", 0))
+
+        deadline = time.monotonic() + self.rebalance_timeout_s
+        with self.group_cond:
+            g = self._group(group_id)
+            if member_id and member_id not in g.members:
+                return fail(ERR_UNKNOWN_MEMBER_ID)
+            if not member_id:
+                g.member_seq += 1
+                member_id = f"{group_id}-member-{g.member_seq}"
+                g.members[member_id] = _GroupMember(
+                    member_id, session_timeout, protocols
+                )
+            m = g.members[member_id]
+            m.session_timeout_ms = session_timeout
+            m.protocols = protocols
+            m.last_seen = time.monotonic()
+            if g.state != "PreparingRebalance":
+                g.rejoined = set()
+                g.state = "PreparingRebalance"
+                g.cond.notify_all()
+            g.rejoined.add(member_id)
+            # block until every current member has rejoined (stragglers
+            # are evicted once their session expires)
+            while not (g.rejoined >= set(g.members)):
+                self._evict_expired(g)
+                if g.rejoined >= set(g.members):
+                    break
+                if time.monotonic() > deadline:
+                    return fail(ERR_REBALANCE_IN_PROGRESS)
+                g.cond.wait(0.05)
+            if g.state == "PreparingRebalance":
+                self._complete_join_locked(g)
+            members_blob = b""
+            is_leader = member_id == g.leader_id
+            member_list = list(g.members.values()) if is_leader else []
+            for mm in member_list:
+                meta = dict(mm.protocols).get(g.protocol, b"")
+                members_blob += _enc_str(mm.member_id) + _enc_bytes(meta)
+            return (
+                struct.pack(">hi", ERR_NONE, g.generation)
+                + _enc_str(g.protocol)
+                + _enc_str(g.leader_id)
+                + _enc_str(member_id)
+                + struct.pack(">i", len(member_list))
+                + members_blob
+            )
+
+    def _sync_group(self, r: _Reader) -> bytes:
+        group_id = r.string()
+        generation = r.i32()
+        member_id = r.string()
+        assignments = [(r.string(), r.bytes_() or b"") for _ in range(r.i32())]
+
+        def fail(err: int) -> bytes:
+            return struct.pack(">h", err) + _enc_bytes(b"")
+
+        deadline = time.monotonic() + self.rebalance_timeout_s
+        with self.group_cond:
+            g = self.groups.get(group_id)
+            if g is None or member_id not in g.members:
+                return fail(ERR_UNKNOWN_MEMBER_ID)
+            if generation != g.generation:
+                return fail(ERR_ILLEGAL_GENERATION)
+            if g.state == "PreparingRebalance":
+                return fail(ERR_REBALANCE_IN_PROGRESS)
+            g.members[member_id].last_seen = time.monotonic()
+            if member_id == g.leader_id:
+                for mid, blob in assignments:
+                    if mid in g.members:
+                        g.members[mid].assignment = blob
+                g.state = "Stable"
+                g.cond.notify_all()
+            while g.state == "CompletingRebalance":
+                if time.monotonic() > deadline:
+                    return fail(ERR_REBALANCE_IN_PROGRESS)
+                g.cond.wait(0.05)
+            if g.state != "Stable" or generation != g.generation:
+                return fail(ERR_REBALANCE_IN_PROGRESS)
+            return struct.pack(">h", ERR_NONE) + _enc_bytes(
+                g.members[member_id].assignment
+            )
+
+    def _heartbeat(self, r: _Reader) -> bytes:
+        group_id, generation, member_id = r.string(), r.i32(), r.string()
+        with self.group_cond:
+            g = self.groups.get(group_id)
+            if g is None or member_id not in g.members:
+                return struct.pack(">h", ERR_UNKNOWN_MEMBER_ID)
+            g.members[member_id].last_seen = time.monotonic()
+            if generation != g.generation:
+                return struct.pack(">h", ERR_ILLEGAL_GENERATION)
+            if g.state == "PreparingRebalance":
+                return struct.pack(">h", ERR_REBALANCE_IN_PROGRESS)
+            return struct.pack(">h", ERR_NONE)
+
+    def _leave_group(self, r: _Reader) -> bytes:
+        group_id, member_id = r.string(), r.string()
+        with self.group_cond:
+            g = self.groups.get(group_id)
+            if g is None or member_id not in g.members:
+                return struct.pack(">h", ERR_UNKNOWN_MEMBER_ID)
+            del g.members[member_id]
+            g.rejoined.discard(member_id)
+            if g.leader_id == member_id:
+                g.leader_id = None
+            if not g.members:
+                g.state = "Empty"
+                g.rejoined = set()
+            elif g.state == "PreparingRebalance":
+                # the departure may be the last straggler a rebalance
+                # was waiting on
+                if g.rejoined >= set(g.members):
+                    self._complete_join_locked(g)
+            else:
+                # survivors must rebalance to cover its partitions;
+                # they find out via ERR_REBALANCE_IN_PROGRESS heartbeats
+                g.state = "PreparingRebalance"
+                g.rejoined = set()
+            g.cond.notify_all()
+            return struct.pack(">h", ERR_NONE)
+
+    def _offset_commit(self, r: _Reader) -> bytes:
+        group_id = r.string()
+        with self.group_cond:
+            g = self._group(group_id)
+            n_topics = r.i32()
+            out = struct.pack(">i", n_topics)
+            for _ in range(n_topics):
+                topic = r.string()
+                n_parts = r.i32()
+                out += _enc_str(topic) + struct.pack(">i", n_parts)
+                for _ in range(n_parts):
+                    part, offset = r.i32(), r.i64()
+                    metadata = r.string() or ""
+                    g.offsets[(topic, part)] = (offset, metadata)
+                    out += struct.pack(">ih", part, ERR_NONE)
+            return out
+
+    def _offset_fetch(self, r: _Reader) -> bytes:
+        group_id = r.string()
+        with self.group_cond:
+            g = self._group(group_id)
+            n_topics = r.i32()
+            out = struct.pack(">i", n_topics)
+            for _ in range(n_topics):
+                topic = r.string()
+                n_parts = r.i32()
+                out += _enc_str(topic) + struct.pack(">i", n_parts)
+                for _ in range(n_parts):
+                    part = r.i32()
+                    offset, metadata = g.offsets.get((topic, part), (-1, ""))
+                    out += struct.pack(">iq", part, offset)
+                    out += _enc_str(metadata) + struct.pack(">h", ERR_NONE)
+            return out
+
+    def _find_coordinator(self, r: _Reader) -> bytes:
+        r.string()  # group_id — single-node broker coordinates everything
+        return (struct.pack(">hi", ERR_NONE, 0) + _enc_str(self.host)
+                + struct.pack(">i", self.port))
+
 
 # ------------------------------------------------------------ the client
 
@@ -871,3 +1208,212 @@ class KafkaWireClient:
             if not records or records[-1][0] + 1 >= hw:
                 return out
             offset = records[-1][0] + 1
+
+    # -- group membership APIs (all v0) ----------------------------------
+
+    def find_coordinator(self, group_id: str) -> tuple[str, int]:
+        r = self._request(API_FIND_COORDINATOR, _enc_str(group_id))
+        err = r.i16()
+        r.i32()  # node id
+        host, port = r.string(), r.i32()
+        if err != ERR_NONE:
+            raise ValueError(f"find_coordinator error {err} for {group_id}")
+        return host, port
+
+    def join_group(self, group_id: str, member_id: str, topics: list[str],
+                   session_timeout_ms: int = 10000, protocol: str = "range"):
+        """-> (err, generation, protocol, leader_id, member_id,
+        [(member_id, subscription_bytes)]) — members only for the leader."""
+        body = _enc_str(group_id) + struct.pack(">i", session_timeout_ms)
+        body += _enc_str(member_id) + _enc_str("consumer")
+        body += struct.pack(">i", 1)
+        body += _enc_str(protocol) + _enc_bytes(encode_subscription(topics))
+        r = self._request(API_JOIN_GROUP, body)
+        err, generation = r.i16(), r.i32()
+        proto, leader, me = r.string(), r.string(), r.string()
+        members = [(r.string(), r.bytes_() or b"") for _ in range(r.i32())]
+        return err, generation, proto, leader, me, members
+
+    def sync_group(self, group_id: str, generation: int, member_id: str,
+                   assignments: list[tuple[str, bytes]] | None = None):
+        """-> (err, assignment_bytes); the leader passes the full
+        per-member assignment map, followers pass none."""
+        body = _enc_str(group_id) + struct.pack(">i", generation)
+        body += _enc_str(member_id)
+        body += struct.pack(">i", len(assignments or []))
+        for mid, blob in assignments or []:
+            body += _enc_str(mid) + _enc_bytes(blob)
+        r = self._request(API_SYNC_GROUP, body)
+        return r.i16(), r.bytes_() or b""
+
+    def heartbeat(self, group_id: str, generation: int, member_id: str) -> int:
+        body = _enc_str(group_id) + struct.pack(">i", generation)
+        body += _enc_str(member_id)
+        return self._request(API_HEARTBEAT, body).i16()
+
+    def leave_group(self, group_id: str, member_id: str) -> int:
+        return self._request(
+            API_LEAVE_GROUP, _enc_str(group_id) + _enc_str(member_id)
+        ).i16()
+
+    def offset_commit(self, group_id: str,
+                      offsets: dict[tuple[str, int], int]) -> None:
+        by_topic: dict[str, list[tuple[int, int]]] = {}
+        for (t, p), off in offsets.items():
+            by_topic.setdefault(t, []).append((p, off))
+        body = _enc_str(group_id) + struct.pack(">i", len(by_topic))
+        for t in sorted(by_topic):
+            body += _enc_str(t) + struct.pack(">i", len(by_topic[t]))
+            for p, off in sorted(by_topic[t]):
+                body += struct.pack(">iq", p, off) + _enc_str("")
+        r = self._request(API_OFFSET_COMMIT, body)
+        for _ in range(r.i32()):
+            r.string()
+            for _ in range(r.i32()):
+                part, err = r.i32(), r.i16()
+                if err != ERR_NONE:
+                    raise ValueError(f"offset_commit error {err} on partition {part}")
+
+    def offset_fetch(self, group_id: str,
+                     tps: list[tuple[str, int]]) -> dict[tuple[str, int], int]:
+        """-> committed offset per (topic, partition); -1 = none stored."""
+        by_topic: dict[str, list[int]] = {}
+        for t, p in tps:
+            by_topic.setdefault(t, []).append(p)
+        body = _enc_str(group_id) + struct.pack(">i", len(by_topic))
+        for t in sorted(by_topic):
+            body += _enc_str(t) + struct.pack(">i", len(by_topic[t]))
+            for p in sorted(by_topic[t]):
+                body += struct.pack(">i", p)
+        r = self._request(API_OFFSET_FETCH, body)
+        out = {}
+        for _ in range(r.i32()):
+            t = r.string()
+            for _ in range(r.i32()):
+                part, off = r.i32(), r.i64()
+                r.string()  # metadata
+                err = r.i16()
+                if err != ERR_NONE:
+                    raise ValueError(f"offset_fetch error {err} on {t}/{part}")
+                out[(t, part)] = off
+        return out
+
+
+class GroupConsumer:
+    """Classic-protocol group consumer over the dev wire tier — the
+    behavior the reference gets from healer's GroupConsumer
+    (input/kafka_input.go:87-95: one GroupConsumer per consumer_threads,
+    all sharing group.id; :150-156 awaitClose/Close on shutdown):
+    FindCoordinator -> JoinGroup (the leader computes the public
+    RangeAssignor split over every member's subscription) -> SyncGroup
+    -> poll loop (heartbeat, then fetch each owned partition from its
+    position) -> OffsetCommit. A heartbeat answered with
+    REBALANCE_IN_PROGRESS / ILLEGAL_GENERATION triggers a transparent
+    rejoin inside poll(), exactly the eager-rebalance client loop; on a
+    rejoin, positions restart from the group's committed offsets, so a
+    partition handed to another member resumes where its previous owner
+    committed (the at-least-once contract kafka_input relies on)."""
+
+    def __init__(self, bootstrap: str, group_id: str, topics: list[str],
+                 client_id: str = "gohangout-spark-dev",
+                 session_timeout_ms: int = 10000,
+                 message_format: str = "v0", timeout_s: float = 30.0):
+        self.group_id = group_id
+        self.topics = list(topics)
+        self.session_timeout_ms = session_timeout_ms
+        self.client = KafkaWireClient(
+            bootstrap, client_id, timeout_s, message_format
+        )
+        # a real client would reconnect to the returned coordinator; the
+        # dev broker is single-node, so this just exercises the RPC
+        self.client.find_coordinator(group_id)
+        self.member_id = ""
+        self.generation = -1
+        self.assignment: list[tuple[str, int]] = []
+        self.positions: dict[tuple[str, int], int] = {}
+
+    # -- membership -------------------------------------------------------
+
+    def join(self, max_attempts: int = 10) -> list[tuple[str, int]]:
+        for _ in range(max_attempts):
+            err, gen, proto, leader, me, members = self.client.join_group(
+                self.group_id, self.member_id, self.topics,
+                self.session_timeout_ms,
+            )
+            if err == ERR_UNKNOWN_MEMBER_ID:
+                self.member_id = ""
+                continue
+            if err == ERR_REBALANCE_IN_PROGRESS:
+                continue
+            if err != ERR_NONE:
+                raise ValueError(f"join_group error {err}")
+            self.member_id, self.generation = me, gen
+            assignments = None
+            if me == leader:
+                subs = [(mid, decode_subscription(blob)) for mid, blob in members]
+                all_topics = sorted({t for _, ts in subs for t in ts})
+                parts = self.client.metadata(all_topics)
+                split = range_assignment(subs, parts)
+                assignments = [
+                    (mid, encode_assignment(tps)) for mid, tps in split.items()
+                ]
+            serr, blob = self.client.sync_group(
+                self.group_id, gen, me, assignments
+            )
+            if serr in (ERR_REBALANCE_IN_PROGRESS, ERR_ILLEGAL_GENERATION):
+                continue
+            if serr != ERR_NONE:
+                raise ValueError(f"sync_group error {serr}")
+            self.assignment = decode_assignment(blob)
+            committed = self.client.offset_fetch(self.group_id, self.assignment)
+            self.positions = {
+                tp: (off if off >= 0 else 0) for tp, off in committed.items()
+            }
+            return self.assignment
+        raise TimeoutError(
+            f"group {self.group_id}: no stable generation in {max_attempts} attempts"
+        )
+
+    # -- consumption ------------------------------------------------------
+
+    def poll(self) -> list[tuple[str, int, int, int, bytes | None, bytes | None]]:
+        """One heartbeat + one fetch pass over the owned partitions ->
+        [(topic, partition, offset, timestamp_ms, key, value)]. Rejoins
+        transparently when the coordinator signals a rebalance."""
+        err = self.client.heartbeat(self.group_id, self.generation, self.member_id)
+        if err == ERR_UNKNOWN_MEMBER_ID:
+            self.member_id = ""
+            self.join()
+        elif err in (ERR_REBALANCE_IN_PROGRESS, ERR_ILLEGAL_GENERATION):
+            self.join()
+        elif err != ERR_NONE:
+            raise ValueError(f"heartbeat error {err}")
+        out = []
+        for t, p in self.assignment:
+            pos = self.positions.get((t, p), 0)
+            hw, records = self.client.fetch(t, p, pos)
+            while records:
+                out.extend((t, p, off, ts, k, v) for off, ts, k, v in records)
+                pos = records[-1][0] + 1
+                if pos >= hw:
+                    break
+                hw, records = self.client.fetch(t, p, pos)
+            self.positions[(t, p)] = pos
+        return out
+
+    def commit(self) -> None:
+        if self.positions:
+            self.client.offset_commit(self.group_id, self.positions)
+
+    def close(self, leave: bool = True) -> None:
+        try:
+            if leave and self.member_id:
+                self.client.leave_group(self.group_id, self.member_id)
+        finally:
+            self.client.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

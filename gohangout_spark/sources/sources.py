@@ -371,6 +371,8 @@ class KafkaSource(Source):
         from gohangout_spark.sources.kafka_wire import KafkaWireClient
 
         opts = self._options()
+        if "kafka.group.id" in opts and "subscribe" in opts:
+            return self._batch_dev_wire_group(spark, opts)
         rows = []
         with KafkaWireClient(
             opts["kafka.bootstrap.servers"],
@@ -393,6 +395,40 @@ class KafkaSource(Source):
                             1,  # CreateTime, what magic-1 carries
                         )
                     )
+        df = spark.createDataFrame(
+            rows,
+            "key binary, value binary, topic string, partition int, "
+            "offset long, timestamp_ms long, timestampType int",
+        ).withColumn("timestamp", F.timestamp_millis(F.col("timestamp_ms"))).drop(
+            "timestamp_ms"
+        )
+        return self._finish(df)
+
+    def _batch_dev_wire_group(self, spark, opts):
+        """group.id tier: join the consumer group, drain the OWNED
+        partitions from the group's COMMITTED offsets to the high
+        watermark, commit, leave — the at-least-once resume contract the
+        reference gets from healer's GroupConsumer
+        (input/kafka_input.go:87-95,150-156). A second batch() against
+        the same group therefore sees only records appended since the
+        previous drain, unlike the group-less dev tier's
+        earliest->hw-every-time semantics."""
+        from gohangout_spark.sources.kafka_wire import GroupConsumer
+
+        consumer = GroupConsumer(
+            opts["kafka.bootstrap.servers"],
+            opts["kafka.group.id"],
+            opts["subscribe"].split(","),
+            message_format=self.conf.get("wire_format", "v0"),
+        )
+        rows = []
+        try:
+            consumer.join()
+            for topic, part, offset, ts, key, value in consumer.poll():
+                rows.append((key, value, topic, part, offset, ts, 1))
+            consumer.commit()
+        finally:
+            consumer.close()
         df = spark.createDataFrame(
             rows,
             "key binary, value binary, topic string, partition int, "

@@ -7124,6 +7124,143 @@ def kafka_wire_v2_roundtrip_replay(spark, sf_dir):
 
 
 @q(
+    "kafka_group_resume_replay",
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE event_id >= 600 AND event_id < 1000",
+)
+def kafka_group_resume_replay(spark, sf_dir):
+    """HASH gate for CONSUMER-GROUP resume over real wire bytes — the
+    at-least-once contract the reference's kafka input gets from
+    healer's GroupConsumer (input/kafka_input.go:87-95: group.id-keyed
+    offset checkpointing). Two slices of events are produced to a
+    4-partition topic; a KafkaSource with group.id drains slice one
+    (FindCoordinator -> JoinGroup -> SyncGroup -> fetch -> OffsetCommit
+    -> LeaveGroup, all v0 wire RPCs against the in-repo coordinator),
+    then slice two lands and a SECOND batch in the same group must
+    return EXACTLY slice two: resuming below the commit duplicates
+    rows, resuming above it loses rows, and either hash-mismatches.
+    The membership state machine itself is pinned in test_kafka_wire
+    (rebalance, eviction, generation fencing)."""
+    from gohangout_spark.sinks.sinks import KafkaSink
+    from gohangout_spark.sources.kafka_wire import FakeKafkaBroker
+    from gohangout_spark.sources.sources import KafkaSource
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    with FakeKafkaBroker(num_partitions=4) as broker:
+        sink = KafkaSink(
+            {
+                "topic": "grp",
+                "brokers": broker.bootstrap,
+                "key": "%{user_id}",
+                "dev_wire": True,
+            }
+        )
+        conf = {
+            "topic": {"grp": 1},
+            "consumer_settings": {
+                "bootstrap.servers": broker.bootstrap,
+                "group.id": "gate-group",
+            },
+            "decorate_events": True,
+            "dev_wire": True,
+            "codec": "json",
+            "schema": "event_id bigint, user_id bigint, event_type string",
+        }
+        sink.write_batch(ev.where(F.col("event_id") < 600))
+        KafkaSource(conf).batch(spark).count()  # drain + commit slice one
+        sink.write_batch(
+            ev.where((F.col("event_id") >= 600) & (F.col("event_id") < 1000))
+        )
+        return (
+            KafkaSource(conf)
+            .batch(spark)
+            .select("event_id", "user_id", "event_type")
+        )
+
+
+@q(
+    "kafka_group_rebalance_replay",
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE event_id >= 400 AND event_id < 1000",
+)
+def kafka_group_rebalance_replay(spark, sf_dir):
+    """HASH gate for an EAGER REBALANCE with committed-offset handoff —
+    the multi-consumer shape the reference runs with consumer_threads>1
+    (input/kafka_input.go:87-95: N GroupConsumers sharing group.id).
+    Consumer A drains slice one alone and commits; consumer B joins,
+    A's heartbeat answers REBALANCE_IN_PROGRESS and both re-sync into
+    generation 2 with the RangeAssignor's disjoint halves (A: p0-p1,
+    B: p2-p3); slice two lands and each member polls ONLY its own
+    half, resuming the inherited partitions at A's commits. The gate
+    returns the UNION of both members' slice-two records, so the hash
+    IS the protocol check: an overlapping assignment duplicates rows,
+    a dropped partition or a handoff that re-reads/skips past the
+    commit loses or doubles rows, and any of it mismatches the plain
+    slice-two oracle."""
+    import threading
+    import time as _time
+
+    from gohangout_spark.sinks.sinks import KafkaSink
+    from gohangout_spark.sources.kafka_wire import (
+        ERR_NONE,
+        FakeKafkaBroker,
+        GroupConsumer,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    with FakeKafkaBroker(num_partitions=4) as broker:
+        sink = KafkaSink(
+            {
+                "topic": "reb",
+                "brokers": broker.bootstrap,
+                "key": "%{user_id}",
+                "dev_wire": True,
+            }
+        )
+        sink.write_batch(ev.where(F.col("event_id") < 400))
+        a = GroupConsumer(broker.bootstrap, "reb-group", ["reb"])
+        a.join()
+        a.poll()
+        a.commit()
+        b = GroupConsumer(broker.bootstrap, "reb-group", ["reb"])
+        joined: dict = {}
+        th = threading.Thread(
+            target=lambda: joined.update(assignment=b.join()), daemon=True
+        )
+        th.start()
+        # wait for the coordinator to see B's join, through the client's
+        # own API: A's heartbeat flips to REBALANCE_IN_PROGRESS
+        deadline = _time.monotonic() + 20
+        while (
+            a.client.heartbeat(a.group_id, a.generation, a.member_id) == ERR_NONE
+        ):
+            if _time.monotonic() > deadline:
+                raise TimeoutError("coordinator never started the rebalance")
+            _time.sleep(0.02)
+        a.poll()  # transparent rejoin into generation 2
+        th.join(20)
+        if th.is_alive() or "assignment" not in joined:
+            raise TimeoutError("second member never completed the rebalance")
+        sink.write_batch(
+            ev.where((F.col("event_id") >= 400) & (F.col("event_id") < 1000))
+        )
+        records = a.poll() + b.poll()
+        a.close()
+        b.close()
+    values = [(bytes(v),) for _, _, _, _, _, v in records]
+    return (
+        spark.createDataFrame(values, "value binary")
+        .select(
+            F.from_json(
+                F.col("value").cast("string"),
+                "event_id bigint, user_id bigint, event_type string",
+            ).alias("e")
+        )
+        .select("e.event_id", "e.user_id", "e.event_type")
+    )
+
+
+@q(
     "file_sink_stream_replay",
     "SELECT event_id, user_id, event_type FROM events",
 )
@@ -8632,6 +8769,8 @@ _GATE_PRIORITY = [
     # --- new r9 gates go here (inserted as each lands; until then the
     # window tail pulls r5 rows up, which only adds coverage) ---
     "kafka_wire_v2_roundtrip_replay",
+    "kafka_group_resume_replay",
+    "kafka_group_rebalance_replay",
     # --- 11 slots: the mid-round-r8 gates (two-sf check_oracle + FULLREG
     # evidence, no driver row yet — VERDICT r8 #1 says they LEAD) ---
     "cluster_aware_split",

@@ -14,6 +14,7 @@ package boundary. What remains waived is only real-broker behavior
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from gohangout_spark.sources.kafka_wire import (
     FakeKafkaBroker,
@@ -382,3 +383,206 @@ class TestKafkaSourceEndToEnd:
             n0 = len(c.fetch_all("rr", 0))
             n1 = len(c.fetch_all("rr", 1))
         assert n0 == n1 == 3
+
+
+def _await_rebalance(broker, group_id, timeout_s=5.0):
+    """Block until the coordinator has entered PreparingRebalance —
+    pins the scripted ordering: the incoming member's JoinGroup must be
+    REGISTERED before the incumbent's next heartbeat, else that
+    heartbeat legitimately answers NONE and the test races."""
+    import time as _t
+
+    deadline = _t.monotonic() + timeout_s
+    while _t.monotonic() < deadline:
+        g = broker.groups.get(group_id)
+        if g is not None and g.state == "PreparingRebalance":
+            return
+        _t.sleep(0.01)
+    raise TimeoutError(f"group {group_id} never entered PreparingRebalance")
+
+
+class TestGroupMembership:
+    """The classic group protocol (reference: healer GroupConsumer,
+    input/kafka_input.go:87-95,150-156) over real v0 wire bytes."""
+
+    @staticmethod
+    def _fill(broker, topic="t", n=40, parts=4):
+        with KafkaWireClient(broker.bootstrap) as prod:
+            for i in range(n):
+                prod.produce(
+                    topic, i % parts, [(str(i).encode(), b"v%d" % i, 1000 + i)]
+                )
+
+    def test_consumer_protocol_blobs_roundtrip(self):
+        from gohangout_spark.sources.kafka_wire import (
+            decode_assignment,
+            decode_subscription,
+            encode_assignment,
+            encode_subscription,
+        )
+
+        assert decode_subscription(encode_subscription(["a", "b"])) == ["a", "b"]
+        tps = [("t", 0), ("t", 2), ("u", 1)]
+        assert sorted(decode_assignment(encode_assignment(tps))) == sorted(tps)
+
+    def test_range_assignment_splits_contiguously(self):
+        from gohangout_spark.sources.kafka_wire import range_assignment
+
+        split = range_assignment(
+            [("m2", ["t"]), ("m1", ["t"])], {"t": [0, 1, 2, 3, 4]}
+        )
+        # sorted member order; first member takes the remainder partition
+        assert split["m1"] == [("t", 0), ("t", 1), ("t", 2)]
+        assert split["m2"] == [("t", 3), ("t", 4)]
+
+    def test_single_member_owns_all_and_resumes_from_commit(self):
+        from gohangout_spark.sources.kafka_wire import GroupConsumer
+
+        with FakeKafkaBroker(num_partitions=4) as b:
+            self._fill(b)
+            with GroupConsumer(b.bootstrap, "g", ["t"]) as c:
+                assert sorted(c.join()) == [("t", p) for p in range(4)]
+                assert c.generation == 1
+                assert len(c.poll()) == 40
+                c.commit()
+            # a FRESH member in the same group starts at the commits
+            with GroupConsumer(b.bootstrap, "g", ["t"]) as c2:
+                c2.join()
+                assert c2.positions == {("t", p): 10 for p in range(4)}
+                assert c2.poll() == []
+
+    def test_second_join_rebalances_via_heartbeat(self):
+        import threading
+
+        from gohangout_spark.sources.kafka_wire import (
+            ERR_REBALANCE_IN_PROGRESS,
+            GroupConsumer,
+        )
+
+        with FakeKafkaBroker(num_partitions=4) as b:
+            self._fill(b)
+            a = GroupConsumer(b.bootstrap, "g", ["t"])
+            a.join()
+            a.poll()
+            a.commit()
+            # the incoming member's JoinGroup blocks until A rejoins
+            bc = GroupConsumer(b.bootstrap, "g", ["t"])
+            res = {}
+            th = threading.Thread(target=lambda: res.update(a=bc.join()))
+            th.start()
+            _await_rebalance(b, "g")
+            # A's raw heartbeat now reports the pending rebalance
+            err = a.client.heartbeat(a.group_id, a.generation, a.member_id)
+            assert err == ERR_REBALANCE_IN_PROGRESS
+            a.poll()  # transparent rejoin
+            th.join(15)
+            assert not th.is_alive()
+            assert a.generation == bc.generation == 2
+            # disjoint contiguous halves covering all four partitions
+            assert sorted(a.assignment) == [("t", 0), ("t", 1)]
+            assert sorted(res["a"]) == [("t", 2), ("t", 3)]
+            # handoff: B resumes partitions 2/3 at A's committed offsets
+            assert bc.positions == {("t", 2): 10, ("t", 3): 10}
+            self._fill(b, n=8)  # 2 more per partition
+            ra, rb = a.poll(), bc.poll()
+            assert {p for _, p, *_ in ra} == {0, 1} and len(ra) == 4
+            assert {p for _, p, *_ in rb} == {2, 3} and len(rb) == 4
+            a.close()
+            bc.close()
+
+    def test_leave_group_hands_partitions_to_survivor(self):
+        import threading
+
+        from gohangout_spark.sources.kafka_wire import GroupConsumer
+
+        with FakeKafkaBroker(num_partitions=2) as b:
+            self._fill(b, n=10, parts=2)
+            a = GroupConsumer(b.bootstrap, "g", ["t"])
+            a.join()
+            bc = GroupConsumer(b.bootstrap, "g", ["t"])
+            th = threading.Thread(target=bc.join)
+            th.start()
+            _await_rebalance(b, "g")
+            a.poll()
+            th.join(15)
+            a.poll()
+            a.commit()  # A owns ("t", 0): commit offset 5
+            a.close()  # LeaveGroup -> survivor must rebalance
+            recs = bc.poll()  # heartbeat sees the rebalance, rejoins
+            assert bc.generation == 3
+            assert sorted(bc.assignment) == [("t", 0), ("t", 1)]
+            # partition 0 resumes at A's commit, not at 0
+            assert bc.positions[("t", 0)] == 5
+            bc.close()
+
+    def test_session_timeout_evicts_silent_member(self):
+        from gohangout_spark.sources.kafka_wire import GroupConsumer
+
+        with FakeKafkaBroker(num_partitions=2) as b:
+            self._fill(b, n=4, parts=2)
+            a = GroupConsumer(b.bootstrap, "g", ["t"], session_timeout_ms=400)
+            a.join()
+            # A goes silent; B's join must evict it and complete alone
+            bc = GroupConsumer(b.bootstrap, "g", ["t"])
+            assert sorted(bc.join()) == [("t", 0), ("t", 1)]
+            assert bc.generation == 2
+            bc.close()
+            a.close(leave=False)
+
+    def test_generation_fencing(self):
+        from gohangout_spark.sources.kafka_wire import (
+            ERR_ILLEGAL_GENERATION,
+            ERR_UNKNOWN_MEMBER_ID,
+            GroupConsumer,
+        )
+
+        with FakeKafkaBroker(num_partitions=2) as b:
+            c = GroupConsumer(b.bootstrap, "g", ["t"])
+            c.join()
+            assert (
+                c.client.heartbeat("g", c.generation + 7, c.member_id)
+                == ERR_ILLEGAL_GENERATION
+            )
+            assert (
+                c.client.heartbeat("g", c.generation, "nobody")
+                == ERR_UNKNOWN_MEMBER_ID
+            )
+            serr, _ = c.client.sync_group("g", c.generation + 1, c.member_id)
+            assert serr == ERR_ILLEGAL_GENERATION
+            c.close()
+
+    def test_find_coordinator_points_home(self, broker):
+        with KafkaWireClient(broker.bootstrap) as c:
+            host, port = c.find_coordinator("any-group")
+        assert (host, port) == (broker.host, broker.port)
+
+    def test_kafka_source_group_tier_resumes(self, spark):
+        """KafkaSource with group.id drains committed->hw and commits:
+        the second batch sees ONLY the records produced in between."""
+        from gohangout_spark.sinks.sinks import KafkaSink
+        from gohangout_spark.sources.sources import KafkaSource
+
+        with FakeKafkaBroker(num_partitions=2) as b:
+            conf = {
+                "topic": {"gt": 1},
+                "consumer_settings": {
+                    "bootstrap.servers": b.bootstrap,
+                    "group.id": "spark-dev",
+                },
+                "dev_wire": True,
+                "codec": "json",
+                "schema": "n bigint",
+                "decorate_events": True,
+            }
+            sink = KafkaSink(
+                {"topic": "gt", "brokers": b.bootstrap, "dev_wire": True}
+            )
+            sink.write_batch(spark.range(5).select(F.col("id").alias("n")))
+            first = KafkaSource(conf).batch(spark)
+            assert first.count() == 5
+            sink.write_batch(
+                spark.range(5, 8).select(F.col("id").alias("n"))
+            )
+            second = KafkaSource(conf).batch(spark)
+            got = sorted(r["n"] for r in second.collect())
+            assert got == [5, 6, 7]
