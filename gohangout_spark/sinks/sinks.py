@@ -149,14 +149,16 @@ class KafkaSink(Sink):
         import time as _time
 
         from gohangout_spark.sources.kafka_wire import (
-            KafkaWireClient,
+            ClusterWireClient,
             partition_for_key,
         )
 
         topic = self.conf["topic"]
         now_ms = int(_time.time() * 1000)
         rows = payload.collect()  # dev tier: bounded by contract
-        with KafkaWireClient(
+        # leader-routing client: `brokers` may be a comma list, and a
+        # node death mid-write costs a metadata refresh, not the batch
+        with ClusterWireClient(
             self.conf["brokers"],
             message_format=self.conf.get("wire_format", "v0"),
         ) as client:

@@ -85,9 +85,20 @@ API_SYNC_GROUP = 14
 ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
 ERR_UNKNOWN_TOPIC_OR_PARTITION = 3
+ERR_NOT_LEADER_FOR_PARTITION = 6
 ERR_ILLEGAL_GENERATION = 22
 ERR_UNKNOWN_MEMBER_ID = 25
 ERR_REBALANCE_IN_PROGRESS = 27
+
+
+class KafkaProtocolError(ValueError):
+    """A response carried a non-zero error_code; `.code` holds it so
+    routing clients can react per-code (NOT_LEADER -> refresh metadata
+    and retry, everything else -> surface)."""
+
+    def __init__(self, code: int, message: str):
+        super().__init__(message)
+        self.code = code
 
 
 def _enc_str(s: str | None) -> bytes:
@@ -516,15 +527,27 @@ class FakeKafkaBroker:
     """
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0, num_partitions: int = 2,
-                 rebalance_timeout_s: float = 30.0):
+                 rebalance_timeout_s: float = 30.0, node_id: int = 0,
+                 cluster: "FakeKafkaCluster | None" = None):
         self.num_partitions = num_partitions
-        self.topics: dict[str, _TopicLog] = {}
-        self.lock = threading.Lock()
-        # group coordinator state: its own lock/condition so a JoinGroup
-        # blocking for the rest of the group never holds the topic lock
-        self.group_lock = threading.Lock()
-        self.group_cond = threading.Condition(self.group_lock)
-        self.groups: dict[str, _Group] = {}
+        self.node_id = node_id
+        self.cluster = cluster
+        if cluster is not None:
+            # cluster nodes share one log/group store (a real cluster's
+            # replicated state); each node only LEADS its partitions
+            self.topics = cluster.topics
+            self.lock = cluster.lock
+            self.group_lock = cluster.group_lock
+            self.group_cond = cluster.group_cond
+            self.groups = cluster.groups
+        else:
+            self.topics = {}
+            self.lock = threading.Lock()
+            # group coordinator state: its own lock/condition so a JoinGroup
+            # blocking for the rest of the group never holds the topic lock
+            self.group_lock = threading.Lock()
+            self.group_cond = threading.Condition(self.group_lock)
+            self.groups = {}
         self.rebalance_timeout_s = rebalance_timeout_s
         broker = self
 
@@ -627,6 +650,12 @@ class FakeKafkaBroker:
         body = handlers[(api_key, api_version)](r)
         return struct.pack(">i", corr_id) + body
 
+    def _leader(self, topic: str, part: int) -> int:
+        return self.cluster.leader(topic, part) if self.cluster else 0
+
+    def _not_leader(self, topic: str, part: int) -> bool:
+        return self.cluster is not None and self.cluster.leader(topic, part) != self.node_id
+
     def _metadata(self, r: _Reader) -> bytes:
         n = r.i32()
         names = [r.string() for _ in range(n)]
@@ -635,17 +664,24 @@ class FakeKafkaBroker:
                 names = sorted(self.topics)
             for t in names:
                 self._log(t)
-            out = struct.pack(">i", 1)  # one broker
-            out += struct.pack(">i", 0) + _enc_str(self.host) + struct.pack(">i", self.port)
+            if self.cluster is not None:
+                live = self.cluster.live_brokers()
+                out = struct.pack(">i", len(live))
+                for nid, (bhost, bport) in live:
+                    out += struct.pack(">i", nid) + _enc_str(bhost) + struct.pack(">i", bport)
+            else:
+                out = struct.pack(">i", 1)  # one broker
+                out += struct.pack(">i", 0) + _enc_str(self.host) + struct.pack(">i", self.port)
             out += struct.pack(">i", len(names))
             for t in names:
                 log = self.topics[t]
                 out += struct.pack(">h", ERR_NONE) + _enc_str(t)
                 out += struct.pack(">i", len(log.partitions))
                 for p in sorted(log.partitions):
-                    out += struct.pack(">hiii", ERR_NONE, p, 0, 1)  # leader 0, 1 replica
-                    out += struct.pack(">i", 0)  # ...the replica list
-                    out += struct.pack(">i", 1) + struct.pack(">i", 0)  # isr [0]
+                    leader = self._leader(t, p)
+                    out += struct.pack(">hiii", ERR_NONE, p, leader, 1)
+                    out += struct.pack(">i", leader)  # the replica list
+                    out += struct.pack(">i", 1) + struct.pack(">i", leader)  # isr
         return out
 
     def _produce(self, r: _Reader) -> bytes:
@@ -664,6 +700,9 @@ class FakeKafkaBroker:
                     mset = r._take(r.i32())
                     if part not in log.partitions:
                         out += struct.pack(">ihq", part, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1)
+                        continue
+                    if self._not_leader(topic, part):
+                        out += struct.pack(">ihq", part, ERR_NOT_LEADER_FOR_PARTITION, -1)
                         continue
                     plog = log.partitions[part]
                     base = len(plog)
@@ -689,6 +728,10 @@ class FakeKafkaBroker:
                     max_bytes = r.i32()
                     if log is None or part not in log.partitions:
                         out += struct.pack(">ihq", part, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1)
+                        out += struct.pack(">i", 0)
+                        continue
+                    if self._not_leader(topic, part):
+                        out += struct.pack(">ihq", part, ERR_NOT_LEADER_FOR_PARTITION, -1)
                         out += struct.pack(">i", 0)
                         continue
                     plog = log.partitions[part]
@@ -735,6 +778,11 @@ class FakeKafkaBroker:
                             ">ihqq", part, ERR_UNKNOWN_TOPIC_OR_PARTITION, -1, -1
                         )
                         continue
+                    if self._not_leader(topic, part):
+                        out += struct.pack(
+                            ">ihqq", part, ERR_NOT_LEADER_FOR_PARTITION, -1, -1
+                        )
+                        continue
                     plog = log.partitions[part]
                     base = len(plog)
                     for _, ts, key, value in decode_record_batches(batch):
@@ -775,6 +823,10 @@ class FakeKafkaBroker:
                         out += phdr(ERR_UNKNOWN_TOPIC_OR_PARTITION, -1)
                         out += struct.pack(">i", 0)
                         continue
+                    if self._not_leader(topic, part):
+                        out += phdr(ERR_NOT_LEADER_FOR_PARTITION, -1)
+                        out += struct.pack(">i", 0)
+                        continue
                     plog = log.partitions[part]
                     hw = len(plog)
                     if fetch_offset > hw:
@@ -811,6 +863,10 @@ class FakeKafkaBroker:
                     r.i32()  # max_num_offsets
                     if log is None or part not in log.partitions:
                         out += struct.pack(">ih", part, ERR_UNKNOWN_TOPIC_OR_PARTITION)
+                        out += struct.pack(">i", 0)
+                        continue
+                    if self._not_leader(topic, part):
+                        out += struct.pack(">ih", part, ERR_NOT_LEADER_FOR_PARTITION)
                         out += struct.pack(">i", 0)
                         continue
                     hw = len(log.partitions[part])
@@ -1022,6 +1078,97 @@ class FakeKafkaBroker:
                 + struct.pack(">i", self.port))
 
 
+class FakeKafkaCluster:
+    """N FakeKafkaBroker nodes sharing one log/group store (a real
+    cluster's replicated state), each node LEADING a deterministic
+    subset of partitions: partition p is led by
+    sorted(live_nodes)[p % n_live] at first touch. ``kill(node_id)``
+    stops that node's listener and moves its leaderships to the
+    survivors — the broker-failure drill the reference's client library
+    absorbs with metadata refresh + retry (input/kafka_input.go relies
+    on healer's internal routing); ``ClusterWireClient`` below is the
+    matching failover client. Produce/Fetch/ListOffsets sent to a
+    non-leader answer NOT_LEADER_FOR_PARTITION, exactly like a real
+    broker, so routing bugs surface as typed errors rather than silent
+    misreads."""
+
+    def __init__(self, num_brokers: int = 2, num_partitions: int = 4,
+                 host: str = "127.0.0.1", rebalance_timeout_s: float = 30.0):
+        if num_brokers < 1:
+            raise ValueError("need at least one broker")
+        self.topics: dict[str, _TopicLog] = {}
+        self.lock = threading.Lock()
+        self.group_lock = threading.Lock()
+        self.group_cond = threading.Condition(self.group_lock)
+        self.groups: dict[str, _Group] = {}
+        self.leader_lock = threading.Lock()
+        self._leaders: dict[tuple[str, int], int] = {}
+        self.nodes: dict[int, FakeKafkaBroker] = {}
+        self._live: dict[int, FakeKafkaBroker] = {}
+        for i in range(num_brokers):
+            b = FakeKafkaBroker(
+                host=host, num_partitions=num_partitions,
+                rebalance_timeout_s=rebalance_timeout_s,
+                node_id=i, cluster=self,
+            )
+            self.nodes[i] = b
+            self._live[i] = b
+
+    # -- lifecycle ------------------------------------------------------
+
+    def start(self) -> "FakeKafkaCluster":
+        for b in self.nodes.values():
+            b.start()
+        return self
+
+    def stop(self) -> None:
+        for nid in list(self._live):
+            self._live.pop(nid).stop()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()
+
+    @property
+    def bootstrap(self) -> str:
+        """Every node's address, dead or alive — a bootstrap list is
+        static config; surviving entries must carry the client."""
+        return ",".join(self.nodes[i].bootstrap for i in sorted(self.nodes))
+
+    # -- leadership -----------------------------------------------------
+
+    def live_brokers(self) -> list[tuple[int, tuple[str, int]]]:
+        return sorted(
+            (nid, (b.host, b.port)) for nid, b in self._live.items()
+        )
+
+    def leader(self, topic: str, part: int) -> int:
+        with self.leader_lock:
+            key = (topic, part)
+            if key not in self._leaders:
+                live = sorted(self._live)
+                self._leaders[key] = live[part % len(live)]
+            return self._leaders[key]
+
+    def kill(self, node_id: int) -> None:
+        """Stop a node and re-elect leaders for its partitions among the
+        survivors. Existing client connections to it die mid-flight —
+        that is the point."""
+        if node_id not in self._live:
+            raise ValueError(f"node {node_id} is not live")
+        broker = self._live.pop(node_id)
+        broker.stop()
+        if not self._live:
+            return
+        with self.leader_lock:
+            live = sorted(self._live)
+            for (t, p), ld in list(self._leaders.items()):
+                if ld == node_id:
+                    self._leaders[(t, p)] = live[p % len(live)]
+
+
 # ------------------------------------------------------------ the client
 
 
@@ -1105,6 +1252,31 @@ class KafkaWireClient:
                 out[name] = sorted(parts)
         return out
 
+    def metadata_full(self, topics: list[str] | None = None):
+        """-> ({node_id: (host, port)}, {(topic, partition): node_id}) —
+        the broker list + per-partition leaders a routing client needs."""
+        body = struct.pack(">i", len(topics or []))
+        for t in topics or []:
+            body += _enc_str(t)
+        r = self._request(API_METADATA, body)
+        brokers: dict[int, tuple[str, int]] = {}
+        for _ in range(r.i32()):
+            nid = r.i32()
+            brokers[nid] = (r.string(), r.i32())
+        leaders: dict[tuple[str, int], int] = {}
+        for _ in range(r.i32()):
+            err, name = r.i16(), r.string()
+            for _ in range(r.i32()):
+                perr, pid = r.i16(), r.i32()
+                leader = r.i32()
+                for _ in range(r.i32()):
+                    r.i32()  # replicas
+                for _ in range(r.i32()):
+                    r.i32()  # isr
+                if err == ERR_NONE and perr == ERR_NONE:
+                    leaders[(name, pid)] = leader
+        return brokers, leaders
+
     def produce(self, topic: str, partition: int,
                 messages: list[tuple[bytes | None, bytes | None, int]]) -> int:
         """messages: (key, value, timestamp_ms); returns base offset."""
@@ -1122,7 +1294,7 @@ class KafkaWireClient:
         r.i32()  # partition count (1)
         part, err, base = r.i32(), r.i16(), r.i64()
         if err != ERR_NONE:
-            raise ValueError(f"produce error {err} on {topic}/{part}")
+            raise KafkaProtocolError(err, f"produce error {err} on {topic}/{part}")
         return base
 
     def _produce_v2(self, topic: str, partition: int,
@@ -1142,7 +1314,7 @@ class KafkaWireClient:
         r.i64()  # log_append_time
         r.i32()  # throttle_time_ms
         if err != ERR_NONE:
-            raise ValueError(f"produce error {err} on {topic}/{part}")
+            raise KafkaProtocolError(err, f"produce error {err} on {topic}/{part}")
         return base
 
     def list_offset(self, topic: str, partition: int, timestamp: int = -1) -> int:
@@ -1155,7 +1327,7 @@ class KafkaWireClient:
         part, err = r.i32(), r.i16()
         offsets = [r.i64() for _ in range(r.i32())]
         if err != ERR_NONE:
-            raise ValueError(f"list_offsets error {err} on {topic}/{part}")
+            raise KafkaProtocolError(err, f"list_offsets error {err} on {topic}/{part}")
         return offsets[0]
 
     def fetch(self, topic: str, partition: int, offset: int,
@@ -1173,9 +1345,12 @@ class KafkaWireClient:
         part, err, hw = r.i32(), r.i16(), r.i64()
         mset = r._take(r.i32())
         if err == ERR_OFFSET_OUT_OF_RANGE:
-            raise ValueError(f"offset {offset} out of range on {topic}/{part} (hw {hw})")
+            raise KafkaProtocolError(
+                ERR_OFFSET_OUT_OF_RANGE,
+                f"offset {offset} out of range on {topic}/{part} (hw {hw})",
+            )
         if err != ERR_NONE:
-            raise ValueError(f"fetch error {err} on {topic}/{part}")
+            raise KafkaProtocolError(err, f"fetch error {err} on {topic}/{part}")
         return hw, decode_message_set(mset)
 
     def _fetch_v2(self, topic: str, partition: int, offset: int,
@@ -1193,9 +1368,12 @@ class KafkaWireClient:
             r.i64(), r.i64()
         batch = r._take(r.i32())
         if err == ERR_OFFSET_OUT_OF_RANGE:
-            raise ValueError(f"offset {offset} out of range on {topic}/{part} (hw {hw})")
+            raise KafkaProtocolError(
+                ERR_OFFSET_OUT_OF_RANGE,
+                f"offset {offset} out of range on {topic}/{part} (hw {hw})",
+            )
         if err != ERR_NONE:
-            raise ValueError(f"fetch error {err} on {topic}/{part}")
+            raise KafkaProtocolError(err, f"fetch error {err} on {topic}/{part}")
         return hw, decode_record_batches(batch)
 
     def fetch_all(self, topic: str, partition: int, start: int = 0):
@@ -1299,6 +1477,165 @@ class KafkaWireClient:
         return out
 
 
+class ClusterWireClient:
+    """Leader-routing, failover-retrying client over a bootstrap LIST —
+    the loop every real Kafka client runs and the reference inherits
+    from its client library: cache per-partition leaders from Metadata,
+    send Produce/Fetch/ListOffsets to the leader, and on
+    NOT_LEADER_FOR_PARTITION or a dead connection refresh metadata from
+    any reachable broker and retry. Connections are opened lazily per
+    broker and dropped on failure; a killed node therefore costs one
+    retry, not the session."""
+
+    def __init__(self, bootstrap: str, client_id: str = "gohangout-spark-dev",
+                 timeout_s: float = 10.0, message_format: str = "v0",
+                 max_retries: int = 4):
+        self.bootstraps = [s.strip() for s in bootstrap.split(",") if s.strip()]
+        if not self.bootstraps:
+            raise ValueError("empty bootstrap list")
+        self.client_id = client_id
+        self.timeout_s = timeout_s
+        self.message_format = message_format
+        self.max_retries = max_retries
+        self._conns: dict[str, KafkaWireClient] = {}
+        self._leaders: dict[tuple[str, int], str] = {}  # (topic, part) -> addr
+        self._brokers: list[str] = []
+
+    def close(self) -> None:
+        for addr in list(self._conns):
+            self._drop(addr)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- connection pool ------------------------------------------------
+
+    def _conn(self, addr: str) -> KafkaWireClient:
+        c = self._conns.get(addr)
+        if c is None:
+            c = KafkaWireClient(
+                addr, self.client_id, self.timeout_s, self.message_format
+            )
+            self._conns[addr] = c
+        return c
+
+    def _drop(self, addr: str) -> None:
+        c = self._conns.pop(addr, None)
+        if c is not None:
+            try:
+                c.close()
+            except OSError:
+                pass
+
+    def _candidates(self) -> list[str]:
+        # brokers learned from the last metadata first (they are fresher
+        # than static config), then the configured bootstrap list
+        return list(dict.fromkeys(self._brokers + self.bootstraps))
+
+    # -- metadata -------------------------------------------------------
+
+    def refresh_metadata(self, topics: list[str] | None = None) -> None:
+        last_err: Exception | None = None
+        for addr in self._candidates():
+            try:
+                brokers, leaders = self._conn(addr).metadata_full(topics)
+            except (OSError, ConnectionError, EOFError) as exc:
+                self._drop(addr)
+                last_err = exc
+                continue
+            self._brokers = [f"{h}:{p}" for _, (h, p) in sorted(brokers.items())]
+            for (t, p), nid in leaders.items():
+                if nid in brokers:
+                    h, prt = brokers[nid]
+                    self._leaders[(t, p)] = f"{h}:{prt}"
+            return
+        raise ConnectionError(
+            f"no reachable broker among {self._candidates()}"
+        ) from last_err
+
+    def metadata(self, topics: list[str] | None = None) -> dict[str, list[int]]:
+        last_err: Exception | None = None
+        for addr in self._candidates():
+            try:
+                return self._conn(addr).metadata(topics)
+            except (OSError, ConnectionError, EOFError) as exc:
+                self._drop(addr)
+                last_err = exc
+        raise ConnectionError(
+            f"no reachable broker among {self._candidates()}"
+        ) from last_err
+
+    # -- leader routing ---------------------------------------------------
+
+    def _leader_addr(self, topic: str, partition: int) -> str:
+        if (topic, partition) not in self._leaders:
+            self.refresh_metadata([topic])
+        try:
+            return self._leaders[(topic, partition)]
+        except KeyError:
+            raise ConnectionError(
+                f"no leader known for {topic}/{partition}"
+            ) from None
+
+    def _routed(self, topic: str, partition: int, fn):
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                addr = self._leader_addr(topic, partition)
+                return fn(self._conn(addr))
+            except KafkaProtocolError as exc:
+                if exc.code != ERR_NOT_LEADER_FOR_PARTITION:
+                    raise
+                last_err = exc
+            except (OSError, ConnectionError, EOFError) as exc:
+                last_err = exc
+            # stale leader or dead node: forget it, re-learn, retry
+            stale = self._leaders.pop((topic, partition), None)
+            if stale is not None:
+                self._drop(stale)
+            time.sleep(0.02 * attempt)
+            try:
+                self.refresh_metadata([topic])
+            except ConnectionError as exc:
+                last_err = exc
+        raise ConnectionError(
+            f"no leader reachable for {topic}/{partition} "
+            f"after {self.max_retries} attempts"
+        ) from last_err
+
+    # -- data APIs (leader-routed) ----------------------------------------
+
+    def produce(self, topic: str, partition: int,
+                messages: list[tuple[bytes | None, bytes | None, int]]) -> int:
+        return self._routed(
+            topic, partition, lambda c: c.produce(topic, partition, messages)
+        )
+
+    def fetch(self, topic: str, partition: int, offset: int,
+              max_bytes: int = 1 << 20):
+        return self._routed(
+            topic, partition, lambda c: c.fetch(topic, partition, offset, max_bytes)
+        )
+
+    def list_offset(self, topic: str, partition: int, timestamp: int = -1) -> int:
+        return self._routed(
+            topic, partition, lambda c: c.list_offset(topic, partition, timestamp)
+        )
+
+    def fetch_all(self, topic: str, partition: int, start: int = 0):
+        out = []
+        offset = start
+        while True:
+            hw, records = self.fetch(topic, partition, offset)
+            out.extend(records)
+            if not records or records[-1][0] + 1 >= hw:
+                return out
+            offset = records[-1][0] + 1
+
+
 class GroupConsumer:
     """Classic-protocol group consumer over the dev wire tier — the
     behavior the reference gets from healer's GroupConsumer
@@ -1321,25 +1658,59 @@ class GroupConsumer:
         self.group_id = group_id
         self.topics = list(topics)
         self.session_timeout_ms = session_timeout_ms
-        self.client = KafkaWireClient(
+        self.client_id = client_id
+        self.timeout_s = timeout_s
+        # data-plane fetches route to partition leaders and survive node
+        # deaths; the coordinator connection below is the control plane
+        self.data = ClusterWireClient(
             bootstrap, client_id, timeout_s, message_format
         )
-        # a real client would reconnect to the returned coordinator; the
-        # dev broker is single-node, so this just exercises the RPC
-        self.client.find_coordinator(group_id)
+        self.client: KafkaWireClient | None = None
+        self._connect_coordinator()
         self.member_id = ""
         self.generation = -1
         self.assignment: list[tuple[str, int]] = []
         self.positions: dict[tuple[str, int], int] = {}
 
+    def _connect_coordinator(self) -> None:
+        """FindCoordinator against any reachable broker, then connect to
+        the returned coordinator address (they coincide on a single-node
+        broker; on a cluster this re-homes after a coordinator death)."""
+        if self.client is not None:
+            try:
+                self.client.close()
+            except OSError:
+                pass
+            self.client = None
+        last_err: Exception | None = None
+        for addr in self.data._candidates():
+            try:
+                probe = self.data._conn(addr)
+                host, port = probe.find_coordinator(self.group_id)
+                self.client = KafkaWireClient(
+                    f"{host}:{port}", self.client_id,
+                    self.timeout_s, self.data.message_format,
+                )
+                return
+            except (OSError, ConnectionError, EOFError) as exc:
+                self.data._drop(addr)
+                last_err = exc
+        raise ConnectionError(
+            f"no coordinator reachable for group {self.group_id}"
+        ) from last_err
+
     # -- membership -------------------------------------------------------
 
     def join(self, max_attempts: int = 10) -> list[tuple[str, int]]:
         for _ in range(max_attempts):
-            err, gen, proto, leader, me, members = self.client.join_group(
-                self.group_id, self.member_id, self.topics,
-                self.session_timeout_ms,
-            )
+            try:
+                err, gen, proto, leader, me, members = self.client.join_group(
+                    self.group_id, self.member_id, self.topics,
+                    self.session_timeout_ms,
+                )
+            except (OSError, ConnectionError, EOFError):
+                self._connect_coordinator()
+                continue
             if err == ERR_UNKNOWN_MEMBER_ID:
                 self.member_id = ""
                 continue
@@ -1352,14 +1723,18 @@ class GroupConsumer:
             if me == leader:
                 subs = [(mid, decode_subscription(blob)) for mid, blob in members]
                 all_topics = sorted({t for _, ts in subs for t in ts})
-                parts = self.client.metadata(all_topics)
+                parts = self.data.metadata(all_topics)
                 split = range_assignment(subs, parts)
                 assignments = [
                     (mid, encode_assignment(tps)) for mid, tps in split.items()
                 ]
-            serr, blob = self.client.sync_group(
-                self.group_id, gen, me, assignments
-            )
+            try:
+                serr, blob = self.client.sync_group(
+                    self.group_id, gen, me, assignments
+                )
+            except (OSError, ConnectionError, EOFError):
+                self._connect_coordinator()
+                continue
             if serr in (ERR_REBALANCE_IN_PROGRESS, ERR_ILLEGAL_GENERATION):
                 continue
             if serr != ERR_NONE:
@@ -1380,7 +1755,16 @@ class GroupConsumer:
         """One heartbeat + one fetch pass over the owned partitions ->
         [(topic, partition, offset, timestamp_ms, key, value)]. Rejoins
         transparently when the coordinator signals a rebalance."""
-        err = self.client.heartbeat(self.group_id, self.generation, self.member_id)
+        try:
+            err = self.client.heartbeat(
+                self.group_id, self.generation, self.member_id
+            )
+        except (OSError, ConnectionError, EOFError):
+            # coordinator died: re-home the control plane, then rejoin —
+            # the shared group state keeps our member id alive
+            self._connect_coordinator()
+            self.join()
+            err = ERR_NONE
         if err == ERR_UNKNOWN_MEMBER_ID:
             self.member_id = ""
             self.join()
@@ -1391,26 +1775,37 @@ class GroupConsumer:
         out = []
         for t, p in self.assignment:
             pos = self.positions.get((t, p), 0)
-            hw, records = self.client.fetch(t, p, pos)
+            hw, records = self.data.fetch(t, p, pos)
             while records:
                 out.extend((t, p, off, ts, k, v) for off, ts, k, v in records)
                 pos = records[-1][0] + 1
                 if pos >= hw:
                     break
-                hw, records = self.client.fetch(t, p, pos)
+                hw, records = self.data.fetch(t, p, pos)
             self.positions[(t, p)] = pos
         return out
 
     def commit(self) -> None:
-        if self.positions:
+        if not self.positions:
+            return
+        try:
+            self.client.offset_commit(self.group_id, self.positions)
+        except (OSError, ConnectionError, EOFError):
+            self._connect_coordinator()
             self.client.offset_commit(self.group_id, self.positions)
 
     def close(self, leave: bool = True) -> None:
         try:
             if leave and self.member_id:
                 self.client.leave_group(self.group_id, self.member_id)
+        except (OSError, ConnectionError, EOFError):
+            pass
         finally:
-            self.client.close()
+            try:
+                self.client.close()
+            except OSError:
+                pass
+            self.data.close()
 
     def __enter__(self):
         return self

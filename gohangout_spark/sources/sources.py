@@ -368,13 +368,15 @@ class KafkaSource(Source):
         return [(t, p) for t, parts in assign.items() for p in parts]
 
     def _batch_dev_wire(self, spark):
-        from gohangout_spark.sources.kafka_wire import KafkaWireClient
+        from gohangout_spark.sources.kafka_wire import ClusterWireClient
 
         opts = self._options()
         if "kafka.group.id" in opts and "subscribe" in opts:
             return self._batch_dev_wire_group(spark, opts)
         rows = []
-        with KafkaWireClient(
+        # leader-routing client: bootstrap may list several brokers and
+        # fetches survive a node death via metadata refresh + retry
+        with ClusterWireClient(
             opts["kafka.bootstrap.servers"],
             message_format=self.conf.get("wire_format", "v0"),
         ) as client:

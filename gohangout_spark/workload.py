@@ -7179,6 +7179,60 @@ def kafka_group_resume_replay(spark, sf_dir):
 
 
 @q(
+    "kafka_cluster_failover_replay",
+    "SELECT event_id, user_id, event_type FROM events WHERE event_id < 800",
+)
+def kafka_cluster_failover_replay(spark, sf_dir):
+    """HASH gate for BROKER-FAILURE survival — the last untested slice
+    of the reference's Kafka surface (VERDICT r8 missing #1 named
+    'broker failures'; the reference absorbs them inside its client
+    library's metadata-refresh loop). A TWO-node cluster splits the 4
+    partitions' leadership 0/1/0/1; slice one is produced with both
+    nodes alive (so half the records route to each node), then node 0 —
+    the FIRST bootstrap entry and leader of p0/p2 — is killed and its
+    leadership re-elected onto node 1; slice two is produced through
+    the survivor, which costs the sink's routing client a dead-conn
+    drop + metadata refresh + retry. KafkaSource then drains with the
+    full bootstrap list, dead entry first, so the read side must fail
+    over too. The union must hash-equal both slices: a record stranded
+    on the dead node's conn, a stale-leader retry loop that gives up,
+    or a partition lost in re-election all mismatch."""
+    from gohangout_spark.sinks.sinks import KafkaSink
+    from gohangout_spark.sources.kafka_wire import FakeKafkaCluster
+    from gohangout_spark.sources.sources import KafkaSource
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "event_type")
+    with FakeKafkaCluster(num_brokers=2, num_partitions=4) as cluster:
+        sink = KafkaSink(
+            {
+                "topic": "fo",
+                "brokers": cluster.bootstrap,
+                "key": "%{user_id}",
+                "dev_wire": True,
+            }
+        )
+        sink.write_batch(ev.where(F.col("event_id") < 400))
+        cluster.kill(0)
+        sink.write_batch(
+            ev.where((F.col("event_id") >= 400) & (F.col("event_id") < 800))
+        )
+        src = KafkaSource(
+            {
+                "topic": {"fo": 1},
+                "consumer_settings": {
+                    "bootstrap.servers": cluster.bootstrap,
+                    "from.beginning": "true",
+                },
+                "decorate_events": True,
+                "dev_wire": True,
+                "codec": "json",
+                "schema": "event_id bigint, user_id bigint, event_type string",
+            }
+        )
+        return src.batch(spark).select("event_id", "user_id", "event_type")
+
+
+@q(
     "kafka_group_rebalance_replay",
     "SELECT event_id, user_id, event_type FROM events "
     "WHERE event_id >= 400 AND event_id < 1000",
@@ -8771,6 +8825,7 @@ _GATE_PRIORITY = [
     "kafka_wire_v2_roundtrip_replay",
     "kafka_group_resume_replay",
     "kafka_group_rebalance_replay",
+    "kafka_cluster_failover_replay",
     # --- 11 slots: the mid-round-r8 gates (two-sf check_oracle + FULLREG
     # evidence, no driver row yet — VERDICT r8 #1 says they LEAD) ---
     "cluster_aware_split",
