@@ -234,3 +234,43 @@ class TestForeachBatchWiring:
             (0, [(960, "a", 3)]),
             (1, [(960, "a", 3)]),
         ]
+
+
+def test_max_groups_bound_evicts_oldest_windows_first():
+    """VERDICT r8 watch item (b): the optional cardinality bound. Past
+    max_groups retained rows, whole OLDEST windows drop first — the same
+    order reserve-window expiry would retire them — and the newest
+    window always survives (the bound never starves fresh state)."""
+    from gohangout_spark.streaming.refresher import LinkMetricTickRefresher
+
+    r = LinkMetricTickRefresher(
+        batch_window=10, group_fields=["host"], reserve_window=10_000,
+        max_groups=5,
+    )
+    for w in (100, 110, 120):
+        r.observe(
+            {"window_start": w, "host": f"h{i}", "count": 1} for i in range(3)
+        )
+    # 9 rows folded against a bound of 5: windows drop oldest-first
+    # until within bound — 100 goes (6 left, still >5), then 110 (3
+    # left, ok); the newest window survives intact
+    assert sorted(r.retained) == [120]
+    assert sum(len(v) for v in r.retained.values()) == 3
+    # a single window is never evicted even when over the bound
+    r2 = LinkMetricTickRefresher(
+        batch_window=10, group_fields=["host"], max_groups=2,
+    )
+    r2.observe({"window_start": 100, "host": f"h{i}"} for i in range(4))
+    assert sorted(r2.retained) == [100]
+    assert len(r2.retained[100]) == 4
+
+
+def test_max_groups_default_is_reference_parity():
+    from gohangout_spark.streaming.refresher import LinkMetricTickRefresher
+
+    r = LinkMetricTickRefresher(batch_window=10, group_fields=["host"])
+    r.observe(
+        {"window_start": w, "host": f"h{i}"}
+        for w in range(0, 1000, 10) for i in range(5)
+    )
+    assert sum(len(v) for v in r.retained.values()) == 500  # unbounded
