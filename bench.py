@@ -128,6 +128,9 @@ HEADLINE = [
     # scale evidence lives in the cluster_split[cc] 100x sweep), and the
     # three streaming *_replay gates are epoch-protocol fixtures like
     # every other stream replay.
+    # round 9: the kafka group/cluster gates (consumer-group resume,
+    # eager rebalance, broker failover) are wire-protocol fixtures like
+    # kafka_wire_roundtrip_replay — they stay out by the same precedent.
 ]
 
 

@@ -1,7 +1,10 @@
 """The §3 lifecycle composed over the round-8/9 wire tiers (VERDICT r8
 #8): one weblog-style YAML config (examples/wire_to_es.yml) running
 
-    Kafka dev-wire source (v2 RecordBatches over real TCP, CRC32C)
+    Kafka dev-wire source — CONSUMER-GROUP consumption (group.id,
+    committed-offset resume) from a TWO-node cluster whose first
+    bootstrap entry is DEAD by pipeline time (leadership re-elected,
+    the routing client fails over), v2 RecordBatches, CRC32C
       -> Grok / Convert / Translate / Drop filter chain
       -> Elasticsearch sink through its REAL urllib transport
          against the in-process ES HTTP fake (gzipped _bulk NDJSON)
@@ -9,6 +12,9 @@
 with both service addresses injected via $ENV expansion, the same
 mechanism the reference's yaml_config_parser.go uses. No external
 services, no connector jar — every byte still crosses real sockets.
+The pipeline runs TWICE: the group commit after run one means run two
+delivers nothing new — the reference's at-least-once resume contract
+(input/kafka_input.go:87-95) observed at the ES wire.
 
     PYTHONPATH=. python examples/wire_to_es.py
 
@@ -21,7 +27,7 @@ import os
 from gohangout_spark import get_spark
 from gohangout_spark.pipeline import Pipeline
 from gohangout_spark.sinks.es_dev import FakeElasticsearchHTTP
-from gohangout_spark.sources.kafka_wire import FakeKafkaBroker, KafkaWireClient
+from gohangout_spark.sources.kafka_wire import ClusterWireClient, FakeKafkaCluster
 
 LINES = [
     b"alice auth 200 12",
@@ -39,21 +45,34 @@ def run(spark=None):
     if own_spark:
         spark = get_spark("wire-to-es", master="local[4]", shuffle_partitions=4)
         spark.sparkContext.setLogLevel("ERROR")
-    with FakeKafkaBroker(num_partitions=2) as broker, \
+    with FakeKafkaCluster(num_brokers=2, num_partitions=2) as cluster, \
             FakeElasticsearchHTTP() as es:
-        # seed the topic over the modern framing (one batch per partition)
-        with KafkaWireClient(broker.bootstrap, message_format="v2") as c:
+        # seed the topic over the modern framing (one batch per
+        # partition) with both nodes alive, so each node leads one
+        # partition and holds half the records
+        with ClusterWireClient(cluster.bootstrap, message_format="v2") as c:
             for part in (0, 1):
                 c.produce(
                     "weblog", part,
                     [(None, line, 1_700_000_000_000 + i)
                      for i, line in enumerate(LINES) if i % 2 == part],
                 )
-        os.environ["WIRE_BOOTSTRAP"] = broker.bootstrap
+        # node 0 — the FIRST bootstrap entry and leader of partition 0 —
+        # dies before the pipeline ever connects; the source must skip
+        # the dead entry and fetch everything from the survivor
+        cluster.kill(0)
+        os.environ["WIRE_BOOTSTRAP"] = cluster.bootstrap
         os.environ["WIRE_ES_URL"] = es.url
         cfg = os.path.join(os.path.dirname(__file__), "wire_to_es.yml")
         Pipeline.from_config(cfg).run_batch(spark)
         docs = es.bulk_docs()
+        # run two: the group.id commit makes this a resume from the high
+        # watermark — nothing new may reach the ES wire
+        Pipeline.from_config(cfg).run_batch(spark)
+        docs_after = es.bulk_docs()
+        assert len(docs_after) == len(docs), (
+            f"group resume re-delivered: {len(docs)} -> {len(docs_after)}"
+        )
     return docs
 
 
