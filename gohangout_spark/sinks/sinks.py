@@ -161,6 +161,7 @@ class KafkaSink(Sink):
         with ClusterWireClient(
             self.conf["brokers"],
             message_format=self.conf.get("wire_format", "v0"),
+            compression=self.conf.get("compression.type"),
         ) as client:
             parts = client.metadata([topic]).get(topic) or [0]
             by_part: dict[int, list] = {}

@@ -36,6 +36,14 @@ protocol guide) —
   tuples and re-frames on fetch, so v0 producers interoperate with v2
   consumers and vice versa, exactly like a real broker's up/down
   conversion.
+- GZIP COMPRESSION on both framings (attributes bits 0-2 = 1): the
+  magic-1 gzip wrapper message with KIP-31 relative inner offsets, and
+  the magic-2 compressed-records block (CRC32C over the compressed
+  payload). ``compression="gzip"`` on a client / ``compression.type``
+  on KafkaSink selects it for produce; ``fetch_codec="gzip"`` on the
+  broker compresses every fetch page so the consumer-side gunzip path
+  runs over real TCP bytes. gzip is stdlib; snappy/lz4/zstd raise
+  (their wheels are absent from this container).
 
 `FakeKafkaBroker` is a real TCP server speaking these bytes; a
 conformant v0 client could talk to it. `KafkaWireClient` is the
@@ -152,11 +160,13 @@ class _Reader:
 # ------------------------------------------------- magic-1 message sets
 
 
-def encode_message(key: bytes | None, value: bytes | None, timestamp_ms: int) -> bytes:
-    """One magic-1 message: CRC32 | magic=1 | attributes=0 | timestamp |
-    key | value, CRC over everything after the CRC field."""
+def encode_message(key: bytes | None, value: bytes | None, timestamp_ms: int,
+                   attributes: int = 0) -> bytes:
+    """One magic-1 message: CRC32 | magic=1 | attributes | timestamp |
+    key | value, CRC over everything after the CRC field. attributes
+    bits 0-2 carry the compression codec (0 none, 1 gzip)."""
     body = (
-        struct.pack(">bbq", 1, 0, timestamp_ms)
+        struct.pack(">bbq", 1, attributes, timestamp_ms)
         + _enc_bytes(key)
         + _enc_bytes(value)
     )
@@ -176,10 +186,36 @@ def encode_message_set(
     return out
 
 
+def gzip_wrap_message_set(
+    entries: list[tuple[int, bytes | None, bytes | None, int]]
+) -> bytes:
+    """Compress a run of (offset, key, value, ts) entries into ONE
+    gzip wrapper message, the magic-1 convention (KIP-31): the inner
+    MessageSet carries RELATIVE offsets 0..n-1, the wrapper's offset is
+    the LAST inner message's ABSOLUTE offset, attributes bit 0 = gzip,
+    wrapper value = gzip(inner set). mtime=0 keeps the bytes
+    deterministic, so gates can hash over them."""
+    import gzip as _gzip
+
+    if not entries:
+        return b""
+    inner = encode_message_set(
+        [(i, key, value, ts) for i, (_, key, value, ts) in enumerate(entries)]
+    )
+    wrapper = encode_message(
+        None, _gzip.compress(inner, mtime=0), entries[-1][3], attributes=1
+    )
+    return struct.pack(">qi", entries[-1][0], len(wrapper)) + wrapper
+
+
 def decode_message_set(data: bytes, *, validate_crc: bool = True):
     """-> list of (offset, timestamp_ms, key, value). Tolerates a trailing
     partial message (the protocol allows brokers to truncate at
-    max_bytes; v0 clients must drop the tail)."""
+    max_bytes; v0 clients must drop the tail). Gzip wrapper messages
+    (attributes bit 0) decompress transparently, with the magic-1
+    relative-offset rule: absolute = wrapper_offset - (n-1) + inner."""
+    import gzip as _gzip
+
     out = []
     r = _Reader(data)
     while True:
@@ -194,11 +230,21 @@ def decode_message_set(data: bytes, *, validate_crc: bool = True):
         if validate_crc and (zlib.crc32(msg[4:]) & 0xFFFFFFFF) != crc:
             raise ValueError(f"kafka message CRC mismatch at offset {offset}")
         magic = m.i8()
-        m.i8()  # attributes (0: no compression in the dev tier)
+        attributes = m.i8()
         ts = m.i64() if magic >= 1 else -1
         key = m.bytes_()
         value = m.bytes_()
-        out.append((offset, ts, key, value))
+        codec = attributes & 0x07
+        if codec == 0:
+            out.append((offset, ts, key, value))
+            continue
+        if codec != 1:
+            raise ValueError(f"unsupported message compression codec {codec}")
+        inner = decode_message_set(
+            _gzip.decompress(value), validate_crc=validate_crc
+        )
+        base = offset - (len(inner) - 1)
+        out.extend((base + rel, its, ik, iv) for rel, its, ik, iv in inner)
     return out
 
 
@@ -295,6 +341,7 @@ def _enc_record(offset_delta: int, ts_delta: int,
 def encode_record_batch(
     entries: list[tuple[int, bytes | None, bytes | None, int]],
     headers: list[tuple[str, bytes]] | None = None,
+    codec: str | None = None,
 ) -> bytes:
     """entries: (offset, key, value, timestamp_ms), offsets ascending.
     One magic-2 RecordBatch: baseOffset INT64 | batchLength INT32 |
@@ -302,7 +349,9 @@ def encode_record_batch(
     attributes..end) | attributes INT16 | lastOffsetDelta INT32 |
     baseTimestamp INT64 | maxTimestamp INT64 | producerId INT64 |
     producerEpoch INT16 | baseSequence INT32 | recordCount INT32 |
-    records."""
+    records. codec="gzip" compresses the records block only (header
+    stays plaintext, recordCount included) and sets attributes bits
+    0-2 = 1; mtime=0 keeps the bytes deterministic."""
     if not entries:
         return b""
     base_off = entries[0][0]
@@ -312,8 +361,16 @@ def encode_record_batch(
         _enc_record(off - base_off, ts - base_ts, key, value, headers)
         for off, key, value, ts in entries
     )
+    attrs = 0
+    if codec == "gzip":
+        import gzip as _gzip
+
+        records = _gzip.compress(records, mtime=0)
+        attrs = 1
+    elif codec is not None:
+        raise ValueError(f"unsupported record batch codec {codec!r}")
     after_crc = (
-        struct.pack(">hi", 0, entries[-1][0] - base_off)  # attrs, lastOffsetDelta
+        struct.pack(">hi", attrs, entries[-1][0] - base_off)  # attrs, lastOffsetDelta
         + struct.pack(">qq", base_ts, max_ts)
         + struct.pack(">qhi", -1, -1, -1)  # producerId/Epoch, baseSequence
         + struct.pack(">i", len(entries))
@@ -348,12 +405,19 @@ def decode_record_batches(data: bytes, *, validate_crc: bool = True):
         crc = struct.unpack(">I", b._take(4))[0]
         if validate_crc and crc32c(inner[b.pos:]) != crc:
             raise ValueError(f"record batch CRC32C mismatch at offset {base_off}")
-        b.i16()  # attributes (no compression in the dev tier)
+        attrs = b.i16()
         b.i32()  # lastOffsetDelta
         base_ts = b.i64()
         b.i64()  # maxTimestamp
         b.i64(), b.i16(), b.i32()  # producer id/epoch, baseSequence
         n = b.i32()
+        codec = attrs & 0x07
+        if codec == 1:
+            import gzip as _gzip
+
+            b = _Reader(_gzip.decompress(inner[b.pos:]))
+        elif codec != 0:
+            raise ValueError(f"unsupported record batch compression codec {codec}")
         for _ in range(n):
             rec_len = read_varint(b)
             rec = _Reader(b._take(rec_len))
@@ -528,10 +592,17 @@ class FakeKafkaBroker:
 
     def __init__(self, host: str = "127.0.0.1", port: int = 0, num_partitions: int = 2,
                  rebalance_timeout_s: float = 30.0, node_id: int = 0,
-                 cluster: "FakeKafkaCluster | None" = None):
+                 cluster: "FakeKafkaCluster | None" = None,
+                 fetch_codec: str | None = None):
         self.num_partitions = num_partitions
         self.node_id = node_id
         self.cluster = cluster
+        if fetch_codec not in (None, "gzip"):
+            raise ValueError(f"fetch_codec must be None or 'gzip', got {fetch_codec!r}")
+        # when set, fetch responses ship compressed (gzip wrapper message
+        # for v0 pages, compressed records block for v2 batches), so the
+        # CLIENT decompression path runs over real TCP bytes
+        self.fetch_codec = fetch_codec
         if cluster is not None:
             # cluster nodes share one log/group store (a real cluster's
             # replicated state); each node only LEADS its partitions
@@ -750,7 +821,10 @@ class FakeKafkaBroker:
                         size += 34 + len(key or b"") + len(value or b"")
                         if size >= max_bytes:
                             break
-                    mset = encode_message_set(entries)
+                    if self.fetch_codec == "gzip" and entries:
+                        mset = gzip_wrap_message_set(entries)
+                    else:
+                        mset = encode_message_set(entries)
                     out += struct.pack(">ihq", part, ERR_NONE, hw)
                     out += struct.pack(">i", len(mset)) + mset
         return out
@@ -843,7 +917,7 @@ class FakeKafkaBroker:
                         size += len(_enc_record(off - fetch_offset, 0, key, value))
                         if size >= max_bytes:
                             break
-                    batch = encode_record_batch(entries)
+                    batch = encode_record_batch(entries, codec=self.fetch_codec)
                     out += phdr(ERR_NONE, hw)
                     out += struct.pack(">i", len(batch)) + batch
         return out
@@ -1093,7 +1167,8 @@ class FakeKafkaCluster:
     misreads."""
 
     def __init__(self, num_brokers: int = 2, num_partitions: int = 4,
-                 host: str = "127.0.0.1", rebalance_timeout_s: float = 30.0):
+                 host: str = "127.0.0.1", rebalance_timeout_s: float = 30.0,
+                 fetch_codec: str | None = None):
         if num_brokers < 1:
             raise ValueError("need at least one broker")
         self.topics: dict[str, _TopicLog] = {}
@@ -1109,7 +1184,7 @@ class FakeKafkaCluster:
             b = FakeKafkaBroker(
                 host=host, num_partitions=num_partitions,
                 rebalance_timeout_s=rebalance_timeout_s,
-                node_id=i, cluster=self,
+                node_id=i, cluster=self, fetch_codec=fetch_codec,
             )
             self.nodes[i] = b
             self._live[i] = b
@@ -1183,13 +1258,20 @@ class KafkaWireClient:
     payload is format-independent."""
 
     def __init__(self, bootstrap: str, client_id: str = "gohangout-spark-dev",
-                 timeout_s: float = 10.0, message_format: str = "v0"):
+                 timeout_s: float = 10.0, message_format: str = "v0",
+                 compression: str | None = None):
         if message_format not in ("v0", "v2"):
             raise ValueError(f"message_format must be v0 or v2, got {message_format!r}")
+        if compression not in (None, "gzip"):
+            raise ValueError(
+                f"compression must be None or 'gzip', got {compression!r}"
+                " (snappy/lz4/zstd wheels are not in this container)"
+            )
         host, port = bootstrap.rsplit(":", 1)
         self.sock = socket.create_connection((host, int(port)), timeout=timeout_s)
         self.client_id = client_id
         self.message_format = message_format
+        self.compression = compression
         self._corr = 0
 
     def close(self) -> None:
@@ -1282,9 +1364,16 @@ class KafkaWireClient:
         """messages: (key, value, timestamp_ms); returns base offset."""
         if self.message_format == "v2":
             return self._produce_v2(topic, partition, messages)
-        mset = encode_message_set(
-            [(0, k, v, ts) for (k, v, ts) in messages]  # broker assigns offsets
-        )
+        if self.compression == "gzip":
+            # relative inner offsets, wrapper offset = last relative —
+            # the broker re-derives 0..n-1 and assigns real offsets
+            mset = gzip_wrap_message_set(
+                [(i, k, v, ts) for i, (k, v, ts) in enumerate(messages)]
+            )
+        else:
+            mset = encode_message_set(
+                [(0, k, v, ts) for (k, v, ts) in messages]  # broker assigns offsets
+            )
         body = struct.pack(">hi", 1, 5000)  # acks=1, timeout
         body += struct.pack(">i", 1) + _enc_str(topic) + struct.pack(">i", 1)
         body += struct.pack(">i", partition) + struct.pack(">i", len(mset)) + mset
@@ -1300,7 +1389,8 @@ class KafkaWireClient:
     def _produce_v2(self, topic: str, partition: int,
                     messages: list[tuple[bytes | None, bytes | None, int]]) -> int:
         batch = encode_record_batch(
-            [(i, k, v, ts) for i, (k, v, ts) in enumerate(messages)]
+            [(i, k, v, ts) for i, (k, v, ts) in enumerate(messages)],
+            codec=self.compression,
         )
         body = _enc_str(None)  # transactional_id
         body += struct.pack(">hi", 1, 5000)  # acks=1, timeout
@@ -1489,13 +1579,14 @@ class ClusterWireClient:
 
     def __init__(self, bootstrap: str, client_id: str = "gohangout-spark-dev",
                  timeout_s: float = 10.0, message_format: str = "v0",
-                 max_retries: int = 4):
+                 max_retries: int = 4, compression: str | None = None):
         self.bootstraps = [s.strip() for s in bootstrap.split(",") if s.strip()]
         if not self.bootstraps:
             raise ValueError("empty bootstrap list")
         self.client_id = client_id
         self.timeout_s = timeout_s
         self.message_format = message_format
+        self.compression = compression
         self.max_retries = max_retries
         self._conns: dict[str, KafkaWireClient] = {}
         self._leaders: dict[tuple[str, int], str] = {}  # (topic, part) -> addr
@@ -1517,7 +1608,8 @@ class ClusterWireClient:
         c = self._conns.get(addr)
         if c is None:
             c = KafkaWireClient(
-                addr, self.client_id, self.timeout_s, self.message_format
+                addr, self.client_id, self.timeout_s, self.message_format,
+                compression=self.compression,
             )
             self._conns[addr] = c
         return c

@@ -7124,6 +7124,59 @@ def kafka_wire_v2_roundtrip_replay(spark, sf_dir):
 
 
 @q(
+    "kafka_wire_gzip_replay",
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE event_id % 3 = 0 AND event_id < 900",
+)
+def kafka_wire_gzip_replay(spark, sf_dir):
+    """HASH gate for COMPRESSED wire traffic — narrows the 'compression
+    codecs' waiver line to the codecs whose libraries the container
+    lacks: gzip is stdlib, so both directions run over real bytes.
+    KafkaSink produces with compression.type=gzip (v2 RecordBatches
+    whose records block is gzip'd, attributes bits 0-2 = 1, CRC32C over
+    the COMPRESSED payload); the broker stores plain tuples and
+    re-compresses every fetch page (fetch_codec=gzip), so KafkaSource's
+    client must gunzip and CRC-validate on the way back in. A bad
+    attributes bit, a CRC computed over the wrong (un)compressed span,
+    or the magic-1 relative-offset rule misapplied all mismatch."""
+    from gohangout_spark.sinks.sinks import KafkaSink
+    from gohangout_spark.sources.kafka_wire import FakeKafkaBroker
+    from gohangout_spark.sources.sources import KafkaSource
+
+    ev = (
+        _events(spark, sf_dir)
+        .where((F.col("event_id") % 3 == 0) & (F.col("event_id") < 900))
+        .select("event_id", "user_id", "event_type")
+    )
+    with FakeKafkaBroker(num_partitions=4, fetch_codec="gzip") as broker:
+        KafkaSink(
+            {
+                "topic": "gz",
+                "brokers": broker.bootstrap,
+                "key": "%{user_id}",
+                "dev_wire": True,
+                "wire_format": "v2",
+                "compression.type": "gzip",
+            }
+        ).write_batch(ev)
+        src = KafkaSource(
+            {
+                "topic": {"gz": 1},
+                "consumer_settings": {
+                    "bootstrap.servers": broker.bootstrap,
+                    "from.beginning": "true",
+                },
+                "decorate_events": True,
+                "dev_wire": True,
+                "wire_format": "v2",
+                "codec": "json",
+                "schema": "event_id bigint, user_id bigint, event_type string",
+            }
+        )
+        return src.batch(spark).select("event_id", "user_id", "event_type")
+
+
+@q(
     "kafka_group_resume_replay",
     "SELECT event_id, user_id, event_type FROM events "
     "WHERE event_id >= 600 AND event_id < 1000",
@@ -8826,6 +8879,7 @@ _GATE_PRIORITY = [
     "kafka_group_resume_replay",
     "kafka_group_rebalance_replay",
     "kafka_cluster_failover_replay",
+    "kafka_wire_gzip_replay",
     # --- 11 slots: the mid-round-r8 gates (two-sf check_oracle + FULLREG
     # evidence, no driver row yet — VERDICT r8 #1 says they LEAD) ---
     "cluster_aware_split",

@@ -9,10 +9,11 @@ fake and the dev-tier KafkaSource/KafkaSink, exercising subscribe /
 assign / decorate_events (input/kafka_input.go:54-146) and the sink's
 encode + key-partitioning path (output/kafka_output.go:69-81) at the
 package boundary. Round 9 adds the classic consumer-group protocol
-(TestGroupMembership) and multi-node leadership/failover
-(TestClusterFailover); what remains waived is only real-broker
-behavior the dev tier cannot model (auth, compression, replication
-acks) — docs/COVERAGE.md."""
+(TestGroupMembership), multi-node leadership/failover
+(TestClusterFailover), and gzip compression on both framings
+(TestGzipCompression); what remains waived is only real-broker
+behavior the dev tier cannot model (auth, snappy/lz4/zstd,
+replication acks) — docs/COVERAGE.md."""
 
 import json
 
@@ -701,3 +702,109 @@ class TestClusterFailover:
                 }
             ).batch(spark)
             assert sorted(r["n"] for r in got.collect()) == list(range(9))
+
+
+class TestGzipCompression:
+    """Gzip codec (attributes bits 0-2 = 1) on both framings — the only
+    compression whose codec lives in the stdlib; snappy/lz4/zstd stay
+    waived (no wheels in-container)."""
+
+    ENTRIES = [(10, b"k0", b"v0", 100), (11, None, b"v1", 200), (12, b"k2", None, 300)]
+
+    def test_v0_wrapper_relative_offset_rule(self):
+        from gohangout_spark.sources.kafka_wire import (
+            decode_message_set,
+            gzip_wrap_message_set,
+        )
+
+        data = gzip_wrap_message_set(self.ENTRIES)
+        # KIP-31: wrapper offset = LAST inner absolute offset
+        import struct
+
+        assert struct.unpack(">q", data[:8])[0] == 12
+        assert decode_message_set(data) == [
+            (o, t, k, v) for o, k, v, t in self.ENTRIES
+        ]
+
+    def test_v2_batch_codec_roundtrip_and_determinism(self):
+        from gohangout_spark.sources.kafka_wire import (
+            decode_record_batches,
+            encode_record_batch,
+        )
+
+        plain = encode_record_batch(self.ENTRIES)
+        gz = encode_record_batch(self.ENTRIES, codec="gzip")
+        assert decode_record_batches(gz) == decode_record_batches(plain)
+        # mtime=0 pins the bytes; gates may hash over them
+        assert encode_record_batch(self.ENTRIES, codec="gzip") == gz
+
+    def test_corruption_inside_compressed_payload_detected(self):
+        from gohangout_spark.sources.kafka_wire import (
+            decode_record_batches,
+            encode_record_batch,
+        )
+
+        data = bytearray(encode_record_batch(self.ENTRIES, codec="gzip"))
+        data[-1] ^= 0x01  # flip a compressed byte: batch CRC32C catches it
+        with pytest.raises(ValueError, match="CRC32C"):
+            decode_record_batches(bytes(data))
+
+    def test_unknown_codec_bits_raise(self):
+        import struct
+
+        from gohangout_spark.sources.kafka_wire import (
+            decode_message_set,
+            encode_message,
+        )
+
+        msg = encode_message(b"k", b"v", 1, attributes=2)  # snappy bits
+        data = struct.pack(">qi", 0, len(msg)) + msg
+        with pytest.raises(ValueError, match="unsupported"):
+            decode_message_set(data)
+
+    def test_gzip_produce_and_gzip_fetch_over_tcp(self):
+        """All four directions interop through the broker's plain-tuple
+        store: gzip v0 + gzip v2 producers, then plain AND v2 consumers
+        against a broker that compresses every fetch page."""
+        with FakeKafkaBroker(num_partitions=1, fetch_codec="gzip") as br:
+            with KafkaWireClient(br.bootstrap, compression="gzip") as p:
+                p.produce("t", 0, [(b"k%d" % i, b"v%d" % i, i) for i in range(5)])
+            with KafkaWireClient(
+                br.bootstrap, message_format="v2", compression="gzip"
+            ) as p:
+                p.produce("t", 0, [(b"K%d" % i, b"V%d" % i, i) for i in range(5)])
+            with KafkaWireClient(br.bootstrap) as c:
+                got = c.fetch_all("t", 0)
+            assert [g[2] for g in got[:5]] == [b"k0", b"k1", b"k2", b"k3", b"k4"]
+            assert [g[2] for g in got[5:]] == [b"K0", b"K1", b"K2", b"K3", b"K4"]
+            with KafkaWireClient(br.bootstrap, message_format="v2") as c:
+                assert c.fetch_all("t", 0) == got
+
+    def test_sink_compression_type_through_source(self, spark):
+        from gohangout_spark.sinks.sinks import KafkaSink
+        from gohangout_spark.sources.kafka_wire import FakeKafkaCluster
+        from gohangout_spark.sources.sources import KafkaSource
+
+        with FakeKafkaCluster(
+            num_brokers=2, num_partitions=2, fetch_codec="gzip"
+        ) as cl:
+            KafkaSink(
+                {
+                    "topic": "z",
+                    "brokers": cl.bootstrap,
+                    "dev_wire": True,
+                    "wire_format": "v2",
+                    "compression.type": "gzip",
+                }
+            ).write_batch(spark.range(20).select(F.col("id").alias("n")))
+            got = KafkaSource(
+                {
+                    "topic": {"z": 1},
+                    "consumer_settings": {"bootstrap.servers": cl.bootstrap},
+                    "dev_wire": True,
+                    "wire_format": "v2",
+                    "codec": "json",
+                    "schema": "n bigint",
+                }
+            ).batch(spark)
+            assert sorted(r["n"] for r in got.collect()) == list(range(20))
