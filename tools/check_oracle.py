@@ -99,12 +99,30 @@ def dtype_skew(pdf_s: pd.DataFrame, pdf_d: pd.DataFrame) -> list[str]:
 def main():
     argv = sys.argv[1:]
     json_out = None
+    resume = False
     if argv and argv[0] == "--json":
         json_out = argv[1]
         argv = argv[2:]
+    if argv and argv[0] == "--resume":
+        # skip queries already recorded in the --json artifact: a sweep
+        # interrupted on a long oracle restarts where it left off
+        resume = True
+        argv = argv[1:]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     report: dict[str, dict] = {}
+    if resume and json_out:
+        import os
+
+        if os.path.exists(json_out):
+            with open(json_out) as f:
+                report = json.load(f)
+            print(f"resuming past {len(report)} recorded queries")
+
+    def checkpoint():
+        if json_out:
+            with open(json_out, "w") as f:
+                json.dump(report, f, indent=2)
 
     import __spark_entry__ as entrymod
 
@@ -124,6 +142,8 @@ def main():
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if resume and name in report:
             continue
         t0 = time.time()
         try:
@@ -148,6 +168,7 @@ def main():
                         "oracle_rows": None,
                         "err": f"non-scalar columns {nonscalar}",
                     }
+                    checkpoint()
                     continue
                 pdf_s = sdf.toPandas()
             else:
@@ -160,6 +181,7 @@ def main():
                 "hash_match": False, "spark_rows": None,
                 "oracle_rows": None, "err": f"spark: {e}"[:500],
             }
+            checkpoint()
             continue
         took = time.time() - t0
         if name not in oracles:
@@ -169,6 +191,7 @@ def main():
                 "hash_match": None, "spark_rows": n_rows,
                 "oracle_rows": None, "err": "no_oracle",
             }
+            checkpoint()
             continue
         try:
             pdf_d = con.execute(oracles[name]).df()
@@ -180,6 +203,7 @@ def main():
                 "hash_match": False, "spark_rows": len(pdf_s),
                 "oracle_rows": None, "err": f"duckdb: {e}"[:500],
             }
+            checkpoint()
             continue
         ok_rows = len(pdf_s) == len(pdf_d)
         ok_cols = sorted(pdf_s.columns) == sorted(pdf_d.columns)
@@ -191,6 +215,7 @@ def main():
             "hash_match": ok_hash, "spark_rows": len(pdf_s),
             "oracle_rows": len(pdf_d), "err": None,
         }
+        checkpoint()
         status = "ok  " if (ok_rows and ok_cols and ok_hash) else "FAIL"
         print(
             f"{status} {name}: rows {len(pdf_s)}/{len(pdf_d)} cols_match={ok_cols} "
