@@ -316,7 +316,7 @@ def approx_distinct_report(
     group_col: str = "event_type",
     id_col: str = "user_id",
     rsd: float = 0.05,
-    tolerance: float = 0.05,
+    tolerance: float | None = None,
 ) -> DataFrame:
     """Exact vs HyperLogLog++ distinct counts per group, with a boolean
     ``hll_ok`` asserting the sketch landed within ``tolerance`` relative
@@ -325,7 +325,17 @@ def approx_distinct_report(
     operator IS that validation. The oracle states hll_ok = true
     analytically, so a sketch drifting out of tolerance fails the
     cross-engine hash (the sketch itself is deliberately not in the
-    compared output — engines' HLL implementations differ)."""
+    compared output — engines' HLL implementations differ).
+
+    ``tolerance`` defaults to ``3 * rsd``: rsd is the estimator's ONE-σ
+    relative standard deviation, so bounding at 1×rsd fails ~32% of
+    healthy groups by construction — exactly what the sf0.1 FULLREG
+    sweep caught in round 9 (n=1500 per group estimated at 1400, 6.7%
+    error, every group 'failing' a 5% bound that was never a bound).
+    3σ makes a false alarm ~0.3% per group while a genuinely broken
+    sketch (tens of percent off) still trips it."""
+    if tolerance is None:
+        tolerance = 3 * rsd
     agg = events.groupBy(group_col).agg(
         F.count_distinct(F.col(id_col)).alias("exact_distinct"),
         F.approx_count_distinct(id_col, rsd).alias("__hll"),

@@ -3378,6 +3378,23 @@ class TestRound4Analytics:
         assert rows["view"].exact_distinct == 2 and rows["view"].hll_ok
         assert rows["purchase"].exact_distinct == 2 and rows["purchase"].hll_ok
 
+    def test_approx_distinct_tolerance_is_3_sigma(self, spark):
+        """The r9 sf0.1 FULLREG seam: rsd is the estimator's ONE-sigma
+        deviation, so a 1x-rsd bound fails healthy estimates. At n=1500
+        Spark's rsd=0.05 HLL lands ~6.7% off (between 1 and 3 sigma):
+        the default bound must accept it, a 1-sigma override must not."""
+        from gohangout_spark.functions.analytics import approx_distinct_report
+
+        ev = spark.createDataFrame(
+            [(u, "t") for u in range(1500)], "user_id long, event_type string"
+        )
+        row = approx_distinct_report(ev).collect()[0]
+        assert row.exact_distinct == 1500 and row.hll_ok
+        strict = approx_distinct_report(ev, tolerance=0.05).collect()[0]
+        err = abs(1400 - 1500) / 1500  # the measured estimate at this n
+        if err > 0.05:
+            assert not strict.hll_ok
+
 
 class TestLexicalDiversity:
     def test_counts_and_ratios(self, spark):
