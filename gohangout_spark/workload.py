@@ -8869,13 +8869,16 @@ def multimodal_flac_features(spark, sf_dir):
 # The correctness driver samples the FIRST 50 entries of QUERIES in
 # registration (insertion) order; _GATE_PRIORITY reorders the registry so
 # the window always holds the queries with the WEAKEST driver evidence.
-# r9 rotation (VERDICT r8 #1): the 11 gates added mid-round-8 (driver row
-# pending) lead, followed by the 43 oracle-backed rows whose last driver
-# row is r5 — slots 12-50 take the first 39 alphabetically; the 4 leftover
-# r5 rows sit directly below the line and lead the r10 window.  Every row
-# displaced below slot 50 is green in CORRECTNESS_r06/r07/r08; nothing
-# stale sits below the window.  The staleness table is recomputed from the
-# raw CORRECTNESS artifacts (TestDriverWindow pins containment).
+# r9 rotation (VERDICT r8 #1): the 5 gates added mid-round-9 (kafka v2 /
+# group resume / rebalance / cluster failover / gzip — no driver row yet)
+# lead, then the 11 mid-round-8 gates, then the oracle-backed rows whose
+# last driver row is r5 — slots 17-50 take the first 34 alphabetically;
+# the 9 leftover r5 rows sit directly below the line and lead the r10
+# window.  Every row displaced below slot 50 is green in
+# CORRECTNESS_r06/r07/r08 and re-confirmed in FULLREG_r9_sf01 (sf0.1) /
+# FULLREG_r9 (sf0.01); nothing stale sits below the window.  The
+# staleness table is recomputed from the raw CORRECTNESS artifacts
+# (TestDriverWindow pins containment).
 _GATE_PRIORITY = [
     # --- new r9 gates go here (inserted as each lands; until then the
     # window tail pulls r5 rows up, which only adds coverage) ---
