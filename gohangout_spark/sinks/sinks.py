@@ -158,10 +158,18 @@ class KafkaSink(Sink):
         rows = payload.collect()  # dev tier: bounded by contract
         # leader-routing client: `brokers` may be a comma list, and a
         # node death mid-write costs a metadata refresh, not the batch
+        producer = self.conf.get("producer_settings") or {}
+        nested_sasl = producer.get("sasl") or {}
         with ClusterWireClient(
             self.conf["brokers"],
             message_format=self.conf.get("wire_format", "v0"),
-            compression=self.conf.get("compression.type"),
+            compression=self.conf.get(
+                "compression.type", producer.get("compression.type")
+            ),
+            sasl_user=producer.get("sasl.user", nested_sasl.get("user")),
+            sasl_password=producer.get(
+                "sasl.password", nested_sasl.get("password")
+            ),
         ) as client:
             parts = client.metadata([topic]).get(topic) or [0]
             by_part: dict[int, list] = {}

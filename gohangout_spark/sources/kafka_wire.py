@@ -36,6 +36,12 @@ protocol guide) —
   tuples and re-frames on fetch, so v0 producers interoperate with v2
   consumers and vice versa, exactly like a real broker's up/down
   conversion.
+- SASL/PLAIN (the reference's one supported mechanism): SaslHandshake
+  v0 (mechanism negotiation) + SaslAuthenticate v0 (RFC 4616 token);
+  a broker constructed with ``sasl_users`` requires the flow on every
+  connection before any other API, drops mis-credentialed connections
+  after replying, and kills pre-auth data requests — the real
+  broker's behavior. All clients take ``sasl_user``/``sasl_password``.
 - GZIP COMPRESSION on both framings (attributes bits 0-2 = 1): the
   magic-1 gzip wrapper message with KIP-31 relative inner offsets, and
   the magic-2 compressed-records block (CRC32C over the compressed
@@ -89,6 +95,8 @@ API_JOIN_GROUP = 11
 API_HEARTBEAT = 12
 API_LEAVE_GROUP = 13
 API_SYNC_GROUP = 14
+API_SASL_HANDSHAKE = 17
+API_SASL_AUTHENTICATE = 36
 
 ERR_NONE = 0
 ERR_OFFSET_OUT_OF_RANGE = 1
@@ -97,6 +105,9 @@ ERR_NOT_LEADER_FOR_PARTITION = 6
 ERR_ILLEGAL_GENERATION = 22
 ERR_UNKNOWN_MEMBER_ID = 25
 ERR_REBALANCE_IN_PROGRESS = 27
+ERR_UNSUPPORTED_SASL_MECHANISM = 33
+ERR_ILLEGAL_SASL_STATE = 34
+ERR_SASL_AUTHENTICATION_FAILED = 58
 
 
 class KafkaProtocolError(ValueError):
@@ -593,10 +604,16 @@ class FakeKafkaBroker:
     def __init__(self, host: str = "127.0.0.1", port: int = 0, num_partitions: int = 2,
                  rebalance_timeout_s: float = 30.0, node_id: int = 0,
                  cluster: "FakeKafkaCluster | None" = None,
-                 fetch_codec: str | None = None):
+                 fetch_codec: str | None = None,
+                 sasl_users: dict[str, str] | None = None):
         self.num_partitions = num_partitions
         self.node_id = node_id
         self.cluster = cluster
+        # SASL/PLAIN (the one mechanism the reference supports —
+        # gohangout README: 'sasl.mechanism ... PLAIN'): when set, every
+        # connection must complete SaslHandshake + SaslAuthenticate
+        # before any other API answers
+        self.sasl_users = dict(sasl_users) if sasl_users else None
         if fetch_codec not in (None, "gzip"):
             raise ValueError(f"fetch_codec must be None or 'gzip', got {fetch_codec!r}")
         # when set, fetch responses ship compressed (gzip wrapper message
@@ -624,6 +641,8 @@ class FakeKafkaBroker:
 
         class Handler(socketserver.BaseRequestHandler):
             def handle(self):
+                conn = {"authenticated": broker.sasl_users is None,
+                        "close_after_reply": False}
                 try:
                     while True:
                         head = self._recv_exact(4)
@@ -634,7 +653,7 @@ class FakeKafkaBroker:
                         if frame is None:
                             return
                         try:
-                            resp = broker._dispatch(frame)
+                            resp = broker._dispatch(frame, conn)
                         except UnsupportedRequestError as exc:
                             # A real v0-era broker closes the socket on a
                             # request it cannot parse; do the same but leave
@@ -642,6 +661,10 @@ class FakeKafkaBroker:
                             logger.warning("dev broker closing connection: %s", exc)
                             return
                         self.request.sendall(struct.pack(">i", len(resp)) + resp)
+                        if conn["close_after_reply"]:
+                            # a failed SASL authentication answers, then
+                            # disconnects — the real broker's behavior
+                            return
                 except (ConnectionResetError, BrokenPipeError):
                     return
 
@@ -689,10 +712,21 @@ class FakeKafkaBroker:
 
     # -- request dispatch ----------------------------------------------
 
-    def _dispatch(self, frame: bytes) -> bytes:
+    def _dispatch(self, frame: bytes, conn: dict | None = None) -> bytes:
+        conn = conn if conn is not None else {"authenticated": True,
+                                              "close_after_reply": False}
         r = _Reader(frame)
         api_key, api_version, corr_id = r.i16(), r.i16(), r.i32()
         r.string()  # client_id
+        if api_key == API_SASL_HANDSHAKE and api_version == 0:
+            return struct.pack(">i", corr_id) + self._sasl_handshake(r, conn)
+        if api_key == API_SASL_AUTHENTICATE and api_version == 0:
+            return struct.pack(">i", corr_id) + self._sasl_authenticate(r, conn)
+        if not conn["authenticated"]:
+            # a real broker kills the connection on any pre-auth API
+            raise UnsupportedRequestError(
+                f"api_key {api_key} before SASL authentication (corr {corr_id})"
+            )
         # (api_key, api_version) -> handler: the v0 slice plus the two
         # modern-framing entry points (Produce v3 / Fetch v4 are the first
         # versions that carry magic-2 record batches).
@@ -1146,6 +1180,38 @@ class FakeKafkaBroker:
                     out += _enc_str(metadata) + struct.pack(">h", ERR_NONE)
             return out
 
+    # -- SASL (PLAIN — the reference's one supported mechanism) ----------
+
+    def _sasl_handshake(self, r: _Reader, conn: dict) -> bytes:
+        mechanism = r.string()
+        mechs = struct.pack(">i", 1) + _enc_str("PLAIN")
+        if mechanism != "PLAIN":
+            return struct.pack(">h", ERR_UNSUPPORTED_SASL_MECHANISM) + mechs
+        conn["handshake_done"] = True
+        return struct.pack(">h", ERR_NONE) + mechs
+
+    def _sasl_authenticate(self, r: _Reader, conn: dict) -> bytes:
+        def resp(err: int, msg: str | None) -> bytes:
+            return struct.pack(">h", err) + _enc_str(msg) + _enc_bytes(b"")
+
+        if not conn.get("handshake_done"):
+            conn["close_after_reply"] = True
+            return resp(ERR_ILLEGAL_SASL_STATE, "handshake first")
+        auth = r.bytes_() or b""
+        parts = auth.split(b"\x00")
+        # PLAIN (RFC 4616): [authzid] NUL authcid NUL passwd
+        if len(parts) != 3:
+            conn["close_after_reply"] = True
+            return resp(ERR_SASL_AUTHENTICATION_FAILED, "malformed PLAIN token")
+        user = parts[1].decode("utf-8", "replace")
+        password = parts[2].decode("utf-8", "replace")
+        if self.sasl_users is None or self.sasl_users.get(user) != password:
+            conn["close_after_reply"] = True
+            return resp(ERR_SASL_AUTHENTICATION_FAILED,
+                        f"authentication failed for user {user!r}")
+        conn["authenticated"] = True
+        return resp(ERR_NONE, None)
+
     def _find_coordinator(self, r: _Reader) -> bytes:
         r.string()  # group_id — single-node broker coordinates everything
         return (struct.pack(">hi", ERR_NONE, 0) + _enc_str(self.host)
@@ -1168,7 +1234,8 @@ class FakeKafkaCluster:
 
     def __init__(self, num_brokers: int = 2, num_partitions: int = 4,
                  host: str = "127.0.0.1", rebalance_timeout_s: float = 30.0,
-                 fetch_codec: str | None = None):
+                 fetch_codec: str | None = None,
+                 sasl_users: dict[str, str] | None = None):
         if num_brokers < 1:
             raise ValueError("need at least one broker")
         self.topics: dict[str, _TopicLog] = {}
@@ -1185,6 +1252,7 @@ class FakeKafkaCluster:
                 host=host, num_partitions=num_partitions,
                 rebalance_timeout_s=rebalance_timeout_s,
                 node_id=i, cluster=self, fetch_codec=fetch_codec,
+                sasl_users=sasl_users,
             )
             self.nodes[i] = b
             self._live[i] = b
@@ -1259,7 +1327,9 @@ class KafkaWireClient:
 
     def __init__(self, bootstrap: str, client_id: str = "gohangout-spark-dev",
                  timeout_s: float = 10.0, message_format: str = "v0",
-                 compression: str | None = None):
+                 compression: str | None = None,
+                 sasl_user: str | None = None,
+                 sasl_password: str | None = None):
         if message_format not in ("v0", "v2"):
             raise ValueError(f"message_format must be v0 or v2, got {message_format!r}")
         if compression not in (None, "gzip"):
@@ -1273,6 +1343,8 @@ class KafkaWireClient:
         self.message_format = message_format
         self.compression = compression
         self._corr = 0
+        if sasl_user is not None:
+            self.sasl_plain(sasl_user, sasl_password or "")
 
     def close(self) -> None:
         self.sock.close()
@@ -1477,6 +1549,35 @@ class KafkaWireClient:
                 return out
             offset = records[-1][0] + 1
 
+    # -- SASL -------------------------------------------------------------
+
+    def sasl_handshake(self, mechanism: str = "PLAIN") -> tuple[int, list[str]]:
+        r = self._request(API_SASL_HANDSHAKE, _enc_str(mechanism))
+        err = r.i16()
+        mechs = [r.string() for _ in range(r.i32())]
+        return err, mechs
+
+    def sasl_authenticate(self, auth_bytes: bytes) -> tuple[int, str | None]:
+        r = self._request(API_SASL_AUTHENTICATE, _enc_bytes(auth_bytes))
+        err = r.i16()
+        msg = r.string()
+        r.bytes_()  # server auth bytes (empty for PLAIN)
+        return err, msg
+
+    def sasl_plain(self, user: str, password: str) -> None:
+        """The PLAIN flow (RFC 4616 token over SaslHandshake v0 +
+        SaslAuthenticate v0); raises on rejection — the server closes
+        the connection after a failure, like a real broker."""
+        err, mechs = self.sasl_handshake("PLAIN")
+        if err != ERR_NONE:
+            raise KafkaProtocolError(
+                err, f"SASL handshake rejected (server offers {mechs})"
+            )
+        token = b"\x00" + user.encode() + b"\x00" + password.encode()
+        err, msg = self.sasl_authenticate(token)
+        if err != ERR_NONE:
+            raise KafkaProtocolError(err, f"SASL authentication failed: {msg}")
+
     # -- group membership APIs (all v0) ----------------------------------
 
     def find_coordinator(self, group_id: str) -> tuple[str, int]:
@@ -1579,7 +1680,9 @@ class ClusterWireClient:
 
     def __init__(self, bootstrap: str, client_id: str = "gohangout-spark-dev",
                  timeout_s: float = 10.0, message_format: str = "v0",
-                 max_retries: int = 4, compression: str | None = None):
+                 max_retries: int = 4, compression: str | None = None,
+                 sasl_user: str | None = None,
+                 sasl_password: str | None = None):
         self.bootstraps = [s.strip() for s in bootstrap.split(",") if s.strip()]
         if not self.bootstraps:
             raise ValueError("empty bootstrap list")
@@ -1587,6 +1690,8 @@ class ClusterWireClient:
         self.timeout_s = timeout_s
         self.message_format = message_format
         self.compression = compression
+        self.sasl_user = sasl_user
+        self.sasl_password = sasl_password
         self.max_retries = max_retries
         self._conns: dict[str, KafkaWireClient] = {}
         self._leaders: dict[tuple[str, int], str] = {}  # (topic, part) -> addr
@@ -1610,6 +1715,7 @@ class ClusterWireClient:
             c = KafkaWireClient(
                 addr, self.client_id, self.timeout_s, self.message_format,
                 compression=self.compression,
+                sasl_user=self.sasl_user, sasl_password=self.sasl_password,
             )
             self._conns[addr] = c
         return c
@@ -1746,16 +1852,21 @@ class GroupConsumer:
     def __init__(self, bootstrap: str, group_id: str, topics: list[str],
                  client_id: str = "gohangout-spark-dev",
                  session_timeout_ms: int = 10000,
-                 message_format: str = "v0", timeout_s: float = 30.0):
+                 message_format: str = "v0", timeout_s: float = 30.0,
+                 sasl_user: str | None = None,
+                 sasl_password: str | None = None):
         self.group_id = group_id
         self.topics = list(topics)
         self.session_timeout_ms = session_timeout_ms
         self.client_id = client_id
         self.timeout_s = timeout_s
+        self.sasl_user = sasl_user
+        self.sasl_password = sasl_password
         # data-plane fetches route to partition leaders and survive node
         # deaths; the coordinator connection below is the control plane
         self.data = ClusterWireClient(
-            bootstrap, client_id, timeout_s, message_format
+            bootstrap, client_id, timeout_s, message_format,
+            sasl_user=sasl_user, sasl_password=sasl_password,
         )
         self.client: KafkaWireClient | None = None
         self._connect_coordinator()
@@ -1782,6 +1893,8 @@ class GroupConsumer:
                 self.client = KafkaWireClient(
                     f"{host}:{port}", self.client_id,
                     self.timeout_s, self.data.message_format,
+                    sasl_user=self.sasl_user,
+                    sasl_password=self.sasl_password,
                 )
                 return
             except (OSError, ConnectionError, EOFError) as exc:

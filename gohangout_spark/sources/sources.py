@@ -327,6 +327,23 @@ class KafkaSource(Source):
             opts["startingOffsets"] = "earliest"
         if "group.id" in settings:
             opts["kafka.group.id"] = settings.pop("group.id")
+        # SASL: the reference accepts both the nested `sasl:` map and flat
+        # sasl.* keys (gohangout README / gohangout_test.go:36-39); the
+        # connector tier gets the public jaas-config mapping, the dev wire
+        # tier reads the creds via _sasl_creds()
+        nested_sasl = settings.pop("sasl", None) or {}
+        mech = settings.pop("sasl.mechanism", nested_sasl.get("mechanism"))
+        sasl_user = settings.pop("sasl.user", nested_sasl.get("user"))
+        sasl_pw = settings.pop("sasl.password", nested_sasl.get("password"))
+        if sasl_user is not None and mech not in (None, "PLAIN"):
+            raise ValueError(f"sasl.mechanism: only PLAIN is supported, got {mech!r}")
+        if mech:
+            opts["kafka.sasl.mechanism"] = str(mech)
+        if sasl_user is not None:
+            opts["kafka.sasl.jaas.config"] = (
+                "org.apache.kafka.common.security.plain.PlainLoginModule "
+                f'required username="{sasl_user}" password="{sasl_pw}";'
+            )
         for k, v in settings.items():
             opts[f"kafka.{k}"] = str(v)
         topic, assign = conf.get("topic"), conf.get("assign")
@@ -367,6 +384,14 @@ class KafkaSource(Source):
         assign = _json.loads(opts["assign"])
         return [(t, p) for t, parts in assign.items() for p in parts]
 
+    def _sasl_creds(self) -> tuple[str | None, str | None]:
+        settings = self.conf.get("consumer_settings") or {}
+        nested = settings.get("sasl") or {}
+        return (
+            settings.get("sasl.user", nested.get("user")),
+            settings.get("sasl.password", nested.get("password")),
+        )
+
     def _batch_dev_wire(self, spark):
         from gohangout_spark.sources.kafka_wire import ClusterWireClient
 
@@ -374,11 +399,13 @@ class KafkaSource(Source):
         if "kafka.group.id" in opts and "subscribe" in opts:
             return self._batch_dev_wire_group(spark, opts)
         rows = []
+        sasl_user, sasl_pw = self._sasl_creds()
         # leader-routing client: bootstrap may list several brokers and
         # fetches survive a node death via metadata refresh + retry
         with ClusterWireClient(
             opts["kafka.bootstrap.servers"],
             message_format=self.conf.get("wire_format", "v0"),
+            sasl_user=sasl_user, sasl_password=sasl_pw,
         ) as client:
             for topic, part in self._topics_and_assignments(opts, client):
                 # batch semantics = earliest -> high watermark (the
@@ -417,11 +444,13 @@ class KafkaSource(Source):
         earliest->hw-every-time semantics."""
         from gohangout_spark.sources.kafka_wire import GroupConsumer
 
+        sasl_user, sasl_pw = self._sasl_creds()
         consumer = GroupConsumer(
             opts["kafka.bootstrap.servers"],
             opts["kafka.group.id"],
             opts["subscribe"].split(","),
             message_format=self.conf.get("wire_format", "v0"),
+            sasl_user=sasl_user, sasl_password=sasl_pw,
         )
         rows = []
         try:

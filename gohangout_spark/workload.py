@@ -7181,6 +7181,60 @@ def kafka_wire_gzip_replay(spark, sf_dir):
 
 
 @q(
+    "kafka_sasl_roundtrip_replay",
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE event_id % 5 = 0 AND event_id < 1000",
+)
+def kafka_sasl_roundtrip_replay(spark, sf_dir):
+    """HASH gate for SASL/PLAIN-authenticated wire traffic — the one
+    mechanism the reference supports (gohangout README 'sasl.mechanism
+    ... PLAIN'; gohangout_test.go:36-39 nests creds under
+    consumer_settings.sasl, the exact YAML shape used here). The
+    broker REQUIRES auth: every connection the sink's routing client
+    and the source's drain open must complete SaslHandshake v0 +
+    SaslAuthenticate v0 (RFC 4616 PLAIN token) before any data API
+    answers — an unauthenticated or mis-credentialed connection is
+    dropped, so a single client that skips the flow loses its
+    partition's records and mismatches the oracle."""
+    from gohangout_spark.sinks.sinks import KafkaSink
+    from gohangout_spark.sources.kafka_wire import FakeKafkaBroker
+    from gohangout_spark.sources.sources import KafkaSource
+
+    ev = (
+        _events(spark, sf_dir)
+        .where((F.col("event_id") % 5 == 0) & (F.col("event_id") < 1000))
+        .select("event_id", "user_id", "event_type")
+    )
+    creds = {"mechanism": "PLAIN", "user": "admin", "password": "admin-secret"}
+    with FakeKafkaBroker(
+        num_partitions=4, sasl_users={"admin": "admin-secret"}
+    ) as broker:
+        KafkaSink(
+            {
+                "topic": "auth",
+                "brokers": broker.bootstrap,
+                "key": "%{user_id}",
+                "dev_wire": True,
+                "producer_settings": {"sasl": dict(creds)},
+            }
+        ).write_batch(ev)
+        src = KafkaSource(
+            {
+                "topic": {"auth": 1},
+                "consumer_settings": {
+                    "bootstrap.servers": broker.bootstrap,
+                    "sasl": dict(creds),
+                },
+                "decorate_events": True,
+                "dev_wire": True,
+                "codec": "json",
+                "schema": "event_id bigint, user_id bigint, event_type string",
+            }
+        )
+        return src.batch(spark).select("event_id", "user_id", "event_type")
+
+
+@q(
     "kafka_group_resume_replay",
     "SELECT event_id, user_id, event_type FROM events "
     "WHERE event_id >= 600 AND event_id < 1000",
@@ -8869,12 +8923,12 @@ def multimodal_flac_features(spark, sf_dir):
 # The correctness driver samples the FIRST 50 entries of QUERIES in
 # registration (insertion) order; _GATE_PRIORITY reorders the registry so
 # the window always holds the queries with the WEAKEST driver evidence.
-# r9 rotation (VERDICT r8 #1): the 5 gates added mid-round-9 (kafka v2 /
-# group resume / rebalance / cluster failover / gzip — no driver row yet)
-# lead, then the 11 mid-round-8 gates, then the oracle-backed rows whose
-# last driver row is r5 — slots 17-50 take the first 34 alphabetically;
-# the 9 leftover r5 rows sit directly below the line and lead the r10
-# window.  Every row displaced below slot 50 is green in
+# r9 rotation (VERDICT r8 #1): the 6 gates added mid-round-9 (kafka v2 /
+# group resume / rebalance / cluster failover / gzip / sasl — no driver
+# row yet) lead, then the 11 mid-round-8 gates, then the oracle-backed
+# rows whose last driver row is r5 — slots 18-50 take the first 33
+# alphabetically; the 10 leftover r5 rows sit directly below the line
+# and lead the r10 window.  Every row displaced below slot 50 is green in
 # CORRECTNESS_r06/r07/r08 and re-confirmed in FULLREG_r9_sf01 (sf0.1) /
 # FULLREG_r9 (sf0.01); nothing stale sits below the window.  The
 # staleness table is recomputed from the raw CORRECTNESS artifacts
@@ -8887,6 +8941,7 @@ _GATE_PRIORITY = [
     "kafka_group_rebalance_replay",
     "kafka_cluster_failover_replay",
     "kafka_wire_gzip_replay",
+    "kafka_sasl_roundtrip_replay",
     # --- 11 slots: the mid-round-r8 gates (two-sf check_oracle + FULLREG
     # evidence, no driver row yet — VERDICT r8 #1 says they LEAD) ---
     "cluster_aware_split",

@@ -11,9 +11,10 @@ encode + key-partitioning path (output/kafka_output.go:69-81) at the
 package boundary. Round 9 adds the classic consumer-group protocol
 (TestGroupMembership), multi-node leadership/failover
 (TestClusterFailover), and gzip compression on both framings
-(TestGzipCompression); what remains waived is only real-broker
-behavior the dev tier cannot model (auth, snappy/lz4/zstd,
-replication acks) — docs/COVERAGE.md."""
+(TestGzipCompression), and SASL/PLAIN auth (TestSaslPlain); what
+remains waived is only real-broker behavior the dev tier cannot model
+(SCRAM/Kerberos/TLS, snappy/lz4/zstd, replication acks) —
+docs/COVERAGE.md."""
 
 import json
 
@@ -808,3 +809,121 @@ class TestGzipCompression:
                 }
             ).batch(spark)
             assert sorted(r["n"] for r in got.collect()) == list(range(20))
+
+
+class TestSaslPlain:
+    """SASL/PLAIN — the one mechanism the reference supports (gohangout
+    README: 'sasl.mechanism ... PLAIN'; gohangout_test.go:36-39 nests it
+    under consumer_settings.sasl)."""
+
+    USERS = {"admin": "admin-secret"}
+
+    def test_authenticated_roundtrip(self):
+        from gohangout_spark.sources.kafka_wire import FakeKafkaBroker
+
+        with FakeKafkaBroker(num_partitions=1, sasl_users=self.USERS) as b:
+            with KafkaWireClient(
+                b.bootstrap, sasl_user="admin", sasl_password="admin-secret"
+            ) as c:
+                c.produce("t", 0, [(b"k", b"v", 1)])
+                assert c.fetch_all("t", 0) == [(0, 1, b"k", b"v")]
+
+    def test_bad_password_rejected_and_disconnected(self):
+        from gohangout_spark.sources.kafka_wire import (
+            ERR_SASL_AUTHENTICATION_FAILED,
+            FakeKafkaBroker,
+            KafkaProtocolError,
+        )
+
+        with FakeKafkaBroker(num_partitions=1, sasl_users=self.USERS) as b:
+            with pytest.raises(KafkaProtocolError) as ei:
+                KafkaWireClient(b.bootstrap, sasl_user="admin",
+                                sasl_password="nope")
+            assert ei.value.code == ERR_SASL_AUTHENTICATION_FAILED
+
+    def test_unauthenticated_api_drops_connection(self):
+        from gohangout_spark.sources.kafka_wire import FakeKafkaBroker
+
+        with FakeKafkaBroker(num_partitions=1, sasl_users=self.USERS) as b:
+            with pytest.raises((ConnectionError, OSError)):
+                with KafkaWireClient(b.bootstrap) as c:
+                    c.metadata(["t"])
+
+    def test_mechanism_negotiation(self):
+        from gohangout_spark.sources.kafka_wire import (
+            ERR_UNSUPPORTED_SASL_MECHANISM,
+            FakeKafkaBroker,
+        )
+
+        with FakeKafkaBroker(num_partitions=1, sasl_users=self.USERS) as b:
+            with KafkaWireClient(
+                b.bootstrap, sasl_user="admin", sasl_password="admin-secret"
+            ) as c:
+                err, mechs = c.sasl_handshake("SCRAM-SHA-256")
+                assert err == ERR_UNSUPPORTED_SASL_MECHANISM
+                assert mechs == ["PLAIN"]
+
+    def test_authenticate_without_handshake_is_illegal_state(self):
+        from gohangout_spark.sources.kafka_wire import (
+            ERR_ILLEGAL_SASL_STATE,
+            FakeKafkaBroker,
+        )
+
+        with FakeKafkaBroker(num_partitions=1, sasl_users=self.USERS) as b:
+            with KafkaWireClient(b.bootstrap) as c:
+                err, _ = c.sasl_authenticate(b"\x00admin\x00admin-secret")
+                assert err == ERR_ILLEGAL_SASL_STATE
+
+    def test_sink_source_with_reference_shaped_settings(self, spark):
+        """The reference's nested consumer_settings.sasl map and the
+        sink's producer_settings both carry the creds end to end."""
+        from gohangout_spark.sinks.sinks import KafkaSink
+        from gohangout_spark.sources.kafka_wire import FakeKafkaCluster
+        from gohangout_spark.sources.sources import KafkaSource
+
+        with FakeKafkaCluster(
+            num_brokers=2, num_partitions=2, sasl_users=self.USERS
+        ) as cl:
+            KafkaSink(
+                {
+                    "topic": "s",
+                    "brokers": cl.bootstrap,
+                    "dev_wire": True,
+                    "producer_settings": {
+                        "sasl": {"mechanism": "PLAIN", "user": "admin",
+                                 "password": "admin-secret"},
+                    },
+                }
+            ).write_batch(spark.range(8).select(F.col("id").alias("n")))
+            got = KafkaSource(
+                {
+                    "topic": {"s": 1},
+                    "consumer_settings": {
+                        "bootstrap.servers": cl.bootstrap,
+                        "sasl": {"mechanism": "PLAIN", "user": "admin",
+                                 "password": "admin-secret"},
+                    },
+                    "dev_wire": True,
+                    "codec": "json",
+                    "schema": "n bigint",
+                }
+            ).batch(spark)
+            assert sorted(r["n"] for r in got.collect()) == list(range(8))
+
+    def test_connector_tier_gets_jaas_mapping(self):
+        from gohangout_spark.sources.sources import KafkaSource
+
+        opts = KafkaSource(
+            {
+                "topic": {"t": 1},
+                "consumer_settings": {
+                    "bootstrap.servers": "b:9092",
+                    "sasl.mechanism": "PLAIN",
+                    "sasl.user": "u",
+                    "sasl.password": "p",
+                },
+            }
+        )._options()
+        assert opts["kafka.sasl.mechanism"] == "PLAIN"
+        assert 'username="u"' in opts["kafka.sasl.jaas.config"]
+        assert "PlainLoginModule" in opts["kafka.sasl.jaas.config"]
