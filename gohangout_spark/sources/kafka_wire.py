@@ -42,14 +42,18 @@ protocol guide) —
   connection before any other API, drops mis-credentialed connections
   after replying, and kills pre-auth data requests — the real
   broker's behavior. All clients take ``sasl_user``/``sasl_password``.
-- GZIP COMPRESSION on both framings (attributes bits 0-2 = 1): the
-  magic-1 gzip wrapper message with KIP-31 relative inner offsets, and
-  the magic-2 compressed-records block (CRC32C over the compressed
-  payload). ``compression="gzip"`` on a client / ``compression.type``
-  on KafkaSink selects it for produce; ``fetch_codec="gzip"`` on the
-  broker compresses every fetch page so the consumer-side gunzip path
-  runs over real TCP bytes. gzip is stdlib; snappy/lz4/zstd raise
-  (their wheels are absent from this container).
+- COMPRESSION on both framings (attributes bits 0-2: 1 gzip, 2
+  snappy, 3 lz4): the magic-1 compressed wrapper message with KIP-31
+  relative inner offsets, and the magic-2 compressed-records block
+  (CRC32C over the compressed payload). gzip is stdlib; snappy and
+  LZ4 (+ the XXH32 its frame checksums need) are implemented from
+  their PUBLIC formats in functions/snappy.py and functions/lz4.py —
+  snappy rides Kafka's xerial stream framing on magic-1 and raw
+  blocks on v2, lz4 rides the frame format. ``compression=...`` on a
+  client / ``compression.type`` on KafkaSink selects the produce
+  codec; ``fetch_codec=...`` on the broker compresses every fetch
+  page so the consumer-side decode runs over real TCP bytes. zstd
+  raises (its spec is out of dev-tier scope).
 
 `FakeKafkaBroker` is a real TCP server speaking these bytes; a
 conformant v0 client could talk to it. `KafkaWireClient` is the
@@ -197,24 +201,91 @@ def encode_message_set(
     return out
 
 
+_XERIAL_MAGIC = b"\x82SNAPPY\x00"
+
+
+def _snappy_xerial_frame(raw: bytes) -> bytes:
+    """The xerial snappy-java stream framing Kafka's snappy messages
+    carry: magic | version u32BE | compat u32BE | [len u32BE | snappy
+    block]... — one chunk suffices for the dev tier's bounded sets."""
+    from gohangout_spark.functions import snappy as _snappy
+
+    block = _snappy.compress(raw)
+    return (_XERIAL_MAGIC + struct.pack(">ii", 1, 1)
+            + struct.pack(">i", len(block)) + block)
+
+
+def _snappy_unframe(data: bytes) -> bytes:
+    from gohangout_spark.functions import snappy as _snappy
+
+    if not data.startswith(_XERIAL_MAGIC):
+        return _snappy.decompress(data)  # raw block (the v2 records form)
+    r = _Reader(data[len(_XERIAL_MAGIC):])
+    r.i32(), r.i32()  # version, compat
+    out = b""
+    while r.pos < len(r.data):
+        out += _snappy.decompress(r._take(r.i32()))
+    return out
+
+
+def _compress_payload(raw: bytes, codec: str) -> bytes:
+    """value/records compression by codec name (the attribute bits'
+    meaning: 1 gzip, 2 snappy, 3 lz4)."""
+    if codec == "gzip":
+        import gzip as _gzip
+
+        return _gzip.compress(raw, mtime=0)
+    if codec == "snappy":
+        from gohangout_spark.functions import snappy as _snappy
+
+        return _snappy.compress(raw)
+    if codec == "lz4":
+        from gohangout_spark.functions.lz4 import compress_frame
+
+        return compress_frame(raw)
+    raise ValueError(f"unsupported codec {codec!r}")
+
+
+def _decompress_payload(data: bytes, codec_bits: int) -> bytes:
+    if codec_bits == 1:
+        import gzip as _gzip
+
+        return _gzip.decompress(data)
+    if codec_bits == 2:
+        return _snappy_unframe(data)
+    if codec_bits == 3:
+        from gohangout_spark.functions.lz4 import decompress_frame
+
+        return decompress_frame(data)
+    raise ValueError(f"unsupported compression codec bits {codec_bits}")
+
+
+_CODEC_BITS = {"gzip": 1, "snappy": 2, "lz4": 3}
+WIRE_CODECS = (None, "gzip", "snappy", "lz4")
+
+
 def gzip_wrap_message_set(
-    entries: list[tuple[int, bytes | None, bytes | None, int]]
+    entries: list[tuple[int, bytes | None, bytes | None, int]],
+    codec: str = "gzip",
 ) -> bytes:
     """Compress a run of (offset, key, value, ts) entries into ONE
-    gzip wrapper message, the magic-1 convention (KIP-31): the inner
-    MessageSet carries RELATIVE offsets 0..n-1, the wrapper's offset is
-    the LAST inner message's ABSOLUTE offset, attributes bit 0 = gzip,
-    wrapper value = gzip(inner set). mtime=0 keeps the bytes
-    deterministic, so gates can hash over them."""
-    import gzip as _gzip
-
+    compressed wrapper message, the magic-1 convention (KIP-31): the
+    inner MessageSet carries RELATIVE offsets 0..n-1, the wrapper's
+    offset is the LAST inner message's ABSOLUTE offset, attributes bits
+    0-2 name the codec (1 gzip — deterministic mtime=0 bytes, so gates
+    can hash over them; 2 snappy in the xerial stream framing Kafka
+    uses; 3 lz4 frame), wrapper value = codec(inner set)."""
     if not entries:
         return b""
     inner = encode_message_set(
         [(i, key, value, ts) for i, (_, key, value, ts) in enumerate(entries)]
     )
+    if codec == "snappy":
+        payload = _snappy_xerial_frame(inner)
+    else:
+        payload = _compress_payload(inner, codec)
     wrapper = encode_message(
-        None, _gzip.compress(inner, mtime=0), entries[-1][3], attributes=1
+        None, payload, entries[-1][3], attributes=_CODEC_BITS[codec]
     )
     return struct.pack(">qi", entries[-1][0], len(wrapper)) + wrapper
 
@@ -222,11 +293,10 @@ def gzip_wrap_message_set(
 def decode_message_set(data: bytes, *, validate_crc: bool = True):
     """-> list of (offset, timestamp_ms, key, value). Tolerates a trailing
     partial message (the protocol allows brokers to truncate at
-    max_bytes; v0 clients must drop the tail). Gzip wrapper messages
-    (attributes bit 0) decompress transparently, with the magic-1
-    relative-offset rule: absolute = wrapper_offset - (n-1) + inner."""
-    import gzip as _gzip
-
+    max_bytes; v0 clients must drop the tail). Compressed wrapper
+    messages (attributes bits 0-2: gzip/snappy/lz4) decompress
+    transparently, with the magic-1 relative-offset rule:
+    absolute = wrapper_offset - (n-1) + inner."""
     out = []
     r = _Reader(data)
     while True:
@@ -249,10 +319,8 @@ def decode_message_set(data: bytes, *, validate_crc: bool = True):
         if codec == 0:
             out.append((offset, ts, key, value))
             continue
-        if codec != 1:
-            raise ValueError(f"unsupported message compression codec {codec}")
         inner = decode_message_set(
-            _gzip.decompress(value), validate_crc=validate_crc
+            _decompress_payload(value, codec), validate_crc=validate_crc
         )
         base = offset - (len(inner) - 1)
         out.extend((base + rel, its, ik, iv) for rel, its, ik, iv in inner)
@@ -373,13 +441,11 @@ def encode_record_batch(
         for off, key, value, ts in entries
     )
     attrs = 0
-    if codec == "gzip":
-        import gzip as _gzip
-
-        records = _gzip.compress(records, mtime=0)
-        attrs = 1
-    elif codec is not None:
-        raise ValueError(f"unsupported record batch codec {codec!r}")
+    if codec is not None:
+        if codec not in _CODEC_BITS:
+            raise ValueError(f"unsupported record batch codec {codec!r}")
+        records = _compress_payload(records, codec)
+        attrs = _CODEC_BITS[codec]
     after_crc = (
         struct.pack(">hi", attrs, entries[-1][0] - base_off)  # attrs, lastOffsetDelta
         + struct.pack(">qq", base_ts, max_ts)
@@ -423,12 +489,8 @@ def decode_record_batches(data: bytes, *, validate_crc: bool = True):
         b.i64(), b.i16(), b.i32()  # producer id/epoch, baseSequence
         n = b.i32()
         codec = attrs & 0x07
-        if codec == 1:
-            import gzip as _gzip
-
-            b = _Reader(_gzip.decompress(inner[b.pos:]))
-        elif codec != 0:
-            raise ValueError(f"unsupported record batch compression codec {codec}")
+        if codec:
+            b = _Reader(_decompress_payload(inner[b.pos:], codec))
         for _ in range(n):
             rec_len = read_varint(b)
             rec = _Reader(b._take(rec_len))
@@ -614,8 +676,10 @@ class FakeKafkaBroker:
         # connection must complete SaslHandshake + SaslAuthenticate
         # before any other API answers
         self.sasl_users = dict(sasl_users) if sasl_users else None
-        if fetch_codec not in (None, "gzip"):
-            raise ValueError(f"fetch_codec must be None or 'gzip', got {fetch_codec!r}")
+        if fetch_codec not in WIRE_CODECS:
+            raise ValueError(
+                f"fetch_codec must be one of {WIRE_CODECS}, got {fetch_codec!r}"
+            )
         # when set, fetch responses ship compressed (gzip wrapper message
         # for v0 pages, compressed records block for v2 batches), so the
         # CLIENT decompression path runs over real TCP bytes
@@ -855,8 +919,8 @@ class FakeKafkaBroker:
                         size += 34 + len(key or b"") + len(value or b"")
                         if size >= max_bytes:
                             break
-                    if self.fetch_codec == "gzip" and entries:
-                        mset = gzip_wrap_message_set(entries)
+                    if self.fetch_codec and entries:
+                        mset = gzip_wrap_message_set(entries, codec=self.fetch_codec)
                     else:
                         mset = encode_message_set(entries)
                     out += struct.pack(">ihq", part, ERR_NONE, hw)
@@ -1332,10 +1396,11 @@ class KafkaWireClient:
                  sasl_password: str | None = None):
         if message_format not in ("v0", "v2"):
             raise ValueError(f"message_format must be v0 or v2, got {message_format!r}")
-        if compression not in (None, "gzip"):
+        if compression not in WIRE_CODECS:
             raise ValueError(
-                f"compression must be None or 'gzip', got {compression!r}"
-                " (snappy/lz4/zstd wheels are not in this container)"
+                f"compression must be one of {WIRE_CODECS}, got {compression!r}"
+                " (zstd's spec is out of dev-tier scope; gzip is stdlib,"
+                " snappy/lz4 are implemented from their public formats)"
             )
         host, port = bootstrap.rsplit(":", 1)
         self.sock = socket.create_connection((host, int(port)), timeout=timeout_s)
@@ -1436,11 +1501,12 @@ class KafkaWireClient:
         """messages: (key, value, timestamp_ms); returns base offset."""
         if self.message_format == "v2":
             return self._produce_v2(topic, partition, messages)
-        if self.compression == "gzip":
+        if self.compression:
             # relative inner offsets, wrapper offset = last relative —
             # the broker re-derives 0..n-1 and assigns real offsets
             mset = gzip_wrap_message_set(
-                [(i, k, v, ts) for i, (k, v, ts) in enumerate(messages)]
+                [(i, k, v, ts) for i, (k, v, ts) in enumerate(messages)],
+                codec=self.compression,
             )
         else:
             mset = encode_message_set(

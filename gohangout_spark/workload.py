@@ -7180,6 +7180,83 @@ def kafka_wire_gzip_replay(spark, sf_dir):
         return src.batch(spark).select("event_id", "user_id", "event_type")
 
 
+def _kafka_codec_replay(spark, sf_dir, codec, topic, mod):
+    """Shared body for the compressed-wire gates: sink produces with
+    compression.type=codec (v2 RecordBatches whose records block is
+    compressed, CRC32C over the COMPRESSED payload), the broker stores
+    plain tuples and re-compresses every fetch page (fetch_codec), so
+    KafkaSource's client must decompress and CRC-validate on the way
+    back in. Wrong attribute bits, a CRC over the wrong span, or a
+    codec bug in either direction all hash-mismatch."""
+    from gohangout_spark.sinks.sinks import KafkaSink
+    from gohangout_spark.sources.kafka_wire import FakeKafkaBroker
+    from gohangout_spark.sources.sources import KafkaSource
+
+    ev = (
+        _events(spark, sf_dir)
+        .where((F.col("event_id") % mod == 1) & (F.col("event_id") < 900))
+        .select("event_id", "user_id", "event_type")
+    )
+    with FakeKafkaBroker(num_partitions=4, fetch_codec=codec) as broker:
+        KafkaSink(
+            {
+                "topic": topic,
+                "brokers": broker.bootstrap,
+                "key": "%{user_id}",
+                "dev_wire": True,
+                "wire_format": "v2",
+                "compression.type": codec,
+            }
+        ).write_batch(ev)
+        src = KafkaSource(
+            {
+                "topic": {topic: 1},
+                "consumer_settings": {
+                    "bootstrap.servers": broker.bootstrap,
+                    "from.beginning": "true",
+                },
+                "decorate_events": True,
+                "dev_wire": True,
+                "wire_format": "v2",
+                "codec": "json",
+                "schema": "event_id bigint, user_id bigint, event_type string",
+            }
+        )
+        return src.batch(spark).select("event_id", "user_id", "event_type")
+
+
+@q(
+    "kafka_wire_snappy_replay",
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE event_id % 3 = 1 AND event_id < 900",
+)
+def kafka_wire_snappy_replay(spark, sf_dir):
+    """HASH gate for SNAPPY-compressed wire traffic — the codec is
+    implemented from the PUBLIC snappy block format
+    (functions/snappy.py; no wheel in-container), with the xerial
+    stream framing Kafka's magic-1 snappy messages carry and raw
+    blocks for v2 records. Both directions run over real TCP bytes
+    (produce compressed, broker re-compresses fetch pages); see
+    _kafka_codec_replay for the failure modes the hash pins."""
+    return _kafka_codec_replay(spark, sf_dir, "snappy", "sn", 3)
+
+
+@q(
+    "kafka_wire_lz4_replay",
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE event_id % 4 = 1 AND event_id < 900",
+)
+def kafka_wire_lz4_replay(spark, sf_dir):
+    """HASH gate for LZ4-compressed wire traffic — LZ4 block + frame
+    formats AND the XXH32 the frame's header/content checksums need,
+    all implemented from their public specs (functions/lz4.py; no
+    wheels in-container; XXH32 pinned to published check values in
+    tests). Both directions run over real TCP bytes; a frame-header
+    drift, a bad sequence token, or an XXH32 miscompute fails the
+    decode and the hash. See _kafka_codec_replay."""
+    return _kafka_codec_replay(spark, sf_dir, "lz4", "l4", 4)
+
+
 @q(
     "kafka_sasl_roundtrip_replay",
     "SELECT event_id, user_id, event_type FROM events "
@@ -8923,12 +9000,12 @@ def multimodal_flac_features(spark, sf_dir):
 # The correctness driver samples the FIRST 50 entries of QUERIES in
 # registration (insertion) order; _GATE_PRIORITY reorders the registry so
 # the window always holds the queries with the WEAKEST driver evidence.
-# r9 rotation (VERDICT r8 #1): the 6 gates added mid-round-9 (kafka v2 /
-# group resume / rebalance / cluster failover / gzip / sasl — no driver
-# row yet) lead, then the 11 mid-round-8 gates, then the oracle-backed
-# rows whose last driver row is r5 — slots 18-50 take the first 33
-# alphabetically; the 10 leftover r5 rows sit directly below the line
-# and lead the r10 window.  Every row displaced below slot 50 is green in
+# r9 rotation (VERDICT r8 #1): the 8 gates added mid-round-9 (kafka v2 /
+# group resume / rebalance / cluster failover / gzip / sasl / snappy /
+# lz4 — no driver row yet) lead, then the 11 mid-round-8 gates, then the
+# oracle-backed rows whose last driver row is r5 — slots 20-50 take the
+# first 31 alphabetically; the 12 leftover r5 rows sit directly below
+# the line and lead the r10 window.  Every row displaced below slot 50 is green in
 # CORRECTNESS_r06/r07/r08 and re-confirmed in FULLREG_r9_sf01 (sf0.1) /
 # FULLREG_r9 (sf0.01); nothing stale sits below the window.  The
 # staleness table is recomputed from the raw CORRECTNESS artifacts
@@ -8942,6 +9019,8 @@ _GATE_PRIORITY = [
     "kafka_cluster_failover_replay",
     "kafka_wire_gzip_replay",
     "kafka_sasl_roundtrip_replay",
+    "kafka_wire_snappy_replay",
+    "kafka_wire_lz4_replay",
     # --- 11 slots: the mid-round-r8 gates (two-sf check_oracle + FULLREG
     # evidence, no driver row yet — VERDICT r8 #1 says they LEAD) ---
     "cluster_aware_split",

@@ -758,7 +758,7 @@ class TestGzipCompression:
             encode_message,
         )
 
-        msg = encode_message(b"k", b"v", 1, attributes=2)  # snappy bits
+        msg = encode_message(b"k", b"v", 1, attributes=4)  # zstd bits
         data = struct.pack(">qi", 0, len(msg)) + msg
         with pytest.raises(ValueError, match="unsupported"):
             decode_message_set(data)
@@ -927,3 +927,54 @@ class TestSaslPlain:
         assert opts["kafka.sasl.mechanism"] == "PLAIN"
         assert 'username="u"' in opts["kafka.sasl.jaas.config"]
         assert "PlainLoginModule" in opts["kafka.sasl.jaas.config"]
+
+
+class TestSnappyLz4Wire:
+    """Snappy (xerial stream framing) and LZ4 (frame format) over real
+    wire bytes — the codecs implemented from their public formats in
+    functions/snappy.py and functions/lz4.py (no wheels in-container)."""
+
+    @pytest.mark.parametrize("codec", ["snappy", "lz4"])
+    def test_all_framing_combos(self, codec):
+        from gohangout_spark.sources.kafka_wire import FakeKafkaBroker
+
+        with FakeKafkaBroker(num_partitions=1, fetch_codec=codec) as br:
+            for fmt in ("v0", "v2"):
+                topic = f"t_{fmt}"
+                with KafkaWireClient(
+                    br.bootstrap, message_format=fmt, compression=codec
+                ) as p:
+                    p.produce(
+                        topic, 0,
+                        [(b"k%d" % i, (b"v%d " % i) * 20, i) for i in range(30)],
+                    )
+                for cfmt in ("v0", "v2"):
+                    with KafkaWireClient(br.bootstrap, message_format=cfmt) as c:
+                        got = c.fetch_all(topic, 0)
+                        assert len(got) == 30
+                        assert got[7][2:] == (b"k7", b"v7 " * 20)
+
+    def test_snappy_v0_wrapper_is_xerial_framed(self):
+        from gohangout_spark.sources.kafka_wire import (
+            _XERIAL_MAGIC,
+            gzip_wrap_message_set,
+        )
+
+        w = gzip_wrap_message_set([(0, b"k", b"v", 1)], codec="snappy")
+        assert _XERIAL_MAGIC in w
+
+    def test_raw_snappy_block_also_accepted(self):
+        """Kafka's v2 records carry RAW snappy blocks (no xerial
+        header); the unframer must take both."""
+        from gohangout_spark.functions import snappy
+        from gohangout_spark.sources.kafka_wire import _snappy_unframe
+
+        raw = b"payload " * 50
+        assert _snappy_unframe(snappy.compress(raw)) == raw
+
+    def test_unknown_codec_name_rejected(self):
+        from gohangout_spark.sources.kafka_wire import FakeKafkaBroker
+
+        with pytest.raises(ValueError, match="zstd"):
+            with FakeKafkaBroker() as br:
+                KafkaWireClient(br.bootstrap, compression="zstd")
