@@ -445,21 +445,34 @@ class KafkaSource(Source):
         from gohangout_spark.sources.kafka_wire import GroupConsumer
 
         sasl_user, sasl_pw = self._sasl_creds()
-        consumer = GroupConsumer(
+        # the reference's thread model: the topic map's VALUE is the
+        # number of GroupConsumers spawned for that topic, all sharing
+        # group.id (input/kafka_input.go:89-91 — one NewGroupConsumer
+        # per (topic, i < threadCount)). One spec per consumer:
+        topic_conf = self.conf.get("topic")
+        if isinstance(topic_conf, dict):
+            specs = [t for t, n in topic_conf.items() for _ in range(max(1, int(n)))]
+        else:
+            specs = opts["subscribe"].split(",")
+        mk = lambda topic: GroupConsumer(  # noqa: E731
             opts["kafka.bootstrap.servers"],
             opts["kafka.group.id"],
-            opts["subscribe"].split(","),
+            [topic],
             message_format=self.conf.get("wire_format", "v0"),
             sasl_user=sasl_user, sasl_password=sasl_pw,
         )
-        rows = []
-        try:
-            consumer.join()
-            for topic, part, offset, ts, key, value in consumer.poll():
-                rows.append((key, value, topic, part, offset, ts, 1))
-            consumer.commit()
-        finally:
-            consumer.close()
+        if len(specs) == 1:
+            consumer = mk(specs[0])
+            rows = []
+            try:
+                consumer.join()
+                for topic, part, offset, ts, key, value in consumer.poll():
+                    rows.append((key, value, topic, part, offset, ts, 1))
+                consumer.commit()
+            finally:
+                consumer.close()
+        else:
+            rows = self._drain_group_threads([mk(t) for t in specs])
         df = spark.createDataFrame(
             rows,
             "key binary, value binary, topic string, partition int, "
@@ -468,6 +481,50 @@ class KafkaSource(Source):
             "timestamp_ms"
         )
         return self._finish(df)
+
+    @staticmethod
+    def _drain_group_threads(consumers):
+        """N GroupConsumers sharing one group.id, the reference's
+        consumer_threads model. Joins race — the first registrant can
+        complete a one-member generation before the rest arrive — so
+        after the initial concurrent join, any generation disagreement
+        sends EVERY consumer back through a concurrent rejoin (the
+        coordinator blocks each JoinGroup until all current members
+        re-register, so one round converges to a single generation
+        with the RangeAssignor's disjoint split). Only then does anyone
+        fetch, so the sync-up can never double-consume."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        n = len(consumers)
+        rows = []
+        try:
+            with ThreadPoolExecutor(n) as ex:
+                list(ex.map(lambda c: c.join(), consumers))
+                for _ in range(5):
+                    if len({c.generation for c in consumers}) == 1:
+                        break
+                    list(ex.map(lambda c: c.join(), consumers))
+                else:
+                    raise TimeoutError(
+                        "group consumers never converged on one generation"
+                    )
+
+                def drain(c):
+                    out = c.poll()
+                    c.commit()
+                    return out
+
+                for recs in ex.map(drain, consumers):
+                    for topic, part, offset, ts, key, value in recs:
+                        rows.append((key, value, topic, part, offset, ts, 1))
+        finally:
+            for c in consumers:
+                # LeaveGroup like the reference's Close() — nobody polls
+                # after this, so the departures cost nothing, and the
+                # NEXT batch's joins start from an Empty group instead
+                # of waiting out dead members' session expiry
+                c.close(leave=True)
+        return rows
 
     def batch(self, spark):
         if self.conf.get("dev_wire"):

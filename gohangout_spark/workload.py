@@ -7180,6 +7180,57 @@ def kafka_wire_gzip_replay(spark, sf_dir):
         return src.batch(spark).select("event_id", "user_id", "event_type")
 
 
+@q(
+    "kafka_group_threads_replay",
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE event_id % 2 = 1 AND event_id < 1200",
+)
+def kafka_group_threads_replay(spark, sf_dir):
+    """HASH gate for the reference's MULTI-CONSUMER thread model — the
+    topic map's value is the number of GroupConsumers sharing group.id
+    (input/kafka_input.go:89-91: one NewGroupConsumer per (topic, i <
+    threadCount)). `topic: {gth: 3}` spawns THREE consumers against an
+    8-partition topic; they must converge on one generation (join
+    races resolved by the concurrent-rejoin sync-up), split the
+    partitions disjointly via the RangeAssignor, and drain in
+    parallel. The gate returns the UNION, so the hash IS the
+    exactly-once check: an overlapping assignment duplicates rows, a
+    partition no member owns loses them, and a consumer that drained
+    before the generation settled double-reads — all mismatch."""
+    from gohangout_spark.sinks.sinks import KafkaSink
+    from gohangout_spark.sources.kafka_wire import FakeKafkaBroker
+    from gohangout_spark.sources.sources import KafkaSource
+
+    ev = (
+        _events(spark, sf_dir)
+        .where((F.col("event_id") % 2 == 1) & (F.col("event_id") < 1200))
+        .select("event_id", "user_id", "event_type")
+    )
+    with FakeKafkaBroker(num_partitions=8) as broker:
+        KafkaSink(
+            {
+                "topic": "gth",
+                "brokers": broker.bootstrap,
+                "key": "%{user_id}",
+                "dev_wire": True,
+            }
+        ).write_batch(ev)
+        src = KafkaSource(
+            {
+                "topic": {"gth": 3},
+                "consumer_settings": {
+                    "bootstrap.servers": broker.bootstrap,
+                    "group.id": "gate-threads",
+                },
+                "decorate_events": True,
+                "dev_wire": True,
+                "codec": "json",
+                "schema": "event_id bigint, user_id bigint, event_type string",
+            }
+        )
+        return src.batch(spark).select("event_id", "user_id", "event_type")
+
+
 def _kafka_codec_replay(spark, sf_dir, codec, topic, mod):
     """Shared body for the compressed-wire gates: sink produces with
     compression.type=codec (v2 RecordBatches whose records block is
@@ -9000,12 +9051,12 @@ def multimodal_flac_features(spark, sf_dir):
 # The correctness driver samples the FIRST 50 entries of QUERIES in
 # registration (insertion) order; _GATE_PRIORITY reorders the registry so
 # the window always holds the queries with the WEAKEST driver evidence.
-# r9 rotation (VERDICT r8 #1): the 8 gates added mid-round-9 (kafka v2 /
-# group resume / rebalance / cluster failover / gzip / sasl / snappy /
-# lz4 — no driver row yet) lead, then the 11 mid-round-8 gates, then the
-# oracle-backed rows whose last driver row is r5 — slots 20-50 take the
-# first 31 alphabetically; the 12 leftover r5 rows sit directly below
-# the line and lead the r10 window.  Every row displaced below slot 50 is green in
+# r9 rotation (VERDICT r8 #1): the 9 gates added mid-round-9 (kafka v2 /
+# group resume / rebalance / consumer-threads / cluster failover / gzip /
+# sasl / snappy / lz4 — no driver row yet) lead, then the 11 mid-round-8
+# gates, then the oracle-backed rows whose last driver row is r5 — slots
+# 21-50 take the first 30 alphabetically; the 13 leftover r5 rows sit
+# directly below the line and lead the r10 window.  Every row displaced below slot 50 is green in
 # CORRECTNESS_r06/r07/r08 and re-confirmed in FULLREG_r9_sf01 (sf0.1) /
 # FULLREG_r9 (sf0.01); nothing stale sits below the window.  The
 # staleness table is recomputed from the raw CORRECTNESS artifacts
@@ -9021,6 +9072,7 @@ _GATE_PRIORITY = [
     "kafka_sasl_roundtrip_replay",
     "kafka_wire_snappy_replay",
     "kafka_wire_lz4_replay",
+    "kafka_group_threads_replay",
     # --- 11 slots: the mid-round-r8 gates (two-sf check_oracle + FULLREG
     # evidence, no driver row yet — VERDICT r8 #1 says they LEAD) ---
     "cluster_aware_split",

@@ -978,3 +978,53 @@ class TestSnappyLz4Wire:
         with pytest.raises(ValueError, match="zstd"):
             with FakeKafkaBroker() as br:
                 KafkaWireClient(br.bootstrap, compression="zstd")
+
+
+class TestConsumerThreads:
+    """The reference's thread model: the topic map's VALUE is the
+    number of GroupConsumers spawned for that topic, all sharing
+    group.id (input/kafka_input.go:89-91)."""
+
+    def test_topic_map_value_spawns_n_consumers_exactly_once(self, spark):
+        from gohangout_spark.sinks.sinks import KafkaSink
+        from gohangout_spark.sources.sources import KafkaSource
+
+        with FakeKafkaBroker(num_partitions=8) as b:
+            sink = KafkaSink(
+                {"topic": "mt", "brokers": b.bootstrap, "key": "%{n}",
+                 "dev_wire": True}
+            )
+            sink.write_batch(spark.range(120).select(F.col("id").alias("n")))
+            conf = {
+                "topic": {"mt": 3},
+                "consumer_settings": {
+                    "bootstrap.servers": b.bootstrap, "group.id": "mtg",
+                },
+                "dev_wire": True, "codec": "json", "schema": "n bigint",
+            }
+            got = sorted(r["n"] for r in KafkaSource(conf).batch(spark).collect())
+            assert got == list(range(120))  # union exact: no dup, no loss
+            # the drain left the group cleanly (reference Close() semantics)
+            assert len(b.groups["mtg"].members) == 0
+            # committed resume across the whole member set
+            assert KafkaSource(conf).batch(spark).count() == 0
+            sink.write_batch(spark.range(120, 140).select(F.col("id").alias("n")))
+            got2 = sorted(r["n"] for r in KafkaSource(conf).batch(spark).collect())
+            assert got2 == list(range(120, 140))
+
+    def test_drain_threads_converges_despite_join_races(self):
+        from gohangout_spark.sources.kafka_wire import GroupConsumer
+        from gohangout_spark.sources.sources import KafkaSource
+
+        with FakeKafkaBroker(num_partitions=8) as b:
+            with KafkaWireClient(b.bootstrap) as p:
+                for i in range(160):
+                    p.produce("t", i % 8, [(str(i).encode(), b"v%d" % i, i)])
+            consumers = [GroupConsumer(b.bootstrap, "g", ["t"]) for _ in range(4)]
+            rows = KafkaSource._drain_group_threads(consumers)
+            assert len(rows) == 160
+            # every (topic, partition, offset) exactly once
+            assert len({(r[2], r[3], r[4]) for r in rows}) == 160
+            # all four ended in ONE generation with a disjoint cover
+            gens = {c.generation for c in consumers}
+            assert len(gens) == 1
