@@ -314,8 +314,23 @@ class KafkaSource(Source):
     (sources/kafka_wire.py) and builds a DataFrame with the SAME
     key/value/topic/partition/offset/timestamp columns the connector
     emits, so `_finish` (codec + decorate_events) is byte-identical
-    across tiers. Dev tier is driver-side and bounded (it drains to the
-    high watermark once) — same doctrine as the Stdin/TCP dev tiers."""
+    across tiers. The dev BATCH path is driver-side and bounded (it
+    drains to the high watermark once); the dev STREAMING path
+    (``stream()`` with dev_wire) runs a continuous driver-side poll
+    loop spooling to a tailed file stream — see start_consumer() —
+    the same doctrine as the Stdin/TCP/UDP dev tiers."""
+
+    def __init__(self, conf):
+        super().__init__(conf)
+        import os
+        import tempfile
+
+        self.spool_dir = self.conf.get("spool_dir") or tempfile.mkdtemp(
+            prefix="gohangout_kafka_"
+        )
+        os.makedirs(self.spool_dir, exist_ok=True)
+        self._consumer_thread = None
+        self._consumer_stop = False
 
     def _options(self) -> dict[str, str]:
         conf = self.conf
@@ -534,7 +549,133 @@ class KafkaSource(Source):
             r = r.option(k, v)
         return self._finish(r.load())
 
+    # -- streaming dev tier ------------------------------------------------
+
+    def start_consumer(self) -> "KafkaSource":
+        """Dev-tier CONTINUOUS consumption — the reference's actual
+        operating mode (kafka_input feeds a channel from its
+        GroupConsumers for the life of the process). A driver-side
+        thread polls the group (heartbeat + fetch + commit per pass —
+        at-least-once, spool-then-commit ordering) and spools records
+        as JSON lines that a text file-stream tails, the same pattern
+        as UDPSource; `_finish` then applies the IDENTICAL
+        codec/decorate_events path as the connector tier. Without
+        group.id, positions start at earliest and live only in-process
+        (the connector's own default for an unmanaged stream)."""
+        if self._consumer_thread is not None:
+            return self
+        import json as _json
+        import os
+        import threading
+        import uuid
+
+        from gohangout_spark.sources.kafka_wire import ClusterWireClient, GroupConsumer
+
+        opts = self._options()
+        sasl_user, sasl_pw = self._sasl_creds()
+        fmt = self.conf.get("wire_format", "v0")
+        poll_s = float(self.conf.get("poll_interval_s", 0.2))
+
+        group = opts.get("kafka.group.id")
+        if group:
+            consumer = GroupConsumer(
+                opts["kafka.bootstrap.servers"], group,
+                opts["subscribe"].split(","), message_format=fmt,
+                sasl_user=sasl_user, sasl_password=sasl_pw,
+            )
+            consumer.join()
+        else:
+            consumer = None
+            client = ClusterWireClient(
+                opts["kafka.bootstrap.servers"], message_format=fmt,
+                sasl_user=sasl_user, sasl_password=sasl_pw,
+            )
+            tps = self._topics_and_assignments(opts, client)
+            positions = {tp: 0 for tp in tps}
+
+        def spool(records) -> None:
+            if not records:
+                return
+            lines = [
+                _json.dumps(
+                    {
+                        "key": None if k is None else k.decode("utf-8", "replace"),
+                        "value": None if v is None else v.decode("utf-8", "replace"),
+                        "topic": t,
+                        "partition": p,
+                        "offset": o,
+                        "timestamp_ms": ts,
+                    }
+                )
+                for t, p, o, ts, k, v in records
+            ]
+            path = os.path.join(self.spool_dir, uuid.uuid4().hex + ".jsonl")
+            with open(path + ".tmp", "w") as f:
+                f.write("\n".join(lines) + "\n")
+            os.rename(path + ".tmp", path)
+
+        def loop():
+            try:
+                while not self._consumer_stop:
+                    if consumer is not None:
+                        recs = consumer.poll()
+                        spool(recs)
+                        if recs:
+                            # spool first, commit second: a crash between
+                            # re-reads, never loses — at-least-once
+                            consumer.commit()
+                    else:
+                        out = []
+                        for t, p in tps:
+                            hw, recs = client.fetch(t, p, positions[(t, p)])
+                            for off, ts, k, v in recs:
+                                out.append((t, p, off, ts, k, v))
+                            if recs:
+                                positions[(t, p)] = recs[-1][0] + 1
+                        spool(out)
+                    self._consumer_stop_ev.wait(poll_s)
+            finally:
+                if consumer is not None:
+                    consumer.close()
+                else:
+                    client.close()
+
+        self._consumer_stop = False
+        self._consumer_stop_ev = threading.Event()
+        self._consumer_thread = threading.Thread(target=loop, daemon=True)
+        self._consumer_thread.start()
+        return self
+
+    def stop_consumer(self) -> None:
+        if self._consumer_thread is None:
+            return
+        self._consumer_stop = True
+        self._consumer_stop_ev.set()
+        self._consumer_thread.join(10.0)
+        self._consumer_thread = None
+
+    def _stream_dev_wire(self, spark):
+        self.start_consumer()
+        raw = spark.readStream.format("text").load(self.spool_dir)
+        parsed = F.from_json(
+            F.col("value").cast("string"),
+            "key string, value string, topic string, partition int, "
+            "offset long, timestamp_ms long",
+        )
+        df = raw.select(
+            parsed.getItem("key").cast("binary").alias("key"),
+            parsed.getItem("value").cast("binary").alias("value"),
+            parsed.getItem("topic").alias("topic"),
+            parsed.getItem("partition").alias("partition"),
+            parsed.getItem("offset").alias("offset"),
+            F.timestamp_millis(parsed.getItem("timestamp_ms")).alias("timestamp"),
+            F.lit(1).alias("timestampType"),
+        )
+        return self._finish(df)
+
     def stream(self, spark):
+        if self.conf.get("dev_wire"):
+            return self._stream_dev_wire(spark)
         r = spark.readStream.format("kafka")
         for k, v in self._options().items():
             r = r.option(k, v)

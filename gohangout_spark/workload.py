@@ -7231,6 +7231,97 @@ def kafka_group_threads_replay(spark, sf_dir):
         return src.batch(spark).select("event_id", "user_id", "event_type")
 
 
+@q(
+    "kafka_stream_dev_replay",
+    "SELECT event_id, user_id, event_type FROM events "
+    "WHERE event_id % 7 = 0 AND event_id < 1400",
+)
+def kafka_stream_dev_replay(spark, sf_dir):
+    """HASH gate for CONTINUOUS Kafka consumption — the reference's
+    actual operating mode (kafka_input feeds a channel from its
+    GroupConsumers for the life of the process; the batch gates only
+    cover one-shot drains). KafkaSource.stream(dev_wire) runs a real
+    writeStream over the driver-side group poll loop (spool-then-
+    commit, at-least-once) while THREE produce epochs land mid-flight;
+    every record must arrive exactly once through the shared
+    codec/decorate_events path. A poll loop that misses an epoch, a
+    spool file the stream never sees, or a commit that skips records
+    all mismatch the plain-slice oracle."""
+    import time as _time
+
+    from gohangout_spark.sinks.sinks import KafkaSink
+    from gohangout_spark.sources.kafka_wire import FakeKafkaBroker
+    from gohangout_spark.sources.sources import KafkaSource
+
+    ev = (
+        _events(spark, sf_dir)
+        .where((F.col("event_id") % 7 == 0) & (F.col("event_id") < 1400))
+        .select("event_id", "user_id", "event_type")
+    )
+    import tempfile
+
+    view = "kafka_stream_dev_mem"
+    with FakeKafkaBroker(num_partitions=4) as broker:
+        sink = KafkaSink(
+            {
+                "topic": "ksd",
+                "brokers": broker.bootstrap,
+                "key": "%{user_id}",
+                "dev_wire": True,
+            }
+        )
+        src = KafkaSource(
+            {
+                "topic": {"ksd": 1},
+                "consumer_settings": {
+                    "bootstrap.servers": broker.bootstrap,
+                    "group.id": "stream-gate",
+                },
+                "decorate_events": True,
+                "dev_wire": True,
+                "codec": "json",
+                "schema": "event_id bigint, user_id bigint, event_type string",
+                "poll_interval_s": 0.05,
+            }
+        )
+        q_ = (
+            src.stream(spark)
+            .writeStream.format("memory")
+            .queryName(view)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="kafka_stream_gate_"),
+            )
+            .start()
+        )
+        try:
+            want = 0
+            for epoch in range(3):
+                lo, hi = epoch * 467, min((epoch + 1) * 467, 1400)
+                batch = ev.where(
+                    (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+                )
+                want += batch.count()
+                sink.write_batch(batch)
+                deadline = _time.monotonic() + 60
+                while _time.monotonic() < deadline:
+                    q_.processAllAvailable()
+                    got = spark.sql(f"select count(*) c from {view}").first()["c"]
+                    if got >= want:
+                        break
+                    _time.sleep(0.2)
+                else:
+                    raise TimeoutError(
+                        f"epoch {epoch}: {got}/{want} rows after 60s"
+                    )
+        finally:
+            q_.stop()
+            src.stop_consumer()
+        out = spark.table(view).select("event_id", "user_id", "event_type")
+        # detach from the stopped memory sink before the broker dies
+        return spark.createDataFrame(out.collect(), out.schema)
+
+
 def _kafka_codec_replay(spark, sf_dir, codec, topic, mod):
     """Shared body for the compressed-wire gates: sink produces with
     compression.type=codec (v2 RecordBatches whose records block is
@@ -9051,12 +9142,12 @@ def multimodal_flac_features(spark, sf_dir):
 # The correctness driver samples the FIRST 50 entries of QUERIES in
 # registration (insertion) order; _GATE_PRIORITY reorders the registry so
 # the window always holds the queries with the WEAKEST driver evidence.
-# r9 rotation (VERDICT r8 #1): the 9 gates added mid-round-9 (kafka v2 /
-# group resume / rebalance / consumer-threads / cluster failover / gzip /
-# sasl / snappy / lz4 — no driver row yet) lead, then the 11 mid-round-8
-# gates, then the oracle-backed rows whose last driver row is r5 — slots
-# 21-50 take the first 30 alphabetically; the 13 leftover r5 rows sit
-# directly below the line and lead the r10 window.  Every row displaced below slot 50 is green in
+# r9 rotation (VERDICT r8 #1): the 10 gates added mid-round-9 (kafka v2 /
+# group resume / rebalance / consumer-threads / streaming tier / cluster
+# failover / gzip / sasl / snappy / lz4 — no driver row yet) lead, then
+# the 11 mid-round-8 gates, then the oracle-backed rows whose last driver
+# row is r5 — slots 22-50 take the first 29 alphabetically; the 14
+# leftover r5 rows sit directly below the line and lead the r10 window.  Every row displaced below slot 50 is green in
 # CORRECTNESS_r06/r07/r08 and re-confirmed in FULLREG_r9_sf01 (sf0.1) /
 # FULLREG_r9 (sf0.01); nothing stale sits below the window.  The
 # staleness table is recomputed from the raw CORRECTNESS artifacts
@@ -9073,6 +9164,7 @@ _GATE_PRIORITY = [
     "kafka_wire_snappy_replay",
     "kafka_wire_lz4_replay",
     "kafka_group_threads_replay",
+    "kafka_stream_dev_replay",
     # --- 11 slots: the mid-round-r8 gates (two-sf check_oracle + FULLREG
     # evidence, no driver row yet — VERDICT r8 #1 says they LEAD) ---
     "cluster_aware_split",

@@ -1028,3 +1028,107 @@ class TestConsumerThreads:
             # all four ended in ONE generation with a disjoint cover
             gens = {c.generation for c in consumers}
             assert len(gens) == 1
+
+
+class TestStreamingDevTier:
+    """KafkaSource.stream() with dev_wire: the reference's CONTINUOUS
+    consumption mode — a driver-side group poll loop spooling to a
+    tailed file stream, then the shared codec/decorate_events path."""
+
+    def test_group_stream_consumes_across_produces(self, spark, tmp_path):
+        import time
+
+        from gohangout_spark.sinks.sinks import KafkaSink
+        from gohangout_spark.sources.sources import KafkaSource
+
+        with FakeKafkaBroker(num_partitions=4) as b:
+            sink = KafkaSink(
+                {"topic": "st", "brokers": b.bootstrap, "key": "%{n}",
+                 "dev_wire": True}
+            )
+            sink.write_batch(spark.range(40).select(F.col("id").alias("n")))
+            src = KafkaSource(
+                {
+                    "topic": {"st": 1},
+                    "consumer_settings": {
+                        "bootstrap.servers": b.bootstrap, "group.id": "sg",
+                    },
+                    "dev_wire": True, "codec": "json", "schema": "n bigint",
+                    "decorate_events": True, "poll_interval_s": 0.05,
+                }
+            )
+            q = (
+                src.stream(spark).writeStream.format("memory")
+                .queryName("ks_stream_mem")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .start()
+            )
+            try:
+                def await_count(want, timeout=30):
+                    deadline = time.time() + timeout
+                    while time.time() < deadline:
+                        q.processAllAvailable()
+                        c = spark.sql(
+                            "select count(*) c from ks_stream_mem"
+                        ).first()["c"]
+                        if c >= want:
+                            return c
+                        time.sleep(0.2)
+                    raise TimeoutError(f"stuck below {want}")
+
+                assert await_count(40) == 40
+                # records produced WHILE the stream runs arrive too
+                sink.write_batch(
+                    spark.range(40, 60).select(F.col("id").alias("n"))
+                )
+                assert await_count(60) == 60
+                rows = spark.sql("select * from ks_stream_mem").collect()
+                assert sorted(r["n"] for r in rows) == list(range(60))
+                # the connector-shaped metadata survives the spool hop
+                md = {
+                    (r["@metadata"]["kafka"]["partition"],
+                     r["@metadata"]["kafka"]["offset"])
+                    for r in rows
+                }
+                assert len(md) == 60  # (partition, offset) unique
+            finally:
+                q.stop()
+                src.stop_consumer()
+
+    def test_groupless_stream_starts_at_earliest(self, spark, tmp_path):
+        import time
+
+        from gohangout_spark.sources.sources import KafkaSource
+
+        with FakeKafkaBroker(num_partitions=2) as b:
+            with KafkaWireClient(b.bootstrap) as p:
+                for i in range(10):
+                    p.produce("gl", i % 2, [(None, b'{"n": %d}' % i, i)])
+            src = KafkaSource(
+                {
+                    "topic": {"gl": 1},
+                    "consumer_settings": {"bootstrap.servers": b.bootstrap},
+                    "dev_wire": True, "codec": "json", "schema": "n bigint",
+                    "poll_interval_s": 0.05,
+                }
+            )
+            q = (
+                src.stream(spark).writeStream.format("memory")
+                .queryName("ks_gl_mem")
+                .option("checkpointLocation", str(tmp_path / "ckpt2"))
+                .start()
+            )
+            try:
+                deadline = time.time() + 30
+                while time.time() < deadline:
+                    q.processAllAvailable()
+                    if spark.sql("select count(*) c from ks_gl_mem").first()["c"] >= 10:
+                        break
+                    time.sleep(0.2)
+                got = sorted(
+                    r["n"] for r in spark.sql("select n from ks_gl_mem").collect()
+                )
+                assert got == list(range(10))
+            finally:
+                q.stop()
+                src.stop_consumer()
