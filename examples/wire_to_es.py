@@ -45,12 +45,19 @@ def run(spark=None):
     if own_spark:
         spark = get_spark("wire-to-es", master="local[4]", shuffle_partitions=4)
         spark.sparkContext.setLogLevel("ERROR")
-    with FakeKafkaCluster(num_brokers=2, num_partitions=2) as cluster, \
+    with FakeKafkaCluster(num_brokers=2, num_partitions=2,
+                          sasl_users={"admin": "admin-secret"},
+                          fetch_codec="lz4") as cluster, \
             FakeElasticsearchHTTP() as es:
         # seed the topic over the modern framing (one batch per
         # partition) with both nodes alive, so each node leads one
-        # partition and holds half the records
-        with ClusterWireClient(cluster.bootstrap, message_format="v2") as c:
+        # partition and holds half the records — snappy-compressed
+        # produce, lz4-compressed fetch pages, SASL/PLAIN on every
+        # connection: the whole round-9 wire stack in one pipeline
+        with ClusterWireClient(cluster.bootstrap, message_format="v2",
+                               compression="snappy",
+                               sasl_user="admin",
+                               sasl_password="admin-secret") as c:
             for part in (0, 1):
                 c.produce(
                     "weblog", part,
