@@ -264,7 +264,7 @@ _CODEC_BITS = {"gzip": 1, "snappy": 2, "lz4": 3}
 WIRE_CODECS = (None, "gzip", "snappy", "lz4")
 
 
-def gzip_wrap_message_set(
+def compressed_wrap_message_set(
     entries: list[tuple[int, bytes | None, bytes | None, int]],
     codec: str = "gzip",
 ) -> bytes:
@@ -920,7 +920,7 @@ class FakeKafkaBroker:
                         if size >= max_bytes:
                             break
                     if self.fetch_codec and entries:
-                        mset = gzip_wrap_message_set(entries, codec=self.fetch_codec)
+                        mset = compressed_wrap_message_set(entries, codec=self.fetch_codec)
                     else:
                         mset = encode_message_set(entries)
                     out += struct.pack(">ihq", part, ERR_NONE, hw)
@@ -1504,7 +1504,7 @@ class KafkaWireClient:
         if self.compression:
             # relative inner offsets, wrapper offset = last relative —
             # the broker re-derives 0..n-1 and assigns real offsets
-            mset = gzip_wrap_message_set(
+            mset = compressed_wrap_message_set(
                 [(i, k, v, ts) for i, (k, v, ts) in enumerate(messages)],
                 codec=self.compression,
             )

@@ -715,10 +715,10 @@ class TestGzipCompression:
     def test_v0_wrapper_relative_offset_rule(self):
         from gohangout_spark.sources.kafka_wire import (
             decode_message_set,
-            gzip_wrap_message_set,
+            compressed_wrap_message_set,
         )
 
-        data = gzip_wrap_message_set(self.ENTRIES)
+        data = compressed_wrap_message_set(self.ENTRIES)
         # KIP-31: wrapper offset = LAST inner absolute offset
         import struct
 
@@ -957,10 +957,10 @@ class TestSnappyLz4Wire:
     def test_snappy_v0_wrapper_is_xerial_framed(self):
         from gohangout_spark.sources.kafka_wire import (
             _XERIAL_MAGIC,
-            gzip_wrap_message_set,
+            compressed_wrap_message_set,
         )
 
-        w = gzip_wrap_message_set([(0, b"k", b"v", 1)], codec="snappy")
+        w = compressed_wrap_message_set([(0, b"k", b"v", 1)], codec="snappy")
         assert _XERIAL_MAGIC in w
 
     def test_raw_snappy_block_also_accepted(self):

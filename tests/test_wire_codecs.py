@@ -134,3 +134,53 @@ class TestLZ4:
         # stored block: high bit set on the block size word
         assert int.from_bytes(z[7:11], "little") & 0x80000000
         assert decompress_frame(z) == data
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+@pytest.mark.skipif(not HAVE_HYPOTHESIS, reason="hypothesis not installed")
+class TestCodecProperties:
+    """Property-based identity: ANY byte string must round-trip both
+    codecs — arbitrary bytes (incompressible path) and structured
+    repetitive bytes (the match-heavy path where offset/length bugs
+    live)."""
+
+    @given(st.binary(max_size=4096))
+    @settings(max_examples=200, deadline=None)
+    def test_snappy_roundtrip_any_bytes(self, data):
+        assert snappy.decompress(snappy.compress(data)) == data
+
+    @given(st.binary(max_size=4096))
+    @settings(max_examples=200, deadline=None)
+    def test_lz4_block_roundtrip_any_bytes(self, data):
+        assert decompress_block(compress_block(data)) == data
+
+    @given(st.binary(max_size=4096))
+    @settings(max_examples=100, deadline=None)
+    def test_lz4_frame_roundtrip_any_bytes(self, data):
+        assert decompress_frame(compress_frame(data)) == data
+
+    @given(
+        st.binary(min_size=1, max_size=24),
+        st.integers(min_value=1, max_value=600),
+        st.binary(max_size=32),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_repetitive_structures_roundtrip(self, unit, reps, tail):
+        data = unit * reps + tail
+        assert snappy.decompress(snappy.compress(data)) == data
+        assert decompress_block(compress_block(data)) == data
+
+    @given(st.binary(max_size=2048), st.integers(min_value=0, max_value=2**32 - 1))
+    @settings(max_examples=100, deadline=None)
+    def test_xxh32_is_deterministic_and_seed_sensitive(self, data, seed):
+        a, b = xxh32(data, seed), xxh32(data, seed)
+        assert a == b
+        assert 0 <= a <= 0xFFFFFFFF
