@@ -561,7 +561,13 @@ class KafkaSource(Source):
         as UDPSource; `_finish` then applies the IDENTICAL
         codec/decorate_events path as the connector tier. Without
         group.id, positions start at earliest and live only in-process
-        (the connector's own default for an unmanaged stream)."""
+        (the connector's own default for an unmanaged stream).
+
+        The spool hop is JSON text: keys/values are utf-8 decoded with
+        replacement, which is lossless for every codec payload this
+        engine produces (plain/json are utf-8 by construction) but NOT
+        for arbitrary binary values — those belong on the batch tier
+        or the real connector, which keep bytes end to end."""
         if self._consumer_thread is not None:
             return self
         import json as _json
