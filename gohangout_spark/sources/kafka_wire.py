@@ -1171,6 +1171,34 @@ class FakeKafkaBroker:
                 g.members[member_id].assignment
             )
 
+    def _expire_stable_members_locked(self, g: _Group) -> None:
+        """Session expiry OUTSIDE a rebalance — a real broker evicts a
+        silent member from a Stable group once its session lapses and
+        moves the group to PreparingRebalance so the survivors' next
+        heartbeat tells them to re-split the dead member's partitions.
+        (During a rebalance the join wait loop runs its own eviction.)"""
+        if g.state not in ("Stable", "CompletingRebalance"):
+            return
+        now = time.monotonic()
+        dead = [
+            m.member_id
+            for m in g.members.values()
+            if now - m.last_seen > m.session_timeout_ms / 1000.0
+        ]
+        if not dead:
+            return
+        for mid in dead:
+            logger.warning(
+                "group coordinator: member %s session expired; rebalancing",
+                mid,
+            )
+            del g.members[mid]
+            if g.leader_id == mid:
+                g.leader_id = None
+        g.state = "Empty" if not g.members else "PreparingRebalance"
+        g.rejoined = set()
+        g.cond.notify_all()
+
     def _heartbeat(self, r: _Reader) -> bytes:
         group_id, generation, member_id = r.string(), r.i32(), r.string()
         with self.group_cond:
@@ -1178,6 +1206,7 @@ class FakeKafkaBroker:
             if g is None or member_id not in g.members:
                 return struct.pack(">h", ERR_UNKNOWN_MEMBER_ID)
             g.members[member_id].last_seen = time.monotonic()
+            self._expire_stable_members_locked(g)
             if generation != g.generation:
                 return struct.pack(">h", ERR_ILLEGAL_GENERATION)
             if g.state == "PreparingRebalance":

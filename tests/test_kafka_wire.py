@@ -1132,3 +1132,38 @@ class TestStreamingDevTier:
             finally:
                 q.stop()
                 src.stop_consumer()
+
+
+class TestStableSessionExpiry:
+    def test_dead_member_in_stable_group_is_expired_on_heartbeat(self):
+        """A silently-dead member must not hold its partitions forever:
+        once its session lapses, a SURVIVOR's heartbeat triggers the
+        eviction + rebalance, and the survivor inherits the dead
+        member's partitions at the committed offsets."""
+        import threading
+        import time
+
+        from gohangout_spark.sources.kafka_wire import GroupConsumer
+
+        with FakeKafkaBroker(num_partitions=2) as b:
+            with KafkaWireClient(b.bootstrap) as p:
+                for i in range(10):
+                    p.produce("t", i % 2, [(str(i).encode(), b"v%d" % i, i)])
+            a = GroupConsumer(b.bootstrap, "g", ["t"], session_timeout_ms=400)
+            a.join()
+            bc = GroupConsumer(b.bootstrap, "g", ["t"])
+            th = threading.Thread(target=bc.join)
+            th.start()
+            _await_rebalance(b, "g")
+            a.poll()  # rejoin into gen 2 with B
+            th.join(15)
+            a.poll()
+            a.commit()  # A owns ("t", 0), commits offset 5
+            a.close(leave=False)  # DIES silently — no LeaveGroup
+            time.sleep(0.5)  # past A's 400 ms session
+            recs = bc.poll()  # survivor heartbeat -> expiry -> rejoin
+            assert bc.generation == 3
+            assert sorted(bc.assignment) == [("t", 0), ("t", 1)]
+            # inherited partition resumes at the dead member's commit
+            assert bc.positions[("t", 0)] == 5
+            bc.close()
