@@ -1113,6 +1113,15 @@ class FakeKafkaBroker:
             # block until every current member has rejoined (stragglers
             # are evicted once their session expires)
             while not (g.rejoined >= set(g.members)):
+                # a PENDING JoinGroup is an awaiting-join member of
+                # whatever round is current: if a later joiner reset
+                # g.rejoined for a new round while this request was
+                # parked here, re-register into that round (and stay
+                # alive — only silent members are straggler-evicted)
+                if member_id not in g.members:
+                    return fail(ERR_UNKNOWN_MEMBER_ID)
+                g.rejoined.add(member_id)
+                g.members[member_id].last_seen = time.monotonic()
                 self._evict_expired(g)
                 if g.rejoined >= set(g.members):
                     break
@@ -2036,6 +2045,11 @@ class GroupConsumer:
                 self._connect_coordinator()
                 continue
             if serr in (ERR_REBALANCE_IN_PROGRESS, ERR_ILLEGAL_GENERATION):
+                continue
+            if serr == ERR_UNKNOWN_MEMBER_ID:
+                # evicted between join and sync (e.g. session lapsed as a
+                # straggler): the real client resets its id and rejoins
+                self.member_id = ""
                 continue
             if serr != ERR_NONE:
                 raise ValueError(f"sync_group error {serr}")
