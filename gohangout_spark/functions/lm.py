@@ -139,7 +139,8 @@ def kneser_ney_score(
     with c(v) = total bigram tokens with context v, N1+(v.) = distinct
     continuations of v, N1+(.w) = distinct contexts of w (the
     continuation-probability novelty count that distinguishes KN from
-    absolute discounting), T = distinct bigram types, D = ``discount``.
+    absolute discounting), T = distinct bigram types (a broadcast 1-row
+    aggregate in-plan), D = ``discount``.
     Scoring the training corpus means every (v,w) was seen, so the
     unseen-context backoff branch never fires — the whole formula stays
     join-expressible and the DuckDB oracle replays train+score exactly
@@ -149,9 +150,13 @@ def kneser_ney_score(
     aggregation CASCADES through shrinking keyspaces — (doc,v,w) →
     (v,w) → v / w — all hash-partitioned equi-joins on vocabulary-sized
     tables (Catalyst's ReuseExchange dedupes the shared (doc,v,w)
-    subtree). The only driver traffic is the single scalar T (one
-    count(), bounded by construction). Nothing collects the vocabulary;
-    at 100 TB the model tables shuffle like any dimension table.
+    subtree). T (distinct bigram types) rides as a broadcast 1-row
+    aggregate cross-joined into the scoring plan — the r9 optimization
+    round replaced the previous eager ``bg.count()`` scalar, which ran a
+    SEPARATE full corpus job (scan → explode → two aggs) before the main
+    job even started, roughly doubling the measured wall. Zero driver
+    traffic now; nothing collects the vocabulary; at 100 TB the model
+    tables shuffle like any dimension table.
 
     Returns docs' ``doc_id`` plus ``n_bigrams`` (0 for <2-token docs)
     and ``out_col`` = exp(mean -ln P), 4-decimal floor-form rounding,
@@ -167,24 +172,52 @@ def kneser_ney_score(
     inst = base.select("doc_id", F.explode(pairs).alias("p")).select(
         "doc_id", F.col("p.v").alias("v"), F.col("p.w").alias("w")
     )
+    # Explicit null filter BEFORE the aggregation (a no-op on the data: zip
+    # slices of equal length never pad nulls, and every consumer inner-joins
+    # on v/w so null keys could never survive). Why it matters (r9 opt
+    # round): the scoring join pushes `isnotnull(v) AND isnotnull(w)` into
+    # its doc_bg branch, the ctx build pushes only `isnotnull(v)`, the cont
+    # build only `isnotnull(w)` — four SUBTLY DIFFERENT copies of the
+    # corpus explode+agg subtree that no longer canonicalize equal, so
+    # ReuseExchange matched nothing and the corpus pass executed 4×
+    # (measured: 6 scans, 0 ReusedExchange in the executed plan). With the
+    # filter stated once here, constraint propagation drops the pushed
+    # copies as redundant, all branches share ONE subtree, and the (doc,v,w)
+    # exchange is computed once + reused.
+    inst = inst.where(
+        F.col("v").isNotNull() & F.col("w").isNotNull() & F.col("doc_id").isNotNull()
+    )
     doc_bg = inst.groupBy("doc_id", "v", "w").agg(F.count("*").alias("cnt"))
     bg = doc_bg.groupBy("v", "w").agg(F.sum("cnt").alias("c_vw"))
     ctx = bg.groupBy("v").agg(
         F.sum("c_vw").alias("c_v"), F.count("*").alias("n1_fwd")
     )
-    cont = bg.groupBy("w").agg(F.count("*").alias("n1_back"))
-    t_types = float(bg.count())  # single scalar to the driver
+    # count(CASE WHEN c_vw IS NOT NULL ...) ≡ count(*) here (c_vw is a sum
+    # over an always-present group — never NULL), but the reference to
+    # c_vw stops column pruning from narrowing THIS branch's copy of the
+    # bg subtree to (v,w)-only: with identical (v,w,c_vw) outputs, the
+    # cont/T branches canonicalize equal to the ctx branch and reuse its
+    # exchange instead of re-running the corpus explode a third time.
+    _n_rows = F.count(F.when(F.col("c_vw").isNotNull(), F.lit(1)))
+    cont = bg.groupBy("w").agg(_n_rows.alias("n1_back"))
+    # T as a broadcast 1-row cross join (the oracle's own `tt` CTE shape):
+    # count over bg, cast bigint → double exactly as the previous
+    # float(bg.count()) literal did, so n1_back / T is the identical IEEE
+    # division — but evaluated inside the ONE job instead of via a
+    # separate eager count() job that recomputed scan→explode→doc_bg→bg
+    t_df = bg.agg(_n_rows.cast("double").alias("__t_types"))
     d = F.lit(float(discount))
     # identical association order to the oracle SQL:
     #   (greatest(c_vw - D, 0) + D * n1_fwd * (n1_back / T)) / c_v
     p = (
         F.greatest(F.col("c_vw") - d, F.lit(0.0))
-        + d * F.col("n1_fwd") * (F.col("n1_back") / F.lit(t_types))
+        + d * F.col("n1_fwd") * (F.col("n1_back") / F.col("__t_types"))
     ) / F.col("c_v")
     scored = (
         doc_bg.join(bg, ["v", "w"])
         .join(ctx, ["v"])
         .join(cont, ["w"])
+        .crossJoin(F.broadcast(t_df))
         .groupBy("doc_id")
         .agg(
             F.sum("cnt").alias("n_bigrams"),
