@@ -280,20 +280,34 @@ def dsir_logweights(
             "bucket"
         ),
     )
+    # Null filter stated ONCE before the aggregation (r9 opt round; the
+    # kneser_ney_score pattern). Data no-op: bucket is md5-of-non-null-token
+    # mod k (never null) and a null doc id never matches the final join —
+    # but without it, the scoring join pushes isnotnull(bucket)/isnotnull(id)
+    # into ITS copy of the explode+agg subtree while the model branch has
+    # no filter, the copies stop canonicalizing equal, and ReuseExchange
+    # runs the corpus explode twice (measured: 3 explodes, 0 reuse).
+    inst = inst.where(
+        F.col("bucket").isNotNull() & F.col(id_col).isNotNull()
+    )
     db = inst.groupBy(id_col, "__tgt", "bucket").agg(F.count("*").alias("cnt"))
-    cr = db.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
-    ct = db.where("__tgt").groupBy("bucket").agg(F.sum("cnt").alias("ct"))
+    # Both bucket models from ONE aggregation of db (was: cr = groupBy sum,
+    # ct = where(__tgt) groupBy sum + left join + coalesce — the pushed
+    # `__tgt = true` made the ct branch's copy of the corpus subtree
+    # distinct, so the whole explode+agg ran a third time for it).
+    # sum(CASE WHEN __tgt THEN cnt ELSE 0 END) ≡ the old coalesce(ct, 0):
+    # integer sums, a NULL __tgt lands in ELSE exactly as where() dropped it.
+    models = db.groupBy("bucket").agg(
+        F.sum("cnt").alias("cr"),
+        F.sum(F.when(F.col("__tgt"), F.col("cnt")).otherwise(F.lit(0))).alias("ct"),
+    )
     allb = Window.partitionBy()  # bucket tables are <= k rows by construction
-    lr = (
-        cr.join(ct, ["bucket"], "left")
-        .select("bucket", "cr", F.coalesce("ct", F.lit(0)).alias("ct"))
-        .select(
-            "bucket",
-            (
-                F.log((F.col("ct") + 1.0) / (F.sum("ct").over(allb) + k))
-                - F.log((F.col("cr") + 1.0) / (F.sum("cr").over(allb) + k))
-            ).alias("logr"),
-        )
+    lr = models.select(
+        "bucket",
+        (
+            F.log((F.col("ct") + 1.0) / (F.sum("ct").over(allb) + k))
+            - F.log((F.col("cr") + 1.0) / (F.sum("cr").over(allb) + k))
+        ).alias("logr"),
     )
     scored = (
         db.join(F.broadcast(lr), ["bucket"])
