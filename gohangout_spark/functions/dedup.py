@@ -981,31 +981,41 @@ def dup_span_stats(
     sliding w-token windows whose exact token sequence occurs ≥2 times in
     the whole corpus (across docs OR repeated within one).
 
-    Shape: windows explode to (id, whash) — O(tokens) rows; the global
-    occurrence count is a combiner-reduced groupBy on the 8-byte hash;
-    per-doc counts join back by id. Same two-shuffle scale shape as
-    chunk_dedup_stats, but sliding windows catch duplication at ANY
-    alignment rather than chunk boundaries. Returns doc_id + n_windows +
-    n_dup_windows + dup_window_ratio (NULL when the doc has no windows —
-    matching the chunk/repetition stats convention).
+    Shape (r9 opt round — ONE explode pass): windows explode to
+    (id, whash) — O(tokens) rows of 16 bytes; the global occurrence count
+    is a count() window over the whash hash-partitioning, and one per-doc
+    aggregation derives BOTH n_windows (count of the doc's rows) and
+    n_dup_windows (count of rows whose whash count ≥ 2). The previous
+    groupBy(whash)+semi-join shape computed the tokenize+explode subtree
+    TWICE (the agg branch and the join branch could never share an
+    exchange: the agg's exchange carries map-side partials, the join
+    broadcast needs none) and re-tokenized a third time for n_windows;
+    n_windows now reaches 0-window docs as coalesce(…, 0) over a
+    column-pruned id-only scan — identical by construction (a doc with
+    ≥1 window has exactly greatest(len-w+1, 0) exploded rows). Returns
+    doc_id + n_windows + n_dup_windows + dup_window_ratio (NULL when the
+    doc has no windows — matching the chunk/repetition stats convention).
     """
+    from pyspark.sql.window import Window
+
     toks = tokens(F.col(text_col))
     winds = docs.select(
         F.col(id_col), F.explode(_windows_with_index(toks, w)).alias("win")
     ).select(id_col, F.col("win.whash").alias("whash"))
-    dup = (
-        winds.groupBy("whash")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .where(F.col("__cnt") >= 2)
-        .select("whash")
+    wb = Window.partitionBy("whash")
+    stats = (
+        winds.withColumn("__cnt", F.count(F.lit(1)).over(wb))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.when(F.col("__cnt") >= 2, F.lit(1))).alias("n_dup_windows"),
+        )
     )
-    per_doc = (
-        winds.join(dup, "whash").groupBy(id_col).agg(F.count(F.lit(1)).alias("n_dup_windows"))
-    )
-    n_windows = F.greatest(F.size(toks) - (w - 1), F.lit(0))
-    base = docs.select(F.col(id_col), n_windows.alias("n_windows"))
-    out = base.join(per_doc, id_col, "left").withColumn(
-        "n_dup_windows", F.coalesce(F.col("n_dup_windows"), F.lit(0))
+    base = docs.select(F.col(id_col))
+    out = (
+        base.join(stats, id_col, "left")
+        .withColumn("n_windows", F.coalesce(F.col("n_windows"), F.lit(0)))
+        .withColumn("n_dup_windows", F.coalesce(F.col("n_dup_windows"), F.lit(0)))
     )
     return out.withColumn(
         "dup_window_ratio",
