@@ -91,7 +91,12 @@ def heavy_hitters(
 # --------------------------------------------------------------------------
 
 def countmin_table(
-    df: DataFrame, col: str, *, depth: int = 4, width: int = 256
+    df: DataFrame,
+    col: str,
+    *,
+    depth: int = 4,
+    width: int = 256,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The Count-Min sketch of ``col`` as a (depth, bucket, cnt) DataFrame
     (Cormode & Muthukrishnan 2005, "An improved data stream summary: the
@@ -109,7 +114,16 @@ def countmin_table(
     URLs/tokens. Sketches MERGE by elementwise sum (union the inputs, or
     sum two tables on (depth, bucket)) — the property that makes the
     same code work per-partition, per-day, or per-cluster. NULLs are not
-    counted (as in heavy_hitters)."""
+    counted (as in heavy_hitters).
+
+    ``weight_col`` (r9 opt round): build the sketch from PRE-AGGREGATED
+    (key, weight) rows — the standard sketch-from-histogram form, counter
+    = Σ weight instead of Σ 1. Bucket counts are identical to feeding the
+    raw stream (the bucket of a key does not depend on its multiplicity),
+    so when a caller has already reduced the stream to per-key counts
+    (e.g. the countmin_user_events gate, which computes exact counts
+    anyway), the hash probes run once per DISTINCT key and the exact-count
+    exchange is reused rather than re-scanning the corpus."""
     key = F.col(col).cast("string")
     probes = F.array(
         *[
@@ -129,11 +143,23 @@ def countmin_table(
             for d in range(depth)
         ]
     )
+    # filter on the RAW column, not its string cast: cast-to-string of a
+    # non-null value is never null, so the semantics are identical — but
+    # `isnotnull(cast(col as string))` is a predicate Catalyst cannot
+    # cancel against a caller's own isnotnull(col) filter, which made this
+    # branch's copy of a shared subtree canonicalize differently and
+    # blocked exchange reuse (r9 opt round, countmin_user_events).
+    src = df.where(F.col(col).isNotNull())
+    if weight_col is None:
+        return (
+            src.select(F.explode(probes).alias("p"))
+            .groupBy(F.col("p.depth").alias("depth"), F.col("p.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
     return (
-        df.where(key.isNotNull())
-        .select(F.explode(probes).alias("p"))
+        src.select(F.col(weight_col).alias("__w"), F.explode(probes).alias("p"))
         .groupBy(F.col("p.depth").alias("depth"), F.col("p.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("__w").alias("cnt"))
     )
 
 
@@ -145,6 +171,7 @@ def countmin_estimate(
     depth: int = 4,
     width: int = 256,
     out_col: str = "cm_est",
+    carry_cols: list[str] | tuple = (),
 ) -> DataFrame:
     """Point-query the sketch for every row of ``keys``: the estimate is
     min over the ``depth`` rows of the probed counters (absent counter =
@@ -153,7 +180,18 @@ def countmin_estimate(
     join broadcasts it — estimating any number of keys costs one
     broadcast-join pass, no shuffle of the key side. Guarantee: est ≥
     true count always (counters only over-count), and
-    P[est > true + εN] ≤ δ for width ≥ e/ε, depth ≥ ln(1/δ)."""
+    P[est > true + εN] ≤ δ for width ≥ e/ε, depth ≥ ln(1/δ).
+
+    ``carry_cols`` (r9 opt round): extra ``keys`` columns threaded through
+    the probe explode and the grouping unchanged (they must be
+    functionally dependent on ``col``, e.g. per-key aggregates riding the
+    same row). Lets a caller that already holds (key, stat) rows get
+    (key, stat, estimate) in ONE pass — without it, column pruning strips
+    the stat from this subtree, the caller needs a join back to re-attach
+    it, and the pruned copy of a shared upstream subtree blocks exchange
+    reuse (the countmin_user_events gate measured a whole extra
+    events-aggregation pass from exactly that)."""
+    carry = list(carry_cols)
     key = F.col(col).cast("string")
     probes = F.array(
         *[
@@ -173,12 +211,17 @@ def countmin_estimate(
             for d in range(depth)
         ]
     )
-    probed = keys.select(F.col(col), F.explode(probes).alias("p")).select(
-        col, F.col("p.depth").alias("depth"), F.col("p.bucket").alias("bucket")
+    probed = keys.select(
+        F.col(col), *[F.col(c) for c in carry], F.explode(probes).alias("p")
+    ).select(
+        col,
+        *carry,
+        F.col("p.depth").alias("depth"),
+        F.col("p.bucket").alias("bucket"),
     )
     return (
         probed.join(F.broadcast(sketch), ["depth", "bucket"], "left")
-        .groupBy(col)
+        .groupBy(col, *carry)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias(out_col))
     )
 

@@ -6385,10 +6385,19 @@ def countmin_user_events(spark, sf_dir):
     ev = rebalance_for_compute(_events(spark, sf_dir), spark).where(
         F.col("user_id").isNotNull()
     )
-    sk = countmin_table(ev, "user_id", depth=4, width=64)
     exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
-    est = countmin_estimate(sk, exact, "user_id", depth=4, width=64)
-    return exact.join(est, "user_id").select(
+    # r9 opt round: the sketch builds from the exact per-key counts this
+    # gate computes anyway (countmin_table weight_col — bucket counts are
+    # Σ exact_n per bucket ≡ Σ 1 per event, the sketch-from-histogram
+    # identity), so the md5 probes run per DISTINCT user instead of per
+    # EVENT; exact_n rides the probe (countmin_estimate carry_cols), which
+    # drops the old exact⋈est join-back and lets every branch reuse the
+    # single exact-count exchange instead of scanning events three times.
+    sk = countmin_table(exact, "user_id", depth=4, width=64, weight_col="exact_n")
+    est = countmin_estimate(
+        sk, exact, "user_id", depth=4, width=64, carry_cols=["exact_n"]
+    )
+    return est.select(
         "user_id", "exact_n", F.col("cm_est").cast("long").alias("cm_est")
     )
 
