@@ -747,11 +747,19 @@ def paragraph_dedup_stats(
     EVERY input doc; docs with no non-blank paragraph get zero counts and a
     NULL ratio (same convention as chunk/repetition stats).
 
-    Scale shape: explode → two hash-keyed shuffles with combiner-side
-    partials (per-para share count, per-doc rollup), all O(paragraphs);
-    md5 keys are engine-portable so any SQL engine reproduces the stats
-    bit-for-bit.
+    Scale shape (r9 opt round — ONE explode pass): explode → one shuffle
+    on the 16-byte para hash; the (phash, doc) pre-aggregation and the
+    distinct-doc share count both ride that single exchange (groupBy over
+    a superset of the partitioning key needs no re-shuffle, and the share
+    count is a window count over the pre-aggregated pairs — one row per
+    distinct doc by construction, so count(*) ≡ the old count_distinct);
+    then one per-doc rollup. The previous share-agg + join shape computed
+    the split+trim+md5 explode TWICE and sorted both paragraph-sized join
+    sides (SortMergeJoin observed at sf0.1). md5 keys stay
+    engine-portable so any SQL engine reproduces the stats bit-for-bit.
     """
+    from pyspark.sql.window import Window
+
     paras = docs.select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -761,15 +769,22 @@ def paragraph_dedup_stats(
             )
         ).alias("para"),
     ).select("__id", F.md5(F.col("para")).alias("phash"))
-    share = paras.groupBy("phash").agg(
-        F.count_distinct(F.col("__id")).alias("n_docs")
+    pp = (
+        paras.repartition("phash")
+        .groupBy("phash", "__id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    wb = Window.partitionBy("phash")
     per_doc = (
-        paras.join(share, "phash")
+        pp.withColumn("n_docs", F.count(F.lit(1)).over(wb))
         .groupBy("__id")
         .agg(
-            F.count(F.lit(1)).alias("n_paras"),
-            F.sum((F.col("n_docs") >= min_shared_docs).cast("int")).alias("n_shared"),
+            F.sum("cnt").alias("n_paras"),
+            F.sum(
+                F.when(F.col("n_docs") >= min_shared_docs, F.col("cnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_shared"),
         )
     )
     stats = per_doc.select(
