@@ -363,16 +363,21 @@ def kmv_table(
     df: DataFrame, col: str, group_cols: list[str] | tuple = (), *, k: int = 64
 ) -> DataFrame:
     """The KMV synopsis of ``col`` per group: the ≤ ``k`` smallest DISTINCT
-    48-bit hashes, as (group..., h) rows. Scale shape mirrors
-    :func:`heavy_hitters`: a LOCAL mapInPandas pass keeps at most k
-    distinct hashes per (partition, group) — bounded memory, no
-    full-domain shuffle — then a global window over the ≤ k×partitions
-    candidate rows selects the true bottom-k (each globally-smallest hash
-    is also smallest in its own partition, so the result is independent of
-    partitioning). NULLs are not hashed. The synopsis MERGES by
-    :func:`kmv_union`; estimate with :func:`kmv_estimate`."""
-    import heapq
-
+    48-bit hashes, as (group..., h) rows. Scale shape (r9 opt round —
+    all-JVM, no Python boundary): a ``dense_rank() <= k`` filter over the
+    (group ORDER BY h) window. Catalyst's InferWindowGroupLimit turns
+    that into a PARTIAL WindowGroupLimit BEFORE the exchange — each input
+    partition forwards only rows whose hash is among ITS bottom-k
+    distinct, the same per-partition bound the previous mapInPandas local
+    pass enforced, without Arrow-crossing the corpus (every
+    globally-bottom-k hash is also bottom-k in its own partition, so the
+    result stays independent of partitioning). The post-window distinct
+    rides the window's own exchange (grouping on a superset of its
+    partitioning key). Worst-case exchange volume is the duplicate rows
+    of each partition's bottom-k hashes — for adversarially duplicated
+    streams, pre-reduce to (value, count) pairs first. NULLs are not
+    hashed. The synopsis MERGES by :func:`kmv_union`; estimate with
+    :func:`kmv_estimate`."""
     from pyspark.sql import Window
 
     gcols = list(group_cols)
@@ -380,34 +385,13 @@ def kmv_table(
     src = df.where(key.isNotNull()).select(
         *gcols, kmv_hash(F.col(col)).alias("h")
     )
-
-    def local_bottomk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        best: dict = {}
-        for pdf in batches:
-            if gcols:
-                # dropna=False: a NULL group key is a group (Spark groupBy
-                # semantics) — pandas would silently drop it by default
-                groups = [
-                    (gk if isinstance(gk, tuple) else (gk,), sub["h"])
-                    for gk, sub in pdf.groupby(gcols, sort=False, dropna=False)
-                ]
-            else:
-                groups = [((), pdf["h"])]
-            for gk, hs in groups:
-                s = best.setdefault(gk, set())
-                s.update(int(v) for v in hs.unique())
-                if len(s) > k:
-                    best[gk] = set(heapq.nsmallest(k, s))
-        rows = [gk + (h,) for gk, hs in best.items() for h in sorted(hs)]
-        out = pd.DataFrame(rows, columns=gcols + ["h"])
-        if out.empty:
-            out = pd.DataFrame(
-                {c: pd.Series(dtype="object") for c in gcols}
-                | {"h": pd.Series(dtype="int64")}
-            )
-        yield out
-
-    return _bottom_k(src.mapInPandas(local_bottomk, src.schema), gcols, k)
+    w = Window.partitionBy(*(gcols or [F.lit(1)])).orderBy("h")
+    return (
+        src.withColumn("__dr", F.dense_rank().over(w))
+        .where(F.col("__dr") <= k)
+        .drop("__dr")
+        .dropDuplicates(gcols + ["h"])
+    )
 
 
 def kmv_estimate(
