@@ -44,6 +44,17 @@ def heavy_hitters(
     value asc) — deterministic tiebreak. NULLs are not counted (a NULL
     "value" is not a value). See module docstring for the exactness
     condition; raise ``m`` if the domain is huge AND flat.
+
+    Shuffle shape (r9 opt round): only the CANDIDATE branch is
+    round-robin rebalanced (the Python MG pass is the CPU-bound stage that
+    needs spread on a one-row-group fixture scan; at production scale the
+    guard in :func:`gohangout_spark.io.rebalance_for_compute` makes it a
+    no-op). The exact-recount branch stays scan-side: callers must NOT
+    pre-repartition ``df``, or Catalyst's left-semi pushdown
+    (PushDownLeftSemiAntiJoin) re-plants the caller's round-robin exchange
+    ABOVE the semi-join, shuffling the whole corpus a second time before
+    the partial count — map-side combine already bounds the recount
+    exchange to candidate-distinct rows per partition.
     """
 
     def local_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -71,9 +82,12 @@ def heavy_hitters(
                         counters[v] = int(c) - dec
         yield pd.DataFrame({"__v": list(counters.keys())})
 
+    from gohangout_spark.io import rebalance_for_compute
+
     src = df.select(F.col(col).alias("__v")).where(F.col("__v").isNotNull())
     cands = (
-        src.mapInPandas(local_candidates, src.schema)
+        rebalance_for_compute(src, df.sparkSession)
+        .mapInPandas(local_candidates, src.schema)
         .dropDuplicates(["__v"])
     )
     exact = (

@@ -6333,10 +6333,12 @@ def heavy_hitter_users_q(spark, sf_dir):
     100 TB corpus, size m to the skew bound (N/(m+1) < top-k frequency)
     instead."""
     from gohangout_spark.functions.sketch import heavy_hitters
-    from gohangout_spark.io import rebalance_for_compute
 
-    ev = rebalance_for_compute(_events(spark, sf_dir), spark)
-    return heavy_hitters(ev, "user_id", k=10, m=65536)
+    # no caller-side rebalance (r9 opt round): heavy_hitters spreads its
+    # own Python candidate branch; a pre-repartitioned input would get the
+    # round-robin exchange re-planted above the semi-join on the recount
+    # side, shuffling the whole corpus before the partial count.
+    return heavy_hitters(_events(spark, sf_dir), "user_id", k=10, m=65536)
 
 
 # Shared by countmin_user_events (one-shot) and countmin_stream_replay
