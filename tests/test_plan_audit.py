@@ -50,6 +50,10 @@ BNLJ_OK = {
     "fuzzy_name_pairs": (256, "short-string block below the q-gram floor"),
     # z-order key: the min/max bounds aggregate rides a 1-row broadcast
     "zorder_key_events": (1, "1-row min/max bounds aggregate"),
+    # Kneser-Ney T scalar: the bigram-type count rides a 1-row broadcast
+    # (the oracle's `tt` CTE), replacing the r8 eager bg.count() driver
+    # job that re-ran the whole corpus explode — the q11/q22 scalar shape
+    "kneser_ney_perplexity": (1, "1-row bigram-type-count aggregate"),
     # AMS gate: the 1-row exact-F2 verification column joins the 1-row
     # median estimate
     "ams_f2_events": (1, "1-row exact-F2 verification column"),
