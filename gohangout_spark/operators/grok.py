@@ -240,7 +240,16 @@ class Grok(Filter):
                 if fname in groups:
                     extracted = F.regexp_extract(col, p, groups[fname])
                     if self.ignore_blank:
-                        extracted = F.when(extracted != "", extracted)
+                        # bind the extract once: when(e != '', e) evaluates
+                        # the regexp_extract twice per matching row (the
+                        # blank-check sits in a conditional branch, which
+                        # codegen subexpression elimination skips); the
+                        # transform(array(e), …)[0] lambda variable is a
+                        # materialized value, so check and result read ONE
+                        # extraction (same trick as dedup.zipped_shingles)
+                        extracted = F.transform(
+                            F.array(extracted), lambda x: F.when(x != "", x)
+                        )[0]
                 else:
                     extracted = F.lit(None)
                 branch = F.when(matched, extracted)
