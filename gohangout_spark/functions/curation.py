@@ -75,7 +75,7 @@ def decontaminate(
     )
 
 
-def _word_ngrams(col: Column, n: int, hashed) -> Column:
+def _word_ngrams(col: Column, n: int, hashed, bound: bool = True) -> Column:
     """Distinct word n-grams of a text column, scan-side.
 
     ``transform(sequence(1, len-n+1), i -> slice(words, i, n))`` — all
@@ -86,24 +86,43 @@ def _word_ngrams(col: Column, n: int, hashed) -> Column:
     value a SQL oracle can recompute — the replayability hook behind the
     bloom_md5_decontaminate hash gate. Docs shorter than ``n`` words
     yield an empty array (sequence(1, 0) would count DOWN, so guard first).
+
+    ``bound=False`` opts OUT of the bound-tokenizer form: a gram array
+    that becomes the argument of a Python UDF must use it —
+    ExtractPythonUDFs silently fails to extract a UDF whose argument
+    carries the extra lambda nesting in a post-exchange projection, and
+    execution dies with INTERNAL_ERROR Unevaluable (observed for both
+    the md5 and xxhash paths in bloom_decontaminate's _hits).
     """
     ws = _words(col)
-    gram = lambda i: F.concat_ws(" ", F.slice(ws, i, n))  # noqa: E731
-    if hashed == "md5":
-        from gohangout_spark.functions.dedup import md5_hash64
 
-        mk = lambda i: md5_hash64(gram(i))  # noqa: E731
-    elif hashed:
-        mk = lambda i: F.xxhash64(gram(i))  # noqa: E731
-    else:
-        mk = gram
-    empty = F.array().cast("array<bigint>" if hashed else "array<string>")
-    return F.when(
-        F.size(ws) >= n,
-        F.array_distinct(
-            F.transform(F.sequence(F.lit(1), F.size(ws) - (n - 1)), mk)
-        ),
-    ).otherwise(empty)
+    def _grams(w):
+        gram = lambda i: F.concat_ws(" ", F.slice(w, i, n))  # noqa: E731
+        if hashed == "md5":
+            from gohangout_spark.functions.dedup import md5_hash64
+
+            mk = lambda i: md5_hash64(gram(i))  # noqa: E731
+        elif hashed:
+            mk = lambda i: F.xxhash64(gram(i))  # noqa: E731
+        else:
+            mk = gram
+        empty = F.array().cast("array<bigint>" if hashed else "array<string>")
+        return F.when(
+            F.size(w) >= n,
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)), mk)
+            ),
+        ).otherwise(empty)
+
+    if not bound:
+        return _grams(ws)
+
+    # bind the token array once per ROW (transform(array(ws), …)[0], the
+    # dedup.zipped_shingles trick): inlining ``ws`` would re-evaluate the
+    # tokenizer inside the per-ELEMENT slice lambda — interpreted HOF eval
+    # has no subexpression elimination, so that is O(tokens) splits per
+    # gram (measured 0.79 s → 0.59 s on the sf0.1 4-gram projection)
+    return F.transform(F.array(ws), _grams)[0]
 
 
 def decontaminate_ngrams(
@@ -366,7 +385,12 @@ def bloom_decontaminate(
     hashed = "md5" if hashed == "md5" else True
     out = docs.withColumn(
         "contam_hits",
-        F.coalesce(_hits(_word_ngrams(F.col(text_col), n, hashed=hashed)), F.lit(0)),
+        # bound=False: the gram array is a Python-UDF argument — see the
+        # _word_ngrams docstring for the ExtractPythonUDFs failure mode
+        F.coalesce(
+            _hits(_word_ngrams(F.col(text_col), n, hashed=hashed, bound=False)),
+            F.lit(0),
+        ),
     )
     return out.withColumn("contaminated", F.col("contam_hits") >= min_hits)
 
@@ -703,13 +727,18 @@ def gopher_rules(
 
 def _word_ngrams_all(col: Column, n: int) -> Column:
     """ALL word n-grams (duplicates preserved — repetition signals need
-    occurrence counts; :func:`_word_ngrams` distincts for join keys)."""
+    occurrence counts; :func:`_word_ngrams` distincts for join keys).
+    Token array bound once per row — see the note in :func:`_word_ngrams`."""
     ws = _words(col)
-    gram = lambda i: F.concat_ws(" ", F.slice(ws, i, n))  # noqa: E731
-    return F.when(
-        F.size(ws) >= n,
-        F.transform(F.sequence(F.lit(1), F.size(ws) - (n - 1)), gram),
-    ).otherwise(F.array().cast("array<string>"))
+
+    def _grams(w):
+        gram = lambda i: F.concat_ws(" ", F.slice(w, i, n))  # noqa: E731
+        return F.when(
+            F.size(w) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(w) - (n - 1)), gram),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(ws), _grams)[0]
 
 
 def ngram_repetition_stats(

@@ -981,16 +981,20 @@ def _windows_with_index(toks, w: int):
     windows, 1-based start positions. Docs shorter than w tokens get an
     EMPTY array (zipped_shingles' partial-shingle floor would hash a
     NULL-padded window — wrong for exact-substring semantics)."""
-    zipped = zipped_shingles(toks, w)
-    hashed = F.transform(
-        zipped,
-        lambda s, i: F.struct(
-            (i + 1).cast("int").alias("widx"),
-            F.xxhash64(*[s.getField(f"t{k}") for k in range(w)]).alias("whash"),
-        ),
-    )
-    empty = F.array().cast("array<struct<widx:int,whash:bigint>>")
-    return F.when(F.size(toks) >= w, hashed).otherwise(empty)
+    def _body(t):
+        hashed = F.transform(
+            zipped_shingles(t, w),
+            lambda s, i: F.struct(
+                (i + 1).cast("int").alias("widx"),
+                F.xxhash64(*[s.getField(f"t{k}") for k in range(w)]).alias("whash"),
+            ),
+        )
+        empty = F.array().cast("array<struct<widx:int,whash:bigint>>")
+        return F.when(F.size(t) >= w, hashed).otherwise(empty)
+
+    # bind the tokenizer once per row: the size() guard and the zip read
+    # one materialized array (see zipped_shingles)
+    return F.transform(F.array(toks), _body)[0]
 
 
 def dup_span_stats(
@@ -1181,21 +1185,26 @@ def winnow_fingerprints(
     """
     from pyspark.sql.window import Window
 
-    toks = tokens(F.col(text_col))
-    hashed = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.substring(
-                F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 16
-            ).alias("h"),
-        ),
-    )
-    # sequence(1, 0) counts DOWN (then slice(…, 0) throws) — guard short
-    # docs to an empty gram array first, same as _word_ngrams
-    grams = F.when(F.size(toks) >= k, hashed).otherwise(
-        F.array().cast("array<struct<pos:int,h:string>>")
-    )
+    # bind the token array once per row (the zipped_shingles trick): the
+    # slice lambda below otherwise re-runs the tokenizer per gram POSITION
+    # (interpreted HOF eval has no subexpression elimination)
+    def _grams(toks):
+        hashed = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.substring(
+                    F.md5(F.concat_ws(" ", F.slice(toks, i, k))), 1, 16
+                ).alias("h"),
+            ),
+        )
+        # sequence(1, 0) counts DOWN (then slice(…, 0) throws) — guard short
+        # docs to an empty gram array first, same as _word_ngrams
+        return F.when(F.size(toks) >= k, hashed).otherwise(
+            F.array().cast("array<struct<pos:int,h:string>>")
+        )
+
+    grams = F.transform(F.array(tokens(F.col(text_col))), _grams)[0]
     g = docs.select(
         F.col(id_col), F.explode(grams).alias("g")
     ).select(id_col, F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
