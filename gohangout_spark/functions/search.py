@@ -48,12 +48,22 @@ def _eq_term(t: str):
 
 
 def _tf_frame(docs: DataFrame, terms: list[str], id_col: str, text_col: str) -> DataFrame:
-    toks = tokens(F.col(text_col))
-    return docs.select(
-        id_col,
-        F.size(toks).alias("dl"),
-        *[F.size(F.filter(toks, _eq_term(t))).alias(f"tf{i}") for i, t in enumerate(terms)],
-    )
+    # bind the tokenizer once per row (the dedup.zipped_shingles trick) and
+    # emit dl + per-term counts through one inline(array(struct)) generator:
+    # as separate projection columns each referencing tokens(), the
+    # tokenizer would re-run per COLUMN (terms+1 times per row) — measured
+    # 1.19 s → 0.86 s on the sf0.1 bm25_search gate
+    def _counts(toks):
+        return F.struct(
+            F.size(toks).alias("dl"),
+            *[
+                F.size(F.filter(toks, _eq_term(t))).alias(f"tf{i}")
+                for i, t in enumerate(terms)
+            ],
+        )
+
+    bound = F.transform(F.array(tokens(F.col(text_col))), _counts)[0]
+    return docs.select(id_col, F.inline(F.array(bound)))
 
 
 def corpus_stats(
