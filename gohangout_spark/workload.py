@@ -9166,19 +9166,192 @@ def multimodal_flac_features(spark, sf_dir):
 # The correctness driver samples the FIRST 50 entries of QUERIES in
 # registration (insertion) order; _GATE_PRIORITY reorders the registry so
 # the window always holds the queries with the WEAKEST driver evidence.
-# r9 rotation (VERDICT r8 #1): the 10 gates added mid-round-9 (kafka v2 /
-# group resume / rebalance / consumer-threads / streaming tier / cluster
-# failover / gzip / sasl / snappy / lz4 — no driver row yet) lead, then
-# the 11 mid-round-8 gates, then the oracle-backed rows whose last driver
-# row is r5 — slots 22-50 take the first 29 alphabetically; the 14
-# leftover r5 rows sit directly below the line and lead the r10 window.  Every row displaced below slot 50 is green in
-# CORRECTNESS_r06/r07/r08 and re-confirmed in FULLREG_r9_sf01 (sf0.1) /
-# FULLREG_r9 (sf0.01); nothing stale sits below the window.  The
-# staleness table is recomputed from the raw CORRECTNESS artifacts
-# (TestDriverWindow pins containment).
+# r10 rotation (VERDICT r9 #1): the queries whose PLAN/EXPRESSION shape
+# was rewritten in the r9/r10 optimization rounds lead — their existing
+# driver rows predate the rewrite, so driver-grade evidence for the NEW
+# shapes is the weakest link (this also pins the dup_span_stats n_windows
+# int32→int64 widening).  rfm_segments joins the head for its r10
+# range-pass restructure.  Slots 23-50 take the stalest oracle-backed
+# rows with driver history: the 13 remaining r5-cohort rows, then the r6
+# cohort alphabetically.  Every row displaced below slot 50 is green in
+# CORRECTNESS_r06..r09 and re-confirmed in the FULLREG sweeps; nothing
+# below the line is staler than the freshest fill row (TestDriverWindow
+# recomputes the staleness table from the raw CORRECTNESS artifacts).
 _GATE_PRIORITY = [
-    # --- new r9 gates go here (inserted as each lands; until then the
-    # window tail pulls r5 rows up, which only adds coverage) ---
+    # --- 22 slots: r9/r10-rewritten queries (driver rows predate the
+    # rewrite; CORRECTNESS_r10 completes their evidence chain) ---
+    "kneser_ney_perplexity",
+    "dsir_importance_weights",
+    "dup_span_stats",
+    "remove_dup_spans",
+    "countmin_user_events",
+    "countmin_stream_replay",
+    "paragraph_dedup_stats",
+    "kmv_distinct_users",
+    "kmv_stream_replay",
+    "kmv_cohort_setops",
+    "tpch_q2",
+    "bm25_search",
+    "tfidf_search",
+    "quality_score",
+    "minhash_lsh_recall",
+    "ngram_repetition",
+    "top_phrases",
+    "winnow_fingerprints",
+    "winnow_neardup_pairs",
+    "curation_funnel",
+    "etl_pipeline_chain",
+    "rfm_segments",
+    # --- 13 slots: the r5-cohort remainder (last driver row r5) ---
+    "multimodal_flac_features",
+    "multimodal_gif_features",
+    "multimodal_jpeg_features",
+    "multimodal_mjpeg_frames",
+    "multimodal_png_features",
+    "ngram_jaccard_adjacent",
+    "profile_documents",
+    "repetition_stats",
+    "salted_heavy_hitters",
+    "sessionize_events",
+    "simhash_md5_neardup",
+    "udaf_geomean",
+    "webdataset_export",
+    # --- slots 36-50: r6 cohort alphabetically (last driver row r6);
+    # the remainder of the cohort continues below the line ---
+    "bloom_md5_decontaminate",
+    "bpe_encode_fixed",
+    "cap_per_source",
+    "chunk_dedup_stats",
+    "customers_without_orders",
+    "decontaminate_docs",
+    "dedup_clusters",
+    "dedup_filter_events",
+    "dedup_incremental_recall",
+    "dedup_paragraphs",
+    "deterministic_sample",
+    "distinct_users",
+    "embedding_lsh_topk",
+    "embedding_neardup_lsh",
+    "embedding_pq_exact_rerank",
+    "embedding_q8_topk",
+    "embedding_rp_topk",
+    "event_type_pivot",
+    "event_value_geomean",
+    "intersect_buyers_clickers",
+    "multimodal_adpcm_decode",
+    "multimodal_audio_features",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_webp_features",
+    "ngram_decontaminate",
+    "order_priority_semijoin",
+    "orders_left_outer",
+    "pack_documents",
+    "purchase_attribution",
+    "quality_filter_pipeline",
+    "quantile_buckets_lang",
+    "remove_fields",
+    "rename_field",
+    "replace_literal",
+    "segment_topk_rank",
+    "session_window",
+    "split_maxsplit",
+    "split_parse",
+    "token_count",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "translate_broadcast_join",
+    "translate_dict",
+    "uppercase",
+    "urldecode",
+    # --- r7 cohort ---
+    "ams_f2_events",
+    "ams_join_size",
+    "bbit_minwise_jaccard",
+    "charset_entropy_profile",
+    "curation_funnel_v2",
+    "dedup_stream_replay",
+    "fix_mojibake",
+    "html_strip_entities",
+    "image_dhash_features",
+    "image_dhash_neardup",
+    "link_metric_stream_replay",
+    "logbucket_stream_replay",
+    "logbucket_value_quantiles",
+    "multimodal_g711_decode",
+    "multimodal_qoi_features",
+    "multimodal_screenvideo_frames",
+    "redact_pii",
+    "rollup_totals",
+    "semantic_dedup_by_label",
+    "signup_error_window",
+    "sliding_window_counts",
+    "stratified_sample",
+    "strip_control_chars",
+    "template_condition",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "unicode_nfc_normalize",
+    "unigram_encode_fixed",
+    "wordpiece_encode_fixed",
+    "zorder_key_events",
+    # --- r8 cohort (green in CORRECTNESS_r08) ---
+    "approx_distinct_report",
+    "boilerplate_lines",
+    "bpe_token_count",
+    "char_lm_perplexity",
+    "chunk_documents",
+    "cohort_retention",
+    "cube_totals",
+    "deterministic_shuffle",
+    "event_sequences_topk",
+    "flesch_reading_ease",
+    "funnel_conversion",
+    "fuzzy_name_pairs",
+    "gopher_rules",
+    "hashed_embedding_vectors",
+    "inverted_index",
+    "label_centroids",
+    "link_metric_tick_replay",
+    "markov_transitions",
+    "multimodal_audio_spectrum",
+    "multimodal_mp3_features",
+    "multimodal_ppm_features",
+    "multimodal_video_frames",
+    "multimodal_wav_features",
+    "near_dedup_keep",
+    "pack_documents_bestfit",
+    "quality_classifier_score",
+    "semantic_dedup_kmeans",
+    "token_budget_mixture",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "udtf_paragraphs",
+    "url_curation",
+    "url_registrable_domain",
+    "user_rolling_avg",
+    "vocabulary_topn",
+    "weighted_mixture",
+    "weighted_sample_topk",
+    "yaml_pipeline_e2e",
+    "zscore_anomalies",
+    # --- r9-window rows (driver row r09 — the freshest evidence;
+    # they sit at the bottom until staleness cycles them back up) ---
     "kafka_wire_v2_roundtrip_replay",
     "kafka_group_resume_replay",
     "kafka_group_rebalance_replay",
@@ -9189,8 +9362,6 @@ _GATE_PRIORITY = [
     "kafka_wire_lz4_replay",
     "kafka_group_threads_replay",
     "kafka_stream_dev_replay",
-    # --- 11 slots: the mid-round-r8 gates (two-sf check_oracle + FULLREG
-    # evidence, no driver row yet — VERDICT r8 #1 says they LEAD) ---
     "cluster_aware_split",
     "dedup_best_per_cluster",
     "watermark_late_drop_replay",
@@ -9202,8 +9373,6 @@ _GATE_PRIORITY = [
     "file_sink_stream_replay",
     "kafka_wire_roundtrip_replay",
     "hll_stream_replay",
-    # --- 43 oracle-backed rows whose last driver row is r5 (alphabetical);
-    # slots 12-50 take the first 39, the last 4 lead the r10 window ---
     "add_fields",
     "condition_dsl",
     "convert_array",
@@ -9232,174 +9401,6 @@ _GATE_PRIORITY = [
     "link_stats_metric",
     "lowercase",
     "metric_reduce",
-    "minhash_lsh_recall",
-    "multimodal_flac_features",
-    "multimodal_gif_features",
-    "multimodal_jpeg_features",
-    "multimodal_mjpeg_frames",
-    "multimodal_png_features",
-    "ngram_jaccard_adjacent",
-    "profile_documents",
-    "repetition_stats",
-    "salted_heavy_hitters",
-    "sessionize_events",
-    "simhash_md5_neardup",
-    "udaf_geomean",
-    "webdataset_export",
-    "winnow_neardup_pairs",
-    # --- below slot 50: r6 cohort (green in CORRECTNESS_r06) ---
-    "bloom_md5_decontaminate",
-    "bpe_encode_fixed",
-    "cap_per_source",
-    "chunk_dedup_stats",
-    "customers_without_orders",
-    "decontaminate_docs",
-    "dedup_clusters",
-    "dedup_filter_events",
-    "dedup_incremental_recall",
-    "dedup_paragraphs",
-    "deterministic_sample",
-    "distinct_users",
-    "embedding_lsh_topk",
-    "embedding_neardup_lsh",
-    "embedding_pq_exact_rerank",
-    "embedding_q8_topk",
-    "embedding_rp_topk",
-    "etl_pipeline_chain",
-    "event_type_pivot",
-    "event_value_geomean",
-    "intersect_buyers_clickers",
-    "multimodal_adpcm_decode",
-    "multimodal_audio_features",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_webp_features",
-    "ngram_decontaminate",
-    "order_priority_semijoin",
-    "orders_left_outer",
-    "pack_documents",
-    "paragraph_dedup_stats",
-    "purchase_attribution",
-    "quality_filter_pipeline",
-    "quality_score",
-    "quantile_buckets_lang",
-    "remove_fields",
-    "rename_field",
-    "replace_literal",
-    "segment_topk_rank",
-    "session_window",
-    "split_maxsplit",
-    "split_parse",
-    "token_count",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "translate_broadcast_join",
-    "translate_dict",
-    "uppercase",
-    "urldecode",
-    # --- r7 cohort ---
-    "ams_f2_events",
-    "ams_join_size",
-    "bbit_minwise_jaccard",
-    "charset_entropy_profile",
-    "countmin_stream_replay",
-    "countmin_user_events",
-    "curation_funnel_v2",
-    "dedup_stream_replay",
-    "dsir_importance_weights",
-    "fix_mojibake",
-    "html_strip_entities",
-    "image_dhash_features",
-    "image_dhash_neardup",
-    "kmv_cohort_setops",
-    "kmv_distinct_users",
-    "kmv_stream_replay",
-    "kneser_ney_perplexity",
-    "link_metric_stream_replay",
-    "logbucket_stream_replay",
-    "logbucket_value_quantiles",
-    "multimodal_g711_decode",
-    "multimodal_qoi_features",
-    "multimodal_screenvideo_frames",
-    "redact_pii",
-    "rollup_totals",
-    "semantic_dedup_by_label",
-    "signup_error_window",
-    "sliding_window_counts",
-    "stratified_sample",
-    "strip_control_chars",
-    "template_condition",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q2",
-    "tpch_q20",
-    "tpch_q21",
-    "tpch_q4",
-    "tpch_q6",
-    "tpch_q7",
-    "tpch_q8",
-    "tpch_q9",
-    "unicode_nfc_normalize",
-    "unigram_encode_fixed",
-    "wordpiece_encode_fixed",
-    "zorder_key_events",
-    # --- r8 cohort (green in CORRECTNESS_r08) ---
-    "approx_distinct_report",
-    "bm25_search",
-    "boilerplate_lines",
-    "bpe_token_count",
-    "char_lm_perplexity",
-    "chunk_documents",
-    "cohort_retention",
-    "cube_totals",
-    "curation_funnel",
-    "deterministic_shuffle",
-    "dup_span_stats",
-    "event_sequences_topk",
-    "flesch_reading_ease",
-    "funnel_conversion",
-    "fuzzy_name_pairs",
-    "gopher_rules",
-    "hashed_embedding_vectors",
-    "inverted_index",
-    "label_centroids",
-    "link_metric_tick_replay",
-    "markov_transitions",
-    "multimodal_audio_spectrum",
-    "multimodal_mp3_features",
-    "multimodal_ppm_features",
-    "multimodal_video_frames",
-    "multimodal_wav_features",
-    "near_dedup_keep",
-    "ngram_repetition",
-    "pack_documents_bestfit",
-    "quality_classifier_score",
-    "remove_dup_spans",
-    "rfm_segments",
-    "semantic_dedup_kmeans",
-    "tfidf_search",
-    "token_budget_mixture",
-    "top_phrases",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "udtf_paragraphs",
-    "url_curation",
-    "url_registrable_domain",
-    "user_rolling_avg",
-    "vocabulary_topn",
-    "weighted_mixture",
-    "weighted_sample_topk",
-    "winnow_fingerprints",
-    "yaml_pipeline_e2e",
-    "zscore_anomalies",
     # --- frozen rows-only operating points (no oracle; never window-
     # slotted — each has a hash-green recall/limiting twin above) ---
     "dedup_minhash_lsh",

@@ -848,24 +848,28 @@ class TestDriverWindow:
         window = list(QUERIES)[:50]
         assert len(window) == 50
 
+    # r10 rotation (VERDICT r9 #1): queries whose plan/expression shape
+    # was rewritten in the r9/r10 optimization rounds.  Their pre-rewrite
+    # driver rows no longer evidence the CURRENT shape, so they lead the
+    # window regardless of row recency and are exempt from the staleness
+    # fill comparison below (the same role new gates played in r9).
+    REWRITTEN_R10 = {
+        "kneser_ney_perplexity", "dsir_importance_weights",
+        "dup_span_stats", "remove_dup_spans", "countmin_user_events",
+        "countmin_stream_replay", "paragraph_dedup_stats",
+        "kmv_distinct_users", "kmv_stream_replay", "kmv_cohort_setops",
+        "tpch_q2", "bm25_search", "tfidf_search", "quality_score",
+        "minhash_lsh_recall", "ngram_repetition", "top_phrases",
+        "winnow_fingerprints", "winnow_neardup_pairs", "curation_funnel",
+        "etl_pipeline_chain", "rfm_segments",
+    }
+
     def test_new_round_gates_lead_the_window(self):
         from gohangout_spark.workload import QUERIES
 
         window = set(list(QUERIES)[:50])
-        # r9 rotation (VERDICT r8 #1): the 11 gates added mid-round-8 —
-        # two-sf check_oracle + FULLREG evidence, driver row pending —
-        # must all sit inside the 50-slot window so CORRECTNESS_r09
-        # completes their evidence chain.
-        mid_r8 = {
-            "cluster_aware_split", "dedup_best_per_cluster",
-            "watermark_late_drop_replay", "stream_stream_join_replay",
-            "session_window_stream_replay", "dedup_filter_stream_replay",
-            "stream_static_join_replay", "update_mode_stream_replay",
-            "file_sink_stream_replay", "kafka_wire_roundtrip_replay",
-            "hll_stream_replay",
-        }
-        assert len(mid_r8) == 11
-        assert mid_r8 <= window, mid_r8 - window
+        assert len(self.REWRITTEN_R10) == 22
+        assert self.REWRITTEN_R10 <= window, self.REWRITTEN_R10 - window
 
     def test_window_fill_is_the_stalest_cohort(self):
         """The non-new window slots must hold the queries with the OLDEST
@@ -887,10 +891,16 @@ class TestDriverWindow:
         oracles = entrymod.oracle_sql()
         names = list(QUERIES)
         window, below = set(names[:50]), names[50:]
-        # the window's fill rows are the ones WITH driver history (new
-        # gates have none and earn their first row this round); no row
-        # below the line may be staler than the freshest fill row
-        fill_rounds = [last[n] for n in window if n in oracles and n in last]
+        # the window's fill rows are the ones WITH driver history; the
+        # rewritten set is slotted for shape-evidence, not staleness, so
+        # it is excluded from the fill comparison (its rows are recent
+        # but predate the rewrite); no row below the line may be staler
+        # than the freshest fill row
+        fill_rounds = [
+            last[n]
+            for n in window - self.REWRITTEN_R10
+            if n in oracles and n in last
+        ]
         window_max = max(fill_rounds) if fill_rounds else 0
         too_stale_below = [
             n for n in below
