@@ -207,22 +207,25 @@ def rfm_segments(
     """RFM segmentation over purchase events: per user the last-purchase
     time (Recency), purchase count (Frequency), and value total (Monetary),
     each quartiled — the classic CRM segmentation, here as one
-    combiner-reduced aggregate plus three DISTRIBUTED rank passes over the
-    per-user table. Ties break deterministically by user id so the cut is
+    combiner-reduced aggregate plus ONE distributed multi-key rank pass
+    over the per-user table. Ties break deterministically by user id so the cut is
     a pure function of the data. Returns (user, r, f, m, segment "RFM").
 
     Scale note (r5): quartiles were previously three global ntile windows
     — exact, but each single-tasked the per-user table (the last
-    documented global-window in an oracle-gated query). They are now
-    :func:`~gohangout_spark.functions.sampling.global_rank` passes
-    (range-partition + local rank + broadcast offsets, fully parallel)
-    with ntile's tile arithmetic applied in closed form: for N rows and n
-    tiles the first N%n tiles hold ceil(N/n) rows and the rest floor(N/n),
-    so tile(k) is pure integer arithmetic on the global rank k — output
-    is bit-identical to ntile (the unchanged exact-ntile DuckDB oracle
-    still hash-matches). Three range shuffles of the per-user table
-    replace three single-task sorts; N arrives as a broadcast scalar."""
-    from gohangout_spark.functions.sampling import global_rank
+    documented global-window in an oracle-gated query). ntile's tile
+    arithmetic is applied in closed form over exact global ranks: for N
+    rows and n tiles the first N%n tiles hold ceil(N/n) rows and the rest
+    floor(N/n), so tile(k) is pure integer arithmetic on the global rank
+    k — output is bit-identical to ntile (the unchanged exact-ntile
+    DuckDB oracle still hash-matches). r10 opt round: the three chained
+    :func:`~gohangout_spark.functions.sampling.global_rank` passes (each
+    paying its own range-boundary sampling job + range exchange) became
+    ONE :func:`~gohangout_spark.functions.sampling.global_ranks_desc`
+    pass — one sampling job, one range exchange of the 3-armed exploded
+    frame, one fold-back aggregation; ranks, and therefore tiles, are
+    value-identical. N arrives as a broadcast scalar."""
+    from gohangout_spark.functions.sampling import global_ranks_desc
 
     per_user = (
         events.where(F.col(type_col) == purchase_type)
@@ -232,26 +235,25 @@ def rfm_segments(
             F.count(F.lit(1)).alias("freq"),
             F.sum(value_col).alias("monetary"),
         )
-        # materialize ONCE: each global_rank pass triggers a
-        # repartitionByRange sampling job, and without a cut here every
-        # one of them (plus the count and the final action) would re-run
-        # the events scan + aggregate — 7 corpus passes instead of 1. The
+        # materialize ONCE: the rank pass triggers a repartitionByRange
+        # sampling job, and without a cut here it (plus the count and the
+        # final action) would re-run the events scan + aggregate. The
         # per-user table is agg-reduced (rows = distinct purchasers), so
         # pinning it executor-local is bounded; the usual localCheckpoint
         # lineage caveat applies and is the same trade
         # minhash_lsh_candidates(materialize=True) documents.
         .localCheckpoint(eager=True)
     )
-    ranked = global_rank(
-        per_user, [F.desc("last_ts"), F.asc(user_col)], "__rk_r"
-    )
-    ranked = global_rank(ranked, [F.desc("freq"), F.asc(user_col)], "__rk_f")
-    ranked = global_rank(
-        ranked, [F.desc("monetary"), F.asc(user_col)], "__rk_m"
-    )
     # N as a plan literal: per_user is already materialized, so this count
     # is a cheap metadata-sized job — no scalar crossJoin in the plan
     big_n = per_user.count()
+    ranked = global_ranks_desc(
+        per_user,
+        ["last_ts", "freq", "monetary"],
+        user_col,
+        ["__rk_r", "__rk_f", "__rk_m"],
+        big_n,
+    )
 
     def tile(rank_col: str):
         # ntile(n) over N rows: the first r = N%n tiles hold q+1 = ceil(N/n)

@@ -156,6 +156,72 @@ def global_rank(df: DataFrame, order_cols: list, rank_col: str = "rank") -> Data
     ).drop("__pid", "__local", "__off")
 
 
+def global_ranks_desc(
+    df: DataFrame,
+    key_cols: list[str],
+    tiebreak_col: str,
+    rank_cols: list[str],
+    n_rows: int,
+) -> DataFrame:
+    """MULTIPLE contiguous 1-based global ranks in ONE range pass: for each
+    ``key_cols[i]``, the rank of every row under ``(key_i DESC,
+    tiebreak ASC)`` — exactly what three chained :func:`global_rank` calls
+    compute, at a third of the passes (r10 opt round, guide §2.2/§2.4:
+    every ``repartitionByRange`` fires its own range-boundary SAMPLING job
+    over the input, so k chained rank passes cost k sampling jobs + k
+    range exchanges; rfm_segments measured 3 of each).
+
+    Shape: explode each row into one arm per key — ``(arm, k_0..k_{n-1},
+    tiebreak)`` where only slot ``arm`` is non-null — and range-partition
+    ONCE on ``(arm ASC, k_0 DESC, …, k_{n-1} DESC, tiebreak ASC)``. Within
+    arm ``i`` every other slot is constant NULL, so the composite order
+    restricted to the arm IS ``(key_i DESC, tiebreak ASC)``, and arms are
+    contiguous blocks of exactly ``n_rows`` rows; the single
+    :func:`global_rank` over the exploded frame minus ``i * n_rows``
+    recovers each per-key rank. A final hash aggregation on the tiebreak
+    folds the arms back to one row per input row.
+
+    Returns ``(tiebreak_col, *rank_cols)`` ONLY — callers needing other
+    columns join back (rfm doesn't). ``tiebreak_col`` must be unique and
+    non-null (it totalizes the order, same contract as global_rank);
+    ``n_rows`` must be ``df``'s exact row count.
+    """
+    n_k = len(key_cols)
+    types = dict(df.dtypes)
+
+    def slot(arm: int, j: int):
+        col = (
+            F.col(key_cols[j])
+            if arm == j
+            else F.lit(None).cast(types[key_cols[j]])
+        )
+        return col.alias(f"__k{j}")
+
+    arms = F.array(
+        *[
+            F.struct(F.lit(i).cast("int").alias("__arm"), *[slot(i, j) for j in range(n_k)])
+            for i in range(n_k)
+        ]
+    )
+    ex = df.select(F.col(tiebreak_col).alias("__tb"), F.explode(arms).alias("__s")).select(
+        "__tb", "__s.*"
+    )
+    order = (
+        [F.col("__arm").asc()]
+        + [F.col(f"__k{j}").desc() for j in range(n_k)]
+        + [F.col("__tb").asc()]
+    )
+    ranked = global_rank(ex, order, "__grk")
+    return ranked.groupBy("__tb").agg(
+        *[
+            F.max(
+                F.when(F.col("__arm") == i, F.col("__grk") - i * n_rows)
+            ).alias(rank_cols[i])
+            for i in range(n_k)
+        ]
+    ).withColumnRenamed("__tb", tiebreak_col)
+
+
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

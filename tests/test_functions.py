@@ -3369,6 +3369,50 @@ class TestRound4Analytics:
         plan = out_df._jdf.queryExecution().executedPlan().toString()
         assert "ntile" not in plan
         assert "__pid" in plan  # the distributed-rank path is actually taken
+        # r10: the three chained rank passes are ONE multi-key pass — the
+        # executed plan must carry exactly one PHYSICAL range exchange
+        # (one boundary-sampling job), not three. Count distinct
+        # plan_ids: a shared AQE stage prints its Exchange once per
+        # consumer, so a raw substring count sees reuse as duplication.
+        import re
+
+        final = plan.split("== Initial Plan ==")[0]
+        ids = set(
+            re.findall(
+                r"Exchange rangepartitioning\([^)]*\)[^\[]*\[plan_id=(\d+)\]",
+                final,
+            )
+        )
+        assert len(ids) == 1, (ids, final)
+
+    def test_global_ranks_desc_matches_chained_global_rank(self, spark):
+        """The r10 multi-key rank pass must produce the same ranks as the
+        three independent global_rank passes it replaces, including ties
+        (broken by the ascending tiebreak) and a NULL key value."""
+        from gohangout_spark.functions.sampling import (
+            global_rank,
+            global_ranks_desc,
+        )
+
+        rows = [
+            (1, 10.0, 5, 100.0), (2, 10.0, 3, None), (3, 7.5, 3, 50.0),
+            (4, 12.0, 9, 50.0), (5, 7.5, 1, 75.0), (6, 3.0, 9, 10.0),
+            (7, 3.0, 2, 10.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "uid long, a double, b long, c double"
+        ).repartition(3)
+        got = {
+            r.uid: (r.ra, r.rb, r.rc)
+            for r in global_ranks_desc(
+                df, ["a", "b", "c"], "uid", ["ra", "rb", "rc"], len(rows)
+            ).collect()
+        }
+        ref = df
+        for key, name in (("a", "ra"), ("b", "rb"), ("c", "rc")):
+            ref = global_rank(ref, [F.desc(key), F.asc("uid")], name)
+        want = {r.uid: (r.ra, r.rb, r.rc) for r in ref.collect()}
+        assert got == want
 
     def test_approx_distinct_ok_on_small_groups(self, ev):
         from gohangout_spark.functions.analytics import approx_distinct_report
@@ -5297,6 +5341,31 @@ class TestKmv:
         one = sorted(r.h for r in kmv_table(self._df(spark, vals, 1), "k", k=8).collect())
         many = sorted(r.h for r in kmv_table(self._df(spark, vals, 13), "k", k=8).collect())
         assert one == many
+
+    def test_pre_distinct_guard_identical_and_dedups_before_window(self, spark):
+        """r10 (ADVICE r9): the duplicate-heavy guard. pre_distinct=True
+        must (a) produce the identical synopsis (bottom-k distinct is
+        dedup-insensitive), and (b) aggregate DISTINCT (group, h) BELOW
+        the rank window so duplicates die map-side instead of funneling
+        into the window task."""
+        from gohangout_spark.functions.sketch import kmv_table
+
+        vals = ["dup"] * 5000 + ["x", "y"]
+        df = self._df(spark, vals, 8)
+        want = sorted({self._h48(v) for v in set(vals)})
+        default = sorted(r.h for r in kmv_table(df, "k", k=8).collect())
+        sk = kmv_table(df, "k", k=8, pre_distinct=True)
+        guarded = sorted(r.h for r in sk.collect())
+        assert default == guarded == want
+        plan = sk._jdf.queryExecution().executedPlan().toString()
+        # the per-partition rank bound survives: either the grouped
+        # WindowGroupLimit or (ungrouped, as here) the global top-k the
+        # optimizer derives from the row_number filter
+        assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan
+        # the dedup exchange (keyed on the hash) sits BELOW the window:
+        # plan text prints parents first, so the window node must appear
+        # before the hash-keyed exchange
+        assert plan.index("Window") < plan.index("hashpartitioning(h#")
 
     def test_union_equals_sketch_of_union(self, spark):
         from gohangout_spark.functions.sketch import kmv_table, kmv_union
