@@ -374,7 +374,12 @@ def kmv_hash(col) -> "F.Column":
 
 
 def kmv_table(
-    df: DataFrame, col: str, group_cols: list[str] | tuple = (), *, k: int = 64
+    df: DataFrame,
+    col: str,
+    group_cols: list[str] | tuple = (),
+    *,
+    k: int = 64,
+    pre_distinct: bool = False,
 ) -> DataFrame:
     """The KMV synopsis of ``col`` per group: the ≤ ``k`` smallest DISTINCT
     48-bit hashes, as (group..., h) rows. Scale shape (r9 opt round —
@@ -387,11 +392,28 @@ def kmv_table(
     globally-bottom-k hash is also bottom-k in its own partition, so the
     result stays independent of partitioning). The post-window distinct
     rides the window's own exchange (grouping on a superset of its
-    partitioning key). Worst-case exchange volume is the duplicate rows
-    of each partition's bottom-k hashes — for adversarially duplicated
-    streams, pre-reduce to (value, count) pairs first. NULLs are not
-    hashed. The synopsis MERGES by :func:`kmv_union`; estimate with
-    :func:`kmv_estimate`."""
+    partitioning key).
+
+    ``pre_distinct=True`` is the guard for DUPLICATE-HEAVY, low-
+    cardinality columns (ADVICE r9): when a partition's distinct count is
+    near or below k, every duplicate of a bottom-k hash passes the
+    partial WindowGroupLimit, and ungrouped they all funnel into the
+    single partitionBy(lit(1)) window task. The guard pre-reduces to
+    DISTINCT (group, h) via :func:`_bottom_k` — one extra well-spread
+    hash exchange with map-side dedup, after which the window input is
+    duplicate-free. It is OPT-IN, not the default, because both the
+    default's hazard and the guard's cost are data-shaped: measured at
+    sf0.1 on kmv_distinct_users (high event-per-user duplication but
+    1500 distinct users, i.e. NOT the hazard regime) the guard cost
+    1.037 -> 1.325 s median (interleaved A/B, r10), and at production
+    cardinalities the distinct exchange carries every distinct (group,
+    hash) pair — the volume an exact count_distinct pays — where the
+    window-first shape forwards only ~k x partitions rows. The RESULT is
+    identical either way (bottom-k distinct is dedup-insensitive);
+    choose by column shape: ``pre_distinct=True`` when duplicates per
+    distinct value are high (event_type-, country-like columns), default
+    when cardinality is high. NULLs are not hashed. The synopsis MERGES
+    by :func:`kmv_union`; estimate with :func:`kmv_estimate`."""
     from pyspark.sql import Window
 
     gcols = list(group_cols)
@@ -399,6 +421,8 @@ def kmv_table(
     src = df.where(key.isNotNull()).select(
         *gcols, kmv_hash(F.col(col)).alias("h")
     )
+    if pre_distinct:
+        return _bottom_k(src, gcols, k)
     w = Window.partitionBy(*(gcols or [F.lit(1)])).orderBy("h")
     return (
         src.withColumn("__dr", F.dense_rank().over(w))
