@@ -1023,6 +1023,12 @@ def dup_span_stats(
     ≥1 window has exactly greatest(len-w+1, 0) exploded rows). Returns
     doc_id + n_windows + n_dup_windows + dup_window_ratio (NULL when the
     doc has no windows — matching the chunk/repetition stats convention).
+
+    ``id_col`` contract: ids must be non-NULL and unique (the corpus
+    primary key, as everywhere in this module). A NULL id reports
+    n_windows=0 (the join-back never matches it) and duplicate ids merge
+    into one row with summed counts — both out of contract; the r8 shape
+    handled them per-row instead, which is the one observable difference.
     """
     from pyspark.sql.window import Window
 

@@ -142,9 +142,19 @@ def punct_ratio(col: Column) -> Column:
     return F.when(n > 0, p.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
 
 
-def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+def stopword_ratio(
+    col: Column,
+    stopwords: list[str] | None = None,
+    *,
+    toks: Column | None = None,
+) -> Column:
+    """``toks`` lets a caller that already bound the token array (the
+    zipped_shingles trick) reuse it instead of re-running the tokenizer —
+    quality_score composes this way so the stopword semantics live in
+    exactly one place."""
     sw = stopwords or STOPWORDS
-    toks = tokens(col)
+    if toks is None:
+        toks = tokens(col)
     hits = F.size(F.filter(toks, lambda t: t.isin(sw)))
     total = F.size(toks)
     return F.when(total > 0, hits.cast("double") / total.cast("double")).otherwise(F.lit(0.0))
@@ -163,11 +173,7 @@ def quality_score(col: Column) -> Column:
         n_tok = F.size(toks).cast("double")
         len_score = F.least(n_tok / F.lit(20.0), F.lit(1.0))
         punct_pen = F.least(punct_ratio(col) * 5.0, F.lit(1.0))
-        hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
-        total = F.size(toks)
-        sw = F.when(total > 0, hits.cast("double") / total.cast("double")).otherwise(
-            F.lit(0.0)
-        )
+        sw = stopword_ratio(col, toks=toks)
         sw_score = F.when(sw > 0.05, F.lit(1.0)).otherwise(sw * 20.0)
         return round_half_up(
             (len_score * 0.5 + (1.0 - punct_pen) * 0.25 + sw_score * 0.25), 4

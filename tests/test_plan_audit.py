@@ -141,6 +141,40 @@ def test_no_scale_killer_joins(spark):
     assert not offenders, offenders
 
 
+# Exchange-reuse invariants (ADVICE r9): the kneser/dsir corpus subtree
+# sharing is held up by canonicalization-sensitive expression choices
+# (the stated-once null filter, the count(CASE) pruning blocker in
+# lm.py/sampling.py). A Spark upgrade that rewrites count(CASE WHEN x IS
+# NOT NULL) to count(*) would silently restore the multi-pass corpus
+# scan with no correctness failure — so the invariant is MEASURED here:
+# query -> (min ReusedExchange nodes, max Generate/explode nodes in the
+# executed plan).
+EXCHANGE_REUSE = {
+    "kneser_ney_perplexity": (3, 1),
+    "dsir_importance_weights": (1, 1),
+    "dup_span_stats": (0, 1),
+}
+
+
+def test_exchange_reuse_invariants(spark):
+    bad = {}
+    for name, (min_reuse, max_gen) in sorted(EXCHANGE_REUSE.items()):
+        df = QUERIES[name][0](spark, SF)
+        df.collect()
+        counts = {"ReusedExchangeExec": 0, "GenerateExec": 0}
+
+        def visit(node, n):
+            if n in counts:
+                counts[n] += 1
+
+        _walk(df._jdf.queryExecution().executedPlan(), visit)
+        if counts["ReusedExchangeExec"] < min_reuse:
+            bad[name] = f"ReusedExchange {counts['ReusedExchangeExec']} < {min_reuse}"
+        if counts["GenerateExec"] > max_gen:
+            bad[name] = f"Generate {counts['GenerateExec']} > {max_gen} (corpus explode re-ran)"
+    assert not bad, bad
+
+
 def test_bnlj_build_sides_bounded(spark):
     """Every whitelisted BNLJ's build side must MEASURE under its declared
     row bound — the whitelist stops being a list of trusted comments. A
