@@ -41,7 +41,7 @@ STORED_OP_NAMES = ("ann_q8_stored_scan[int8,k5]", "ann_rp_stored_scan[16d,k5]")
 MEDIA_OP_NAMES = ("media_screenvideo_decode", "media_adpcm_decode",
                   "media_qoi_decode", "image_dhash_neardup",
                   "media_mp3_decode")
-TPCH_SWEEP = ("tpch_q9", "tpch_q11", "tpch_q12", "tpch_q21")
+TPCH_SWEEP = ("tpch_q9", "tpch_q11", "tpch_q12", "tpch_q21", "tpch_q5")
 
 
 def _caesar(col, k: int):
