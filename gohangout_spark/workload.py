@@ -2394,9 +2394,18 @@ def tpch_q21(spark, sf_dir):
     >100 days after ordering instead of receipt>commit; the famous
     double correlation — EXISTS another supplier in the order, NOT
     EXISTS another LATE supplier — is preserved;
-    tpch/queries/q21.sql). Decorrelation: the NOT EXISTS collapses to
-    "exactly one distinct late supplier in the order" (a count over the
-    late set); the EXISTS is a semi join against multi-supplier orders.
+    tpch/queries/q21.sql). Decorrelation (r10, one pass): per order,
+    ns = distinct suppliers, nlate = distinct LATE suppliers, and the
+    unique late suppkey when nlate = 1 — then EXISTS-other-supplier is
+    ns >= 2 and NOT-EXISTS-other-late is nlate == 1 (the probe row is
+    itself late). One li⋈orders join feeds a
+    groupBy(orderkey, suppkey) → groupBy(orderkey) cascade, replacing
+    the r7 shape's late-distinct + sole-late agg + SECOND lineitem pass
+    (semi-restricted countDistinct) + two semi joins. At scale the
+    fact-fact join's hash(orderkey) output clusters both aggregations
+    (subset-key rule), so the cascade adds no exchange after the join;
+    interleaved A/B: 1.690 → 1.396 s at sf0.1 (7/7 pairwise) and
+    10.15 → 7.48 s at 100× facts (3/3), results identical at both.
     LIMIT is deterministic: (numwait desc, s_name) totally orders the
     unique supplier names."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -2404,36 +2413,23 @@ def tpch_q21(spark, sf_dir):
         F.col("o_orderstatus") == "F"
     )
     sup = load_table(spark, sf_dir, "supplier")
-    late = (
-        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .where(
+    base = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
             F.col("l_shipdate")
             > F.col("o_orderdate") + F.expr("INTERVAL 100 DAYS")
-        )
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+        ).alias("__late"),
     )
-    sole_late = (
-        late.groupBy("l_orderkey")
-        .agg(
-            F.count(F.lit(1)).alias("nlate"),
-            F.first("l_suppkey").alias("l_suppkey"),
-        )
-        .where(F.col("nlate") == 1)
-        .select("l_orderkey", "l_suppkey")
+    per_pair = base.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("__late").alias("__any_late")
     )
-    # restrict the multi-supplier probe to sole-late orders FIRST: the
-    # countDistinct then runs over |sole_late orders| lineitems, not the
-    # whole fact table (measured 41 s -> re-check at 100x facts; AQE
-    # broadcast-converts the semi side from its runtime row count)
-    multi = (
-        li.join(sole_late.select("l_orderkey"), "l_orderkey", "left_semi")
-        .groupBy("l_orderkey")
-        .agg(F.count_distinct("l_suppkey").alias("nsup"))
-        .where(F.col("nsup") > 1)
-        .select("l_orderkey")
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("__ns"),
+        F.sum(F.col("__any_late").cast("int")).alias("__nlate"),
+        F.max(F.when(F.col("__any_late"), F.col("l_suppkey"))).alias("l_suppkey"),
     )
-    waiting = sole_late.join(multi, "l_orderkey", "left_semi")
+    waiting = per_order.where((F.col("__ns") >= 2) & (F.col("__nlate") == 1))
     return (
         waiting.join(F.broadcast(sup), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
