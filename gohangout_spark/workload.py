@@ -1653,26 +1653,34 @@ def tpch_q17(spark, sf_dir):
        GROUP BY c_custkey, c_name, o_orderkey, o_totalprice""",
 )
 def tpch_q18(spark, sf_dir):
-    """Large-volume customers. The HAVING subquery is a left-semi join on a
-    pre-aggregated key set (small), so the big lineitem⋈orders join only
-    sees qualifying orders."""
+    """Large-volume customers. The final group is PER ORDER (o_orderkey is
+    a grouping key; the customer columns are functionally dependent on
+    it), so the re-aggregated sum(l_quantity) is exactly the per-order
+    total the HAVING subquery already computed — keep that total instead
+    of re-joining lineitem (r10: lineitem scans 2 → 1, and the fact-fact
+    lineitem⋈orders shuffle join disappears; identical rows, same
+    double-sum aggregate over the same lineitem rows). The surviving
+    big-order set is tiny (sum > 300 filter), so both remaining joins
+    broadcast at any scale where orders/customer stay dimension-like,
+    and at 100 TB the saved pass is a full corpus scan + shuffle."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     big_orders = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("q"))
-        .where(F.col("q") > 300)
-        .select(F.col("l_orderkey").alias("big_okey"))
+        .agg(F.sum("l_quantity").alias("__q"))
+        .where(F.col("__q") > 300)
     )
-    orders_f = orders.join(
-        big_orders, F.col("o_orderkey") == F.col("big_okey"), "left_semi"
-    )
-    joined = li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey")).join(
-        cust, F.col("o_custkey") == F.col("c_custkey")
-    )
-    return joined.groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice").agg(
-        F.round(F.sum("l_quantity"), 2).alias("total_qty")
+    return (
+        big_orders.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_totalprice",
+            F.round(F.col("__q"), 2).alias("total_qty"),
+        )
     )
 
 
@@ -2130,7 +2138,12 @@ def tpch_q4(spark, sf_dir):
     l_commitdate/l_receiptdate, so "late" = shipped more than 60 days
     after the order date — the date-correlated EXISTS is preserved,
     which is the query's point; tpch/queries/q4.sql). One quarter of
-    orders, semi-joined against the late-lineitem key set."""
+    orders, semi-joined against the late-lineitem key set. (r10 measured
+    the tempting one-scan variant — distinct (orderkey, priority) off
+    the first join, dropping the second orders scan + semi join — and it
+    LOST at 100× facts, 2.2 → 2.6 s: widening every distinct-exchange
+    row by the priority string costs more at scale than the saved
+    dimension-cheap scan; tools/ab_q4.py carries the record.)"""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
@@ -2348,8 +2361,9 @@ def tpch_q20(spark, sf_dir):
     of the family part's total volume"; the signature nested-IN chain —
     suppliers IN (per-part aggregate compared against a correlated
     aggregate over parts IN (name-filtered set)) — is preserved;
-    tpch/queries/q20.sql). The per-(part, supplier) agg reuses its own
-    partials for the per-part total; both joins are key-local."""
+    tpch/queries/q20.sql). The per-part total is a window sum riding the
+    per-(part, supplier) aggregate's own output (r10) — one lineitem
+    pass, no SortMergeJoin."""
     li = load_table(spark, sf_dir, "lineitem")
     named = load_table(spark, sf_dir, "part").filter(
         F.col("p_name").like("small%")
@@ -2360,9 +2374,20 @@ def tpch_q20(spark, sf_dir):
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
     )
-    tot = per.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    # r10: the per-part total is a grouped sum OVER per itself, so compute
+    # it as a window riding per's output instead of a per⋈tot join whose
+    # two inputs Catalyst plans as independent copies of the
+    # lineitem⋈named subtree (initial plan: 2 lineitem scans + a
+    # SortMergeJoin; only the part broadcast was AQE-reused). The window's
+    # exchange carries (partkey, suppkey, qty) AGGREGATE rows only. qty is
+    # a sum of integer-valued l_quantity — exact in double — so the window
+    # total is bit-identical to the join total in any accumulation order.
+    from pyspark.sql.window import Window
+
     dominant = (
-        per.join(tot, "l_partkey")
+        per.withColumn(
+            "total_qty", F.sum("qty").over(Window.partitionBy("l_partkey"))
+        )
         .where(F.col("qty") >= 0.1 * F.col("total_qty"))
         .select("l_suppkey")
         .distinct()
@@ -5638,8 +5663,21 @@ def curation_funnel(spark, sf_dir):
     )
     deduped = exact_dedup(gated, "text", "doc_id")
     clean = decontaminate_ngrams(deduped, ev, n=4).where(~F.col("contaminated"))
-    model = fit_char_bigram_lm(docs.where(F.col("lang") == "en"))
-    scored = perplexity_pandas(clean.select("doc_id", "text"), model)
+    # r10 (§2.6 overlap independent jobs): the model fit is an EAGER
+    # driver job (mapInPandas partials + collect) that used to run
+    # strictly BEFORE the gate→dedup→decontaminate job. The two are
+    # independent until scoring, so fit on a driver thread while the
+    # clean survivors materialize (localCheckpoint — its own concurrent
+    # job); wall becomes max(fit, clean) + score instead of
+    # fit + (clean + score). Composition and rows are unchanged
+    # (identity-checked in tools/ab_funnel_overlap.py).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fit = pool.submit(fit_char_bigram_lm, docs.where(F.col("lang") == "en"))
+        clean_m = clean.select("doc_id", "text").localCheckpoint()
+        model = fit.result()
+    scored = perplexity_pandas(clean_m, model)
     bucket = (
         F.when(F.col("ppl").isNull(), "tail")
         .when(F.col("ppl") <= 5.5, "head")
