@@ -8548,9 +8548,9 @@ def kmv_distinct_users_q(spark, sf_dir):
     exact_dv rides along as the side-by-side verification column (house
     style, countmin_user_events). The oracle replays the whole
     construction: hash, per-group bottom-64 via row_number, saturation
-    CASE, integer estimate. Scale shape: a local mapInPandas bottom-k
-    pass bounds the shuffle at k×partitions rows per group — the
-    distinct-count member of the sketch family, and unlike HLL the
+    CASE, integer estimate. Scale shape (r10): one shared distinct
+    (event_type, user_id) pass feeds the sketch AND the exact column —
+    the distinct-count member of the sketch family, and unlike HLL the
     synopsis supports set ops (kmv_cohort_setops)."""
     from gohangout_spark.functions.sketch import kmv_estimate, kmv_table
     from gohangout_spark.io import rebalance_for_compute
@@ -8558,10 +8558,26 @@ def kmv_distinct_users_q(spark, sf_dir):
     ev = rebalance_for_compute(_events(spark, sf_dir), spark).where(
         F.col("user_id").isNotNull()
     )
-    sk = kmv_table(ev, "user_id", ["event_type"], k=64)
+    # r10: ONE distinct (event_type, user_id) pass feeds BOTH branches —
+    # the synopsis is dedup-insensitive (bottom-k distinct hashes; the
+    # pre_distinct identity test pins it) and countDistinct reduced to
+    # exactly this distinct internally, yet the two branches planned as
+    # independent subtrees (2 corpus scans + 2 rebalance exchanges in
+    # the executed plan). The cast-notnull filter is stated ONCE before
+    # the distinct (data no-op — user_id is already null-filtered) so
+    # kmv_table's pushed copy collapses and both consumers ride one
+    # ReusedExchange: scans 2 → 1, RoundRobin 2 → 1 (audit), a wash at
+    # sf0.1 and 1.24× at 100× events where the saved pass is a full
+    # corpus scan (tools/ab_kmv_shared.py).
+    du = (
+        ev.where(F.col("user_id").cast("string").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    sk = kmv_table(du, "user_id", ["event_type"], k=64)
     est = kmv_estimate(sk, ["event_type"], k=64)
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_dv")
+    exact = du.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("exact_dv")
     )
     return est.join(exact, "event_type").select(
         "event_type",
