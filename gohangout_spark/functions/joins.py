@@ -84,7 +84,42 @@ def asof_join(
     )
     l2 = left.withColumn("__ats", F.col(left_ts)).withColumn("__r", F.lit(0))
     u = l2.unionByName(r2, allowMissingColumns=True)
+    return _asof_select(
+        u,
+        keys,
+        list(left.columns),
+        [out_names[c] for c in rcols],
+        left_ts,
+        out_names[right_ts],
+        direction,
+        tolerance_seconds,
+        how,
+    )
 
+
+def _asof_select(
+    u: DataFrame,
+    keys: list[str],
+    left_columns: list[str],
+    out_cols: list[str],
+    left_ts: str,
+    right_ts_out: str,
+    direction: str,
+    tolerance_seconds: int | None,
+    how: str,
+) -> DataFrame:
+    """The asof window + match + projection over a PREPARED union frame.
+
+    ``u`` holds the left columns plus ``__ats`` (the event time of either
+    side), ``__pay`` (struct of the right output columns, NULL on left
+    rows) and ``__r`` (1 = right row). Split out of :func:`asof_join` so
+    a caller whose two sides are filtered slices of the SAME source can
+    build ``u`` from ONE scan (a union of two filtered scans of one
+    parquet plans as two full scans — scans have no reuse mechanism) and
+    still run the exact asof semantics from this single implementation.
+    Right rows with a NULL key or NULL ``__ats`` must already be dropped
+    (asof_join does this pre-union; single-source callers filter them in
+    place)."""
     ts_order = F.col("__ats").asc() if direction == "backward" else F.col("__ats").desc()
     # at equal __ats the right row must precede the left row so the window
     # sees it (inclusive match) — __r desc does that for both directions
@@ -103,7 +138,7 @@ def asof_join(
     if tolerance_seconds is not None:
         gap = F.abs(
             F.unix_timestamp(F.col(left_ts))
-            - F.unix_timestamp(F.col("__m")[out_names[right_ts]])
+            - F.unix_timestamp(F.col("__m")[right_ts_out])
         )
         out = out.withColumn(
             "__m", F.when(gap <= int(tolerance_seconds), F.col("__m"))
@@ -111,8 +146,8 @@ def asof_join(
     if how == "inner":
         out = out.filter(F.col("__m").isNotNull())
     return out.select(
-        *[F.col(c) for c in left.columns],
-        *[F.col("__m")[out_names[c]].alias(out_names[c]) for c in rcols],
+        *[F.col(c) for c in left_columns],
+        *[F.col("__m")[c].alias(c) for c in out_cols],
     )
 
 

@@ -3124,17 +3124,45 @@ def purchase_attribution(spark, sf_dir):
     (inclusive, per DuckDB ASOF `>=` — the oracle here is DuckDB's own
     native ASOF JOIN, an independent implementation of the semantics).
     Plan: union + one window over (user_id, ts) — single shuffle, no
-    theta join, no row explosion (functions/joins.py docstring)."""
-    from gohangout_spark.functions.joins import asof_join
+    theta join, no row explosion (functions/joins.py docstring). r10:
+    both asof sides are filtered slices of the SAME events parquet, and
+    a union of two filtered scans plans as TWO full scans (scans have no
+    reuse mechanism) — so the union frame is built from ONE scan (role
+    flag + per-role CASE payload) and fed to joins._asof_select, the
+    same single implementation of the asof semantics asof_join runs.
+    scans 2 → 1 (audit); 1.13× at sf0.1, 1.34× at 100× events, identical
+    rows both scales (tools/ab_purchase_attribution.py)."""
+    from gohangout_spark.functions.joins import _asof_select
 
     ev = _events(spark, sf_dir)
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    is_p = F.col("event_type") == "purchase"
+    u = ev.where(F.col("event_type").isin("purchase", "click")).select(
+        F.when(is_p, F.col("event_id")).alias("event_id"),
+        "user_id",
+        F.when(is_p, F.col("ts")).alias("ts"),
+        F.col("ts").alias("__ats"),
+        F.when(~is_p, F.struct(F.col("event_id").alias("click_id"))).alias(
+            "__pay"
+        ),
+        F.when(~is_p, F.lit(1)).otherwise(F.lit(0)).alias("__r"),
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("event_id").alias("click_id")
+    # right rows with a NULL key or NULL event time match nothing — the
+    # _asof_select contract (asof_join drops them pre-union)
+    u = u.where(
+        (F.col("__r") == 0)
+        | (F.col("user_id").isNotNull() & F.col("__ats").isNotNull())
     )
-    out = asof_join(purchases, clicks, "user_id", direction="backward")
+    out = _asof_select(
+        u,
+        ["user_id"],
+        ["event_id", "user_id", "ts"],
+        ["click_id"],
+        "ts",
+        "ts_right",
+        "backward",
+        None,
+        "left",
+    )
     return out.select("event_id", "user_id", "click_id")
 
 
