@@ -9249,15 +9249,17 @@ def multimodal_flac_features(spark, sf_dir):
 # driver rows predate the rewrite, so driver-grade evidence for the NEW
 # shapes is the weakest link (this also pins the dup_span_stats n_windows
 # int32→int64 widening).  rfm_segments joins the head for its r10
-# range-pass restructure.  Slots 23-50 take the stalest oracle-backed
+# range-pass restructure.  Slots 26-50 take the stalest oracle-backed
 # rows with driver history: the 13 remaining r5-cohort rows, then the r6
 # cohort alphabetically.  Every row displaced below slot 50 is green in
 # CORRECTNESS_r06..r09 and re-confirmed in the FULLREG sweeps; nothing
 # below the line is staler than the freshest fill row (TestDriverWindow
 # recomputes the staleness table from the raw CORRECTNESS artifacts).
 _GATE_PRIORITY = [
-    # --- 22 slots: r9/r10-rewritten queries (driver rows predate the
-    # rewrite; CORRECTNESS_r10 completes their evidence chain) ---
+    # --- 25 slots: r9/r10-rewritten queries (driver rows predate the
+    # rewrite; CORRECTNESS_r10 completes their evidence chain).
+    # tpch_q18 / tpch_q20 / purchase_attribution joined in the final r10
+    # session (single-pass q18, window-total q20, one-scan asof union) ---
     "kneser_ney_perplexity",
     "dsir_importance_weights",
     "dup_span_stats",
@@ -9280,6 +9282,9 @@ _GATE_PRIORITY = [
     "curation_funnel",
     "etl_pipeline_chain",
     "rfm_segments",
+    "tpch_q18",
+    "tpch_q20",
+    "purchase_attribution",
     # --- 13 slots: the r5-cohort remainder (last driver row r5) ---
     "multimodal_flac_features",
     "multimodal_gif_features",
@@ -9325,7 +9330,6 @@ _GATE_PRIORITY = [
     "order_priority_semijoin",
     "orders_left_outer",
     "pack_documents",
-    "purchase_attribution",
     "quality_filter_pipeline",
     "quantile_buckets_lang",
     "remove_fields",
@@ -9375,7 +9379,6 @@ _GATE_PRIORITY = [
     "tpch_q14",
     "tpch_q15",
     "tpch_q16",
-    "tpch_q20",
     "tpch_q21",
     "tpch_q4",
     "tpch_q6",
@@ -9416,7 +9419,6 @@ _GATE_PRIORITY = [
     "semantic_dedup_kmeans",
     "token_budget_mixture",
     "tpch_q17",
-    "tpch_q18",
     "tpch_q19",
     "tpch_q22",
     "udtf_paragraphs",
